@@ -1,0 +1,287 @@
+"""Stages 2-4 — posting-slice build, segment write, docmeta/stats, ledger.
+
+Data Prepper analogs (SURVEY.md):
+  - groupBy(term, range_id).applyInPandas ≈ `aggregate` processor with the
+    `append` action (collect per-key lists,
+    /root/reference/data-prepper-plugins/aggregate-processor/.../actions/AppendAggregateAction.java:33)
+    shuffled by identification-key hash via the peer forwarder
+    (data-prepper-core/.../peerforwarder/HashRing.java:52-78). The
+    ``range_id`` component of the key is the explicit skew salt: a head
+    term's postings split into 2^range_bits contiguous docID ranges, so no
+    single task ever materializes the full "the" list.
+  - bucket-partitioned write-back ≈ the OpenSearch sink's routing + bulk
+    commit (opensearch/.../OpenSearchSink.java:144-150); parquet/Iceberg
+    partition `term_bucket=pmod(xxhash64(term),B)` is the routing key.
+  - per-group overwrite + ledger-after-commit ≈ positive-ack then
+    completePartition (s3-source/.../ScanObjectWorker.java:130-138).
+
+Scale notes (the 100 TB story):
+  - tokens are staged once (partitioned by bucket-group) so posting groups
+    re-read only their slice of the staging table; a resumed build never
+    re-tokenizes.
+  - the postings shuffle carries (term, range_id, doc_id, tf, dl) only;
+    Catalyst prunes `url` out of that branch (it feeds docmeta alone).
+  - all encode work is numpy over Arrow batches; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..hashing import xxh64_signed
+from .codec import delta_encode_docids, pack_f32, pack_i64, varint_encode
+from .config import SLICE_SCHEMA, IndexConfig
+from .ledger import Ledger
+from .tokenize import range_id_col, tokenize_stage
+
+
+class BuildKilled(RuntimeError):
+    """Raised by test fault injectors to simulate a mid-build crash."""
+
+
+def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int):
+    """applyInPandas kernel: one (term, range) group → one encoded slice row."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["doc_id"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, tf, dl = d[order], tf[order], dl[order]
+        # per-posting score upper bound factor (idf-independent, BMW-style)
+        norm = tf.astype(np.float64) * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+        )
+        ub32 = np.nextafter(norm.astype(np.float32), np.float32(np.inf))
+        starts = np.arange(0, d.size, block_size)
+        block_ubs = np.maximum.reduceat(ub32, starts)
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "range_id": [np.int32(pdf["range_id"].iloc[0])],
+                "df_slice": [np.int64(d.size)],
+                "cf_slice": [np.int64(tf.sum())],
+                "doc_ids": [delta_encode_docids(d)],
+                "tfs": [varint_encode(tf.astype(np.uint64))],
+                "dls": [varint_encode(dl.astype(np.uint64))],
+                "block_firsts": [pack_i64(d[starts])],
+                "block_ubs": [pack_f32(block_ubs)],
+                "max_ub": [np.float32(block_ubs.max())],
+                "n_blocks": [np.int32(starts.size)],
+            }
+        )
+
+    return encode
+
+
+def _paths(index_dir: str) -> dict:
+    return {
+        "staging": os.path.join(index_dir, "_staging", "tokens"),
+        "postings": os.path.join(index_dir, "postings"),
+        "termstats": os.path.join(index_dir, "termstats"),
+        "docmeta": os.path.join(index_dir, "docmeta"),
+        "stats": os.path.join(index_dir, "stats"),
+    }
+
+
+def _fingerprint(src_tag: str, cfg: IndexConfig) -> str:
+    return format(
+        xxh64_signed(json.dumps({"src": src_tag, "cfg": cfg.to_dict()}, sort_keys=True))
+        & ((1 << 64) - 1),
+        "016x",
+    )
+
+
+def _term_bucket(cfg: IndexConfig):
+    return F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+    src_tag: str = "",
+    bucket_groups: int = 1,
+    fault_injector=None,
+) -> dict:
+    """Build the full index at *index_dir*. Resumable at bucket-group
+    granularity via the ledger; returns build stats.
+
+    ``bucket_groups=G`` splits the posting build into G independent jobs,
+    each owning term_buckets {tb : tb % G == g}; a group's output directory
+    is overwritten atomically and its ledger row committed only after the
+    write succeeds, so rerunning after a crash skips completed groups.
+    """
+    assert cfg.n_buckets % bucket_groups == 0
+    p = _paths(index_dir)
+    ledger = Ledger(index_dir)
+    fp = _fingerprint(src_tag, cfg)
+
+    # ---- stage: tokens (extraction + tokenization, staged once) ----
+    if 0 not in ledger.completed("tokens", fp):
+        tokens = (
+            tokenize_stage(pages, cfg)
+            .withColumn("term_bucket", _term_bucket(cfg))
+            .withColumn("bgroup", (F.col("term_bucket") % bucket_groups).cast("int"))
+        )
+        tokens.write.mode("overwrite").partitionBy("bgroup").parquet(p["staging"])
+        ledger.commit("tokens", 0, input_fingerprint=fp)
+    tokens = spark.read.parquet(p["staging"])
+
+    # ---- stage: docmeta + corpus stats ----
+    if 0 not in ledger.completed("docmeta", fp):
+        docmeta = tokens.groupBy("doc_id").agg(
+            F.first("url").alias("url"), F.first("dl").alias("doc_len")
+        )
+        (
+            docmeta.repartitionByRange(8, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(p["docmeta"])
+        )
+        dm = spark.read.parquet(p["docmeta"])
+        agg = dm.agg(
+            F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_tokens")
+        ).collect()[0]
+        n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
+        stats = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            **cfg.to_dict(),
+        }
+        spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
+            p["stats"]
+        )
+        ledger.commit("docmeta", 0, token_count=total_tokens, input_fingerprint=fp)
+    stats = spark.read.parquet(p["stats"]).collect()[0].asDict()
+    avgdl = float(stats["avgdl"])
+
+    # ---- stage: posting slices, per bucket-group ----
+    encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size)
+    done = ledger.completed("postings", fp)
+    for g in range(bucket_groups):
+        if g in done:
+            continue
+        tg = tokens.filter(F.col("bgroup") == g).withColumn(
+            "range_id", range_id_col(cfg)
+        )
+        slices = (
+            tg.select("term", "range_id", "doc_id", "tf", "dl")
+            .groupBy("term", "range_id")
+            .applyInPandas(encode, schema=SLICE_SCHEMA)
+            .withColumn("term_bucket", _term_bucket(cfg))
+        )
+        gdir = os.path.join(p["postings"], f"bgroup={g}")
+        slices.write.mode("overwrite").partitionBy("term_bucket").parquet(gdir)
+        back = spark.read.parquet(gdir)
+        cnt = back.agg(
+            F.sum("cf_slice").alias("cf"), F.sum("df_slice").alias("df")
+        ).collect()[0]
+        ledger.commit(
+            "postings",
+            g,
+            token_count=int(cnt["cf"] or 0),
+            posting_count=int(cnt["df"] or 0),
+            input_fingerprint=fp,
+        )
+        if fault_injector is not None:
+            fault_injector("postings", g)
+
+    # ---- stage: per-term global stats (the slice "merge") ----
+    if 0 not in ledger.completed("termstats", fp):
+        posts = spark.read.parquet(p["postings"])
+        termstats = (
+            posts.groupBy("term")
+            .agg(
+                F.sum("df_slice").alias("df"),
+                F.sum("cf_slice").alias("cf"),
+                F.max("max_ub").alias("max_ub"),
+            )
+            .withColumn("term_bucket", _term_bucket(cfg))
+        )
+        termstats.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            p["termstats"]
+        )
+        ledger.commit("termstats", 0, input_fingerprint=fp)
+
+    ledger.commit("finalize", 0, input_fingerprint=fp)
+    return stats
+
+
+def build_oneshot(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+) -> dict:
+    """Single-pass build (no staging write) — the throughput-bench path.
+
+    tokens are persisted (memory+disk) instead of staged to parquet; the
+    DAG is tokenize → [docmeta ‖ posting slices] → write.
+    """
+    from pyspark import StorageLevel
+
+    p = _paths(index_dir)
+    tokens = tokenize_stage(pages, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        docmeta = tokens.groupBy("doc_id").agg(
+            F.first("url").alias("url"), F.first("dl").alias("doc_len")
+        )
+        (
+            docmeta.repartitionByRange(8, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(p["docmeta"])
+        )
+        dm = spark.read.parquet(p["docmeta"])
+        agg = dm.agg(
+            F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_tokens")
+        ).collect()[0]
+        n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
+        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        stats = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            **cfg.to_dict(),
+        }
+        spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
+            p["stats"]
+        )
+        encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size)
+        slices = (
+            tokens.withColumn("range_id", range_id_col(cfg))
+            .select("term", "range_id", "doc_id", "tf", "dl")
+            .groupBy("term", "range_id")
+            .applyInPandas(encode, schema=SLICE_SCHEMA)
+            .withColumn("term_bucket", _term_bucket(cfg))
+            .withColumn("bgroup", F.lit(0))
+        )
+        slices.write.mode("overwrite").partitionBy("bgroup", "term_bucket").parquet(
+            p["postings"]
+        )
+        posts = spark.read.parquet(p["postings"])
+        termstats = (
+            posts.groupBy("term")
+            .agg(
+                F.sum("df_slice").alias("df"),
+                F.sum("cf_slice").alias("cf"),
+                F.max("max_ub").alias("max_ub"),
+            )
+            .withColumn("term_bucket", _term_bucket(cfg))
+        )
+        termstats.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            p["termstats"]
+        )
+        Ledger(index_dir).commit("finalize", 0, token_count=total_tokens)
+        return stats
+    finally:
+        tokens.unpersist()

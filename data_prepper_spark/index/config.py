@@ -1,0 +1,49 @@
+"""Index build/query configuration.
+
+Scale knobs and how they map to a 1000-executor / 10^12-doc deployment:
+
+- ``range_bits``: the explicit head-term-skew salt. Postings for a term are
+  sliced into 2^range_bits contiguous docID ranges; each (term, range) is one
+  applyInPandas group, so the largest group is ~df(term)/2^range_bits rows.
+  At 10^12 docs a stopword has df≈10^12 → pick range_bits≈16-18 to cap a
+  slice near 10^7 postings (~100 MB decoded). At test scale 2-4 is plenty.
+  This is the engine's replacement for the reference's consistent-hash-ring
+  peer forwarding (SURVEY.md §2.9) — but deterministic and skew-proof.
+- ``n_buckets``: term-hash partition count of the written index (the Iceberg
+  ``bucket(term)`` analog). Queries prune to the q buckets of their terms.
+- ``block_size``: postings per block-max entry (WAND skip granularity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, asdict
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    k1: float = 1.2
+    b: float = 0.75
+    lang: str = "en"
+    range_bits: int = 2
+    block_size: int = 128
+    n_buckets: int = 16
+
+    @property
+    def n_ranges(self) -> int:
+        return 1 << self.range_bits
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "IndexConfig":
+        keys = IndexConfig.__dataclass_fields__.keys()
+        return IndexConfig(**{k: d[k] for k in keys if k in d})
+
+
+TOKENS_SCHEMA = "doc_id long, url string, term string, tf int, dl int"
+SLICE_SCHEMA = (
+    "term string, range_id int, df_slice long, cf_slice long, "
+    "doc_ids binary, tfs binary, dls binary, "
+    "block_firsts binary, block_ubs binary, max_ub float, n_blocks int"
+)

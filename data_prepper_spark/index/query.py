@@ -1,0 +1,159 @@
+"""Stage 5 — BM25 top-k query path (block-max WAND over pruned segments).
+
+Data Prepper analog: the opensearch *source*'s "read an index back"
+lifecycle (/root/reference/data-prepper-plugins/opensearch-source/.../
+OpenSearchIndexPartitionCreationSupplier.java — partition per index, then
+paged reads), inverted: we read only the term-hash buckets of the query's
+terms (partition pruning on `term_bucket`), decode posting slices in
+numpy, and run the exact block-max top-k.
+
+Two execution modes:
+  driver      — collect the (few) pruned slice rows and score in-process;
+                lowest latency for interactive top-k.
+  distributed — groupBy(range_id).applyInPandas local top-k per docID
+                range, then a global orderBy(score DESC, doc_id ASC).limit(k);
+                this is the 10^12-doc path: no term's full posting list is
+                ever materialized on one node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..hashing import pmod, xxh64_signed
+from ..textproc import tokenize
+from .config import IndexConfig
+from .scoring import (
+    TermSlice,
+    decode_slice,
+    idf_value,
+    score_bmw,
+    score_brute,
+    topk_select,
+)
+
+_SLICE_COLS = [
+    "term", "range_id", "doc_ids", "tfs", "dls", "block_firsts", "block_ubs",
+]
+
+
+class BM25Searcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = spark.read.parquet(f"{index_dir}/stats").collect()[0].asDict()
+        self.cfg = IndexConfig.from_dict(self.stats)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+
+    # -------------------------------------------------------------- helpers
+    def _terms_buckets(self, query_text: str) -> tuple[list[str], list[int]]:
+        terms = sorted(set(tokenize(query_text)))
+        buckets = sorted({pmod(xxh64_signed(t), self.cfg.n_buckets) for t in terms})
+        return terms, buckets
+
+    def term_stats(self, terms: list[str], buckets: list[int]) -> dict[str, int]:
+        """df per query term, from the bucket-pruned termstats table."""
+        if not terms:
+            return {}
+        rows = (
+            self.spark.read.parquet(f"{self.index_dir}/termstats")
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _pruned_slices(self, terms: list[str], buckets: list[int]) -> DataFrame:
+        return (
+            self.spark.read.parquet(f"{self.index_dir}/postings")
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+            .select(*_SLICE_COLS)
+        )
+
+    # ---------------------------------------------------------------- search
+    def search(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "bmw",
+        distributed: bool = False,
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), rank-identical to the oracle."""
+        terms, buckets = self._terms_buckets(query_text)
+        dfs = self.term_stats(terms, buckets)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        if not terms:
+            return []
+        idf = {t: idf_value(self.n_docs, dfs[t]) for t in terms}
+        if distributed:
+            return self._search_distributed(terms, buckets, idf, k, mode)
+        rows = self._pruned_slices(terms, buckets).collect()
+        by_range: dict[int, list[TermSlice]] = {}
+        for r in rows:
+            by_range.setdefault(int(r["range_id"]), []).append(
+                decode_slice(r, idf[r["term"]])
+            )
+        ids_all, sc_all = [], []
+        for slices in by_range.values():
+            if mode == "bmw":
+                ids, sc = score_bmw(slices, self.cfg.k1, self.cfg.b, self.avgdl, k)
+            else:
+                ids, sc = score_brute(slices, self.cfg.k1, self.cfg.b, self.avgdl)
+            ids_all.append(ids)
+            sc_all.append(sc)
+        if not ids_all:
+            return []
+        ids, sc = topk_select(np.concatenate(ids_all), np.concatenate(sc_all), k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def _search_distributed(self, terms, buckets, idf, k, mode) -> list[tuple[int, float]]:
+        cfg, avgdl = self.cfg, self.avgdl
+
+        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            slices = [
+                decode_slice(row, idf[row["term"]])
+                for row in pdf.to_dict("records")
+            ]
+            if mode == "bmw":
+                ids, sc = score_bmw(slices, cfg.k1, cfg.b, avgdl, k)
+            else:
+                ids, sc = score_brute(slices, cfg.k1, cfg.b, avgdl)
+                ids, sc = topk_select(ids, sc, k)
+            return pd.DataFrame({"doc_id": ids, "score": sc})
+
+        out = (
+            self._pruned_slices(terms, buckets)
+            .groupBy("range_id")
+            .applyInPandas(score_range, schema="doc_id long, score double")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in out]
+
+    def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id → url via the docID-range-sorted docmeta (file skipping)."""
+        if not doc_ids:
+            return {}
+        rows = (
+            self.spark.read.parquet(f"{self.index_dir}/docmeta")
+            .filter(F.col("doc_id").isin(doc_ids))
+            .select("doc_id", "url")
+            .collect()
+        )
+        return {int(r["doc_id"]): r["url"] for r in rows}
+
+    def search_df(self, query_text: str, k: int = 10, mode: str = "bmw") -> DataFrame:
+        """Top-k as a DataFrame (query_text, rank, doc_id, url, bm25_score)."""
+        hits = self.search(query_text, k=k, mode=mode)
+        urls = self.urls_for([d for d, _ in hits])
+        rows = [
+            (query_text, i + 1, d, urls.get(d, ""), float(s))
+            for i, (d, s) in enumerate(hits)
+        ]
+        return self.spark.createDataFrame(
+            rows, "query_text string, rank int, doc_id long, url string, bm25_score double"
+        )

@@ -1,0 +1,155 @@
+"""BM25 scoring kernels (numpy, shared by driver-side and distributed paths).
+
+Two strategies over decoded posting slices of one docID range:
+
+- ``score_brute``: exact term-at-a-time accumulation over the union of
+  docIDs (the correctness anchor).
+- ``score_bmw``: block-max pruning — segments the range at every term's
+  block boundary, upper-bounds each segment by Σ idf·block_ub, processes
+  segments in descending bound order and stops when the bound falls below
+  the running top-k threshold. Exact top-k (prune is strict ``<`` so
+  score ties, broken by doc_id ASC, are never lost).
+
+Accumulation order is fixed (terms processed in sorted order, float64),
+so scores are bit-reproducible and rank-identical to the pure-Python
+oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codec import delta_decode_docids, unpack_f32, unpack_i64, varint_decode
+
+
+@dataclass
+class TermSlice:
+    """One (term, range) posting slice, decoded."""
+
+    term: str
+    idf: float
+    doc_ids: np.ndarray     # int64, sorted
+    tfs: np.ndarray         # int64
+    dls: np.ndarray         # int64
+    block_firsts: np.ndarray  # int64, doc_ids[::block_size]
+    block_ubs: np.ndarray     # float32, per-block max of the tf-normalization
+
+
+def decode_slice(row, idf: float) -> TermSlice:
+    """Decode a postings-slice row (Row / dict / namedtuple-like)."""
+    get = row.__getitem__ if hasattr(row, "__getitem__") else getattr
+    return TermSlice(
+        term=get("term"),
+        idf=idf,
+        doc_ids=delta_decode_docids(bytes(get("doc_ids"))),
+        tfs=varint_decode(bytes(get("tfs"))).astype(np.int64),
+        dls=varint_decode(bytes(get("dls"))).astype(np.int64),
+        block_firsts=unpack_i64(bytes(get("block_firsts"))),
+        block_ubs=unpack_f32(bytes(get("block_ubs"))),
+    )
+
+
+def idf_value(n_docs: int, df: int) -> float:
+    if df <= 0:
+        return 0.0
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _tf_norm(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    denom = tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+    return tf * (k1 + 1.0) / denom
+
+
+def score_brute(
+    slices: list[TermSlice], k1: float, b: float, avgdl: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact scores for every doc in the union. Returns (doc_ids, scores)."""
+    if not slices:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    slices = sorted(slices, key=lambda s: s.term)  # fixed accumulation order
+    union = np.unique(np.concatenate([s.doc_ids for s in slices]))
+    scores = np.zeros(union.size, dtype=np.float64)
+    for s in slices:
+        idx = np.searchsorted(union, s.doc_ids)
+        scores[idx] += s.idf * _tf_norm(s.tfs, s.dls, k1, b, avgdl)
+    return union, scores
+
+
+def topk_select(
+    doc_ids: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(score DESC, doc_id ASC) top-k."""
+    if doc_ids.size == 0:
+        return doc_ids, scores
+    if doc_ids.size > k:
+        # candidates = everything ≥ kth score, so boundary ties resolve exactly
+        kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        cand = np.flatnonzero(scores >= kth)
+    else:
+        cand = np.arange(doc_ids.size)
+    order = np.lexsort((doc_ids[cand], -scores[cand]))
+    sel = cand[order][:k]
+    return doc_ids[sel], scores[sel]
+
+
+def score_bmw(
+    slices: list[TermSlice], k1: float, b: float, avgdl: float, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max top-k over one docID range. Exact (score DESC, doc_id ASC)."""
+    slices = [s for s in slices if s.doc_ids.size]
+    if not slices:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    slices = sorted(slices, key=lambda s: s.term)
+    # Segment bounds: every block start of every term.
+    bounds = np.unique(np.concatenate([s.block_firsts for s in slices]))
+    n_seg = bounds.size  # segment s covers [bounds[s], bounds[s+1])
+    seg_ub = np.zeros(n_seg, dtype=np.float64)
+    for s in slices:
+        # block covering each segment start (−1 → before term's first block)
+        blk = np.searchsorted(s.block_firsts, bounds, side="right") - 1
+        valid = blk >= 0
+        # segments past the term's last posting contribute nothing
+        valid &= bounds <= s.doc_ids[-1]
+        contrib = np.zeros(n_seg, dtype=np.float64)
+        contrib[valid] = s.idf * s.block_ubs[blk[valid]].astype(np.float64)
+        seg_ub += contrib
+    seg_order = np.argsort(-seg_ub, kind="stable")
+
+    got_ids: list[np.ndarray] = []
+    got_scores: list[np.ndarray] = []
+    n_got = 0
+    theta = -np.inf
+    seg_end = np.append(bounds[1:], np.iinfo(np.int64).max)
+    for si in seg_order:
+        if n_got >= k and seg_ub[si] < theta:
+            break  # all remaining segments have strictly smaller bounds
+        lo, hi = bounds[si], seg_end[si]
+        sub = []
+        for s in slices:
+            a = np.searchsorted(s.doc_ids, lo, side="left")
+            z = np.searchsorted(s.doc_ids, hi, side="left")
+            if z > a:
+                sub.append(
+                    TermSlice(
+                        s.term, s.idf, s.doc_ids[a:z], s.tfs[a:z], s.dls[a:z],
+                        s.block_firsts, s.block_ubs,
+                    )
+                )
+        if not sub:
+            continue
+        ids, sc = score_brute(sub, k1, b, avgdl)
+        got_ids.append(ids)
+        got_scores.append(sc)
+        n_got += ids.size
+        if n_got >= k:
+            allsc = np.concatenate(got_scores)
+            theta = np.partition(-allsc, k - 1)[k - 1] * -1.0
+    if not got_ids:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    ids = np.concatenate(got_ids)
+    sc = np.concatenate(got_scores)
+    return topk_select(ids, sc, k)

@@ -1,0 +1,106 @@
+"""End-to-end index correctness: byte-identical extraction, rank-identical
+top-k vs the pure-Python oracle (the two gates in BASELINE.json input_hint)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.corpus import reference_queries
+from data_prepper_spark.index.query import BM25Searcher
+from data_prepper_spark.textproc import extract_text_series
+
+
+def test_byte_identical_extraction(spark, tiny_corpus_path, oracle_tiny):
+    """Spark-side extraction (mapInPandas over html BINARY) must be
+    byte-identical per url to the oracle's pure-Python extraction."""
+    pages = spark.read.parquet(tiny_corpus_path).select("url", "html", "text")
+
+    def ex(batches):
+        for b in batches:
+            out = b[["url", "text"]].copy()
+            out["extracted"] = extract_text_series(b["html"])
+            yield out
+
+    rows = pages.mapInPandas(ex, "url string, text string, extracted string").collect()
+    assert len(rows) == len(oracle_tiny.extracted)
+    for r in rows:
+        assert r["extracted"] == r["text"], r["url"]
+        assert r["extracted"] == oracle_tiny.extracted[r["url"]], r["url"]
+
+
+def test_corpus_stats_match_oracle(tiny_index, oracle_tiny):
+    _, _, stats = tiny_index
+    assert stats["n_docs"] == oracle_tiny.n_docs
+    assert stats["total_tokens"] == oracle_tiny.total_tokens
+    assert abs(stats["avgdl"] - oracle_tiny.avgdl) < 1e-9
+
+
+def _assert_rank_identical(got, want, ctx):
+    assert [d for d, _ in got] == [d for d, _ in want], ctx
+    g = np.array([s for _, s in got])
+    w = np.array([s for _, s in want])
+    assert np.allclose(g, w, rtol=1e-9, atol=1e-12), ctx
+
+
+def test_rank_identical_topk_all_reference_queries(spark, tiny_index, oracle_tiny):
+    index_dir, _, _ = tiny_index
+    searcher = BM25Searcher(spark, index_dir)
+    for q in reference_queries():
+        want = oracle_tiny.topk(q["query_text"], q["k"])
+        got_bmw = searcher.search(q["query_text"], k=q["k"], mode="bmw")
+        _assert_rank_identical(got_bmw, want, f"bmw q{q['query_id']}: {q['query_text']}")
+        got_brute = searcher.search(q["query_text"], k=q["k"], mode="brute")
+        got_brute = got_brute[: q["k"]]
+        _assert_rank_identical(got_brute, want, f"brute q{q['query_id']}")
+
+
+def test_distributed_search_matches_driver(spark, tiny_index, oracle_tiny):
+    index_dir, _, _ = tiny_index
+    searcher = BM25Searcher(spark, index_dir)
+    for qt, k in [("zanzibar", 10), ("the", 5), ("spark index the", 10), ("melange of", 100)]:
+        want = oracle_tiny.topk(qt, k)
+        got = searcher.search(qt, k=k, mode="bmw", distributed=True)
+        _assert_rank_identical(got, want, f"distributed {qt}")
+
+
+def test_absent_term_query(spark, tiny_index):
+    index_dir, _, _ = tiny_index
+    searcher = BM25Searcher(spark, index_dir)
+    assert searcher.search("qqqabsentterm", k=10) == []
+
+
+def test_urls_resolve(spark, tiny_index, oracle_tiny):
+    index_dir, _, _ = tiny_index
+    searcher = BM25Searcher(spark, index_dir)
+    hits = searcher.search("zanzibar", k=5)
+    urls = searcher.urls_for([d for d, _ in hits])
+    for d, _ in hits:
+        assert urls[d] == oracle_tiny.doc_url[d]
+
+
+def test_bucket_pruning_plan(spark, tiny_index):
+    """The postings scan must prune to the query terms' buckets (partition
+    pruning on term_bucket) — the 'only read what the query needs' gate."""
+    index_dir, cfg, _ = tiny_index
+    searcher = BM25Searcher(spark, index_dir)
+    from data_prepper_spark.hashing import pmod, xxh64_signed
+
+    bucket = pmod(xxh64_signed("zanzibar"), cfg.n_buckets)
+    df = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("term_bucket").isin([bucket]) & (F.col("term") == "zanzibar"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition pruning on term_bucket must reach the scan ...
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "term_bucket" in pf, plan
+    # ... and the term predicate must be pushed into parquet
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "term" in pushed, plan
+    # and the pruned scan must actually read fewer partitions than exist
+    pruned = df.withColumn("f", F.input_file_name()).select("f").distinct().collect()
+    assert all(f"term_bucket={bucket}/" in r["f"] for r in pruned), pruned
+    n_total = len(spark.read.parquet(f"{index_dir}/postings").inputFiles())
+    assert 0 < len(pruned) < n_total
