@@ -1,0 +1,312 @@
+"""Data Prepper expression DSL → Spark ``Column`` compiler.
+
+The reference evaluates its conditional DSL per event with an ANTLR parse
+tree walk (/root/reference/data-prepper-expression/src/main/antlr/
+DataPrepperExpression.g4; GenericExpressionEvaluator.java:35-43,
+ParseTreeEvaluator.java:36-38).  That is per-row interpretation.  Here the
+same grammar is compiled ONCE at pipeline-build time into a Catalyst
+``Column``; evaluation then happens JVM-side inside whole-stage codegen —
+zero per-row Python, per SURVEY.md §2.4 / §3.3.
+
+Grammar coverage (citations into the reference grammar file):
+  - ``and`` / ``or`` / ``not``                 (g4:302-304)
+  - ``==`` ``!=``                              (g4:292-293)
+  - ``<`` ``<=`` ``>`` ``>=``                  (g4:294-297)
+  - regex ``=~`` / ``!~``                      (g4:298-299)
+  - set membership ``in {…}`` / ``not in {…}`` (g4:300-301,118-120)
+  - arithmetic ``+ - * /``, unary ``-``        (g4:26-47,126-128)
+  - JSON-Pointer operands ``/status_code``     (g4:209-241)
+  - literals Integer/Float/Boolean/String/Null (g4:170-207)
+  - functions (docs/expression_syntax.md:171-191):
+      length(x), contains(x, y), hasTags("a","b"), getMetadata("/k"),
+      cidrContains("/ip", "10.0.0.0/8", …)
+
+JSON-Pointer paths ``/fizz/buzz`` map to nested column access
+``fizz.buzz`` (JacksonEvent.java:43-52 pointer semantics); ``hasTags``
+reads the ``_tags array<string>`` column and ``getMetadata`` the
+``_meta map<string,string>`` column (our EventMetadata equivalents,
+SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+
+from pyspark.sql import Column, functions as F
+
+TAGS_COL = "_tags"
+META_COL = "_meta"
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+        (?P<num>-?\d+\.\d+|-?\d+)
+      | (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<ptr>/[A-Za-z0-9_][A-Za-z0-9_/\-]*)
+      | (?P<op><=|>=|==|!=|=~|!~|<|>|\+|-|\*|/|\(|\)|\{|\}|,)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    )
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "in", "true", "false", "null"}
+
+
+class ExpressionError(ValueError):
+    pass
+
+
+def _lex(text: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            if text[pos:].strip() == "":
+                break
+            raise ExpressionError(f"bad token at {text[pos:]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        toks.append((kind, val))
+    toks.append(("eof", ""))
+    return toks
+
+
+class _Parser:
+    """Recursive-descent over the DP grammar's precedence ladder:
+    or < and < not < (==,!=,<,…,=~,in) < (+,-) < (*,/) < unary - < primary.
+    """
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise ExpressionError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    # ---- precedence ladder ----
+    def parse(self) -> Column:
+        c = self.p_or()
+        if self.peek()[0] != "eof":
+            raise ExpressionError(f"trailing input at {self.peek()[1]!r}")
+        return c
+
+    def p_or(self) -> Column:
+        left = self.p_and()
+        while self.peek() == ("word", "or"):
+            self.next()
+            left = left | self.p_and()
+        return left
+
+    def p_and(self) -> Column:
+        left = self.p_not()
+        while self.peek() == ("word", "and"):
+            self.next()
+            left = left & self.p_not()
+        return left
+
+    def p_not(self) -> Column:
+        if self.peek() == ("word", "not") and self.toks[self.i + 1][1] != "in":
+            self.next()
+            return ~self.p_not()
+        return self.p_cmp()
+
+    def p_cmp(self) -> Column:
+        left = self.p_add()
+        k, v = self.peek()
+        if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right = self.p_add()
+            return {
+                "==": left.eqNullSafe(right) if isinstance(right, Column) else left == right,
+                "!=": ~left.eqNullSafe(right) if isinstance(right, Column) else left != right,
+                "<": left < right,
+                "<=": left <= right,
+                ">": left > right,
+                ">=": left >= right,
+            }[v]
+        if k == "op" and v in ("=~", "!~"):
+            self.next()
+            pat = self._string_literal()
+            rl = left.rlike(pat)
+            return rl if v == "=~" else ~rl
+        if (k, v) == ("word", "in"):
+            self.next()
+            return left.isin(*self._set_literal())
+        if (k, v) == ("word", "not") and self.toks[self.i + 1][1] == "in":
+            self.next()
+            self.next()
+            return ~left.isin(*self._set_literal())
+        return left
+
+    def p_add(self) -> Column:
+        left = self.p_mul()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            _, op = self.next()
+            right = self.p_mul()
+            left = (left + right) if op == "+" else (left - right)
+        return left
+
+    def p_mul(self) -> Column:
+        left = self.p_unary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+            _, op = self.next()
+            right = self.p_unary()
+            left = (left * right) if op == "*" else (left / right)
+        return left
+
+    def p_unary(self) -> Column:
+        if self.peek() == ("op", "-"):
+            self.next()
+            return -self.p_unary()
+        return self.p_primary()
+
+    # ---- primaries ----
+    def _string_literal(self) -> str:
+        k, v = self.next()
+        if k != "str":
+            raise ExpressionError(f"expected string literal, got {v!r}")
+        return v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+
+    def _set_literal(self) -> list:
+        self.expect("op", "{")
+        vals = []
+        while True:
+            k, v = self.next()
+            if k == "num":
+                vals.append(float(v) if "." in v else int(v))
+            elif k == "str":
+                vals.append(v[1:-1])
+            elif (k, v) == ("word", "true"):
+                vals.append(True)
+            elif (k, v) == ("word", "false"):
+                vals.append(False)
+            else:
+                raise ExpressionError(f"bad set element {v!r}")
+            k, v = self.next()
+            if (k, v) == ("op", "}"):
+                return vals
+            if (k, v) != ("op", ","):
+                raise ExpressionError(f"expected , or }} in set, got {v!r}")
+
+    def p_primary(self) -> Column:
+        k, v = self.next()
+        if k == "num":
+            return F.lit(float(v) if "." in v else int(v))
+        if k == "str":
+            return F.lit(v[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        if k == "ptr":
+            return pointer_to_col(v)
+        if (k, v) == ("op", "("):
+            c = self.p_or()
+            self.expect("op", ")")
+            return c
+        if k == "word":
+            if v == "true":
+                return F.lit(True)
+            if v == "false":
+                return F.lit(False)
+            if v == "null":
+                return F.lit(None)
+            if self.peek() == ("op", "("):
+                return self._function(v)
+            raise ExpressionError(f"unknown identifier {v!r}")
+        raise ExpressionError(f"unexpected token {v!r}")
+
+    def _function(self, name: str) -> Column:
+        self.expect("op", "(")
+        args: list = []
+        if self.peek() != ("op", ")"):
+            while True:
+                args.append(self.p_or())
+                k, v = self.next()
+                if (k, v) == ("op", ")"):
+                    break
+                if (k, v) != ("op", ","):
+                    raise ExpressionError(f"expected , or ) in args, got {v!r}")
+        else:
+            self.next()
+        return _apply_function(name, args)
+
+
+def pointer_to_col(ptr: str) -> Column:
+    """JSON-Pointer ``/a/b`` → ``F.col("a.b")`` (struct navigation)."""
+    parts = [p for p in ptr.split("/") if p]
+    c = F.col(parts[0])
+    for p in parts[1:]:
+        c = c.getField(p)
+    return c
+
+
+def _lit_value(c: Column):
+    """Extract a python literal from a Column built by F.lit, if possible."""
+    try:
+        expr = c._jc.toString()
+    except Exception:
+        return None
+    return expr
+
+
+def _apply_function(name: str, args: list[Column]) -> Column:
+    # Reference impls: LengthExpressionFunction.java:14,
+    # ContainsExpressionFunction.java:14, HasTagsExpressionFunction.java:15,
+    # GetMetadataExpressionFunction.java:14, CidrExpressionFunction.java:19.
+    if name == "length":
+        return F.length(args[0])
+    if name == "contains":
+        return F.contains(args[0], args[1])
+    if name == "hasTags":
+        cond = None
+        for a in args:
+            c = F.array_contains(F.col(TAGS_COL), a)
+            cond = c if cond is None else (cond & c)
+        return cond if cond is not None else F.lit(True)
+    if name == "getMetadata":
+        # arg is a lit string pointer like "/key"
+        return F.element_at(F.col(META_COL), F.regexp_replace(args[0], "^/", ""))
+    if name == "cidrContains":
+        return _cidr_contains(args[0], args[1:])
+    raise ExpressionError(f"unknown function {name}()")
+
+
+def _cidr_contains(ip_col: Column, cidr_lits: list[Column]) -> Column:
+    """IPv4 CIDR test as pure bit arithmetic on the dotted-quad column —
+    JVM-side, no UDF (CidrExpressionFunction.java:19 uses commons-net)."""
+    octets = F.split(ip_col, r"\.")
+    ip_num = (
+        octets.getItem(0).cast("long") * F.lit(1 << 24)
+        + octets.getItem(1).cast("long") * F.lit(1 << 16)
+        + octets.getItem(2).cast("long") * F.lit(1 << 8)
+        + octets.getItem(3).cast("long")
+    )
+    cond = F.lit(False)
+    for c in cidr_lits:
+        # cidr literals must be constants; parse driver-side
+        s = c._jc.toString()
+        m = re.search(r"'([^']+)'", s) or re.search(r'"([^"]+)"', s)
+        if m is None:
+            raise ExpressionError("cidrContains arguments must be string literals")
+        net = ipaddress.ip_network(m.group(1), strict=False)
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+        cond = cond | ((ip_num >= F.lit(lo)) & (ip_num <= F.lit(hi)))
+    return cond
+
+
+def compile_expression(text: str) -> Column:
+    """Compile a Data Prepper expression string to a Spark Column (once,
+    at plan time — the Catalyst analog of GenericExpressionEvaluator)."""
+    return _Parser(_lex(text)).parse()

@@ -1,0 +1,311 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB story):
+  - exact dedup is one hash-groupBy — map-side partial agg, no skew risk
+    (md5 keys are uniform).
+  - pairwise similarity NEVER does a full cross join: Jaccard blocks by
+    shared shingle, MinHash blocks by LSH band bucket, SimHash blocks by
+    signature chunk.  Every candidate set is then exactly verified, so
+    the output is deterministic (and SQL-reproducible) even though the
+    blocking is approximate.
+  - the shared token hash is ``token_hash60`` = first 15 hex digits of
+    md5, as an int64.  md5 is deliberately chosen over xxhash64: both
+    Spark AND DuckDB can compute it, so even MinHash signatures are
+    verified bit-for-bit by the SQL oracle.  A production deployment
+    would swap in xxhash64 (same topology, cheaper hash).
+
+Reference analog: the `remove_duplicates` aggregate action
+(/root/reference/data-prepper-plugins/aggregate-processor/src/main/java/
+org/opensearch/dataprepper/plugins/processor/aggregate/actions/
+RemoveDuplicatesAggregateAction.java:20) is the exact-key case; the
+similarity family generalizes it to near-duplicate keys the reference
+has no equivalent for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textstats import tokens_array
+
+MERSENNE_HEX_DIGITS = 15  # 60 bits, always fits int64
+
+
+def token_hash60(col: Column) -> Column:
+    """Shared Spark/DuckDB string hash: int64 of md5's first 15 hex chars.
+
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, MERSENNE_HEX_DIGITS), 16, 10).cast("long")
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct md5(text),
+    keeping the smallest id (deterministic winner), with the group size.
+
+    Single shuffle on the 128-bit content hash; at 10^12 docs this is the
+    cheapest possible dedup (no text comparison ever crosses the wire,
+    only (hash, id))."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------- shingles
+
+def shingle_col(text_col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the tokenized text (JVM-side:
+    transform over an index sequence + slice — no Python)."""
+    toks = tokens_array(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_col(F.col(text_col), n)).alias("sh"),
+    )
+
+
+# ---------------------------------------------------------- exact jaccard
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a<b) with n-gram-shingle Jaccard ≥ threshold.
+
+    Blocking: self-join on shared shingle (a pair is compared only if it
+    shares ≥1 shingle — pairs below any sane threshold that share none
+    are provably excluded).  groupBy(a,b) counts the intersection; set
+    sizes come from a broadcast-joined per-doc size table.  Output
+    jaccard is rounded to 6 places (stable across engines)."""
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """(doc, sig array<long>) — sig[j] = min over shingles of
+    hash60(j || ':' || shingle).  Pure groupBy aggregation: num_perm
+    map-side-combined mins, one shuffle on doc."""
+    sh = _doc_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(token_hash60(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
+        for j in range(num_perm)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exactly verified.
+
+    shingle → minhash (num_perm) → band keys (bands × rows_per_band) →
+    bucket-join candidates (a<b, distinct) → exact Jaccard verify ≥
+    threshold.  The verify step makes the output deterministic: LSH only
+    decides WHICH pairs get checked, never the answer."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_rows = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", *[F.col("sig").getItem(b * r + i).cast("string") for i in range(r)])
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bkey")
+    a = band_rows.alias("a")
+    b_ = band_rows.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+    # exact verification of candidates only
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    pair_sh = cands.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc")).join(
+        sh.alias("s2"),
+        (F.col("doc_b") == F.col("s2.doc")) & (F.col("s1.sh") == F.col("s2.sh")),
+    )
+    inter = pair_sh.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+    out = (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"inter": 0})
+        .join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ----------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 60
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, simhash long): 60-bit SimHash over tf-weighted token hashes.
+
+    Implemented relationally — explode (token, tf) × bit position, sum
+    ±tf per (doc, bit), recompose 2^bit — so the identical computation
+    runs in DuckDB for the oracle.  At scale the explode-by-60 multiplies
+    the token table; a production variant folds the 60 sums into one
+    vectorized pandas_udf, same result."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_array(F.col(text_col))).alias("tok"),
+    )
+    tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("h", token_hash60(F.col("tok")))
+    bits = h.select(
+        "doc",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    comp = bits.withColumn(
+        "w",
+        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+            -F.col("tf")
+        ),
+    )
+    per_bit = comp.groupBy("doc", "bit").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the 60-bit signature into `chunks` 15-bit chunks; by
+    pigeonhole, any pair within distance chunks-1 shares ≥1 exact chunk —
+    candidates join per chunk, then exact bit_count(xor) verification."""
+    assert max_hamming < chunks, "pigeonhole blocking needs max_hamming < chunks"
+    sig = simhash_signatures(df, id_col, text_col)
+    w = SIMHASH_BITS // chunks
+    chunked = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * w)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("ckey"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "simhash", "ck.chunk", "ck.ckey")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+  - brute-force cosine top-k: the exactness baseline.  Dot products run
+    JVM-side via zip_with+aggregate (no Python); the k×N candidate space
+    is pruned to top-k per query with one window.
+  - hyperplane-LSH buckets: sign-bit signatures against seeded random
+    hyperplanes → bucket join; the 100 TB path (candidates only within
+    matching buckets, then exact re-score).
+  - IVF (inverted-file): coarse centroids (here: per-label means, i.e. a
+    precomputed coarse quantizer), probe the nearest n_probe cells, exact
+    search within.  At scale the cell id is the partition key, so a query
+    touches n_probe partitions only — same pruning story as the
+    term-bucket index.
+
+Embedding cosine near-dup pairs (the 5th dedup mode) also lives here —
+same blocking machinery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed in float64
+    left-to-right (deterministic accumulation order)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the query set (small side)
+    against the vector table, score JVM-side, window top-k.
+
+    Deterministic rank: (round(cos,6) DESC, vec_id ASC) — ties never
+    depend on partitioning.  At 10^9 vectors this is one scan of the
+    vector table per query batch; broadcast keeps it shuffle-free until
+    the final k-row-per-query window (partial top-k per partition under
+    AQE)."""
+    from pyspark.sql import Window
+
+    j = vectors.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cos")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a<b) with cos ≥ threshold.
+
+    With block_col set, pairs are only compared within a block (the
+    deterministic blocking a curation pipeline gets from a cheap
+    clusterer); without it this is the exact O(N²) verifier for tests."""
+    a = vectors.alias("a")
+    b = vectors.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col is not None:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# ------------------------------------------------------------ LSH buckets
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Seeded Gaussian hyperplanes (deterministic across runs/executors)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_signature_col(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature as an int64: bit j = (v · plane_j) > 0.
+    Pure column expressions — the plane constants fold into codegen."""
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for j, row in enumerate(planes):
+        arr = F.array(*[F.lit(float(c)) for c in row])
+        dot = _dot(vd, arr)
+        sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: exact re-scoring restricted to vectors whose
+    LSH bucket matches the query's.  At scale, `sig` is the table's
+    partition/bucket key → per-query partition pruning; here it is a
+    plain equi-join (shuffle on a 2^n_planes-value key)."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    v = vectors.withColumn("sig", lsh_signature_col(F.col(vec_col), planes))
+    q = queries.withColumn("sig", lsh_signature_col(F.col(qvec_col), planes))
+    j = v.join(F.broadcast(q), "sig")
+    scored = j.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cos")
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+def ivf_build(
+    vectors: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer cells: centroid = per-cell mean vector (posexplode
+    → mean per (cell, dim) → re-assemble).  One shuffle over (cell, dim)."""
+    pos = vectors.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("dim", "v"),
+    )
+    means = pos.groupBy("cell", "dim").agg(F.avg("v").alias("m"))
+    return (
+        means.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("cell", F.transform(F.col("dm"), lambda s: s.getField("m")).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF search: per query pick the n_probe nearest cells by centroid
+    cosine, exact-search only those cells.  The cells join is a broadcast
+    (centroid table is tiny); the vector-side filter prunes on the cell
+    partition key."""
+    from pyspark.sql import Window
+
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        qid_col,
+        qvec_col,
+        F.col("cell"),
+        F.round(cosine(F.col(qvec_col), F.col("centroid")), 6).alias("ccos"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = qc.withColumn("crank", F.row_number().over(wq)).filter(
+        F.col("crank") <= n_probe
+    )
+    j = vectors.join(
+        F.broadcast(probes), vectors[cell_col] == probes["cell"]
+    )
+    scored = j.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cos")
+    )
