@@ -244,14 +244,12 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     comp = bits.withColumn(
         "w",
-        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-            -F.col("tf")
-        ),
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
     )
     per_bit = comp.groupBy("doc", "bit").agg(F.sum("w").alias("s"))
     return per_bit.groupBy("doc").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
                 F.lit(0).cast("long")
             )
         ).alias("simhash")

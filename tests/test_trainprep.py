@@ -1,0 +1,229 @@
+"""Training-data prep operator tests (dedup / similarity / textstats /
+multimodal) on the driver-generated documents+embeddings tables at
+sf0.001, plus synthetic corner cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.trainprep import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- textstats
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World! 42"), (2, "   "), (3, "a-b c")], "id int, text string"
+    )
+    out = df.select(
+        "id",
+        textstats.token_count(F.col("text")).alias("tc"),
+        textstats.ws_token_count(F.col("text")).alias("wc"),
+    )
+    r = {x["id"]: (x["tc"], x["wc"]) for x in out.collect()}
+    assert r[1] == (3, 3)
+    assert r[2] == (0, 0)
+    assert r[3] == (3, 2)
+
+
+def test_quality_and_langid(docs):
+    out = textstats.quality_features(docs.limit(50))
+    rows = out.collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+    lid = textstats.lang_id(docs.limit(50)).collect()
+    assert all(r["lang_pred"] in ("en", "de", "fr", "es", "und") for r in lid)
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "fox the quick THE"), (3, "other words")],
+        "id int, text string",
+    )
+    fp = {r["id"]: r["fingerprint"] for r in textstats.fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (5, "same text"), (3, "unique")], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df, "doc_id", "text").collect()
+    m = {r["keep_id"]: r["n_copies"] for r in out}
+    assert m == {1: 2, 3: 1}
+
+
+def test_token_hash60_matches_duckdb(spark):
+    import duckdb
+
+    words = ["alpha", "beta", "gamma", "δunicode"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["h"]
+        for r in df.select("w", dedup.token_hash60(F.col("w")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        (exp,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [w]
+        ).fetchone()
+        assert got[w] == exp, w
+
+
+def _near_dup_df(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark indexes and queries " * 5
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_jaccard_pairs(spark):
+    df = _near_dup_df(spark)
+    out = dedup.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_pairs(spark):
+    df = _near_dup_df(spark)
+    out = dedup.minhash_lsh_pairs(df, "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+    # verified output must be a subset of the exact-jaccard pairs
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert pairs <= exact
+
+
+def test_simhash(spark):
+    df = _near_dup_df(spark)
+    sigs = {r["doc"]: r["simhash"] for r in dedup.simhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert bin(sigs[1] ^ sigs[3]).count("1") < bin(sigs[1] ^ sigs[4]).count("1")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+# ------------------------------------------------------------ similarity
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+
+
+def test_brute_topk_self_is_top1(emb, queries):
+    out = similarity.brute_topk(emb, queries, k=3).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    for r in out:
+        if r["rank"] == 1:
+            assert r["cos"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_brute_topk_matches_numpy(emb, queries):
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    out = similarity.brute_topk(emb, queries, k=5).collect()
+    for qid in [0, 1, 2]:
+        q = vecs[qid]
+        sims = {
+            vid: round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
+            for vid, v in vecs.items()
+        }
+        exp = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = sorted(
+            [(r["vec_id"], r["cos"]) for r in out if r["query_id"] == qid],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert [v for v, _ in got] == [v for v, _ in exp]
+
+
+def test_lsh_topk_subset_quality(emb, queries):
+    out = similarity.lsh_topk(emb, queries, k=3, n_planes=6)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    top1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # identical vector shares the bucket
+
+
+def test_ivf_topk(emb, queries):
+    cents = similarity.ivf_build(emb)
+    n_cells = emb.select("label").distinct().count()
+    assert cents.count() == n_cells
+    # probing ALL cells makes IVF exhaustive → must equal brute force
+    out = similarity.ivf_topk(emb, queries, cents, k=3, n_probe=n_cells).collect()
+    brute = similarity.brute_topk(emb, queries, k=3).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"], r["cos"]) for r in rows)
+    assert key(out) == key(brute)
+    # partial probe returns a (possibly smaller-coverage) valid ranking
+    part = similarity.ivf_topk(emb, queries, cents, k=3, n_probe=1).collect()
+    assert {r["query_id"] for r in part} == {0, 1, 2}
+    assert all(r["rank"] <= 3 for r in part)
+
+
+def test_cosine_pairs_blocked(emb):
+    out = similarity.cosine_pairs(emb.limit(100), threshold=0.9, block_col="label")
+    for r in out.collect():
+        assert r["id_a"] < r["id_b"] and r["cos"] >= 0.9
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_multimodal_plumbing(spark):
+    df = (
+        spark.range(20)
+        .select(
+            F.col("id").alias("media_id"),
+            F.when(F.col("id") % 2 == 0, "image").otherwise("video").alias("kind"),
+            F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "utf-8").alias(
+                "payload"
+            ),
+            F.lit("application/octet-stream").alias("mime"),
+        )
+    )
+    df = multimodal.attach_metadata(df)
+    rows = df.collect()
+    assert all(r["n_bytes"] == len(bytes(r["payload"])) for r in rows)
+    feats = multimodal.extract_features(df, fake=True, feature_dim=8)
+    got = feats.collect()
+    assert len(got) == 20
+    assert all(len(r["feature"]) == 8 for r in got)
+    # deterministic: second run bit-identical
+    again = {r["media_id"]: r["feature"] for r in multimodal.extract_features(df, fake=True, feature_dim=8).collect()}
+    for r in got:
+        assert again[r["media_id"]] == r["feature"]
+    planned = multimodal.frame_sample_plan(feats, every_n=10)
+    for r in planned.collect():
+        assert r["sample_frames"][0] == 0
+        assert all(f < r["n_frames"] for f in r["sample_frames"])
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"xx", "image", fake=False)
