@@ -1,0 +1,1114 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2 + trainprep), each with an ANSI-SQL oracle DuckDB runs on
+the same parquet tables.
+
+Contract notes (the driver compares row-count + schema + order-insensitive
+value hash, columns sorted by name):
+  - every computed column is aliased identically in Spark and SQL;
+  - floats are rounded (4-6 places) on BOTH sides before comparison;
+  - timestamps are emitted as formatted strings (timezone-proof);
+  - top-k selections rank by (rounded score, id) on BOTH sides so ties
+    resolve identically regardless of engine float ulps.
+
+The fulltext family builds a REAL index (tokenize → applyInPandas posting
+encode → bucket-partitioned parquet → BM25 search) per sf_dir into a
+temp dir, cached across queries.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .index.build import build_oneshot_text
+from .index.config import IndexConfig
+from .index.query import BM25Searcher
+from .operators import aggregate as agg
+from .operators import dates, mutate, routing, strings
+from .trainprep import dedup, multimodal, similarity, textstats
+
+K1, B = 1.2, 0.75
+TOKEN_RX = "[a-z0-9]+"
+
+# reference query set over the documents table's vocabulary
+FT_QUERIES: list[tuple[int, str]] = [
+    (0, "spark index"),
+    (1, "table scan"),
+    (2, "data query"),
+    (3, "the"),
+    (4, "merge join"),
+    (5, "window agg"),
+    (6, "slow batch"),
+    (7, "customer value fast"),
+]
+FT_K = 10
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _index_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="dps_entry_index_")
+        cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
+        build_oneshot_text(spark, _docs(spark, sf_dir), d, cfg)
+        _INDEX_CACHE[key] = d
+    return _INDEX_CACHE[key]
+
+
+# =============================================================== fulltext
+
+def q_ft_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_ft_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term → document frequency, from the REAL index's termstats table."""
+    idx = _index_dir(spark, sf_dir)
+    return spark.read.parquet(f"{idx}/termstats").select("term", "df")
+
+
+def q_ft_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the compressed posting slices back to (term, doc_id, tf) —
+    verifies delta+varint codec and the applyInPandas build end-to-end
+    against plain SQL term frequencies."""
+    import pandas as pd
+
+    from .index.codec import delta_decode_docids, varint_decode
+
+    idx = _index_dir(spark, sf_dir)
+
+    def decode(batches):
+        for b in batches:
+            terms, dids, tfs = [], [], []
+            for term, d_enc, t_enc in zip(b["term"], b["doc_ids"], b["tfs"]):
+                d = delta_decode_docids(bytes(d_enc))
+                t = varint_decode(bytes(t_enc))
+                terms.extend([term] * len(d))
+                dids.extend(d.tolist())
+                tfs.extend(t.tolist())
+            yield pd.DataFrame({"term": terms, "doc_id": dids, "tf": tfs})
+
+    return (
+        spark.read.parquet(f"{idx}/postings")
+        .select("term", "doc_ids", "tfs")
+        .mapInPandas(decode, schema="term string, doc_id long, tf long")
+    )
+
+
+def q_ft_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_dir(spark, sf_dir)
+    return spark.read.parquet(f"{idx}/stats").select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round("avgdl", 6).alias("avgdl"),
+    )
+
+
+def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 per reference query via the real block-max index;
+    final selection by (round(score,4) DESC, doc_id ASC) — the tie rule
+    shared with the SQL oracle."""
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = s.search_all(qtext)
+        hits = sorted(
+            ((round(sc, 4), did) for did, sc in hits), key=lambda t: (-t[0], t[1])
+        )[:FT_K]
+        rows.extend((qid, did, sc) for sc, did in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def _ft_sql_base() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, qtext in FT_QUERIES
+        for term in sorted(set(qtext.split()))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {qvals})
+"""
+
+
+def sql_ft_token_counts() -> str:
+    return (
+        "SELECT doc_id, len(regexp_extract_all(lower(text), "
+        f"'{TOKEN_RX}')) AS n_tokens FROM documents"
+    )
+
+
+def sql_ft_term_df() -> str:
+    return _ft_sql_base() + "SELECT term, df FROM df"
+
+
+def sql_ft_postings_roundtrip() -> str:
+    return _ft_sql_base() + "SELECT term, doc_id, tf FROM tf"
+
+
+def sql_ft_doc_stats() -> str:
+    return _ft_sql_base() + (
+        "SELECT n_docs, (SELECT sum(dl) FROM dl)::BIGINT AS total_tokens, "
+        "round(avgdl, 6) AS avgdl FROM stats"
+    )
+
+
+def sql_ft_bm25_topk() -> str:
+    return _ft_sql_base() + f"""
+, scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM scores
+)
+SELECT query_id, doc_id, score_r FROM ranked WHERE rn <= {FT_K}
+"""
+
+
+# ====================================================== DP operator family
+
+def q_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return mutate.drop_events(
+        ev, '/event_type == "error" and /value < 10'
+    ).select("event_id")
+
+
+def sql_drop_events() -> str:
+    return (
+        "SELECT event_id FROM events "
+        "WHERE NOT (event_type = 'error' AND value < 10)"
+    )
+
+
+def q_add_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = mutate.add_entries(
+        ev,
+        [
+            {"key": "tag", "format": "${/event_type}-${/user_id}"},
+            {"key": "value2", "value_expression": "/value * 2 + 1"},
+            {"key": "hot", "value": "Y", "add_when": "/value >= 30"},
+        ],
+    )
+    return out.select("event_id", "tag", F.round("value2", 4).alias("value2"), "hot")
+
+
+def sql_add_entries() -> str:
+    return (
+        "SELECT event_id, event_type || '-' || user_id::VARCHAR AS tag, "
+        "round(value * 2 + 1, 4) AS value2, "
+        "CASE WHEN value >= 30 THEN 'Y' END AS hot FROM events"
+    )
+
+
+def q_mutate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    out = mutate.copy_values(cust, [{"from_key": "c_acctbal", "to_key": "bal"}])
+    out = mutate.rename_keys(out, [{"from_key": "c_mktsegment", "to_key": "segment"}])
+    out = mutate.delete_entries(out, ["c_nationkey", "c_acctbal"])
+    return out.select("c_custkey", "segment", F.round("bal", 2).alias("bal"))
+
+
+def sql_mutate_chain() -> str:
+    return (
+        "SELECT c_custkey, c_mktsegment AS segment, round(c_acctbal, 2) AS bal "
+        "FROM customer"
+    )
+
+
+def q_convert_entry_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    sized = part.withColumn("size_s", F.col("p_size").cast("string"))
+    out = mutate.convert_entry_type(sized, "size_s", "integer", null_values=["1"])
+    return out.select("p_partkey", F.col("size_s").alias("size_int"))
+
+
+def sql_convert_entry_type() -> str:
+    return (
+        "SELECT p_partkey, CASE WHEN p_size::VARCHAR = '1' THEN NULL "
+        "ELSE p_size::VARCHAR::BIGINT END AS size_int FROM part"
+    )
+
+
+def q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = mutate.translate_exact(
+        orders, "o_orderstatus", "status_name",
+        {"O": "open", "F": "finished", "P": "pending"}, default="unknown",
+    )
+    out = mutate.translate_range(
+        out, "o_totalprice", "price_band",
+        [(0, 50000, "low"), (50001, 150000, "mid")], default="high",
+    )
+    return out.select("o_orderkey", "status_name", "price_band")
+
+
+def sql_translate() -> str:
+    return """
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+            WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_name,
+       CASE WHEN o_totalprice BETWEEN 0 AND 50000 THEN 'low'
+            WHEN o_totalprice BETWEEN 50001 AND 150000 THEN 'mid'
+            ELSE 'high' END AS price_band
+FROM orders
+"""
+
+
+def q_string_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    out = strings.substitute_string(part, [{"source": "p_name", "from": " ", "to": "_"}])
+    out = strings.uppercase_string(out, ["p_name"])
+    out = strings.split_string(out, [{"source": "p_type", "delimiter": " "}])
+    return out.select(
+        "p_partkey",
+        "p_name",
+        F.element_at("p_type", 1).alias("type_first"),
+        F.element_at("p_type", -1).alias("type_last"),
+    )
+
+
+def sql_string_chain() -> str:
+    return """
+SELECT p_partkey, upper(replace(p_name, ' ', '_')) AS p_name,
+       string_split(p_type, ' ')[1] AS type_first,
+       string_split(p_type, ' ')[-1] AS type_last
+FROM part
+"""
+
+
+def q_key_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.withColumn(
+        "msg",
+        F.format_string("Type=%s&User=%d", F.col("event_type"), F.col("user_id")),
+    )
+    out = strings.key_value(kv, "msg", "m", transform_key="lowercase")
+    return out.select(
+        "event_id",
+        F.element_at("m", "type").alias("kv_type"),
+        F.element_at("m", "user").cast("long").alias("kv_user"),
+    )
+
+
+def sql_key_value() -> str:
+    return (
+        "SELECT event_id, event_type AS kv_type, user_id AS kv_user FROM events"
+    )
+
+
+def q_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = strings.parse_json(ev, "props", "k int")
+    return out.select("event_id", "k")
+
+
+def sql_parse_json() -> str:
+    return "SELECT event_id, (props->>'k')::INT AS k FROM events"
+
+
+def q_grok_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference e2e archetype (basic-grok-e2e-pipeline.yml): format
+    synthetic Apache CLF lines, grok them back apart."""
+    ev = _t(spark, sf_dir, "events")
+    clf = ev.withColumn(
+        "log",
+        F.format_string(
+            '10.0.%d.%d - user%d [11/Dec/2021:10:00:00 -0700] "GET /p/%d HTTP/1.0" %d %d',
+            (F.col("user_id") % 256).cast("int"),
+            (F.col("event_id") % 256).cast("int"),
+            F.col("user_id").cast("int"),
+            F.col("event_id").cast("int"),
+            F.when(F.col("event_type") == "error", 500).otherwise(200).cast("int"),
+            (F.col("event_id") % 5000 + 100).cast("int"),
+        ),
+    )
+    out = strings.grok(clf, {"log": ["%{COMMONAPACHELOG}"]})
+    return out.select(
+        "event_id", "clientip", "auth", "verb", "request", "response", "bytes"
+    )
+
+
+def sql_grok_clf() -> str:
+    return """
+SELECT event_id,
+       '10.0.' || (user_id % 256)::VARCHAR || '.' || (event_id % 256)::VARCHAR AS clientip,
+       'user' || user_id::VARCHAR AS auth,
+       'GET' AS verb,
+       '/p/' || event_id::VARCHAR AS request,
+       CASE WHEN event_type = 'error' THEN '500' ELSE '200' END AS response,
+       (event_id % 5000 + 100)::VARCHAR AS bytes
+FROM events
+"""
+
+
+def q_date_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.withColumn("raw_ts", F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"))
+    out = dates.date_processor(
+        raw, "raw_ts", ["yyyy-MM-dd HH:mm:ss", "dd/MMM/yyyy:HH:mm:ss"], destination="iso"
+    )
+    return out.select("event_id", "iso")
+
+
+def sql_date_iso() -> str:
+    return (
+        "SELECT event_id, strftime(date_trunc('second', ts), "
+        "'%Y-%m-%dT%H:%M:%S.000Z') AS iso FROM events"
+    )
+
+
+def q_obfuscate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    msg = ev.withColumn(
+        "msg", F.format_string("user %d card 4111-1111-1111-%04d ok",
+                               F.col("user_id").cast("int"),
+                               (F.col("event_id") % 10000).cast("int"))
+    )
+    out = strings.obfuscate(msg, "msg", [r"\d{4}-\d{4}-\d{4}-\d{4}"])
+    return out.select("event_id", "msg")
+
+
+def sql_obfuscate() -> str:
+    return (
+        "SELECT event_id, 'user ' || user_id::VARCHAR || ' card *** ok' AS msg "
+        "FROM events"
+    )
+
+
+# ========================================================= aggregate family
+
+def q_agg_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = agg.agg_count(ev, ["event_type"], "ts", "1 hour", count_key="n")
+    return out.select(
+        "event_type",
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH").alias("hour"),
+        "n",
+    )
+
+
+def sql_agg_count_window() -> str:
+    return (
+        "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
+        "count(*)::BIGINT AS n FROM events GROUP BY 1, 2"
+    )
+
+
+_HIST_BUCKETS = [10.0, 50.0, 200.0]
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = agg.agg_histogram(ev, ["event_type"], "value", _HIST_BUCKETS)
+    return out.select(
+        "event_type",
+        F.col("count").alias("n"),
+        F.round("sum", 3).alias("sum_v"),
+        F.round("min", 3).alias("min_v"),
+        F.round("max", 3).alias("max_v"),
+        F.posexplode("bucket_counts").alias("bucket", "bucket_n"),
+    )
+
+
+def sql_agg_histogram() -> str:
+    return f"""
+WITH g AS (
+  SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 3) AS sum_v,
+         round(min(value), 3) AS min_v, round(max(value), 3) AS max_v,
+         sum(CASE WHEN value < {_HIST_BUCKETS[0]} THEN 1 ELSE 0 END)::BIGINT AS b0,
+         sum(CASE WHEN value >= {_HIST_BUCKETS[0]} AND value < {_HIST_BUCKETS[1]} THEN 1 ELSE 0 END)::BIGINT AS b1,
+         sum(CASE WHEN value >= {_HIST_BUCKETS[1]} AND value < {_HIST_BUCKETS[2]} THEN 1 ELSE 0 END)::BIGINT AS b2,
+         sum(CASE WHEN value >= {_HIST_BUCKETS[2]} THEN 1 ELSE 0 END)::BIGINT AS b3
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, sum_v, min_v, max_v, b.bucket, b.bucket_n
+FROM g, LATERAL (VALUES (0, b0), (1, b1), (2, b2), (3, b3)) AS b(bucket, bucket_n)
+"""
+
+
+def q_agg_put_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    g = ev.groupBy("user_id").agg(
+        F.max_by("event_type", F.col("_ord")).alias("last_type"),
+        F.round(F.max_by("value", F.col("_ord")), 3).alias("last_value"),
+    )
+    return g
+
+
+def sql_agg_put_all() -> str:
+    return """
+SELECT user_id, event_type AS last_type, round(value, 3) AS last_value FROM (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_agg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = agg.agg_append(ev, ["user_id", "event_type"], ["event_id"])
+    return out.select(
+        "user_id", "event_type", F.array_join("event_id", ",").alias("ids")
+    )
+
+
+def sql_agg_append() -> str:
+    return (
+        "SELECT user_id, event_type, string_agg(event_id::VARCHAR, ',' "
+        "ORDER BY event_id) AS ids FROM events GROUP BY 1, 2"
+    )
+
+
+def q_remove_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = agg.remove_duplicates(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select("event_id")
+
+
+def sql_remove_duplicates() -> str:
+    return """
+SELECT event_id FROM (
+  SELECT event_id, row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_rate_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = agg.rate_limiter(ev, ["user_id"], 1, "ts")
+    return out.select("event_id")
+
+
+def sql_rate_limiter() -> str:
+    return """
+SELECT event_id FROM (
+  SELECT event_id, row_number() OVER (PARTITION BY user_id, date_trunc('second', ts)
+                                      ORDER BY ts, user_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_tail_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = agg.tail_sampler(
+        ev, ["user_id"], F.col("event_type") == "error", percent=0.0, sample_key="user_id"
+    )
+    return out.select("event_id")
+
+
+def sql_tail_sampler() -> str:
+    return (
+        "SELECT event_id FROM events WHERE user_id IN "
+        "(SELECT DISTINCT user_id FROM events WHERE event_type = 'error')"
+    )
+
+
+def q_percent_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample via the shared md5-based hash (so DuckDB
+    reproduces the exact row set)."""
+    ev = _t(spark, sf_dir, "events")
+    h = dedup.token_hash60(F.col("event_id").cast("string"))
+    return ev.filter(F.pmod(h, F.lit(10000)) < 2000).select("event_id")
+
+
+def sql_percent_sampler() -> str:
+    return (
+        "SELECT event_id FROM events WHERE "
+        "('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 10000 < 2000"
+    )
+
+
+def q_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return agg.adjacent_pairs(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def sql_adjacent_pairs() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS src, event_type AS dst, count(*)::BIGINT AS n_edges
+FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tagged = routing.route_tagged(
+        ev,
+        {
+            "errors": '/event_type == "error"',
+            "big_values": "/value >= 100",
+            "purchases": '/event_type == "purchase" and /value > 0',
+        },
+    )
+    return tagged.select("_route", "event_id")
+
+
+def sql_routes() -> str:
+    return """
+SELECT 'errors' AS _route, event_id FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'big_values', event_id FROM events WHERE value >= 100
+UNION ALL
+SELECT 'purchases', event_id FROM events WHERE event_type = 'purchase' AND value > 0
+"""
+
+
+def q_expression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DP expression DSL end-to-end: compiled once to Catalyst."""
+    from .expression import compile_expression
+
+    ev = _t(spark, sf_dir, "events")
+    cond = compile_expression(
+        '(/event_type in {"click", "view"} and /value > 50) or '
+        '(/event_type =~ "err.*" and not /value < 5)'
+    )
+    return ev.filter(cond).select("event_id")
+
+
+def sql_expression_filter() -> str:
+    return """
+SELECT event_id FROM events
+WHERE (event_type IN ('click', 'view') AND value > 50)
+   OR (regexp_matches(event_type, 'err.*') AND NOT (value < 5))
+"""
+
+
+# ============================================================ TPC-H family
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def sql_tpch_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority — join pipeline with a broadcast dim side and
+    deterministic top-10 by (rounded revenue, orderkey)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    rev = (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+    return rev
+
+
+def sql_tpch_q3() -> str:
+    return """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(any_value(o_orderdate), '%Y-%m-%d') AS o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style local-supplier volume: 4-way join, dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def sql_tpch_q5ish() -> str:
+    return """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY 1
+"""
+
+
+# ====================================================== trainprep family
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def sql_dedup_exact() -> str:
+    return (
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
+        "count(*)::BIGINT AS n_copies FROM documents GROUP BY 1"
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=1, threshold=0.6)
+
+
+def sql_dedup_jaccard() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.6
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(_docs(spark, sf_dir), "doc_id", "text").select(
+        "doc", "simhash"
+    )
+
+
+def sql_dedup_simhash() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc, tok, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM toks GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+  GROUP BY 1, 2
+)
+SELECT doc, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n=3, num_perm=8)
+    return sig.select("doc", F.posexplode("sig").alias("perm", "minhash"))
+
+
+def sql_dedup_minhash() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, t.tok, t.i
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS tok,
+                       generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS i) t
+),
+sh AS (
+  SELECT DISTINCT a.doc, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM toks a
+  JOIN toks b ON a.doc = b.doc AND b.i = a.i + 1
+  JOIN toks c ON a.doc = c.doc AND c.i = a.i + 2
+),
+perms AS (SELECT unnest(range(8)) AS perm)
+SELECT doc, perm,
+       min(('0x' || substr(md5(perm::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS minhash
+FROM sh CROSS JOIN perms
+GROUP BY 1, 2
+"""
+
+
+def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.35, block_col="label")
+
+
+def sql_emb_cosine_pairs() -> str:
+    return """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+           6) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id AND a.label = b.label
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.brute_topk(emb, queries, k=5)
+
+
+def sql_ann_topk() -> str:
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))),
+           6) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", "alpha_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def sql_text_quality() -> str:
+    sw = ", ".join(f"'{s}'" for s in textstats.LANG_STOPWORDS["en"])
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS alnum,
+         len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RX}'),
+                         t -> t IN ({sw}))) AS stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_chars > 0 THEN alnum / n_chars::DOUBLE ELSE 0 END, 4) AS alpha_ratio,
+       round(CASE WHEN n_tokens > 0 THEN stop / n_tokens::DOUBLE ELSE 0 END, 4) AS stopword_ratio,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (CASE WHEN n_chars > 0 THEN alnum / n_chars::DOUBLE ELSE 0 END)
+             + 0.3 * least((CASE WHEN n_tokens > 0 THEN stop / n_tokens::DOUBLE ELSE 0 END) * 5.0, 1.0),
+             4) AS quality_score
+FROM f
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def sql_text_langid() -> str:
+    cases = []
+    for lang, sw in sorted(textstats.LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{s}'" for s in sw)
+        cases.append(
+            f"len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RX}'), "
+            f"t -> t IN ({lst}))) AS hits_{lang}"
+        )
+    langs = sorted(textstats.LANG_STOPWORDS)
+    struct_list = ", ".join(f"{{'hits': -hits_{l}, 'lang': '{l}'}}" for l in langs)
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(cases)} FROM documents),
+best AS (
+  SELECT doc_id, list_sort([{struct_list}])[1] AS b
+  FROM h
+)
+SELECT doc_id, CASE WHEN -(b.hits) > 0 THEN b.lang ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def sql_text_fingerprint() -> str:
+    return f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_extract_all(lower(text), '{TOKEN_RX}'))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+    out = multimodal.attach_metadata(docs)
+    return out.select("media_id", "n_bytes", "content_hash")
+
+
+def sql_multimodal_meta() -> str:
+    return (
+        "SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes, "
+        "md5(text) AS content_hash FROM documents"
+    )
+
+
+# --------------------------------------------- non-SQL-expressible (rows-only)
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.5
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.lsh_topk(emb, queries, k=5, n_planes=8)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cents = similarity.ivf_build(emb)
+    return similarity.ivf_topk(emb, queries, cents, k=5, n_probe=2)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    meta = multimodal.attach_metadata(docs)
+    feats = multimodal.extract_features(meta, fake=True, feature_dim=8)
+    return multimodal.frame_sample_plan(feats, every_n=25).select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames",
+        F.size("sample_frames").alias("n_sampled"),
+    )
+
+
+# ================================================================ registry
+
+QUERIES = {
+    # fulltext index engine (north star)
+    "ft_token_counts": q_ft_token_counts,
+    "ft_term_df": q_ft_term_df,
+    "ft_postings_roundtrip": q_ft_postings_roundtrip,
+    "ft_doc_stats": q_ft_doc_stats,
+    "ft_bm25_topk": q_ft_bm25_topk,
+    # DP processor equivalents
+    "drop_events": q_drop_events,
+    "add_entries": q_add_entries,
+    "mutate_chain": q_mutate_chain,
+    "convert_entry_type": q_convert_entry_type,
+    "translate": q_translate,
+    "string_chain": q_string_chain,
+    "key_value": q_key_value,
+    "parse_json": q_parse_json,
+    "grok_clf": q_grok_clf,
+    "date_iso": q_date_iso,
+    "obfuscate": q_obfuscate,
+    # aggregate actions + routing + expression
+    "agg_count_window": q_agg_count_window,
+    "agg_histogram": q_agg_histogram,
+    "agg_put_all": q_agg_put_all,
+    "agg_append": q_agg_append,
+    "remove_duplicates": q_remove_duplicates,
+    "rate_limiter": q_rate_limiter,
+    "tail_sampler": q_tail_sampler,
+    "percent_sampler": q_percent_sampler,
+    "adjacent_pairs": q_adjacent_pairs,
+    "routes": q_routes,
+    "expression_filter": q_expression_filter,
+    # join/agg pipelines
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5ish": q_tpch_q5ish,
+    # training-data prep
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash": q_dedup_minhash,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "ann_topk": q_ann_topk,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    # rows-only (blocking/approx topology not SQL-expressible)
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "ft_token_counts": sql_ft_token_counts(),
+    "ft_term_df": sql_ft_term_df(),
+    "ft_postings_roundtrip": sql_ft_postings_roundtrip(),
+    "ft_doc_stats": sql_ft_doc_stats(),
+    "ft_bm25_topk": sql_ft_bm25_topk(),
+    "drop_events": sql_drop_events(),
+    "add_entries": sql_add_entries(),
+    "mutate_chain": sql_mutate_chain(),
+    "convert_entry_type": sql_convert_entry_type(),
+    "translate": sql_translate(),
+    "string_chain": sql_string_chain(),
+    "key_value": sql_key_value(),
+    "parse_json": sql_parse_json(),
+    "grok_clf": sql_grok_clf(),
+    "date_iso": sql_date_iso(),
+    "obfuscate": sql_obfuscate(),
+    "agg_count_window": sql_agg_count_window(),
+    "agg_histogram": sql_agg_histogram(),
+    "agg_put_all": sql_agg_put_all(),
+    "agg_append": sql_agg_append(),
+    "remove_duplicates": sql_remove_duplicates(),
+    "rate_limiter": sql_rate_limiter(),
+    "tail_sampler": sql_tail_sampler(),
+    "percent_sampler": sql_percent_sampler(),
+    "adjacent_pairs": sql_adjacent_pairs(),
+    "routes": sql_routes(),
+    "expression_filter": sql_expression_filter(),
+    "tpch_q1": sql_tpch_q1(),
+    "tpch_q3": sql_tpch_q3(),
+    "tpch_q5ish": sql_tpch_q5ish(),
+    "dedup_exact": sql_dedup_exact(),
+    "dedup_jaccard": sql_dedup_jaccard(),
+    "dedup_simhash": sql_dedup_simhash(),
+    "dedup_minhash": sql_dedup_minhash(),
+    "emb_cosine_pairs": sql_emb_cosine_pairs(),
+    "ann_topk": sql_ann_topk(),
+    "text_quality": sql_text_quality(),
+    "text_langid": sql_text_langid(),
+    "text_fingerprint": sql_text_fingerprint(),
+    "multimodal_meta": sql_multimodal_meta(),
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The flagship: build the inverted index over `documents`, answer the
+    reference query set with block-max BM25, return (query_id, rank,
+    doc_id, score)."""
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        for rank, (did, sc) in enumerate(s.search(qtext, k=FT_K), 1):
+            rows.append((qid, rank, did, round(sc, 4)))
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double"
+    )

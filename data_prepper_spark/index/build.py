@@ -38,7 +38,7 @@ from ..hashing import xxh64_signed
 from .codec import delta_encode_docids, pack_f32, pack_i64, varint_encode
 from .config import SLICE_SCHEMA, IndexConfig
 from .ledger import Ledger
-from .tokenize import range_id_col, tokenize_stage
+from .tokenize import range_id_col, tokenize_stage, tokenize_stage_text
 
 
 class BuildKilled(RuntimeError):
@@ -227,10 +227,33 @@ def build_oneshot(
     tokens are persisted (memory+disk) instead of staged to parquet; the
     DAG is tokenize → [docmeta ‖ posting slices] → write.
     """
+    return build_oneshot_tokens(spark, tokenize_stage(pages, cfg), index_dir, cfg)
+
+
+def build_oneshot_text(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Build over a pre-extracted-text table (id, text) — e.g. the
+    driver's `documents` table; no html extraction, no lang filter."""
+    tokens = tokenize_stage_text(docs, id_col=id_col, text_col=text_col)
+    return build_oneshot_tokens(spark, tokens, index_dir, cfg)
+
+
+def build_oneshot_tokens(
+    spark: SparkSession,
+    tokens_df: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+) -> dict:
     from pyspark import StorageLevel
 
     p = _paths(index_dir)
-    tokens = tokenize_stage(pages, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    tokens = tokens_df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         docmeta = tokens.groupBy("doc_id").agg(
             F.first("url").alias("url"), F.first("dl").alias("doc_len")

@@ -134,6 +134,28 @@ class BM25Searcher:
         )
         return [(int(r["doc_id"]), float(r["score"])) for r in out]
 
+    def search_all(self, query_text: str) -> list[tuple[int, float]]:
+        """ALL matching (doc_id, exact float64 score) pairs, unranked —
+        for callers that re-rank under their own tie rule (e.g. the
+        round-then-rank contract of the SQL correctness oracle)."""
+        terms, buckets = self._terms_buckets(query_text)
+        dfs = self.term_stats(terms, buckets)
+        terms = [t for t in terms if dfs.get(t, 0) > 0]
+        if not terms:
+            return []
+        idf = {t: idf_value(self.n_docs, dfs[t]) for t in terms}
+        rows = self._pruned_slices(terms, buckets).collect()
+        by_range: dict[int, list[TermSlice]] = {}
+        for r in rows:
+            by_range.setdefault(int(r["range_id"]), []).append(
+                decode_slice(r, idf[r["term"]])
+            )
+        out: list[tuple[int, float]] = []
+        for slices in by_range.values():
+            ids, sc = score_brute(slices, self.cfg.k1, self.cfg.b, self.avgdl)
+            out.extend(zip(ids.tolist(), sc.tolist()))
+        return out
+
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id → url via the docID-range-sorted docmeta (file skipping)."""
         if not doc_ids:

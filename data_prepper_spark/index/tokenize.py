@@ -60,3 +60,37 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
             )
 
     return src.mapInPandas(fn, schema=TOKENS_SCHEMA)
+
+
+def tokenize_stage_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pre-extracted-text variant: docs(id, text) → tokens, same schema.
+
+    Used for tables that carry `text` directly (no html extraction step) —
+    e.g. the driver's `documents` table.  doc_id is taken from the table
+    (caller guarantees stability); url is its string form."""
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("string").alias("url"),
+        F.col(text_col).alias("text"),
+    )
+
+    def fn(batches):
+        for b in batches:
+            owners, terms, tfs, lens = tokenize_counts(b["text"].astype("object"))
+            doc_ids = b["doc_id"].to_numpy()
+            urls = b["url"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[owners],
+                    "url": urls[owners],
+                    "term": terms,
+                    "tf": tfs.astype("int32"),
+                    "dl": lens[owners].astype("int32"),
+                }
+            )
+
+    return src.mapInPandas(fn, schema=TOKENS_SCHEMA)
