@@ -1,0 +1,131 @@
+"""Per-round benchmark (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline composition:
+  - ft_build          index build over `documents` (docs/sec extra)
+  - ft_query          BM25 reference query set, 3 reps (p95 extra, ms)
+  - webtext_build     the north-star pipeline: deterministic webtext
+                      corpus (html BINARY) → extract → tokenize →
+                      posting build → bucketed parquet
+  - operator suite    TPC-H joins/aggs, grok, window aggs, dedup
+                      (exact/simhash/minhash-LSH), ANN top-k, textstats
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+WEBTEXT_DOCS = int(os.environ.get("SPARK_GRAFT_WEBTEXT_DOCS", "20000"))
+
+
+def main():
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    from pyspark.sql import SparkSession
+
+    from data_prepper_spark import entry_queries as eq
+    from data_prepper_spark.corpus import generate_corpus
+    from data_prepper_spark.index.build import build_oneshot, build_oneshot_text
+    from data_prepper_spark.index.config import IndexConfig
+    from data_prepper_spark.index.query import BM25Searcher
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("dps_bench")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "32g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="dps_bench_")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    try:
+        # ---- fulltext index over documents
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_docs = docs.count()
+        cfg = IndexConfig(range_bits=2, block_size=64, n_buckets=16)
+        idx_docs = os.path.join(work, "idx_docs")
+        timed("ft_build", lambda: build_oneshot_text(spark, docs, idx_docs, cfg))
+        extras["ft_build_docs_per_sec"] = round(n_docs / timings["ft_build"], 1)
+
+        searcher = BM25Searcher(spark, idx_docs)
+        lat: list[float] = []
+
+        def run_queries():
+            for _ in range(3):
+                for _, qtext in eq.FT_QUERIES:
+                    t0 = time.perf_counter()
+                    searcher.search(qtext, k=10)
+                    lat.append(time.perf_counter() - t0)
+
+        timed("ft_query", run_queries)
+        lat.sort()
+        extras["bm25_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
+        extras["bm25_p95_ms"] = round(lat[int(len(lat) * 0.95) - 1] * 1000, 1)
+
+        # ---- north-star webtext pipeline (html → extract → index)
+        wt_path = os.path.join(work, "webtext")
+        generate_corpus(spark, wt_path, WEBTEXT_DOCS, partitions=int(CPUS))
+        pages = spark.read.parquet(wt_path)
+        idx_wt = os.path.join(work, "idx_wt")
+        wcfg = IndexConfig(range_bits=3, block_size=128, n_buckets=32)
+        timed("webtext_build", lambda: build_oneshot(spark, pages, idx_wt, wcfg))
+        extras["webtext_docs_per_sec"] = round(WEBTEXT_DOCS / timings["webtext_build"], 1)
+
+        # ---- operator suite at SF_DIR
+        suite = [
+            "tpch_q1", "tpch_q3", "tpch_q5ish",
+            "grok_clf", "agg_count_window", "remove_duplicates",
+            "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
+            "ann_topk", "text_quality", "text_langid",
+        ]
+        for name in suite:
+            fn = eq.QUERIES[name]
+            timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
+
+        total = round(sum(timings.values()), 3)
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "suite_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "extras": extras,
+                    "n_docs": n_docs,
+                    "webtext_docs": WEBTEXT_DOCS,
+                    "cpus": int(CPUS),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

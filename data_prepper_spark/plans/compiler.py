@@ -1,0 +1,191 @@
+"""Compile a Data-Prepper-shaped pipeline spec into DataFrames.
+
+The reference parses pipeline YAML into a live object DAG and executes the
+processor list verbatim per batch (PipelineParser.java:101-248,
+ProcessWorker.doRun:108-136 — see SURVEY.md §3.1/§3.2).  Here the spec
+compiles ONCE into a lazy DataFrame chain; Catalyst is the
+analyzer/optimizer the reference never had, so filters written last still
+push down to the scan.
+
+Spec shape (YAML-parsed dict, same vocabulary as the reference):
+
+    {
+      "source": {"parquet": {"path": ...}}            # or an input DataFrame
+      "processor": [
+        {"grok": {"match": {"log": ["%{COMMONAPACHELOG}"]}}},
+        {"date": {"match_key": "timestamp", "patterns": [...]}},
+        {"add_entries": {"entries": [...]}},
+        {"drop_events": {"drop_when": "/status >= 500"}},
+        ...
+      ],
+      "route": {"errors": "/response == \"500\"", ...},   # optional
+      "sink": [
+        {"parquet": {"path": ..., "routes": ["errors"]}},
+        {"stdout": {}},
+      ],
+    }
+
+Processor names map 1:1 to the reference plugin names
+(@DataPrepperPlugin) wherever we implement the equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import aggregate as agg_ops
+from ..operators import dates, mutate, routing, strings
+
+# name → (module function, config keys passed positionally by **kwargs)
+_PROCESSORS = {
+    "add_entries": lambda df, c: mutate.add_entries(df, c["entries"]),
+    "copy_values": lambda df, c: mutate.copy_values(df, c["entries"]),
+    "rename_keys": lambda df, c: mutate.rename_keys(df, c["entries"]),
+    "delete_entries": lambda df, c: mutate.delete_entries(df, c["with_keys"]),
+    "convert_entry_type": lambda df, c: mutate.convert_entry_type(
+        df, c["key"], c["type"], c.get("null_values"), c.get("convert_when")
+    ),
+    "translate": None,  # bound to _translate below
+    "list_to_map": lambda df, c: mutate.list_to_map(
+        df, c["source"], c["target"], c["key"], c.get("value_key")
+    ),
+    "drop_events": lambda df, c: mutate.drop_events(df, c["drop_when"]),
+    "substitute_string": lambda df, c: strings.substitute_string(df, c["entries"]),
+    "split_string": lambda df, c: strings.split_string(df, c["entries"]),
+    "uppercase_string": lambda df, c: strings.uppercase_string(df, c["with_keys"]),
+    "lowercase_string": lambda df, c: strings.lowercase_string(df, c["with_keys"]),
+    "trim_string": lambda df, c: strings.trim_string(df, c["with_keys"]),
+    "obfuscate": lambda df, c: strings.obfuscate(
+        df, c["source"], c["patterns"], c.get("target")
+    ),
+    "key_value": lambda df, c: strings.key_value(
+        df,
+        c["source"],
+        c.get("destination", "parsed_message"),
+        c.get("field_split_characters", "&"),
+        c.get("value_split_characters", "="),
+        c.get("transform_key"),
+    ),
+    "csv": lambda df, c: strings.csv_parse(
+        df, c["source"], c["column_names"], c.get("delimiter", ","), c.get("quote_character", '"')
+    ),
+    "parse_json": lambda df, c: strings.parse_json(
+        df, c.get("source", "message"), c["schema"], c.get("destination")
+    ),
+    "grok": lambda df, c: strings.grok(df, c["match"], c.get("keep_empty_captures", False)),
+    "date": lambda df, c: dates.date_processor(
+        df, c["match_key"], c["patterns"], c.get("destination", "@timestamp")
+    ),
+    "aggregate": None,  # replaced below (action dispatch)
+}
+
+
+def _translate(df: DataFrame, c: dict) -> DataFrame:
+    kind = c.get("kind", "exact")
+    if kind == "exact":
+        return mutate.translate_exact(df, c["source"], c["target"], c["map"], c.get("default"))
+    if kind == "range":
+        return mutate.translate_range(df, c["source"], c["target"], c["ranges"], c.get("default"))
+    return mutate.translate_regex(df, c["source"], c["target"], c["patterns"], c.get("default"))
+
+
+def _aggregate(df: DataFrame, c: dict) -> DataFrame:
+    keys = c["identification_keys"]
+    action = c["action"]
+    ts = c.get("ts_col")
+    dur = c.get("group_duration")
+    if action == "count":
+        return agg_ops.agg_count(df, keys, ts, dur, c.get("count_key", "value"))
+    if action == "histogram":
+        return agg_ops.agg_histogram(df, keys, c["key"], c["buckets"], ts, dur)
+    if action == "put_all":
+        return agg_ops.agg_put_all(df, keys, c["value_cols"], ts, dur)
+    if action == "append":
+        return agg_ops.agg_append(df, keys, c["append_cols"], ts, dur)
+    if action == "remove_duplicates":
+        return agg_ops.remove_duplicates(df, keys, c["order_by"])
+    if action == "percent_sampler":
+        return agg_ops.percent_sampler(df, c["percent"], c["sample_key"])
+    if action == "rate_limiter":
+        return agg_ops.rate_limiter(df, keys, c["events_per_second"], ts)
+    if action == "tail_sampler":
+        from ..expression import compile_expression
+
+        return agg_ops.tail_sampler(
+            df, keys, compile_expression(c["error_condition"]), c.get("percent", 0.0), keys[0]
+        )
+    raise ValueError(f"unknown aggregate action {action!r}")
+
+
+_PROCESSORS["translate"] = _translate
+_PROCESSORS["aggregate"] = _aggregate
+
+
+def _read_source(spark: SparkSession, spec) -> DataFrame:
+    if isinstance(spec, DataFrame):
+        return spec
+    (name, conf), = spec.items()
+    if name == "parquet":
+        return spark.read.parquet(conf["path"])
+    if name == "json":
+        return spark.read.json(conf["path"])
+    if name == "csv":
+        return spark.read.csv(conf["path"], header=conf.get("header", True))
+    if name == "file":  # reference `file` source: newline text → {message}
+        return spark.read.text(conf["path"]).withColumnRenamed("value", "message")
+    raise ValueError(f"unknown source {name!r}")
+
+
+def compile_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
+    """spec → {route_name: DataFrame}; '_default' holds unrouted events
+    (all events when no `route:` section, like a route-less DP sink)."""
+    df = _read_source(spark, spec["source"])
+    for step in spec.get("processor", []):
+        (name, conf), = step.items()
+        fn = _PROCESSORS.get(name)
+        if fn is None:
+            raise ValueError(f"unknown processor {name!r}")
+        df = fn(df, conf or {})
+    if "route" in spec:
+        return routing.route(df, spec["route"])
+    return {"_default": df}
+
+
+def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, int]:
+    """Compile + execute sinks; returns rows written per sink path.
+
+    Sink semantics (SURVEY.md §2.3): a sink with `routes:` receives
+    events matching ANY of its routes (union); no routes = all events
+    (the pre-routing frame)."""
+    routed = compile_pipeline(spark, spec)
+    written: dict[str, int] = {}
+    for sink in spec.get("sink", []):
+        (name, conf), = sink.items()
+        wanted = conf.get("routes")
+        if wanted:
+            parts = [routed[r] for r in wanted]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            if len(parts) > 1:
+                df = df.dropDuplicates()
+        else:
+            parts = [d for k, d in routed.items()]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            df = df.dropDuplicates() if len(parts) > 1 else df
+        if name == "parquet":
+            df.write.mode(conf.get("mode", "overwrite")).parquet(conf["path"])
+            written[conf["path"]] = df.count()
+        elif name == "json":
+            df.write.mode(conf.get("mode", "overwrite")).json(conf["path"])
+            written[conf["path"]] = df.count()
+        elif name == "stdout":  # reference StdOutSink
+            df.show(conf.get("limit", 20), truncate=False)
+            written["stdout"] = df.count()
+        elif name == "count":  # test sink
+            written["count"] = df.count()
+        else:
+            raise ValueError(f"unknown sink {name!r}")
+    return written

@@ -1,0 +1,152 @@
+"""N vs 4N parallelism scaling bench (north-rule evidence).
+
+The north rule requires ≥0.8 throughput scaling efficiency between N and
+4N executors.  In this sandbox (no real cluster) the same job runs at
+local[N] and local[4N] — one fresh JVM per level via subprocess so the
+two measurements share nothing — on the SAME deterministic webtext input.
+
+  efficiency = (T_N / T_4N) / 4       (1.0 = perfect linear scaling)
+
+Writes the result table into BENCH.md and prints a JSON line.
+
+Usage: python tools/bench_scaling.py [--docs 60000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+from pyspark.sql import SparkSession
+from data_prepper_spark.index.build import build_oneshot
+from data_prepper_spark.index.config import IndexConfig
+from data_prepper_spark.index.query import BM25Searcher
+from data_prepper_spark.corpus import reference_queries
+
+cpus = {cpus}
+spark = (
+    SparkSession.builder.master(f"local[{{cpus}}]")
+    .appName(f"scaling_{{cpus}}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", str(cpus))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.driver.memory", "48g")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet({corpus!r})
+n_docs = pages.count()  # warm the scan / JVM before timing
+cfg = IndexConfig(range_bits=3, block_size=128, n_buckets=32)
+t0 = time.perf_counter()
+build_oneshot(spark, pages, {index_dir!r}, cfg)
+build_s = time.perf_counter() - t0
+s = BM25Searcher(spark, {index_dir!r})
+qs = [q["query_text"] for q in reference_queries()][:20]
+t0 = time.perf_counter()
+for q in qs:
+    s.search(q, k=10)
+query_s = time.perf_counter() - t0
+print("RESULT " + json.dumps({{"cpus": cpus, "n_docs": n_docs,
+      "build_s": round(build_s, 3), "docs_per_sec": round(n_docs / build_s, 1),
+      "query_s": round(query_s, 3), "queries_per_sec": round(len(qs) / query_s, 2)}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, corpus: str, workdir: str) -> dict:
+    index_dir = os.path.join(workdir, f"idx_{cpus}")
+    code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, index_dir=index_dir)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=60000)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism level (4N = n*4)")
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="dps_scaling_")
+    corpus = os.path.join(work, "webtext")
+    try:
+        # generate the shared input once (not timed)
+        gen = _CHILD.format(repo=REPO, cpus=32, corpus=corpus, index_dir=os.path.join(work, "x"))
+        pre = (
+            f"import sys, os; sys.path.insert(0, {REPO!r}); "
+            "os.environ.setdefault('SPARK_LOCAL_IP','127.0.0.1');\n"
+            "from pyspark.sql import SparkSession\n"
+            "spark = (SparkSession.builder.master('local[32]')"
+            ".config('spark.ui.enabled','false')"
+            ".config('spark.sql.session.timeZone','UTC').getOrCreate())\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            "from data_prepper_spark.corpus import generate_corpus\n"
+            f"generate_corpus(spark, {corpus!r}, {args.docs}, partitions=64)\n"
+            "spark.stop()\n"
+        )
+        subprocess.run([sys.executable, "-c", pre], check=True, timeout=1800)
+
+        small = run_level(args.n, corpus, work)
+        big = run_level(args.n * 4, corpus, work)
+        eff_build = round((small["build_s"] / big["build_s"]) / 4, 3)
+        result = {
+            "docs": args.docs,
+            "N": small,
+            "4N": big,
+            "build_scaling_efficiency": eff_build,
+            "meets_0.8": eff_build >= 0.8,
+        }
+        print(json.dumps(result))
+        _write_bench_md(args, small, big, eff_build)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _write_bench_md(args, small, big, eff):
+    path = os.path.join(REPO, "BENCH.md")
+    lines = [
+        "# BENCH — N vs 4N scaling evidence (north rule)",
+        "",
+        "Same deterministic webtext corpus (html BINARY → extract → tokenize →",
+        "posting build → bucketed segments), one fresh JVM per parallelism",
+        "level, identical input.  Efficiency = (T_N / T_4N) / 4.",
+        "",
+        f"Corpus: {args.docs} docs (seed-fixed, FIXTURES.md F1).",
+        "",
+        "| level | cores | build s | docs/s | 20-query batch s |",
+        "|---|---|---|---|---|",
+        f"| N | {small['cpus']} | {small['build_s']} | {small['docs_per_sec']} | {small['query_s']} |",
+        f"| 4N | {big['cpus']} | {big['build_s']} | {big['docs_per_sec']} | {big['query_s']} |",
+        "",
+        f"**Build scaling efficiency (N→4N): {eff}** (target ≥ 0.8).",
+        "",
+        "Caveats: single-machine stand-in for a multi-executor cluster — both",
+        "levels share one memory bus and page cache; the partition strategy",
+        "(term+docID-range salting, bucket-pruned query reads) is what carries",
+        "to a real 1000-executor deployment.",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
