@@ -8,8 +8,11 @@ terms (partition pruning on `term_bucket`), decode posting slices in
 numpy, and run the exact block-max top-k.
 
 Two execution modes:
-  driver      — collect the (few) pruned slice rows and score in-process;
-                lowest latency for interactive top-k.
+  driver      — read ONLY the pruned term_bucket partition directories
+                with pyarrow (no Spark job: a query-serving layer reads
+                index segments directly, the way the reference's
+                opensearch sink serves queries without the ingest
+                pipeline) and score in-process; ~ms latency.
   distributed — groupBy(range_id).applyInPandas local top-k per docID
                 range, then a global orderBy(score DESC, doc_id ASC).limit(k);
                 this is the 10^12-doc path: no term's full posting list is
@@ -20,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow.dataset as pads
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..hashing import pmod, xxh64_signed
@@ -43,10 +47,16 @@ class BM25Searcher:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        self.stats = spark.read.parquet(f"{index_dir}/stats").collect()[0].asDict()
+        self.stats = (
+            pads.dataset(f"{index_dir}/stats").to_table().to_pylist()[0]
+        )
         self.cfg = IndexConfig.from_dict(self.stats)
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
+        # hive-partitioned segment datasets (term_bucket dirs); opening the
+        # dataset only lists files — reads stay pruned per query
+        self._postings = pads.dataset(f"{index_dir}/postings", partitioning="hive")
+        self._termstats = pads.dataset(f"{index_dir}/termstats", partitioning="hive")
 
     # -------------------------------------------------------------- helpers
     def _terms_buckets(self, query_text: str) -> tuple[list[str], list[int]]:
@@ -55,18 +65,20 @@ class BM25Searcher:
         return terms, buckets
 
     def term_stats(self, terms: list[str], buckets: list[int]) -> dict[str, int]:
-        """df per query term, from the bucket-pruned termstats table."""
+        """df per query term, from the bucket-pruned termstats partitions
+        (pyarrow direct read — partition pruning, no Spark job)."""
         if not terms:
             return {}
-        rows = (
-            self.spark.read.parquet(f"{self.index_dir}/termstats")
-            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        flt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
+        tbl = self._termstats.to_table(columns=["term", "df"], filter=flt)
+        return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+
+    def _pruned_slice_rows(self, terms: list[str], buckets: list[int]) -> list[dict]:
+        flt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
+        return self._postings.to_table(columns=_SLICE_COLS, filter=flt).to_pylist()
 
     def _pruned_slices(self, terms: list[str], buckets: list[int]) -> DataFrame:
+        """Spark-side pruned scan (distributed mode)."""
         return (
             self.spark.read.parquet(f"{self.index_dir}/postings")
             .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
@@ -90,7 +102,7 @@ class BM25Searcher:
         idf = {t: idf_value(self.n_docs, dfs[t]) for t in terms}
         if distributed:
             return self._search_distributed(terms, buckets, idf, k, mode)
-        rows = self._pruned_slices(terms, buckets).collect()
+        rows = self._pruned_slice_rows(terms, buckets)
         by_range: dict[int, list[TermSlice]] = {}
         for r in rows:
             by_range.setdefault(int(r["range_id"]), []).append(
@@ -144,7 +156,7 @@ class BM25Searcher:
         if not terms:
             return []
         idf = {t: idf_value(self.n_docs, dfs[t]) for t in terms}
-        rows = self._pruned_slices(terms, buckets).collect()
+        rows = self._pruned_slice_rows(terms, buckets)
         by_range: dict[int, list[TermSlice]] = {}
         for r in rows:
             by_range.setdefault(int(r["range_id"]), []).append(

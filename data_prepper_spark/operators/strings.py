@@ -145,12 +145,14 @@ GROK_PATTERNS["COMMONAPACHELOG"] = (
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
 
-def grok_compile(pattern: str) -> tuple[str, list[str]]:
-    """Expand %{NAME:capture} references into one Java-compatible regex
-    with named groups; returns (regex, capture_names).  Mirrors what
-    java-grok does inside GrokProcessor (GrokProcessor.java:59) but at
-    plan time."""
+def grok_compile(pattern: str, flavor: str = "java") -> tuple[str, list[str]]:
+    """Expand %{NAME:capture} references into one regex with named groups
+    (`java` → ``(?<n>…)`` for Catalyst, `python` → ``(?P<n>…)`` for the
+    vectorized pandas path); returns (regex, capture_names).  Mirrors
+    what java-grok does inside GrokProcessor (GrokProcessor.java:59) but
+    at plan time."""
     captures: list[str] = []
+    grp = "(?P<{cap}>{body})" if flavor == "python" else "(?<{cap}>{body})"
 
     def expand(p: str, depth: int = 0) -> str:
         if depth > 10:
@@ -164,7 +166,7 @@ def grok_compile(pattern: str) -> tuple[str, list[str]]:
                 # nested %{…:…} refs
                 captures.append(cap)
                 body = expand(GROK_PATTERNS[name], depth + 1)
-                return f"(?<{cap}>{body})"
+                return grp.format(cap=cap, body=body)
             return f"(?:{expand(GROK_PATTERNS[name], depth + 1)})"
 
         return _GROK_REF.sub(sub, p)
@@ -176,11 +178,21 @@ def grok(
     df: DataFrame,
     match: dict[str, list[str]],
     keep_empty_captures: bool = False,
+    vectorized: bool = True,
 ) -> DataFrame:
     """`grok` (GrokProcessor.java:59,120-150, matchAndMerge :232-258):
-    for each source field, try patterns in order (break_on_match semantics
-    = coalesce over per-pattern extracts); merge named captures as new
-    columns.  Compiled entirely to regexp_extract — no UDF."""
+    for each source field, try patterns in order (break_on_match
+    semantics); merge named captures as new columns.
+
+    Two compilations of the same plan-time-expanded pattern:
+      vectorized=True  — ONE regex pass per row per pattern, all captures
+        at once, via pandas .str.extract inside mapInPandas (Arrow
+        batches).  regexp_extract would cost 2 passes × n_captures.
+      vectorized=False — pure Catalyst (regexp_extract per capture);
+        keeps the whole plan JVM-side for small capture counts.
+    """
+    if vectorized:
+        return _grok_pandas(df, match, keep_empty_captures)
     for field, patterns in match.items():
         compiled = [grok_compile(p) for p in patterns]
         all_caps: list[str] = []
@@ -202,3 +214,59 @@ def grok(
                 v = F.when(v == "", None).otherwise(v)
             df = df.withColumn(cap, v)
     return df
+
+
+def _grok_pandas(
+    df: DataFrame,
+    match: dict[str, list[str]],
+    keep_empty_captures: bool,
+) -> DataFrame:
+    """Vectorized grok: per Arrow batch, pandas .str.extract extracts ALL
+    named groups in one C-level regex pass; later patterns fill only rows
+    the earlier ones missed (break_on_match)."""
+    import pandas as pd
+
+    plan: list[tuple[str, list[tuple[str, list[str]]], list[str]]] = []
+    out_caps: list[str] = []
+    for field, patterns in match.items():
+        compiled = [grok_compile(p, flavor="python") for p in patterns]
+        caps: list[str] = []
+        for _, cs in compiled:
+            for c in cs:
+                if c not in caps:
+                    caps.append(c)
+        plan.append((field, compiled, caps))
+        out_caps.extend(c for c in caps if c not in out_caps)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base_cols = df.columns
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(c, StringType()) for c in out_caps if c not in base_cols]
+    )
+
+    def fn(batches):
+        for b in batches:
+            for field, compiled, caps in plan:
+                src = b[field].astype("object").astype("string")
+                got = pd.DataFrame(index=b.index, columns=caps, dtype="object")
+                unmatched = pd.Series(True, index=b.index)
+                for rx, cs in compiled:
+                    if not unmatched.any():
+                        break
+                    ext = src[unmatched].str.extract(rx)
+                    hit = ext.notna().any(axis=1)
+                    for c in cs:
+                        got.loc[ext.index[hit], c] = ext.loc[hit, c]
+                    unmatched.loc[ext.index[hit]] = False
+                for c in caps:
+                    col = got[c].astype(object)
+                    if keep_empty_captures:
+                        col = col.where(pd.notna(col), None)
+                    else:
+                        col = col.where(pd.notna(col) & (col != ""), None)
+                    b[c] = col
+            yield b
+
+    return df.mapInPandas(fn, schema=out_schema)

@@ -146,6 +146,31 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-path MinHash: per-permutation hash = xxhash64(j, shingle)
+    (seed-mixed in the JVM hash itself), aggregated as plain
+    map-side-combined mins.  Zero Python, zero UDF, one shuffle on doc.
+    (The md5-based ``minhash_signatures`` stays as the
+    SQL-oracle-checkable twin; ANSI mode rules out wrap-around affine
+    permutations, and num_perm xxhash64 calls are still ~ns each.)"""
+    sh = _doc_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(seed + j), F.col("sh"))).alias(f"h{j}")
+        for j in range(num_perm)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -163,7 +188,7 @@ def minhash_lsh_pairs(
     decides WHICH pairs get checked, never the answer."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    sig = minhash_signatures_fast(df, id_col, text_col, n, num_perm)
     band_rows = sig.select(
         "doc",
         F.explode(
@@ -171,8 +196,8 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(",", *[F.col("sig").getItem(b * r + i).cast("string") for i in range(r)])
+                        F.xxhash64(
+                            *[F.col("sig").getItem(b * r + i) for i in range(r)]
                         ).alias("bkey"),
                     )
                     for b in range(bands)
