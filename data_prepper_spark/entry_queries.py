@@ -599,6 +599,40 @@ SELECT 'purchases', event_id FROM events WHERE event_type = 'purchase' AND value
 """
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.anomaly import anomaly_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    out = anomaly_zscore(
+        ev, ["user_id"], "value", "ts", shingle_size=10, threshold=2.5,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        F.round("deviation_from_expected", 6).alias("deviation"),
+        "grade",
+    )
+
+
+def sql_anomaly_zscore() -> str:
+    return """
+WITH w AS (
+  SELECT event_id, value,
+         avg(value) OVER win AS m,
+         stddev_samp(value) OVER win AS s,
+         count(value) OVER win AS n
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id,
+       round(CASE WHEN n >= 2 THEN value - m ELSE 0 END, 6) AS deviation,
+       (CASE WHEN n >= 2 AND s IS NOT NULL AND s > 0
+                  AND abs((value - m) / s) > 2.5 THEN 1.0 ELSE 0.0 END)::DOUBLE AS grade
+FROM w
+"""
+
+
 def q_expression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DP expression DSL end-to-end: compiled once to Catalyst."""
     from .expression import compile_expression
@@ -1033,6 +1067,7 @@ QUERIES = {
     "adjacent_pairs": q_adjacent_pairs,
     "routes": q_routes,
     "expression_filter": q_expression_filter,
+    "anomaly_zscore": q_anomaly_zscore,
     # join/agg pipelines
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -1083,6 +1118,7 @@ ORACLES = {
     "adjacent_pairs": sql_adjacent_pairs(),
     "routes": sql_routes(),
     "expression_filter": sql_expression_filter(),
+    "anomaly_zscore": sql_anomaly_zscore(),
     "tpch_q1": sql_tpch_q1(),
     "tpch_q3": sql_tpch_q3(),
     "tpch_q5ish": sql_tpch_q5ish(),

@@ -1,0 +1,97 @@
+"""Input/output codecs (reference: §2.2).
+
+| reference codec | here |
+|---|---|
+| newline (NewlineDelimitedInputCodec.java:27,56-80: skip_lines,
+  header_destination) | read_newline |
+| json array (JsonInputCodec.java:30) | read_json_array |
+| ndjson (NdjsonOutputCodec.java:22) | read_ndjson / write_ndjson |
+| csv in/out (CsvInputCodec.java:37) | read_csv |
+| parquet (ParquetInputCodec.java:36) | read_parquet / write_parquet |
+| avro (AvroInputCodec.java:38) | spark.read.format("avro") where the
+  spark-avro package is on the classpath (gated) |
+| compression auto-detect (S3ObjectWorker.java:89-96) | built into
+  Spark's readers (.gz etc. by extension) |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def read_newline(
+    spark: SparkSession,
+    path: str,
+    skip_lines: int = 0,
+    header_destination: str | None = None,
+) -> DataFrame:
+    """newline codec: each line → {message}; optional skip of leading
+    lines and capture of the first line as a header column (the
+    reference's header_destination)."""
+    df = spark.read.text(path).withColumnRenamed("value", "message")
+    if skip_lines == 0 and header_destination is None:
+        return df
+    # line numbering needs a total order; file sources give none, so use
+    # a monotonic id within the natural read order (single-file semantics,
+    # matching the reference's per-object streaming parse)
+    df = df.withColumn("_ln", F.monotonically_increasing_id())
+    w = Window.orderBy("_ln")
+    df = df.withColumn("_rn", F.row_number().over(w) - 1)
+    if header_destination is not None:
+        header = df.filter(F.col("_rn") == skip_lines).select("message").collect()
+        hval = header[0]["message"] if header else None
+        df = df.filter(F.col("_rn") > skip_lines).withColumn(
+            header_destination, F.lit(hval)
+        )
+    else:
+        df = df.filter(F.col("_rn") >= skip_lines)
+    return df.drop("_ln", "_rn")
+
+
+def read_json_array(spark: SparkSession, path: str) -> DataFrame:
+    """json codec: file is a top-level JSON array → one row per element."""
+    return spark.read.option("multiLine", "true").json(path)
+
+
+def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    delimiter: str = ",",
+    quote: str = '"',
+    column_names: list[str] | None = None,
+) -> DataFrame:
+    df = spark.read.csv(path, header=header, sep=delimiter, quote=quote)
+    if column_names is not None:
+        df = df.toDF(*column_names)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """parquet out with the s3-sink's threshold analog: file size control
+    via maxRecordsPerFile (ThresholdCheck.java:14 event_count)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

@@ -186,9 +186,21 @@ def minhash_lsh_pairs(
     bucket-join candidates (a<b, distinct) → exact Jaccard verify ≥
     threshold.  The verify step makes the output deterministic: LSH only
     decides WHICH pairs get checked, never the answer."""
+    from pyspark import StorageLevel
+
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = minhash_signatures_fast(df, id_col, text_col, n, num_perm)
+    # the shingle explosion feeds four branches (signatures, sizes, both
+    # verify sides) — persist it once instead of re-running the regex +
+    # n-gram transform per branch
+    sh = _doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    mins = [
+        F.min(F.xxhash64(F.lit(42 + j), F.col("sh"))).alias(f"h{j}")
+        for j in range(num_perm)
+    ]
+    sig = sh.groupBy("doc").agg(*mins).select(
+        "doc", F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("sig")
+    )
     band_rows = sig.select(
         "doc",
         F.explode(
@@ -204,7 +216,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "bk.band", "bk.bkey")
+    ).select("doc", "bk.band", "bk.bkey").persist(StorageLevel.MEMORY_AND_DISK)
     a = band_rows.alias("a")
     b_ = band_rows.alias("b")
     cands = (
@@ -217,8 +229,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates()
     )
-    # exact verification of candidates only
-    sh = _doc_shingles(df, id_col, text_col, n)
+    # exact verification of candidates only (sh reused from the persist)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     pair_sh = cands.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc")).join(
         sh.alias("s2"),
@@ -250,35 +261,34 @@ SIMHASH_BITS = 60
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, simhash long): 60-bit SimHash over tf-weighted token hashes.
 
-    Implemented relationally — explode (token, tf) × bit position, sum
-    ±tf per (doc, bit), recompose 2^bit — so the identical computation
-    runs in DuckDB for the oracle.  At scale the explode-by-60 multiplies
-    the token table; a production variant folds the 60 sums into one
-    vectorized pandas_udf, same result."""
+    Single-pass: one groupBy(doc) with 60 conditional-sum aggregate
+    expressions (bit b: Σ ±tf by whether bit b of hash60(token) is set),
+    recomposed with 60 whens — all map-side-combined JVM aggregation, one
+    shuffle of the (doc, tok, tf) table.  (An earlier explode-×60-bits
+    formulation shuffled 60× the rows for the same result; the DuckDB
+    oracle keeps that relational form — identical output, integer sums.)"""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens_array(F.col(text_col))).alias("tok"),
     )
     tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
     h = tf.withColumn("h", token_hash60(F.col("tok")))
-    bits = h.select(
-        "doc",
-        "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-    )
-    comp = bits.withColumn(
-        "w",
-        F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
-    )
-    per_bit = comp.groupBy("doc", "bit").agg(F.sum("w").alias("s"))
-    return per_bit.groupBy("doc").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = h.groupBy("doc").agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        contrib = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = contrib if sig is None else sig + contrib
+    return per_doc.select("doc", sig.alias("simhash"))
 
 
 def simhash_pairs(

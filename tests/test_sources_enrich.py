@@ -1,0 +1,101 @@
+"""Source codecs + enrichment operator tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.operators.enrich import geoip, trace_group_fill, user_agent
+from data_prepper_spark.sources import (
+    read_csv,
+    read_json_array,
+    read_ndjson,
+    read_newline,
+    write_ndjson,
+    write_parquet,
+)
+
+
+def test_newline_codec(spark, workdir):
+    p = os.path.join(workdir, "lines.txt")
+    with open(p, "w") as f:
+        f.write("skipme\nheader_line\ndata1\ndata2\n")
+    df = read_newline(spark, p, skip_lines=1, header_destination="hdr")
+    rows = df.orderBy("message").collect()
+    assert [r["message"] for r in rows] == ["data1", "data2"]
+    assert all(r["hdr"] == "header_line" for r in rows)
+    plain = read_newline(spark, p)
+    assert plain.count() == 4
+
+
+def test_json_codecs(spark, workdir):
+    arr = os.path.join(workdir, "arr.json")
+    with open(arr, "w") as f:
+        f.write('[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]')
+    df = read_json_array(spark, arr)
+    assert sorted(r["a"] for r in df.collect()) == [1, 2]
+    nd = os.path.join(workdir, "nd")
+    write_ndjson(df, nd)
+    back = read_ndjson(spark, nd)
+    assert back.count() == 2
+
+
+def test_csv_codec_and_parquet_sink(spark, workdir):
+    p = os.path.join(workdir, "data.csv")
+    with open(p, "w") as f:
+        f.write('a,b\n1,"x,y"\n2,z\n')
+    df = read_csv(spark, p)
+    r = {x["a"]: x["b"] for x in df.collect()}
+    assert r["1"] == "x,y" and r["2"] == "z"
+    out = os.path.join(workdir, "pq_out")
+    write_parquet(df, out, partition_by=["a"], max_records_per_file=1)
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_user_agent(spark):
+    uas = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 (KHTML, like Gecko) "
+         "Chrome/120.0.0.0 Safari/537.36"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 "
+         "(KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1"),
+        "curl/8.4.0",
+        "weird-bot/1.0",
+    ]
+    df = spark.createDataFrame([(u,) for u in uas], "ua string")
+    out = {r["ua"][:20]: r["user_agent"] for r in user_agent(df, "ua").collect()}
+    chrome = out[uas[0][:20]]
+    assert chrome["name"] == "Chrome" and chrome["version"].startswith("120")
+    assert chrome["os"] == "Windows 10" and chrome["device"] == "Desktop"
+    iphone = out[uas[1][:20]]
+    assert iphone["name"] == "Safari" and iphone["os"] == "iOS" and iphone["device"] == "iPhone"
+    assert out["curl/8.4.0"[:20]]["name"] == "curl"
+    assert out["weird-bot/1.0"[:20]]["name"] == "Other"
+
+
+def test_geoip_stub(spark):
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("8.8.8.8",), ("200.1.1.1",)], "ip string"
+    )
+    out = {r["ip"]: r["geo"] for r in geoip(df, "ip").collect()}
+    assert out["10.1.2.3"]["country"] == "private"
+    assert out["8.8.8.8"]["country"] == "US"
+    assert out["200.1.1.1"]["country"] == "other"
+    with pytest.raises(NotImplementedError):
+        geoip(df, "ip", mmdb_path="/nonexistent.mmdb")
+
+
+def test_trace_group_fill(spark):
+    spans = spark.createDataFrame(
+        [
+            ("t1", "s1", None, "checkout"),
+            ("t1", "s2", "s1", "auth-call"),
+            ("t1", "s3", "s2", "db-call"),
+            ("t2", "s4", None, "search"),
+            ("t2", "s5", "s4", "cache-call"),
+        ],
+        "traceId string, spanId string, parentSpanId string, name string",
+    )
+    out = trace_group_fill(spans)
+    got = {r["spanId"]: r["traceGroup"] for r in out.collect()}
+    assert got == {"s1": "checkout", "s2": "checkout", "s3": "checkout",
+                   "s4": "search", "s5": "search"}
