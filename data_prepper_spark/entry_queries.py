@@ -653,6 +653,81 @@ WHERE (event_type IN ('click', 'view') AND value > 50)
 """
 
 
+_UA_TEMPLATES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Version/17.0 Safari/604.1",
+    "Mozilla/5.0 (X11; Linux x86_64) Firefox/121.0",
+    "curl/8.4.0",
+]
+_UA_EXPECTED = [
+    ("Chrome", "120.0.0.0", "Windows 10", "Desktop"),
+    ("Safari", "17.0", "iOS", "iPhone"),
+    ("Firefox", "121.0", "Linux", "Desktop"),
+    ("curl", "8.4.0", "Other", "Other"),
+]
+
+
+def q_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.enrich import user_agent
+
+    ev = _t(spark, sf_dir, "events")
+    ua_col = None
+    for i, t in enumerate(_UA_TEMPLATES):
+        cond = F.col("event_id") % 4 == i
+        ua_col = F.when(cond, t) if ua_col is None else ua_col.when(cond, t)
+    df = ev.withColumn("ua", ua_col)
+    out = user_agent(df, "ua")
+    return out.select(
+        "event_id",
+        F.col("user_agent.name").alias("ua_name"),
+        F.col("user_agent.version").alias("ua_version"),
+        F.col("user_agent.os").alias("ua_os"),
+        F.col("user_agent.device").alias("ua_device"),
+    )
+
+
+def sql_user_agent() -> str:
+    def case(idx: int) -> str:
+        arms = " ".join(
+            f"WHEN {i} THEN '{exp[idx]}'" for i, exp in enumerate(_UA_EXPECTED)
+        )
+        return f"CASE event_id % 4 {arms} END"
+
+    return (
+        f"SELECT event_id, {case(0)} AS ua_name, {case(1)} AS ua_version, "
+        f"{case(2)} AS ua_os, {case(3)} AS ua_device FROM events"
+    )
+
+
+def q_trace_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a span tree from events (trace = user, parent = previous
+    event), then fill traceGroup from each trace's root span name —
+    the otel_traces processor shape (broadcast self-join)."""
+    from pyspark.sql import Window
+
+    from .operators.enrich import trace_group_fill
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        F.col("user_id").cast("string").alias("traceId"),
+        F.col("event_id").cast("string").alias("spanId"),
+        F.lag(F.col("event_id").cast("string")).over(w).alias("parentSpanId"),
+        F.col("event_type").alias("name"),
+    )
+    out = trace_group_fill(spans)
+    return out.select("spanId", "traceGroup")
+
+
+def sql_trace_group() -> str:
+    return """
+SELECT event_id::VARCHAR AS "spanId",
+       first_value(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS "traceGroup"
+FROM events
+"""
+
+
 # ============================================================ TPC-H family
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,6 +1143,8 @@ QUERIES = {
     "routes": q_routes,
     "expression_filter": q_expression_filter,
     "anomaly_zscore": q_anomaly_zscore,
+    "user_agent": q_user_agent,
+    "trace_group": q_trace_group,
     # join/agg pipelines
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -1119,6 +1196,8 @@ ORACLES = {
     "routes": sql_routes(),
     "expression_filter": sql_expression_filter(),
     "anomaly_zscore": sql_anomaly_zscore(),
+    "user_agent": sql_user_agent(),
+    "trace_group": sql_trace_group(),
     "tpch_q1": sql_tpch_q1(),
     "tpch_q3": sql_tpch_q3(),
     "tpch_q5ish": sql_tpch_q5ish(),

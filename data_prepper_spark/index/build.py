@@ -207,6 +207,12 @@ def build_index(
             .groupBy("term_bucket", "range_id")
             .applyInPandas(encode, schema=SLICE_SCHEMA)
             .withColumn("term_bucket", _term_bucket(cfg))
+            # align write partitioning with the directory layout: one
+            # task per bucket -> one file per term_bucket dir, regardless
+            # of spark.sql.shuffle.partitions (otherwise file count =
+            # tasks x buckets and the commit/read cost explodes with
+            # parallelism)
+            .repartition(cfg.n_buckets, F.col("term_bucket"))
         )
         gdir = os.path.join(p["postings"], f"bgroup={g}")
         slices.write.mode("overwrite").partitionBy("term_bucket").parquet(gdir)
@@ -235,6 +241,7 @@ def build_index(
                 F.max("max_ub").alias("max_ub"),
             )
             .withColumn("term_bucket", _term_bucket(cfg))
+            .repartition(cfg.n_buckets, F.col("term_bucket"))
         )
         termstats.write.mode("overwrite").partitionBy("term_bucket").parquet(
             p["termstats"]
@@ -251,11 +258,7 @@ def build_oneshot(
     index_dir: str,
     cfg: IndexConfig = IndexConfig(),
 ) -> dict:
-    """Single-pass build (no staging write) — the throughput-bench path.
-
-    tokens are persisted (memory+disk) instead of staged to parquet; the
-    DAG is tokenize → [docmeta ‖ posting slices] → write.
-    """
+    """One-shot (non-resumable) build — the throughput-bench path."""
     return build_oneshot_tokens(spark, tokenize_stage(pages, cfg), index_dir, cfg)
 
 
@@ -279,62 +282,74 @@ def build_oneshot_tokens(
     index_dir: str,
     cfg: IndexConfig = IndexConfig(),
 ) -> dict:
-    from pyspark import StorageLevel
+    """Tokens are STAGED to parquet once, then every downstream stage
+    reads the columnar staging table.
 
+    This deliberately replaces an earlier ``persist(MEMORY_AND_DISK)``:
+    caching millions of deserialized (doc_id, url, term, …) rows as JVM
+    objects caused GC-bound, high-variance stage times that got WORSE
+    with more cores (measured 2-3× slowdown from local[8]→local[32]),
+    while the parquet staging write is dictionary-encoded (repeated
+    terms/urls ~free), sequential, and gives每 consumer a column-pruned
+    scan — docmeta never reads `term`, the posting encode never reads
+    `url`.  Same shape as the resumable build's staging, so oneshot and
+    resumable share physics."""
     p = _paths(index_dir)
-    tokens = tokens_df.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        docmeta = tokens.groupBy("doc_id").agg(
-            F.first("url").alias("url"), F.first("dl").alias("doc_len")
+    tokens_df.write.mode("overwrite").parquet(p["staging"])
+    tokens = spark.read.parquet(p["staging"])
+
+    docmeta = tokens.groupBy("doc_id").agg(
+        F.first("url").alias("url"), F.first("dl").alias("doc_len")
+    )
+    (
+        docmeta.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(p["docmeta"])
+    )
+    dm = spark.read.parquet(p["docmeta"])
+    agg = dm.agg(
+        F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_tokens")
+    ).collect()[0]
+    n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    stats = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        **cfg.to_dict(),
+    }
+    spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
+        p["stats"]
+    )
+    encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size)
+    slices = (
+        tokens.withColumn("range_id", range_id_col(cfg))
+        .withColumn("term_bucket", _term_bucket(cfg))
+        .select("term", "term_bucket", "range_id", "doc_id", "tf", "dl")
+        .groupBy("term_bucket", "range_id")
+        .applyInPandas(encode, schema=SLICE_SCHEMA)
+        .withColumn("term_bucket", _term_bucket(cfg))
+        .withColumn("bgroup", F.lit(0))
+        # one file per term_bucket dir (see build_index note)
+        .repartition(cfg.n_buckets, F.col("term_bucket"))
+    )
+    slices.write.mode("overwrite").partitionBy("bgroup", "term_bucket").parquet(
+        p["postings"]
+    )
+    posts = spark.read.parquet(p["postings"])
+    termstats = (
+        posts.groupBy("term")
+        .agg(
+            F.sum("df_slice").alias("df"),
+            F.sum("cf_slice").alias("cf"),
+            F.max("max_ub").alias("max_ub"),
         )
-        (
-            docmeta.repartitionByRange(8, "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(p["docmeta"])
-        )
-        dm = spark.read.parquet(p["docmeta"])
-        agg = dm.agg(
-            F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_tokens")
-        ).collect()[0]
-        n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
-        avgdl = (total_tokens / n_docs) if n_docs else 0.0
-        stats = {
-            "n_docs": n_docs,
-            "total_tokens": total_tokens,
-            "avgdl": avgdl,
-            **cfg.to_dict(),
-        }
-        spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
-            p["stats"]
-        )
-        encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size)
-        slices = (
-            tokens.withColumn("range_id", range_id_col(cfg))
-            .withColumn("term_bucket", _term_bucket(cfg))
-            .select("term", "term_bucket", "range_id", "doc_id", "tf", "dl")
-            .groupBy("term_bucket", "range_id")
-            .applyInPandas(encode, schema=SLICE_SCHEMA)
-            .withColumn("term_bucket", _term_bucket(cfg))
-            .withColumn("bgroup", F.lit(0))
-        )
-        slices.write.mode("overwrite").partitionBy("bgroup", "term_bucket").parquet(
-            p["postings"]
-        )
-        posts = spark.read.parquet(p["postings"])
-        termstats = (
-            posts.groupBy("term")
-            .agg(
-                F.sum("df_slice").alias("df"),
-                F.sum("cf_slice").alias("cf"),
-                F.max("max_ub").alias("max_ub"),
-            )
-            .withColumn("term_bucket", _term_bucket(cfg))
-        )
-        termstats.write.mode("overwrite").partitionBy("term_bucket").parquet(
-            p["termstats"]
-        )
-        Ledger(index_dir).commit("finalize", 0, token_count=total_tokens)
-        return stats
-    finally:
-        tokens.unpersist()
+        .withColumn("term_bucket", _term_bucket(cfg))
+        .repartition(cfg.n_buckets, F.col("term_bucket"))
+    )
+    termstats.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        p["termstats"]
+    )
+    Ledger(index_dir).commit("finalize", 0, token_count=total_tokens)
+    return stats

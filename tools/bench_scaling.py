@@ -42,7 +42,7 @@ spark = (
     .config("spark.sql.shuffle.partitions", str(cpus))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.driver.memory", "48g")
+    .config("spark.driver.memory", "12g")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .getOrCreate()
 )
@@ -80,7 +80,7 @@ def run_level(cpus: int, corpus: str, workdir: str) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=60000)
+    ap.add_argument("--docs", type=int, default=480000)
     ap.add_argument("--n", type=int, default=8, help="small parallelism level (4N = n*4)")
     args = ap.parse_args()
 
@@ -88,13 +88,13 @@ def main():
     corpus = os.path.join(work, "webtext")
     try:
         # generate the shared input once (not timed)
-        gen = _CHILD.format(repo=REPO, cpus=32, corpus=corpus, index_dir=os.path.join(work, "x"))
         pre = (
             f"import sys, os; sys.path.insert(0, {REPO!r}); "
             "os.environ.setdefault('SPARK_LOCAL_IP','127.0.0.1');\n"
             "from pyspark.sql import SparkSession\n"
             "spark = (SparkSession.builder.master('local[32]')"
             ".config('spark.ui.enabled','false')"
+            ".config('spark.driver.memory','12g')"
             ".config('spark.sql.session.timeZone','UTC').getOrCreate())\n"
             "spark.sparkContext.setLogLevel('ERROR')\n"
             "from data_prepper_spark.corpus import generate_corpus\n"
