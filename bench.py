@@ -30,6 +30,9 @@ WEBTEXT_DOCS = int(os.environ.get("SPARK_GRAFT_WEBTEXT_DOCS", "20000"))
 
 def main():
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    from data_prepper_spark.envtune import apply_malloc_tuning
+
+    apply_malloc_tuning()
     from pyspark.sql import SparkSession
 
     from data_prepper_spark import entry_queries as eq

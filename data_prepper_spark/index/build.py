@@ -38,7 +38,12 @@ from ..hashing import xxh64_signed
 from .codec import delta_encode_docids, pack_f32, pack_i64, varint_encode
 from .config import SLICE_SCHEMA, IndexConfig
 from .ledger import Ledger
-from .tokenize import range_id_col, tokenize_stage, tokenize_stage_text
+from .tokenize import (
+    doc_src_from_pages,
+    range_id_col,
+    tokenize_stage,
+    tokenize_stage_text,
+)
 
 
 class BuildKilled(RuntimeError):
@@ -166,8 +171,11 @@ def build_index(
 
     # ---- stage: docmeta + corpus stats ----
     if 0 not in ledger.completed("docmeta", fp):
-        docmeta = tokens.groupBy("doc_id").agg(
-            F.first("url").alias("url"), F.first("dl").alias("doc_len")
+        doc_src = doc_src_from_pages(pages, cfg)
+        dls = tokens.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+        docmeta = dls.join(doc_src, "doc_id", "left").select(
+            "doc_id", F.coalesce("url", F.col("doc_id").cast("string")).alias("url"),
+            "doc_len",
         )
         (
             docmeta.repartitionByRange(8, "doc_id")
@@ -259,7 +267,10 @@ def build_oneshot(
     cfg: IndexConfig = IndexConfig(),
 ) -> dict:
     """One-shot (non-resumable) build — the throughput-bench path."""
-    return build_oneshot_tokens(spark, tokenize_stage(pages, cfg), index_dir, cfg)
+    return build_oneshot_tokens(
+        spark, tokenize_stage(pages, cfg), index_dir, cfg,
+        doc_src=doc_src_from_pages(pages, cfg),
+    )
 
 
 def build_oneshot_text(
@@ -273,7 +284,11 @@ def build_oneshot_text(
     """Build over a pre-extracted-text table (id, text) — e.g. the
     driver's `documents` table; no html extraction, no lang filter."""
     tokens = tokenize_stage_text(docs, id_col=id_col, text_col=text_col)
-    return build_oneshot_tokens(spark, tokens, index_dir, cfg)
+    doc_src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("string").alias("url"),
+    )
+    return build_oneshot_tokens(spark, tokens, index_dir, cfg, doc_src=doc_src)
 
 
 def build_oneshot_tokens(
@@ -281,6 +296,7 @@ def build_oneshot_tokens(
     tokens_df: DataFrame,
     index_dir: str,
     cfg: IndexConfig = IndexConfig(),
+    doc_src: DataFrame | None = None,
 ) -> dict:
     """Tokens are STAGED to parquet once, then every downstream stage
     reads the columnar staging table.
@@ -298,9 +314,16 @@ def build_oneshot_tokens(
     tokens_df.write.mode("overwrite").parquet(p["staging"])
     tokens = spark.read.parquet(p["staging"])
 
-    docmeta = tokens.groupBy("doc_id").agg(
-        F.first("url").alias("url"), F.first("dl").alias("doc_len")
-    )
+    dls = tokens.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+    if doc_src is not None:
+        docmeta = dls.join(doc_src, "doc_id", "left").select(
+            "doc_id", F.coalesce("url", F.col("doc_id").cast("string")).alias("url"),
+            "doc_len",
+        )
+    else:
+        docmeta = dls.select(
+            "doc_id", F.col("doc_id").cast("string").alias("url"), "doc_len"
+        )
     (
         docmeta.repartitionByRange(8, "doc_id")
         .sortWithinPartitions("doc_id")

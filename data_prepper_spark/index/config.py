@@ -41,7 +41,10 @@ class IndexConfig:
         return IndexConfig(**{k: d[k] for k in keys if k in d})
 
 
-TOKENS_SCHEMA = "doc_id long, url string, term string, tf int, dl int"
+# url deliberately NOT in the token stream: at ~100 tokens/doc it would be
+# shipped 100× per doc through Arrow IPC, the staging write, and the
+# posting shuffle.  docmeta joins urls back from the pages scan instead.
+TOKENS_SCHEMA = "doc_id long, term string, tf int, dl int"
 SLICE_SCHEMA = (
     "term string, range_id int, df_slice long, cf_slice long, "
     "doc_ids binary, tfs binary, dls binary, "

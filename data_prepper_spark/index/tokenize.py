@@ -40,19 +40,17 @@ def range_id_col(cfg: IndexConfig, doc_id_col: str = "doc_id"):
 
 
 def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """pages(url, html, lang) → tokens(doc_id, url, term, tf, dl)."""
-    src = with_doc_id(pages, cfg).select("doc_id", "url", "html")
+    """pages(url, html, lang) → tokens(doc_id, term, tf, dl)."""
+    src = with_doc_id(pages, cfg).select("doc_id", "html")
 
     def fn(batches):
         for b in batches:
             texts = extract_text_series(b["html"])
             owners, terms, tfs, lens = tokenize_counts(texts)
             doc_ids = b["doc_id"].to_numpy()
-            urls = b["url"].to_numpy()
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids[owners],
-                    "url": urls[owners],
                     "term": terms,
                     "tf": tfs.astype("int32"),
                     "dl": lens[owners].astype("int32"),
@@ -60,6 +58,11 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
             )
 
     return src.mapInPandas(fn, schema=TOKENS_SCHEMA)
+
+
+def doc_src_from_pages(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(doc_id, url) for docmeta — a column-pruned re-scan of pages."""
+    return with_doc_id(pages, cfg).select("doc_id", "url")
 
 
 def tokenize_stage_text(
@@ -71,10 +74,9 @@ def tokenize_stage_text(
 
     Used for tables that carry `text` directly (no html extraction step) —
     e.g. the driver's `documents` table.  doc_id is taken from the table
-    (caller guarantees stability); url is its string form."""
+    (caller guarantees stability)."""
     src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(id_col).cast("string").alias("url"),
         F.col(text_col).alias("text"),
     )
 
@@ -82,11 +84,9 @@ def tokenize_stage_text(
         for b in batches:
             owners, terms, tfs, lens = tokenize_counts(b["text"].astype("object"))
             doc_ids = b["doc_id"].to_numpy()
-            urls = b["url"].to_numpy()
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids[owners],
-                    "url": urls[owners],
                     "term": terms,
                     "tf": tfs.astype("int32"),
                     "dl": lens[owners].astype("int32"),

@@ -6,6 +6,10 @@ import pytest
 
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
+from data_prepper_spark.envtune import apply_malloc_tuning
+
+apply_malloc_tuning()
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -49,6 +49,9 @@ def main():
     import __spark_entry__ as entry
 
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    from data_prepper_spark.envtune import apply_malloc_tuning
+
+    apply_malloc_tuning()
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("oracle_check")
