@@ -16,11 +16,17 @@ Data Prepper analogs (SURVEY.md):
     completePartition (s3-source/.../ScanObjectWorker.java:130-138).
 
 Scale notes (the 100 TB story):
-  - tokens are staged once (partitioned by bucket-group) so posting groups
-    re-read only their slice of the staging table; a resumed build never
-    re-tokenizes.
-  - the postings shuffle carries (term, range_id, doc_id, tf, dl) only;
-    Catalyst prunes `url` out of that branch (it feeds docmeta alone).
+  - tokens are staged once to parquet (partitioned by bucket-group in the
+    resumable build) so posting groups re-read only their slice of the
+    staging table; a resumed build never re-tokenizes.  Staging beats
+    JVM-object caching: persisting millions of deserialized rows was
+    GC-bound and anti-scaled with core count (see build_oneshot_tokens).
+  - the token stream carries (doc_id, term, tf, dl) only — `url` would be
+    duplicated ~100× per doc; docmeta joins urls back from a column-pruned
+    pages scan instead.
+  - segment writes are bucket-aligned (repartition on term_bucket before
+    partitionBy) so file count per partition dir is 1 regardless of task
+    count — commit and query-side open costs stay flat as the cluster grows.
   - all encode work is numpy over Arrow batches; no per-row Python.
 """
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..textproc import extract_text_series, tokenize_counts
+from ..textproc import extract_text_series, tokenize_counts_arrow
 from .config import IndexConfig, TOKENS_SCHEMA
 
 
@@ -46,7 +46,7 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     def fn(batches):
         for b in batches:
             texts = extract_text_series(b["html"])
-            owners, terms, tfs, lens = tokenize_counts(texts)
+            owners, terms, tfs, lens = tokenize_counts_arrow(texts)
             doc_ids = b["doc_id"].to_numpy()
             yield pd.DataFrame(
                 {
@@ -82,7 +82,7 @@ def tokenize_stage_text(
 
     def fn(batches):
         for b in batches:
-            owners, terms, tfs, lens = tokenize_counts(b["text"].astype("object"))
+            owners, terms, tfs, lens = tokenize_counts_arrow(b["text"])
             doc_ids = b["doc_id"].to_numpy()
             yield pd.DataFrame(
                 {

@@ -59,8 +59,49 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     return pd.Series(out, index=html.index, dtype="object")
 
 
+def tokenize_counts_arrow(texts: pd.Series):
+    """Arrow-native per-doc term counting: RE2 regex + C++ hash group-by,
+    ZERO per-token Python objects.
+
+    The numpy/findall variant below materializes every token as a Python
+    str (~100 strings/doc); at fleet parallelism the resulting pymalloc
+    arena churn became a kernel page-fault storm on virtualized memory
+    (see envtune.py).  Here tokens live only inside Arrow buffers:
+    lower → replace non-[a-z0-9] runs with a space → split → filter '' →
+    group_by((doc, term)).count.  Token semantics are identical to
+    ``tokenize`` (asserted by tests/test_textproc.py on the fixtures).
+
+    Returns ``(row_idx, terms, tfs, doc_lens)``; ``terms`` is a
+    pandas ArrowDtype-backed array (zero-copy back into Spark's Arrow
+    serializer).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pa.set_cpu_count(1)  # one core per Spark worker; no nested pools
+    arr = pa.Array.from_pandas(texts.astype("object"))
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(arr), pattern="[^a-z0-9]+", replacement=" "
+    )
+    lists = pc.split_pattern(cleaned, " ")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parents = parents.filter(mask)
+    pnp = parents.to_numpy(zero_copy_only=False)
+    lens = np.bincount(pnp, minlength=len(texts)).astype(np.int64)
+    tbl = pa.table({"p": parents, "t": flat})
+    agg = tbl.group_by(["p", "t"], use_threads=False).aggregate([("t", "count")])
+    owners = agg.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = pd.array(agg.column("t").combine_chunks(), dtype=pd.ArrowDtype(pa.string()))
+    tfs = agg.column("t_count").to_numpy(zero_copy_only=False).astype(np.int64)
+    return owners, terms, tfs, lens
+
+
 def tokenize_counts(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized per-doc term counting for a batch of texts.
+    """Vectorized per-doc term counting for a batch of texts (numpy/object
+    reference implementation — the Spark path uses tokenize_counts_arrow).
 
     Returns ``(row_idx, terms, tfs, doc_lens)`` where ``row_idx`` maps each
     (doc, term) pair back to its position in *texts*, and ``doc_lens[i]`` is
