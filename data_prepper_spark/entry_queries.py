@@ -92,20 +92,22 @@ def q_ft_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches):
         for b in batches:
-            terms, dids, tfs = [], [], []
-            for term, d_enc, t_enc in zip(b["term"], b["doc_ids"], b["tfs"]):
+            tids, dids, tfs = [], [], []
+            for tid, d_enc, t_enc in zip(b["term_id"], b["doc_ids"], b["tfs"]):
                 d = delta_decode_docids(bytes(d_enc))
                 t = varint_decode(bytes(t_enc))
-                terms.extend([term] * len(d))
+                tids.extend([tid] * len(d))
                 dids.extend(d.tolist())
                 tfs.extend(t.tolist())
-            yield pd.DataFrame({"term": terms, "doc_id": dids, "tf": tfs})
+            yield pd.DataFrame({"term_id": tids, "doc_id": dids, "tf": tfs})
 
-    return (
+    decoded = (
         spark.read.parquet(f"{idx}/postings")
-        .select("term", "doc_ids", "tfs")
-        .mapInPandas(decode, schema="term string, doc_id long, tf long")
+        .select("term_id", "doc_ids", "tfs")
+        .mapInPandas(decode, schema="term_id long, doc_id long, tf long")
     )
+    tdict = spark.read.parquet(f"{idx}/termdict").select("term", "term_id")
+    return decoded.join(F.broadcast(tdict), "term_id").select("term", "doc_id", "tf")
 
 
 def q_ft_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

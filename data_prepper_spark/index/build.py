@@ -70,11 +70,11 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int):
     construction, head terms included (range_id splits them)."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        terms = pdf["term"].to_numpy()
+        terms = pdf["term_id"].to_numpy(np.int64)
         d = pdf["doc_id"].to_numpy(np.int64)
         tf = pdf["tf"].to_numpy(np.int64)
         dl = pdf["dl"].to_numpy(np.int64)
-        order = np.lexsort((d, terms.astype("U")))
+        order = np.lexsort((d, terms))
         terms, d, tf, dl = terms[order], d[order], tf[order], dl[order]
         # per-posting score upper bound factor (idf-independent, BMW-style)
         norm = tf.astype(np.float64) * (k1 + 1.0) / (
@@ -96,7 +96,7 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int):
             block_ubs = np.maximum.reduceat(tub, starts)
             rows.append(
                 (
-                    terms[s],
+                    np.int64(terms[s]),
                     range_id,
                     np.int64(td.size),
                     np.int64(ttf.sum()),
@@ -112,7 +112,7 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int):
         return pd.DataFrame(
             rows,
             columns=[
-                "term", "range_id", "df_slice", "cf_slice", "doc_ids", "tfs",
+                "term_id", "range_id", "df_slice", "cf_slice", "doc_ids", "tfs",
                 "dls", "block_firsts", "block_ubs", "max_ub", "n_blocks",
             ],
         )
@@ -125,6 +125,7 @@ def _paths(index_dir: str) -> dict:
         "staging": os.path.join(index_dir, "_staging", "tokens"),
         "postings": os.path.join(index_dir, "postings"),
         "termstats": os.path.join(index_dir, "termstats"),
+        "termdict": os.path.join(index_dir, "termdict"),
         "docmeta": os.path.join(index_dir, "docmeta"),
         "stats": os.path.join(index_dir, "stats"),
     }
@@ -140,6 +141,41 @@ def _fingerprint(src_tag: str, cfg: IndexConfig) -> str:
 
 def _term_bucket(cfg: IndexConfig):
     return F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
+
+
+def _term_bucket_from_id(cfg: IndexConfig):
+    # pmod(xxhash64(term), B) == pmod(term_id, B): bucket is derivable
+    # from the id alone, so queries never need the dictionary.
+    return F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int")
+
+
+def _termdict(tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(term, term_id, term_bucket) — pure-JVM distinct, one shuffle."""
+    return (
+        tokens.select("term")
+        .distinct()
+        .withColumn("term_id", F.xxhash64("term"))
+        .withColumn("term_bucket", _term_bucket(cfg))
+    )
+
+
+def _write_termstats(spark: SparkSession, p: dict, cfg: IndexConfig) -> None:
+    posts = spark.read.parquet(p["postings"])
+    tdict = spark.read.parquet(p["termdict"]).select("term", "term_id")
+    termstats = (
+        posts.groupBy("term_id")
+        .agg(
+            F.sum("df_slice").alias("df"),
+            F.sum("cf_slice").alias("cf"),
+            F.max("max_ub").alias("max_ub"),
+        )
+        .join(tdict, "term_id")
+        .withColumn("term_bucket", _term_bucket_from_id(cfg))
+        .repartition(cfg.n_buckets, F.col("term_bucket"))
+    )
+    termstats.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        p["termstats"]
+    )
 
 
 def build_index(
@@ -217,10 +253,11 @@ def build_index(
             "range_id", range_id_col(cfg)
         )
         slices = (
-            tg.select("term", "term_bucket", "range_id", "doc_id", "tf", "dl")
+            tg.withColumn("term_id", F.xxhash64("term"))
+            .select("term_id", "term_bucket", "range_id", "doc_id", "tf", "dl")
             .groupBy("term_bucket", "range_id")
             .applyInPandas(encode, schema=SLICE_SCHEMA)
-            .withColumn("term_bucket", _term_bucket(cfg))
+            .withColumn("term_bucket", _term_bucket_from_id(cfg))
             # align write partitioning with the directory layout: one
             # task per bucket -> one file per term_bucket dir, regardless
             # of spark.sql.shuffle.partitions (otherwise file count =
@@ -244,22 +281,12 @@ def build_index(
         if fault_injector is not None:
             fault_injector("postings", g)
 
-    # ---- stage: per-term global stats (the slice "merge") ----
+    # ---- stage: term dictionary + per-term global stats (slice "merge") ----
     if 0 not in ledger.completed("termstats", fp):
-        posts = spark.read.parquet(p["postings"])
-        termstats = (
-            posts.groupBy("term")
-            .agg(
-                F.sum("df_slice").alias("df"),
-                F.sum("cf_slice").alias("cf"),
-                F.max("max_ub").alias("max_ub"),
-            )
-            .withColumn("term_bucket", _term_bucket(cfg))
-            .repartition(cfg.n_buckets, F.col("term_bucket"))
-        )
-        termstats.write.mode("overwrite").partitionBy("term_bucket").parquet(
-            p["termstats"]
-        )
+        _termdict(tokens, cfg).repartition(
+            cfg.n_buckets, F.col("term_bucket")
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(p["termdict"])
+        _write_termstats(spark, p, cfg)
         ledger.commit("termstats", 0, input_fingerprint=fp)
 
     ledger.commit("finalize", 0, input_fingerprint=fp)
@@ -353,12 +380,13 @@ def build_oneshot_tokens(
     )
     encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size)
     slices = (
-        tokens.withColumn("range_id", range_id_col(cfg))
-        .withColumn("term_bucket", _term_bucket(cfg))
-        .select("term", "term_bucket", "range_id", "doc_id", "tf", "dl")
+        tokens.withColumn("term_id", F.xxhash64("term"))
+        .withColumn("range_id", range_id_col(cfg))
+        .withColumn("term_bucket", _term_bucket_from_id(cfg))
+        .select("term_id", "term_bucket", "range_id", "doc_id", "tf", "dl")
         .groupBy("term_bucket", "range_id")
         .applyInPandas(encode, schema=SLICE_SCHEMA)
-        .withColumn("term_bucket", _term_bucket(cfg))
+        .withColumn("term_bucket", _term_bucket_from_id(cfg))
         .withColumn("bgroup", F.lit(0))
         # one file per term_bucket dir (see build_index note)
         .repartition(cfg.n_buckets, F.col("term_bucket"))
@@ -366,19 +394,9 @@ def build_oneshot_tokens(
     slices.write.mode("overwrite").partitionBy("bgroup", "term_bucket").parquet(
         p["postings"]
     )
-    posts = spark.read.parquet(p["postings"])
-    termstats = (
-        posts.groupBy("term")
-        .agg(
-            F.sum("df_slice").alias("df"),
-            F.sum("cf_slice").alias("cf"),
-            F.max("max_ub").alias("max_ub"),
-        )
-        .withColumn("term_bucket", _term_bucket(cfg))
-        .repartition(cfg.n_buckets, F.col("term_bucket"))
-    )
-    termstats.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        p["termstats"]
-    )
+    _termdict(tokens, cfg).repartition(
+        cfg.n_buckets, F.col("term_bucket")
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(p["termdict"])
+    _write_termstats(spark, p, cfg)
     Ledger(index_dir).commit("finalize", 0, token_count=total_tokens)
     return stats

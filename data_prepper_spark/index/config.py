@@ -45,8 +45,12 @@ class IndexConfig:
 # shipped 100× per doc through Arrow IPC, the staging write, and the
 # posting shuffle.  docmeta joins urls back from the pages scan instead.
 TOKENS_SCHEMA = "doc_id long, term string, tf int, dl int"
+# postings are keyed by term_id = xxhash64(term) (the classic term
+# dictionary split): the posting shuffle and encode kernel touch ONLY
+# fixed-width integers — term strings live in the termdict/termstats
+# tables and never cross the Python boundary in the hot path.
 SLICE_SCHEMA = (
-    "term string, range_id int, df_slice long, cf_slice long, "
+    "term_id long, range_id int, df_slice long, cf_slice long, "
     "doc_ids binary, tfs binary, dls binary, "
     "block_firsts binary, block_ubs binary, max_ub float, n_blocks int"
 )

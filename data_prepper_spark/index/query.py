@@ -39,7 +39,7 @@ from .scoring import (
 )
 
 _SLICE_COLS = [
-    "term", "range_id", "doc_ids", "tfs", "dls", "block_firsts", "block_ubs",
+    "term_id", "range_id", "doc_ids", "tfs", "dls", "block_firsts", "block_ubs",
 ]
 
 
@@ -59,29 +59,35 @@ class BM25Searcher:
         self._termstats = pads.dataset(f"{index_dir}/termstats", partitioning="hive")
 
     # -------------------------------------------------------------- helpers
-    def _terms_buckets(self, query_text: str) -> tuple[list[str], list[int]]:
+    def _terms_buckets(self, query_text: str) -> tuple[list[str], dict[int, str], list[int]]:
+        """(sorted terms, term_id→term, pruned buckets).  term_id =
+        xxhash64(term) is computed locally — queries never consult the
+        term dictionary (pmod(term_id, B) is the bucket)."""
         terms = sorted(set(tokenize(query_text)))
-        buckets = sorted({pmod(xxh64_signed(t), self.cfg.n_buckets) for t in terms})
-        return terms, buckets
+        ids = {xxh64_signed(t): t for t in terms}
+        buckets = sorted({pmod(i, self.cfg.n_buckets) for i in ids})
+        return terms, ids, buckets
 
-    def term_stats(self, terms: list[str], buckets: list[int]) -> dict[str, int]:
-        """df per query term, from the bucket-pruned termstats partitions
-        (pyarrow direct read — partition pruning, no Spark job)."""
-        if not terms:
+    def term_stats(self, ids: dict[int, str], buckets: list[int]) -> dict[int, int]:
+        """df per query term_id, from the bucket-pruned termstats
+        partitions (pyarrow direct read — partition pruning, no Spark job)."""
+        if not ids:
             return {}
-        flt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
-        tbl = self._termstats.to_table(columns=["term", "df"], filter=flt)
-        return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+        flt = pads.field("term_bucket").isin(buckets) & pads.field("term_id").isin(
+            list(ids)
+        )
+        tbl = self._termstats.to_table(columns=["term_id", "df"], filter=flt)
+        return dict(zip(tbl["term_id"].to_pylist(), tbl["df"].to_pylist()))
 
-    def _pruned_slice_rows(self, terms: list[str], buckets: list[int]) -> list[dict]:
-        flt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
+    def _pruned_slice_rows(self, ids: list[int], buckets: list[int]) -> list[dict]:
+        flt = pads.field("term_bucket").isin(buckets) & pads.field("term_id").isin(ids)
         return self._postings.to_table(columns=_SLICE_COLS, filter=flt).to_pylist()
 
-    def _pruned_slices(self, terms: list[str], buckets: list[int]) -> DataFrame:
+    def _pruned_slices(self, ids: list[int], buckets: list[int]) -> DataFrame:
         """Spark-side pruned scan (distributed mode)."""
         return (
             self.spark.read.parquet(f"{self.index_dir}/postings")
-            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term_id").isin(ids))
             .select(*_SLICE_COLS)
         )
 
@@ -94,19 +100,19 @@ class BM25Searcher:
         distributed: bool = False,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), rank-identical to the oracle."""
-        terms, buckets = self._terms_buckets(query_text)
-        dfs = self.term_stats(terms, buckets)
-        terms = [t for t in terms if dfs.get(t, 0) > 0]
-        if not terms:
+        _, ids, buckets = self._terms_buckets(query_text)
+        dfs = self.term_stats(ids, buckets)
+        ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
+        if not ids:
             return []
-        idf = {t: idf_value(self.n_docs, dfs[t]) for t in terms}
+        idf = {i: idf_value(self.n_docs, dfs[i]) for i in ids}
         if distributed:
-            return self._search_distributed(terms, buckets, idf, k, mode)
-        rows = self._pruned_slice_rows(terms, buckets)
+            return self._search_distributed(ids, buckets, idf, k, mode)
+        rows = self._pruned_slice_rows(list(ids), buckets)
         by_range: dict[int, list[TermSlice]] = {}
         for r in rows:
             by_range.setdefault(int(r["range_id"]), []).append(
-                decode_slice(r, idf[r["term"]])
+                decode_slice(r, idf[r["term_id"]], label=ids[r["term_id"]])
             )
         ids_all, sc_all = [], []
         for slices in by_range.values():
@@ -121,12 +127,12 @@ class BM25Searcher:
         ids, sc = topk_select(np.concatenate(ids_all), np.concatenate(sc_all), k)
         return list(zip(ids.tolist(), sc.tolist()))
 
-    def _search_distributed(self, terms, buckets, idf, k, mode) -> list[tuple[int, float]]:
+    def _search_distributed(self, labels, buckets, idf, k, mode) -> list[tuple[int, float]]:
         cfg, avgdl = self.cfg, self.avgdl
 
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
             slices = [
-                decode_slice(row, idf[row["term"]])
+                decode_slice(row, idf[row["term_id"]], label=labels[row["term_id"]])
                 for row in pdf.to_dict("records")
             ]
             if mode == "bmw":
@@ -137,7 +143,7 @@ class BM25Searcher:
             return pd.DataFrame({"doc_id": ids, "score": sc})
 
         out = (
-            self._pruned_slices(terms, buckets)
+            self._pruned_slices(list(labels), buckets)
             .groupBy("range_id")
             .applyInPandas(score_range, schema="doc_id long, score double")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -150,17 +156,17 @@ class BM25Searcher:
         """ALL matching (doc_id, exact float64 score) pairs, unranked —
         for callers that re-rank under their own tie rule (e.g. the
         round-then-rank contract of the SQL correctness oracle)."""
-        terms, buckets = self._terms_buckets(query_text)
-        dfs = self.term_stats(terms, buckets)
-        terms = [t for t in terms if dfs.get(t, 0) > 0]
-        if not terms:
+        _, ids, buckets = self._terms_buckets(query_text)
+        dfs = self.term_stats(ids, buckets)
+        ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
+        if not ids:
             return []
-        idf = {t: idf_value(self.n_docs, dfs[t]) for t in terms}
-        rows = self._pruned_slice_rows(terms, buckets)
+        idf = {i: idf_value(self.n_docs, dfs[i]) for i in ids}
+        rows = self._pruned_slice_rows(list(ids), buckets)
         by_range: dict[int, list[TermSlice]] = {}
         for r in rows:
             by_range.setdefault(int(r["range_id"]), []).append(
-                decode_slice(r, idf[r["term"]])
+                decode_slice(r, idf[r["term_id"]], label=ids[r["term_id"]])
             )
         out: list[tuple[int, float]] = []
         for slices in by_range.values():

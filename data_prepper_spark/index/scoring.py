@@ -38,11 +38,15 @@ class TermSlice:
     block_ubs: np.ndarray     # float32, per-block max of the tf-normalization
 
 
-def decode_slice(row, idf: float) -> TermSlice:
-    """Decode a postings-slice row (Row / dict / namedtuple-like)."""
+def decode_slice(row, idf: float, label: str | None = None) -> TermSlice:
+    """Decode a postings-slice row (Row / dict / namedtuple-like).
+
+    ``label`` is the term STRING for this row's term_id — slices are
+    processed in sorted-label order so float accumulation order matches
+    the pure-Python oracle exactly (rank/bit identity)."""
     get = row.__getitem__ if hasattr(row, "__getitem__") else getattr
     return TermSlice(
-        term=get("term"),
+        term=label if label is not None else str(get("term_id")),
         idf=idf,
         doc_ids=delta_decode_docids(bytes(get("doc_ids"))),
         tfs=varint_decode(bytes(get("tfs"))).astype(np.int64),

@@ -85,10 +85,11 @@ def test_bucket_pruning_plan(spark, tiny_index):
     searcher = BM25Searcher(spark, index_dir)
     from data_prepper_spark.hashing import pmod, xxh64_signed
 
-    bucket = pmod(xxh64_signed("zanzibar"), cfg.n_buckets)
+    tid = xxh64_signed("zanzibar")
+    bucket = pmod(tid, cfg.n_buckets)
     df = (
         spark.read.parquet(f"{index_dir}/postings")
-        .filter(F.col("term_bucket").isin([bucket]) & (F.col("term") == "zanzibar"))
+        .filter(F.col("term_bucket").isin([bucket]) & (F.col("term_id") == tid))
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     # partition pruning on term_bucket must reach the scan ...
@@ -98,7 +99,7 @@ def test_bucket_pruning_plan(spark, tiny_index):
     # ... and the term predicate must be pushed into parquet
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
-    assert "term" in pushed, plan
+    assert "term_id" in pushed, plan
     # and the pruned scan must actually read fewer partitions than exist
     pruned = df.withColumn("f", F.input_file_name()).select("f").distinct().collect()
     assert all(f"term_bucket={bucket}/" in r["f"] for r in pruned), pruned

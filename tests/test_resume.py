@@ -22,7 +22,7 @@ def _postings_fingerprint(spark, index_dir):
     df = spark.read.parquet(f"{index_dir}/postings")
     return sorted(
         (
-            r["term"], r["range_id"], r["df_slice"],
+            r["term_id"], r["range_id"], r["df_slice"],
             bytes(r["doc_ids"]).hex(), bytes(r["tfs"]).hex(), bytes(r["dls"]).hex(),
         )
         for r in df.collect()
