@@ -343,9 +343,21 @@ def build_oneshot_tokens(
     scan — docmeta never reads `term`, the posting encode never reads
     `url`.  Same shape as the resumable build's staging, so oneshot and
     resumable share physics."""
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        timings[name] = round(now - _t0, 2)
+        _t0 = now
+
     p = _paths(index_dir)
     tokens_df.write.mode("overwrite").parquet(p["staging"])
     tokens = spark.read.parquet(p["staging"])
+    _mark("t_tokens")
 
     dls = tokens.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
     if doc_src is not None:
@@ -378,6 +390,7 @@ def build_oneshot_tokens(
     spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
         p["stats"]
     )
+    _mark("t_docmeta")
     encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size)
     slices = (
         tokens.withColumn("term_id", F.xxhash64("term"))
@@ -394,9 +407,12 @@ def build_oneshot_tokens(
     slices.write.mode("overwrite").partitionBy("bgroup", "term_bucket").parquet(
         p["postings"]
     )
+    _mark("t_encode")
     _termdict(tokens, cfg).repartition(
         cfg.n_buckets, F.col("term_bucket")
     ).write.mode("overwrite").partitionBy("term_bucket").parquet(p["termdict"])
     _write_termstats(spark, p, cfg)
+    _mark("t_termstats")
+    stats["timings"] = json.dumps(timings)
     Ledger(index_dir).commit("finalize", 0, token_count=total_tokens)
     return stats

@@ -85,11 +85,18 @@ def main():
     ap.add_argument("--docs", type=int, default=960000)
     ap.add_argument("--levels", type=str, default="2,8,32",
                     help="comma-separated parallelism levels; first two are the N/4N pair")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="interleaved repetitions per level; best time kept "
+                         "(the sandbox host's throughput drifts ±40% over "
+                         "minutes, so levels are interleaved and best-of-N "
+                         "compared)")
+    ap.add_argument("--corpus", type=str, default=None,
+                    help="reuse an existing corpus dir instead of generating")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
     work = tempfile.mkdtemp(prefix="dps_scaling_")
-    corpus = os.path.join(work, "webtext")
+    corpus = args.corpus or os.path.join(work, "webtext")
     try:
         # generate the shared input once (not timed)
         pre = (
@@ -105,9 +112,16 @@ def main():
             f"generate_corpus(spark, {corpus!r}, {args.docs}, partitions=64)\n"
             "spark.stop()\n"
         )
-        subprocess.run([sys.executable, "-c", pre], check=True, timeout=1800)
+        if args.corpus is None:
+            subprocess.run([sys.executable, "-c", pre], check=True, timeout=1800)
 
-        results = [run_level(c, corpus, work) for c in levels]
+        best: dict[int, dict] = {}
+        for rep in range(args.reps):
+            for c in levels:  # interleaved so host drift hits all levels alike
+                r = run_level(c, corpus, work)
+                if c not in best or r["build_s"] < best[c]["build_s"]:
+                    best[c] = r
+        results = [best[c] for c in levels]
         small, big = results[0], results[1]
         ratio = big["cpus"] / small["cpus"]
         eff_build = round((small["build_s"] / big["build_s"]) / ratio, 3)
