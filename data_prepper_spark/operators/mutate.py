@@ -176,6 +176,18 @@ def list_to_map(
     return df.withColumn(target, F.map_from_entries(entries))
 
 
+def select_entries(df: DataFrame, include_keys: list[str]) -> DataFrame:
+    """`select_entries` (keep only listed keys; the reference snapshot
+    carries include/exclude lists on sinks and key_value — mutate-event's
+    select form postdates it) → plain projection."""
+    return df.select(*include_keys)
+
+
+def no_op(df: DataFrame) -> DataFrame:
+    """`no-op` (common/.../NoOpProcessor.java:15) — identity."""
+    return df
+
+
 def drop_events(df: DataFrame, drop_when: str) -> DataFrame:
     """`drop_events` (DropEventsProcessor.java:23,43-52): keep rows where
     the condition is NOT true (null-safe, like the reference's evaluator

@@ -76,6 +76,18 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """avro codec — requires the spark-avro package on the classpath
+    (not bundled in this container); raises a clear error otherwise."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        raise NotImplementedError(
+            "avro requires the org.apache.spark:spark-avro package on the "
+            "Spark classpath (--packages); not present in this container"
+        ) from e
+
+
 def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
