@@ -730,6 +730,60 @@ FROM events
 """
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the tail_sampler wait_period / streaming
+    session_window shape) in batch: one row per (user, session)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "1 hour").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return g.select(
+        "user_id",
+        F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+def sql_session_windows() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+)
+SELECT user_id,
+       strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint clustering (dedup by normalized token-set key): one
+    row per cluster with its size and deterministic survivor."""
+    fp = textstats.fingerprint(_docs(spark, sf_dir))
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+def sql_fingerprint_clusters() -> str:
+    return f"""
+SELECT md5(array_to_string(list_sort(list_distinct(
+           regexp_extract_all(lower(text), '{TOKEN_RX}'))), ' ')) AS fingerprint,
+       min(doc_id) AS keep_id, count(*)::BIGINT AS cluster_size
+FROM documents GROUP BY 1
+"""
+
+
 # ============================================================ TPC-H family
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,6 +1201,8 @@ QUERIES = {
     "anomaly_zscore": q_anomaly_zscore,
     "user_agent": q_user_agent,
     "trace_group": q_trace_group,
+    "session_windows": q_session_windows,
+    "fingerprint_clusters": q_fingerprint_clusters,
     # join/agg pipelines
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -1200,6 +1256,8 @@ ORACLES = {
     "anomaly_zscore": sql_anomaly_zscore(),
     "user_agent": sql_user_agent(),
     "trace_group": sql_trace_group(),
+    "session_windows": sql_session_windows(),
+    "fingerprint_clusters": sql_fingerprint_clusters(),
     "tpch_q1": sql_tpch_q1(),
     "tpch_q3": sql_tpch_q3(),
     "tpch_q5ish": sql_tpch_q5ish(),

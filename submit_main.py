@@ -1,0 +1,147 @@
+"""spark-submit entry point for the index engine (north-rule deployment
+path: ``spark-submit --py-files dps.zip submit_main.py <cmd> ...``).
+
+Commands:
+  build   — resumable index build (ledger checkpointing; rerun after a
+            crash skips completed bucket groups)
+  query   — BM25 top-k for one query string or a file of queries
+  bench   — timed one-shot build (prints docs/sec JSON)
+
+Examples:
+  spark-submit submit_main.py build \
+      --input /data/webtext --index-dir /data/index \
+      --buckets 4096 --range-bits 16 --bucket-groups 64
+  spark-submit submit_main.py query --index-dir /data/index \
+      --q "spark shuffle partitioning" --k 10
+
+Packaging: ``zip -r dps.zip data_prepper_spark`` then pass
+``--py-files dps.zip`` so executors can import the package.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(app: str):
+    from data_prepper_spark.envtune import apply_malloc_tuning
+
+    apply_malloc_tuning()
+    from pyspark.sql import SparkSession
+
+    # cluster managers/config come from spark-submit; only engine-required
+    # settings are pinned here
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def cmd_build(args) -> None:
+    from data_prepper_spark.index.build import build_index
+    from data_prepper_spark.index.config import IndexConfig
+
+    spark = _spark("dps-index-build")
+    cfg = IndexConfig(
+        k1=args.k1, b=args.b, lang=args.lang,
+        range_bits=args.range_bits, block_size=args.block_size,
+        n_buckets=args.buckets,
+    )
+    pages = spark.read.parquet(args.input)
+    t0 = time.perf_counter()
+    stats = build_index(
+        spark, pages, args.index_dir, cfg,
+        src_tag=args.input, bucket_groups=args.bucket_groups,
+    )
+    dt = time.perf_counter() - t0
+    print(json.dumps({"built": args.index_dir, "seconds": round(dt, 1),
+                      "docs_per_sec": round(stats["n_docs"] / dt, 1), **stats}))
+    spark.stop()
+
+
+def cmd_query(args) -> None:
+    from data_prepper_spark.index.query import BM25Searcher
+
+    spark = _spark("dps-bm25-query")
+    s = BM25Searcher(spark, args.index_dir)
+    queries = [args.q] if args.q else [l.strip() for l in open(args.qfile) if l.strip()]
+    for q in queries:
+        t0 = time.perf_counter()
+        hits = s.search(q, k=args.k, distributed=args.distributed)
+        ms = (time.perf_counter() - t0) * 1000
+        urls = s.urls_for([d for d, _ in hits])
+        print(json.dumps({
+            "query": q, "ms": round(ms, 1),
+            "hits": [
+                {"rank": i + 1, "doc_id": d, "url": urls.get(d, ""), "score": round(sc, 4)}
+                for i, (d, sc) in enumerate(hits)
+            ],
+        }))
+    spark.stop()
+
+
+def cmd_bench(args) -> None:
+    from data_prepper_spark.index.build import build_oneshot
+    from data_prepper_spark.index.config import IndexConfig
+
+    spark = _spark("dps-bench-build")
+    pages = spark.read.parquet(args.input)
+    n = pages.count()
+    cfg = IndexConfig(range_bits=args.range_bits, block_size=args.block_size,
+                      n_buckets=args.buckets)
+    t0 = time.perf_counter()
+    stats = build_oneshot(spark, pages, args.index_dir, cfg)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"n_docs": n, "seconds": round(dt, 1),
+                      "docs_per_sec": round(n / dt, 1),
+                      "stage_timings": stats.get("timings")}))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="submit_main.py")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("build")
+    pb.add_argument("--input", required=True)
+    pb.add_argument("--index-dir", required=True)
+    pb.add_argument("--buckets", type=int, default=256)
+    pb.add_argument("--range-bits", type=int, default=8)
+    pb.add_argument("--block-size", type=int, default=128)
+    pb.add_argument("--bucket-groups", type=int, default=8)
+    pb.add_argument("--lang", default="en")
+    pb.add_argument("--k1", type=float, default=1.2)
+    pb.add_argument("--b", type=float, default=0.75)
+    pb.set_defaults(fn=cmd_build)
+
+    pq = sub.add_parser("query")
+    pq.add_argument("--index-dir", required=True)
+    pq.add_argument("--q")
+    pq.add_argument("--qfile")
+    pq.add_argument("--k", type=int, default=10)
+    pq.add_argument("--distributed", action="store_true")
+    pq.set_defaults(fn=cmd_query)
+
+    pn = sub.add_parser("bench")
+    pn.add_argument("--input", required=True)
+    pn.add_argument("--index-dir", required=True)
+    pn.add_argument("--buckets", type=int, default=256)
+    pn.add_argument("--range-bits", type=int, default=8)
+    pn.add_argument("--block-size", type=int, default=128)
+    pn.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
