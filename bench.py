@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-WEBTEXT_DOCS = int(os.environ.get("SPARK_GRAFT_WEBTEXT_DOCS", "20000"))
+WEBTEXT_DOCS = int(os.environ.get("SPARK_GRAFT_WEBTEXT_DOCS", "50000"))
 
 
 def main():
