@@ -43,6 +43,7 @@ spark = (
     .config("spark.ui.enabled", "false")
     .config("spark.sql.shuffle.partitions", str(cpus))
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.driver.memory", "12g")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
