@@ -17,6 +17,7 @@ Grammar coverage (citations into the reference grammar file):
   - arithmetic ``+ - * /``, unary ``-``        (g4:26-47,126-128)
   - JSON-Pointer operands ``/status_code``     (g4:209-241)
   - literals Integer/Float/Boolean/String/Null (g4:170-207)
+  - env-var operand ``${NAME}``                (g4:243-261; compile-time)
   - functions (docs/expression_syntax.md:171-191):
       length(x), contains(x, y), hasTags("a","b"), getMetadata("/k"),
       cidrContains("/ip", "10.0.0.0/8", …)
@@ -43,6 +44,7 @@ _TOKEN_RE = re.compile(
     \s*(?:
         (?P<num>-?\d+\.\d+|-?\d+)
       | (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<env>\$\{[A-Za-z_][A-Za-z0-9_]*\})
       | (?P<ptr>/[A-Za-z0-9_][A-Za-z0-9_/\-]*)
       | (?P<op><=|>=|==|!=|=~|!~|<|>|\+|-|\*|/|\(|\)|\{|\}|,)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
@@ -209,6 +211,8 @@ class _Parser:
             return F.lit(float(v) if "." in v else int(v))
         if k == "str":
             return F.lit(v[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        if k == "env":
+            return F.lit(_resolve_env(v))
         if k == "ptr":
             return pointer_to_col(v)
         if (k, v) == ("op", "("):
@@ -229,6 +233,27 @@ class _Parser:
 
     def _function(self, name: str) -> Column:
         self.expect("op", "(")
+        if name == "cidrContains":
+            # CIDR args must be STRING constants (g4 function grammar);
+            # capture the raw literals here instead of regexing them back
+            # out of a compiled Column (which breaks under Spark Connect)
+            ip = self.p_or()
+            cidrs: list[str] = []
+            while True:
+                k, v = self.next()
+                if (k, v) == ("op", ")"):
+                    break
+                if (k, v) == ("op", ","):
+                    continue
+                if k == "str":
+                    cidrs.append(v[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+                elif k == "env":
+                    cidrs.append(_resolve_env(v))
+                else:
+                    raise ExpressionError(
+                        "cidrContains arguments must be string literals"
+                    )
+            return _cidr_contains(ip, cidrs)
         args: list = []
         if self.peek() != ("op", ")"):
             while True:
@@ -252,13 +277,17 @@ def pointer_to_col(ptr: str) -> Column:
     return c
 
 
-def _lit_value(c: Column):
-    """Extract a python literal from a Column built by F.lit, if possible."""
-    try:
-        expr = c._jc.toString()
-    except Exception:
-        return None
-    return expr
+def _resolve_env(tok: str) -> str:
+    """``${name}`` env-var operand (DataPrepperExpression.g4:243-261):
+    resolved ONCE at compile time from the process environment — the
+    reference substitutes at pipeline creation, not per event."""
+    import os
+
+    name = tok[2:-1]
+    val = os.environ.get(name)
+    if val is None:
+        raise ExpressionError(f"environment variable ${{{name}}} is not set")
+    return val
 
 
 def _apply_function(name: str, args: list[Column]) -> Column:
@@ -279,13 +308,18 @@ def _apply_function(name: str, args: list[Column]) -> Column:
         # arg is a lit string pointer like "/key"
         return F.element_at(F.col(META_COL), F.regexp_replace(args[0], "^/", ""))
     if name == "cidrContains":
-        return _cidr_contains(args[0], args[1:])
+        # reachable only via a pre-compiled Column arg (not the parser,
+        # which captures raw literals in _function)
+        raise ExpressionError("cidrContains arguments must be string literals")
     raise ExpressionError(f"unknown function {name}()")
 
 
-def _cidr_contains(ip_col: Column, cidr_lits: list[Column]) -> Column:
+def _cidr_contains(ip_col: Column, cidrs: list[str]) -> Column:
     """IPv4 CIDR test as pure bit arithmetic on the dotted-quad column —
-    JVM-side, no UDF (CidrExpressionFunction.java:19 uses commons-net)."""
+    JVM-side, no UDF (CidrExpressionFunction.java:19 uses commons-net).
+    CIDR strings are parsed driver-side at compile time; IPv6 networks
+    raise (128-bit range math has no JVM-column form here — documented
+    gap vs the reference's commons-net IPv6 path)."""
     octets = F.split(ip_col, r"\.")
     ip_num = (
         octets.getItem(0).cast("long") * F.lit(1 << 24)
@@ -294,13 +328,12 @@ def _cidr_contains(ip_col: Column, cidr_lits: list[Column]) -> Column:
         + octets.getItem(3).cast("long")
     )
     cond = F.lit(False)
-    for c in cidr_lits:
-        # cidr literals must be constants; parse driver-side
-        s = c._jc.toString()
-        m = re.search(r"'([^']+)'", s) or re.search(r'"([^"]+)"', s)
-        if m is None:
-            raise ExpressionError("cidrContains arguments must be string literals")
-        net = ipaddress.ip_network(m.group(1), strict=False)
+    for s in cidrs:
+        net = ipaddress.ip_network(s, strict=False)
+        if net.version != 4:
+            raise ExpressionError(
+                f"cidrContains: IPv6 CIDR {s!r} is not supported (IPv4 only)"
+            )
         lo, hi = int(net.network_address), int(net.broadcast_address)
         cond = cond | ((ip_num >= F.lit(lo)) & (ip_num <= F.lit(hi)))
     return cond

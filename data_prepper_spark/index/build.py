@@ -339,7 +339,7 @@ def build_oneshot_tokens(
     objects caused GC-bound, high-variance stage times that got WORSE
     with more cores (measured 2-3× slowdown from local[8]→local[32]),
     while the parquet staging write is dictionary-encoded (repeated
-    terms/urls ~free), sequential, and gives每 consumer a column-pruned
+    terms/urls ~free), sequential, and gives each consumer a column-pruned
     scan — docmeta never reads `term`, the posting encode never reads
     `url`.  Same shape as the resumable build's staging, so oneshot and
     resumable share physics."""

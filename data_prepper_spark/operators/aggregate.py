@@ -162,11 +162,11 @@ def tail_sampler(
     """`tail_sampler` action (TailSamplerAggregateAction.java:29): emit ALL
     events of a group iff any event in the group matched the error
     condition, else admit the group with `percent`% probability
-    (deterministic hash of the group key here).  One aggregation + one
-    semi-join-free window max — no second scan."""
+    (deterministic hash of `sample_key` — the configured sampling basis).
+    One aggregation + one semi-join-free window max — no second scan."""
     w = Window.partitionBy(*group_keys)
     keep_group = F.max(F.when(error_cond, 1).otherwise(0)).over(w) == 1
-    sampled = F.pmod(F.xxhash64(*[F.col(k) for k in group_keys]), F.lit(10000)) < F.lit(
+    sampled = F.pmod(F.xxhash64(F.col(sample_key)), F.lit(10000)) < F.lit(
         int(percent * 100)
     )
     return df.withColumn("_keep", keep_group | sampled).filter(F.col("_keep")).drop("_keep")

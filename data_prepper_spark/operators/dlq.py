@@ -45,8 +45,10 @@ def quarantine(
 def write_quarantine(bad: DataFrame, path: str) -> int:
     """Append rejected rows to the quarantine parquet table; returns the
     rejected count (the DLQ write is append-only, like the reference's
-    keyed S3 objects)."""
-    n = bad.count()
-    if n:
-        bad.write.mode("append").parquet(path)
-    return n
+    keyed S3 objects).  The count is an `observe()` metric on the write
+    job itself — one job, no second pass over the DAG."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    bad.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(path)
+    return int(obs.get["n"])

@@ -43,6 +43,8 @@ def route_tagged(df: DataFrame, routes: dict[str, str]) -> DataFrame:
         for name, d in route(df, routes).items()
         if name != "_default"
     ]
+    if not parts:  # no named routes configured → empty tagged frame
+        return df.withColumn("_route", F.lit(None).cast("string")).limit(0)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

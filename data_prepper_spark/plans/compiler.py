@@ -154,38 +154,61 @@ def compile_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
 def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, int]:
     """Compile + execute sinks; returns rows written per sink path.
 
-    Sink semantics (SURVEY.md §2.3): a sink with `routes:` receives
-    events matching ANY of its routes (union); no routes = all events
-    (the pre-routing frame)."""
-    routed = compile_pipeline(spark, spec)
+    Sink semantics (DataFlowComponentRouter.java:23-45): a sink with
+    `routes:` receives events matching ANY of its routes — each event
+    once, even when it matches several of the sink's routes (dedup on a
+    stable per-event row id added BEFORE routing, never on column values:
+    two genuinely distinct events with equal fields must both survive).
+    No routes = the pre-routing frame (all events).
+
+    Row counts come from `observe()` metrics attached to the write job —
+    one Spark job per file sink, not a write + a recount of the DAG."""
+    from pyspark.sql import Observation
+
+    df = _read_source(spark, spec["source"])
+    for step in spec.get("processor", []):
+        (pname, conf), = step.items()
+        fn = _PROCESSORS.get(pname)
+        if fn is None:
+            raise ValueError(f"unknown processor {pname!r}")
+        df = fn(df, conf or {})
+    has_routes = "route" in spec
+    routed: dict[str, DataFrame] = {}
+    if has_routes:
+        # stable event identity for multi-route dedup; deterministic for
+        # a deterministic source because it derives from (partition, row
+        # order) of one scan
+        df = df.withColumn("_event_id", F.monotonically_increasing_id())
+        routed = routing.route(df, spec["route"])
     written: dict[str, int] = {}
     for sink in spec.get("sink", []):
         (name, conf), = sink.items()
         wanted = conf.get("routes")
-        if wanted:
+        if wanted and has_routes:
             parts = [routed[r] for r in wanted]
-            df = parts[0]
+            out = parts[0]
             for p in parts[1:]:
-                df = df.unionByName(p)
+                out = out.unionByName(p)
             if len(parts) > 1:
-                df = df.dropDuplicates()
+                out = out.dropDuplicates(["_event_id"])
         else:
-            parts = [d for k, d in routed.items()]
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
-            df = df.dropDuplicates() if len(parts) > 1 else df
-        if name == "parquet":
-            df.write.mode(conf.get("mode", "overwrite")).parquet(conf["path"])
-            written[conf["path"]] = df.count()
-        elif name == "json":
-            df.write.mode(conf.get("mode", "overwrite")).json(conf["path"])
-            written[conf["path"]] = df.count()
+            out = df  # route-less sink: every event, pre-routing
+        if has_routes:
+            out = out.drop("_event_id")
+        if name in ("parquet", "json"):
+            obs = Observation()
+            observed = out.observe(obs, F.count(F.lit(1)).alias("n"))
+            writer = observed.write.mode(conf.get("mode", "overwrite"))
+            if name == "parquet":
+                writer.parquet(conf["path"])
+            else:
+                writer.json(conf["path"])
+            written[conf["path"]] = int(obs.get["n"])
         elif name == "stdout":  # reference StdOutSink
-            df.show(conf.get("limit", 20), truncate=False)
-            written["stdout"] = df.count()
+            out.show(conf.get("limit", 20), truncate=False)
+            written["stdout"] = out.count()
         elif name == "count":  # test sink
-            written["count"] = df.count()
+            written["count"] = out.count()
         else:
             raise ValueError(f"unknown sink {name!r}")
     return written

@@ -91,26 +91,63 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """All pairs (a<b) with n-gram-shingle Jaccard ≥ threshold.
+    """All pairs (a<b) with n-gram-shingle Jaccard ≥ threshold — EXACT
+    output, prefix-filtered blocking.
 
-    Blocking: self-join on shared shingle (a pair is compared only if it
-    shares ≥1 shingle — pairs below any sane threshold that share none
-    are provably excluded).  groupBy(a,b) counts the intersection; set
-    sizes come from a broadcast-joined per-doc size table.  Output
-    jaccard is rounded to 6 places (stable across engines)."""
+    Blocking (prefix filter, the ppjoin family): order every doc's
+    shingles by global rarity (df ASC, shingle ASC — one canonical order
+    shared by all docs) and generate candidates only from each doc's
+    PREFIX of the ``|X| - ceil(t/(1+t)·|X|) + 1`` rarest shingles.
+    Provably lossless: J(A,B) ≥ t ⇒ |A∩B| ≥ t(|A|+|B|)/(1+t); if the two
+    prefixes shared nothing, every common shingle would sit in a suffix,
+    and the suffixes hold only (ceil(t|A|/(1+t))-1) + (ceil(t|B|/(1+t))-1)
+    < t(|A|+|B|)/(1+t) elements — contradiction.  The win at scale: the
+    candidate join's quadratic blow-up lives in high-df (stopword)
+    shingles, and those are exactly the ones the prefix excludes.
+    Verification then counts intersections over the FULL shingle sets, so
+    the result equals the unblocked all-pairs answer (SQL-reproducible).
+    Output jaccard is rounded to 6 places (stable across engines)."""
+    from pyspark.sql import Window
+
     sh = _doc_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    if prefix_filter:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("shdf"))
+        w = Window.partitionBy("doc").orderBy(F.asc("shdf"), F.asc("sh"))
+        ranked = (
+            sh.join(dfreq, "sh")
+            .join(sizes, "doc")
+            .withColumn("pos", F.row_number().over(w))
+        )
+        plen = F.col("sz") - F.ceil(
+            F.lit(threshold / (1.0 + threshold)) * F.col("sz")
+        ) + 1
+        block = ranked.filter(F.col("pos") <= plen).select("doc", "sh")
+    else:
+        block = sh
+    a = block.alias("a")
+    b = block.alias("b")
+    cands = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+    inter = (
+        cands.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc"))
+        .join(
+            sh.alias("s2"),
+            (F.col("doc_b") == F.col("s2.doc")) & (F.col("s1.sh") == F.col("s2.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # plain long-keyed joins — AQE broadcasts automatically when small;
+    # a per-doc table must never be hint-broadcast (OOM at 10^12 docs)
     out = (
-        inter.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
         .select(
             "doc_a",
             "doc_b",
@@ -179,13 +216,26 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    oracle_hashes: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exactly verified.
 
     shingle → minhash (num_perm) → band keys (bands × rows_per_band) →
     bucket-join candidates (a<b, distinct) → exact Jaccard verify ≥
     threshold.  The verify step makes the output deterministic: LSH only
-    decides WHICH pairs get checked, never the answer."""
+    decides WHICH pairs get checked, never the answer.
+
+    oracle_hashes=True swaps xxhash64 (JVM-only) for the md5-family
+    ``token_hash60`` chain at BOTH hash sites — per-permutation minhash
+    ``hash60(j ':' shingle)`` and band key ``hash60(h_i ',' … ',' h_j)``
+    — so the exact band topology (which pairs become candidates) is
+    reproducible in DuckDB and the output is oracle-checkable
+    bit-for-bit.  Production keeps the default (same topology, ~3×
+    cheaper hash).
+
+    Materializes eagerly (localCheckpoint) so the persisted shingle /
+    band intermediates can be unpersisted before returning — repeated
+    invocations in one session leak no cached partitions."""
     from pyspark import StorageLevel
 
     assert num_perm % bands == 0
@@ -194,24 +244,32 @@ def minhash_lsh_pairs(
     # verify sides) — persist it once instead of re-running the regex +
     # n-gram transform per branch
     sh = _doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    mins = [
-        F.min(F.xxhash64(F.lit(42 + j), F.col("sh"))).alias(f"h{j}")
-        for j in range(num_perm)
-    ]
+    if oracle_hashes:
+        mins = [
+            F.min(token_hash60(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
+            for j in range(num_perm)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(42 + j), F.col("sh"))).alias(f"h{j}")
+            for j in range(num_perm)
+        ]
     sig = sh.groupBy("doc").agg(*mins).select(
         "doc", F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("sig")
     )
+
+    def band_key(b: int):
+        elems = [F.col("sig").getItem(b * r + i) for i in range(r)]
+        if oracle_hashes:
+            return token_hash60(F.concat_ws(",", *[e.cast("string") for e in elems]))
+        return F.xxhash64(*elems)
+
     band_rows = sig.select(
         "doc",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig").getItem(b * r + i) for i in range(r)]
-                        ).alias("bkey"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bkey"))
                     for b in range(bands)
                 ]
             )
@@ -236,11 +294,13 @@ def minhash_lsh_pairs(
         (F.col("doc_b") == F.col("s2.doc")) & (F.col("s1.sh") == F.col("s2.sh")),
     )
     inter = pair_sh.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+    # plain joins on the per-doc size table — never hint-broadcast (one
+    # row per doc = multi-TB at 10^12 docs); AQE auto-broadcasts when small
     out = (
         cands.join(inter, ["doc_a", "doc_b"], "left")
         .fillna({"inter": 0})
-        .join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
         .select(
             "doc_a",
             "doc_b",
@@ -250,6 +310,11 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # pairs output is tiny relative to the shingle table: materialize it,
+    # then free the cached intermediates
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    band_rows.unpersist()
     return out
 
 

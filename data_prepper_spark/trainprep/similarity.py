@@ -42,6 +42,38 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _topk_two_stage(scored: DataFrame, qid_col: str, id_col: str, k: int) -> DataFrame:
+    """Two-stage exact top-k per query over a (qid, id, cos) frame.
+
+    Stage 1 (partial): inside each Arrow batch, keep only the top-k rows
+    per query under the final rank order (cos DESC, id ASC) — a row
+    outside its batch's top-k can never be in the global top-k under the
+    same total order, so this is lossless for ANY partitioning.  Stage 2
+    ranks the survivors (≤ k·n_batches per query) with one small window.
+    This replaces the single-partition-per-query row_number window, which
+    at 10^9 vectors would funnel every scored row of a query through one
+    task."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    def partial(batches):
+        for b in batches:
+            yield (
+                b.sort_values([qid_col, "cos", id_col], ascending=[True, False, True])
+                .groupby(qid_col, sort=False)
+                .head(k)
+            )
+
+    from pyspark.sql import Window
+
+    reduced = scored.mapInPandas(partial, schema=scored.schema)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cos")
+    )
+
+
 def brute_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -52,27 +84,20 @@ def brute_topk(
     qvec_col: str = "qvec",
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast the query set (small side)
-    against the vector table, score JVM-side, window top-k.
+    against the vector table, score JVM-side, two-stage top-k.
 
     Deterministic rank: (round(cos,6) DESC, vec_id ASC) — ties never
     depend on partitioning.  At 10^9 vectors this is one scan of the
-    vector table per query batch; broadcast keeps it shuffle-free until
-    the final k-row-per-query window (partial top-k per partition under
-    AQE)."""
-    from pyspark.sql import Window
-
+    vector table per query batch; broadcast keeps it shuffle-free, and
+    the partial top-k means only k rows per (query, partition) ever reach
+    the final ranking."""
     j = vectors.crossJoin(F.broadcast(queries))
     scored = j.select(
         F.col(qid_col),
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
     )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(qid_col, "rank", id_col, "cos")
-    )
+    return _topk_two_stage(scored, qid_col, id_col, k)
 
 
 def cosine_pairs(
@@ -138,8 +163,6 @@ def lsh_topk(
     LSH bucket matches the query's.  At scale, `sig` is the table's
     partition/bucket key → per-query partition pruning; here it is a
     plain equi-join (shuffle on a 2^n_planes-value key)."""
-    from pyspark.sql import Window
-
     planes = hyperplanes(dim, n_planes, seed)
     v = vectors.withColumn("sig", lsh_signature_col(F.col(vec_col), planes))
     q = queries.withColumn("sig", lsh_signature_col(F.col(qvec_col), planes))
@@ -149,12 +172,7 @@ def lsh_topk(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
     )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(qid_col, "rank", id_col, "cos")
-    )
+    return _topk_two_stage(scored, qid_col, id_col, k)
 
 
 # ------------------------------------------------------------------- IVF
@@ -193,7 +211,8 @@ def ivf_topk(
     """IVF search: per query pick the n_probe nearest cells by centroid
     cosine, exact-search only those cells.  The cells join is a broadcast
     (centroid table is tiny); the vector-side filter prunes on the cell
-    partition key."""
+    partition key.  The probes window is over the tiny query×cell frame
+    (bounded by n_queries·n_cells); the vector-side top-k is two-stage."""
     from pyspark.sql import Window
 
     qc = queries.crossJoin(F.broadcast(centroids)).select(
@@ -214,9 +233,4 @@ def ivf_topk(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
     )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(qid_col, "rank", id_col, "cos")
-    )
+    return _topk_two_stage(scored, qid_col, id_col, k)
