@@ -27,10 +27,16 @@ def date_processor(
     patterns: list[str],
     destination: str = "@timestamp",
     to_origination_metadata: bool = False,
+    source_timezone: str | None = None,
 ) -> DataFrame:
     """Parse `match_key` with candidate `patterns` → ISO string at
-    `destination`; unparseable rows get null (the reference tags them)."""
+    `destination`; unparseable rows get null (the reference tags them).
+    `source_timezone` (DateProcessor.java:93-110 zoneId): timestamps with
+    no zone in the pattern are interpreted in that zone and normalized
+    to UTC (to_utc_timestamp) before formatting."""
     ts = parse_multi(F.col(match_key), patterns)
+    if source_timezone is not None:
+        ts = F.to_utc_timestamp(ts, source_timezone)
     out = df.withColumn(destination, F.date_format(ts, ISO_FMT))
     if to_origination_metadata:
         out = out.withColumn("_origination_ts", ts)

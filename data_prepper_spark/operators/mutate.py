@@ -156,6 +156,44 @@ def translate_regex(
     return df.withColumn(target, out)
 
 
+def translate_file(
+    df: DataFrame,
+    source: str,
+    target: str,
+    file_path: str,
+    default=None,
+) -> DataFrame:
+    """`translate` with `file:` mappings (TranslateProcessor.java:38;
+    mappings loaded from a JSON object file at plan time — the
+    reference's file_parameter_config).  The loaded dict flows through
+    the same map-literal path as inline mappings."""
+    import json
+
+    with open(file_path) as f:
+        mapping = json.load(f)
+    return translate_exact(df, source, target, mapping, default)
+
+
+def translate_iterate(
+    df: DataFrame,
+    source: str,
+    target: str,
+    mapping: dict,
+    default=None,
+) -> DataFrame:
+    """`translate` with `iterate_on` (TranslateProcessor.java:56): the
+    source is an ARRAY column; every element is translated, producing an
+    array at `target`.  Pure transform lambda — stays in codegen."""
+    lit_map = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return df.withColumn(
+        target,
+        F.transform(
+            F.col(source),
+            lambda x: F.coalesce(F.element_at(lit_map, x.cast("string")), F.lit(default)),
+        ),
+    )
+
+
 def list_to_map(
     df: DataFrame,
     source: str,

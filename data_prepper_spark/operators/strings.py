@@ -53,14 +53,57 @@ def trim_string(df: DataFrame, with_keys: list[str]) -> DataFrame:
 
 
 def obfuscate(
-    df: DataFrame, source: str, patterns: list[str], target: str | None = None, mask: str = "***"
+    df: DataFrame,
+    source: str,
+    patterns: list[str],
+    target: str | None = None,
+    mask: str = "***",
+    action: str = "mask",
 ) -> DataFrame:
-    """`obfuscate` with the default MaskAction (ObfuscationProcessor.java:31,92;
-    MaskAction.java:24-35): replace every regex match with the mask."""
-    c: Column = F.col(source)
-    for p in patterns:
-        c = F.regexp_replace(c, p, mask)
-    return df.withColumn(target or source, c)
+    """`obfuscate` (ObfuscationProcessor.java:31,92) with its pluggable
+    action (MaskAction.java:24-35; the one-way-hash action):
+
+      action="mask" — every regex match → the mask string (pure Catalyst).
+      action="hash" — every regex match → its sha256 hex digest.  With no
+        patterns the WHOLE field is hashed JVM-side (F.sha2); with
+        patterns, per-match replacement needs a callback, which regexes
+        can't express in Catalyst → Arrow-batched pandas UDF (the one
+        documented per-row-Python site outside media decode)."""
+    if action == "mask":
+        c: Column = F.col(source)
+        for p in patterns:
+            c = F.regexp_replace(c, p, mask)
+        return df.withColumn(target or source, c)
+    if action != "hash":
+        raise ValueError(f"unknown obfuscate action {action!r}")
+    if not patterns:
+        return df.withColumn(target or source, F.sha2(F.col(source), 256))
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rx_srcs = list(patterns)
+
+    def hash_matches(s):
+        rxs = [re.compile(p) for p in rx_srcs]
+
+        def one(x):
+            if x is None:
+                return None
+            for rx in rxs:
+                x = rx.sub(
+                    lambda m: hashlib.sha256(m.group(0).encode()).hexdigest(), x
+                )
+            return x
+
+        return s.map(one)
+
+    # real annotation objects (PEP-563 string hints defeat pyspark's
+    # eval-type inference under `from __future__ import annotations`)
+    hash_matches.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(hash_matches, "string")
+    return df.withColumn(target or source, udf(F.col(source)))
 
 
 def key_value(
@@ -70,17 +113,48 @@ def key_value(
     field_split: str = "&",
     value_split: str = "=",
     transform_key: str | None = None,
+    include_keys: list[str] | None = None,
+    exclude_keys: list[str] | None = None,
+    default_values: dict[str, str] | None = None,
+    delete_key_regex: str | None = None,
+    delete_value_regex: str | None = None,
+    non_match_value: str | None = None,
 ) -> DataFrame:
-    """`key_value` (KeyValueProcessor.java:30,180+; defaults
-    KeyValueProcessorConfig.java:19,23): split into a map<string,string>.
-    transform_key ∈ {lowercase, uppercase, capitalize}."""
+    """`key_value` (KeyValueProcessor.java:30,180+; option surface
+    KeyValueProcessorConfig.java:19-23): split into a map<string,string>,
+    all options as JVM map-lambda expressions (codegen, no UDF).
+
+    Option order mirrors the reference's per-pair flow: split →
+    delete_key_regex / delete_value_regex (strip matches) → transform_key
+    ∈ {lowercase, uppercase, capitalize} → include_keys / exclude_keys
+    filter → non_match_value (pairs with no value-split get this instead
+    of null) → default_values merged for keys still absent."""
     m = F.str_to_map(F.col(source), F.lit(field_split), F.lit(value_split))
+    if delete_key_regex:
+        m = F.transform_keys(m, lambda k, _: F.regexp_replace(k, delete_key_regex, ""))
+    if delete_value_regex:
+        m = F.transform_values(
+            m, lambda _, v: F.regexp_replace(v, delete_value_regex, "")
+        )
     if transform_key == "lowercase":
         m = F.transform_keys(m, lambda k, _: F.lower(k))
     elif transform_key == "uppercase":
         m = F.transform_keys(m, lambda k, _: F.upper(k))
     elif transform_key == "capitalize":
         m = F.transform_keys(m, lambda k, _: F.initcap(k))
+    if include_keys is not None:
+        m = F.map_filter(m, lambda k, _: k.isin(include_keys))
+    if exclude_keys:
+        m = F.map_filter(m, lambda k, _: ~k.isin(exclude_keys))
+    if non_match_value is not None:
+        m = F.transform_values(
+            m, lambda _, v: F.coalesce(v, F.lit(str(non_match_value)))
+        )
+    if default_values:
+        defaults = F.create_map(
+            *[F.lit(x) for kv in default_values.items() for x in kv]
+        )
+        m = F.map_zip_with(m, defaults, lambda _, v, dv: F.coalesce(v, dv))
     return df.withColumn(destination, m)
 
 
@@ -103,6 +177,33 @@ def csv_parse(
     return out.drop("_csv")
 
 
+def csv_parse_header_event(
+    df: DataFrame,
+    source: str,
+    header_col: str,
+    delimiter: str = ",",
+    destination: str = "parsed",
+    delete_header: bool = True,
+) -> DataFrame:
+    """`csv` with `column_names_source_key` + `delete_header`
+    (CsvProcessor.java:53-90): the column names arrive in an event FIELD,
+    so the schema is per-row dynamic → the Spark-faithful result is a
+    map<string,string> built from zipped split arrays (JVM-side).
+    Mismatched lengths truncate to the shorter side (the reference drops
+    extra values / leaves extra names absent).  Quoted delimiters inside
+    values are NOT honored on this path (from_csv needs a static schema);
+    use `csv_parse` when column names are known at plan time."""
+    d = re.escape(delimiter)
+    keys = F.split(F.col(header_col), d)
+    vals = F.split(F.col(source), d)
+    n = F.least(F.size(keys), F.size(vals))
+    out = df.withColumn(
+        destination,
+        F.map_from_arrays(F.slice(keys, 1, n), F.slice(vals, 1, n)),
+    )
+    return out.drop(header_col) if delete_header else out
+
+
 def parse_json(df: DataFrame, source: str, schema: str, destination: str | None = None) -> DataFrame:
     """`parse_json` (ParseJsonProcessor.java:34,61-101): from_json with a
     known schema; struct merged at root when destination is None."""
@@ -117,29 +218,90 @@ def parse_json(df: DataFrame, source: str, schema: str, destination: str | None 
 
 # --------------------------------------------------------------------- grok
 
-# The grok pattern dictionary — the subset of the reference's shipped
-# patterns (grok-processor/src/main/resources/patterns + java-grok
-# defaults) needed for the Apache CLF archetype used in the reference's
-# e2e test (e2e-test/log/.../basic-grok-e2e-pipeline.yml).
+# The grok pattern dictionary — the standard public grok-patterns
+# vocabulary the reference ships (grok-processor/src/main/resources/
+# patterns bundles java-grok's default set; these are the same well-known
+# public pattern *definitions*, normalized so every inner group is
+# non-capturing — required because the Catalyst path addresses captures
+# by group index, and so the same source compiles under both Java and
+# Python regex flavors).
 GROK_PATTERNS: dict[str, str] = {
+    # --- base ---
     "INT": r"[+-]?\d+",
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "NONNEGINT": r"\b[0-9]+\b",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
     "WORD": r"\w+",
     "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
     "DATA": r".*?",
     "GREEDYDATA": r".*",
-    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
-    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
-    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[\w.-]+)",
-    "USER": r"[a-zA-Z0-9._-]+",
-    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
     "QS": r"\"(?:[^\"\\]|\\.)*\"",
+    "QUOTEDSTRING": r"\"(?:[^\"\\]|\\.)*\"",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    # --- network ---
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}(?:[0-9A-Fa-f]{0,4}|(?:\d{1,3}\.){3}\d{1,3})",
+    "IP": r"(?:(?:[0-9A-Fa-f]{0,4}:){2,7}(?:[0-9A-Fa-f]{0,4}|(?:\d{1,3}\.){3}\d{1,3})|(?:\d{1,3}\.){3}\d{1,3})",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[\w.-]+)",
+    "HOSTPORT": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[\w.-]+):[0-9]+",
+    "MAC": r"(?:[A-Fa-f0-9]{2}[:-]){5}[A-Fa-f0-9]{2}",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    # --- paths / uris ---
+    "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "WINPATH": r"(?:[A-Za-z]:|\\)(?:\\[^\\?*]*)+",
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?(?:/[0-9]+)?",
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]+",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    # --- dates / times ---
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME": r"(?:2[0123]|[01][0-9]):(?:[0-5][0-9])(?::(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)?",
+    "DATE_US": r"(?:0?[1-9]|1[0-2])[/-](?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])[/-](?:\d\d){1,2}",
+    "DATE_EU": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])[./-](?:0?[1-9]|1[0-2])[./-](?:\d\d){1,2}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-](?:2[0123]|[01][0-9])(?::?(?:[0-5][0-9])))",
+    "TIMESTAMP_ISO8601": r"(?:\d\d){1,2}-(?:0?[1-9]|1[0-2])-(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])[T ](?:2[0123]|[01]?[0-9]):?(?:[0-5][0-9])(?::?(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?))?(?:Z|[+-](?:2[0123]|[01][0-9])(?::?(?:[0-5][0-9])))?",
+    "TZ": r"[A-Z]{3,4}|[+-]\d{4}",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    # --- syslog ---
+    "PROG": r"[\w._/%-]+",
 }
-GROK_PATTERNS["COMMONAPACHELOG"] = (
-    r"%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "
-    r"\[%{HTTPDATE:timestamp}\] "
-    r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
-    r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+GROK_PATTERNS.update(
+    {
+        "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+        "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
+        "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+        "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+        "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+        "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+        "SYSLOGHOST": r"%{IPORHOST}",
+        "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+        "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+        "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+        "DATESTAMP": r"%{DATE_US}[- ]%{TIME}|%{DATE_EU}[- ]%{TIME}",
+        "COMMONAPACHELOG": (
+            r"%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "
+            r"\[%{HTTPDATE:timestamp}\] "
+            r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+            r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+        ),
+    }
+)
+GROK_PATTERNS["COMBINEDAPACHELOG"] = (
+    GROK_PATTERNS["COMMONAPACHELOG"] + r" %{QS:referrer} %{QS:agent}"
 )
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")

@@ -56,7 +56,8 @@ _PROCESSORS = {
     "lowercase_string": lambda df, c: strings.lowercase_string(df, c["with_keys"]),
     "trim_string": lambda df, c: strings.trim_string(df, c["with_keys"]),
     "obfuscate": lambda df, c: strings.obfuscate(
-        df, c["source"], c["patterns"], c.get("target")
+        df, c["source"], c["patterns"], c.get("target"),
+        c.get("mask", "***"), c.get("action", "mask")
     ),
     "key_value": lambda df, c: strings.key_value(
         df,
@@ -65,16 +66,32 @@ _PROCESSORS = {
         c.get("field_split_characters", "&"),
         c.get("value_split_characters", "="),
         c.get("transform_key"),
+        c.get("include_keys"),
+        c.get("exclude_keys"),
+        c.get("default_values"),
+        c.get("delete_key_regex"),
+        c.get("delete_value_regex"),
+        c.get("non_match_value"),
     ),
-    "csv": lambda df, c: strings.csv_parse(
-        df, c["source"], c["column_names"], c.get("delimiter", ","), c.get("quote_character", '"')
+    "csv": lambda df, c: (
+        strings.csv_parse_header_event(
+            df, c["source"], c["column_names_source_key"],
+            c.get("delimiter", ","), c.get("destination", "parsed"),
+            c.get("delete_header", True),
+        )
+        if "column_names_source_key" in c
+        else strings.csv_parse(
+            df, c["source"], c["column_names"], c.get("delimiter", ","),
+            c.get("quote_character", '"')
+        )
     ),
     "parse_json": lambda df, c: strings.parse_json(
         df, c.get("source", "message"), c["schema"], c.get("destination")
     ),
     "grok": lambda df, c: strings.grok(df, c["match"], c.get("keep_empty_captures", False)),
     "date": lambda df, c: dates.date_processor(
-        df, c["match_key"], c["patterns"], c.get("destination", "@timestamp")
+        df, c["match_key"], c["patterns"], c.get("destination", "@timestamp"),
+        source_timezone=c.get("source_timezone"),
     ),
     "aggregate": None,  # replaced below (action dispatch)
 }
@@ -86,6 +103,10 @@ def _translate(df: DataFrame, c: dict) -> DataFrame:
         return mutate.translate_exact(df, c["source"], c["target"], c["map"], c.get("default"))
     if kind == "range":
         return mutate.translate_range(df, c["source"], c["target"], c["ranges"], c.get("default"))
+    if kind == "file":
+        return mutate.translate_file(df, c["source"], c["target"], c["file"], c.get("default"))
+    if kind == "iterate":
+        return mutate.translate_iterate(df, c["source"], c["target"], c["map"], c.get("default"))
     return mutate.translate_regex(df, c["source"], c["target"], c["patterns"], c.get("default"))
 
 
