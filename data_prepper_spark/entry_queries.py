@@ -908,17 +908,31 @@ def sql_dedup_exact() -> str:
     )
 
 
+_SH3_SQL = f"""
+toks AS (
+  SELECT doc_id AS doc, t.tok, t.i
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS tok,
+                       generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS i) t
+),
+sh AS (
+  SELECT DISTINCT a.doc, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM toks a
+  JOIN toks b ON a.doc = b.doc AND b.i = a.i + 1
+  JOIN toks c ON a.doc = c.doc AND c.i = a.i + 2
+)"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=1, threshold=0.6)
+    """Exact 3-gram-shingle Jaccard pairs through the prefix-filtered
+    blocking path (lossless — output equals the unblocked all-pairs
+    answer, which is what the oracle computes)."""
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5)
 
 
 def sql_dedup_jaccard() -> str:
     return f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id AS doc,
-         unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS sh
-  FROM documents
-),
+WITH {_SH3_SQL},
 sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS i
@@ -930,7 +944,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc
 JOIN sizes sb ON doc_b = sb.doc
-WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.6
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
 """
 
 
@@ -1125,11 +1139,62 @@ def sql_multimodal_meta() -> str:
     )
 
 
-# --------------------------------------------- non-SQL-expressible (rows-only)
+# ---------------------- formerly rows-only, now oracle-pinned (round 2)
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs with oracle_hashes=True: the md5-family band topology is
+    reproduced exactly by the SQL twin, so even the CANDIDATE set (not
+    just the verified output) is oracle-checked."""
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.5
+        _docs(spark, sf_dir), "doc_id", "text", n=3, num_perm=16, bands=8,
+        threshold=0.5, oracle_hashes=True,
+    )
+
+
+def sql_dedup_minhash_lsh() -> str:
+    # num_perm=16, bands=8 → r=2: band b key = hash60(h_{2b} ',' h_{2b+1})
+    return f"""
+WITH {_SH3_SQL},
+perms AS (SELECT unnest(range(16)) AS perm),
+sig AS (
+  SELECT doc, perm,
+         min(('0x' || substr(md5(perm::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS h
+  FROM sh CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc, perm // 2 AS band,
+         ('0x' || substr(md5(string_agg(h::VARCHAR, ',' ORDER BY perm)), 1, 15))::BIGINT AS bkey
+  FROM sig GROUP BY doc, perm // 2
+),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+),
+sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+  FROM cands c
+  JOIN sh s1 ON c.doc_a = s1.doc
+  JOIN sh s2 ON c.doc_b = s2.doc AND s1.sh = s2.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+"""
+
+
+_ANN_DIM, _ANN_PLANES, _ANN_SEED = 64, 8, 42
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
     )
 
 
@@ -1138,7 +1203,39 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return similarity.lsh_topk(emb, queries, k=5, n_planes=8)
+    return similarity.lsh_topk(emb, queries, k=5, n_planes=_ANN_PLANES, dim=_ANN_DIM, seed=_ANN_SEED)
+
+
+def sql_ann_lsh_topk() -> str:
+    """The hyperplane constants fold into the SQL as literals — the same
+    seeded values lsh_signature_col folds into codegen."""
+    planes = similarity.hyperplanes(_ANN_DIM, _ANN_PLANES, _ANN_SEED)
+
+    def sig_expr(col: str) -> str:
+        terms = []
+        for j, row in enumerate(planes):
+            lst = "[" + ", ".join(repr(float(c)) for c in row) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}::DOUBLE[], {lst}) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding, {sig_expr('embedding')} AS sig FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, {sig_expr('embedding')} AS sig
+      FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, v.vec_id, {_sql_cos('v.embedding', 'q.qvec')} AS cos
+  FROM v JOIN q ON v.sig = q.sig
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1148,6 +1245,42 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = similarity.ivf_build(emb)
     return similarity.ivf_topk(emb, queries, cents, k=5, n_probe=2)
+
+
+def sql_ann_ivf_topk() -> str:
+    return f"""
+WITH pos AS (
+  SELECT label AS cell, u.dim, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS dim) u
+),
+cent AS (
+  SELECT cell, list(m ORDER BY dim) AS centroid
+  FROM (SELECT cell, dim, avg(v) AS m FROM pos GROUP BY 1, 2) GROUP BY cell
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+qc AS (
+  SELECT query_id, qvec, cell, {_sql_cos('qvec', 'centroid')} AS ccos
+  FROM q CROSS JOIN cent
+),
+probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cell) AS crank
+    FROM qc
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT p.query_id, e.vec_id, {_sql_cos('e.embedding', 'p.qvec')} AS cos
+  FROM probes p JOIN embeddings e ON e.label = p.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,6 +1296,406 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "kind", "n_bytes", "width", "height", "n_frames",
         F.size("sample_frames").alias("n_sampled"),
     )
+
+
+def sql_multimodal_features() -> str:
+    """SQL twin of the deterministic fake decode: h = big-endian uint of
+    the first 8 payload bytes (documents text is ASCII, so char == byte;
+    HUGEINT math — 255·256^7 overflows BIGINT)."""
+    h_terms = " + ".join(
+        f"(CASE WHEN length(text) >= {i} THEN ascii(substr(text, {i}, 1)) ELSE 0 END)"
+        f"::HUGEINT * {256 ** (8 - i)}::HUGEINT"
+        for i in range(1, 9)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+         length(text)::BIGINT AS n_bytes,
+         ({h_terms}) AS h
+  FROM documents
+)
+SELECT media_id, kind, n_bytes,
+       (CASE WHEN kind = 'image' THEN (h % 640) + 1 ELSE 0 END)::INT AS width,
+       (CASE WHEN kind = 'image' THEN ((h // 65536) % 480) + 1 ELSE 0 END)::INT AS height,
+       (CASE WHEN kind = 'video' THEN (n_bytes % 240) + 1 ELSE 1 END)::INT AS n_frames,
+       ((CASE WHEN kind = 'video' THEN (n_bytes % 240) ELSE 0 END) // 25 + 1)::INT AS n_sampled
+FROM m
+"""
+
+
+# ======================================= round-2 operator pinning queries
+
+def q_ft_bm25_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-doc search path, oracle-pinned: per-range BMW partial
+    top-k via applyInPandas, global orderBy.limit — no term's full
+    posting list ever on one node.  Retrieves 3k by exact score, then
+    applies the shared round-then-rank tie rule."""
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = s.search(qtext, k=FT_K * 3, distributed=True)
+        hits = sorted(
+            ((round(sc, 4), did) for did, sc in hits), key=lambda t: (-t[0], t[1])
+        )[:FT_K]
+        rows.extend((qid, did, sc) for sc, did in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-blocked SimHash pairs: with max_hamming=3 < chunks=4
+    the blocking is provably complete, so the output equals ALL pairs at
+    Hamming ≤ 3 — which is what the oracle computes pairwise."""
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3, chunks=4
+    )
+
+
+def sql_simhash_pairs() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc, tok, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM toks GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY 1
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_service_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_map_stateful edge extraction
+    (ServiceMapStatefulProcessor.java:195-243) over spans synthesized
+    from events (trace = user, parent = previous event, service =
+    event_type)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        F.col("user_id").cast("string").alias("traceId"),
+        F.col("event_id").cast("string").alias("spanId"),
+        F.lag(F.col("event_id").cast("string")).over(w).alias("parentSpanId"),
+        F.col("event_type").alias("serviceName"),
+        F.when(F.col("event_id") % 2 == 0, "CLIENT").otherwise("SERVER").alias("spanKind"),
+    )
+    return agg.service_map(spans)
+
+
+def sql_service_map() -> str:
+    return """
+WITH spans AS (
+  SELECT user_id::VARCHAR AS trace, event_id::VARCHAR AS span,
+         lag(event_id::VARCHAR) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS parent,
+         event_type AS service,
+         CASE WHEN event_id % 2 = 0 THEN 'CLIENT' ELSE 'SERVER' END AS kind
+  FROM events
+)
+SELECT DISTINCT p.service AS "serviceName", c.kind AS kind, c.service AS destination
+FROM spans c JOIN spans p ON c.trace = p.trace AND c.parent = p.span
+WHERE p.service <> c.service
+"""
+
+
+def q_list_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array(
+        F.struct(F.lit("typ").alias("k"), F.col("event_type").cast("string").alias("v")),
+        F.struct(F.lit("uid").alias("k"), F.col("user_id").cast("string").alias("v")),
+    )
+    out = mutate.list_to_map(ev.withColumn("arr", arr), "arr", "m", key="k", value_key="v")
+    return out.select(
+        "event_id",
+        F.element_at("m", "typ").alias("mt"),
+        F.element_at("m", "uid").alias("mu"),
+    )
+
+
+def sql_list_to_map() -> str:
+    return (
+        "SELECT event_id, event_type AS mt, user_id::VARCHAR AS mu FROM events"
+    )
+
+
+def q_csv_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv processor with quoted fields containing the delimiter —
+    from_csv is quoting-correct."""
+    ev = _t(spark, sf_dir, "events")
+    msg = ev.withColumn(
+        "msg",
+        F.format_string(
+            '%d,"%s, inc",%d',
+            F.col("event_id"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 100).cast("long"),
+        ),
+    )
+    out = strings.csv_parse(msg, "msg", ["cid", "corp", "cval"])
+    return out.select("event_id", "cid", "corp", "cval")
+
+
+def sql_csv_processor() -> str:
+    return (
+        "SELECT event_id, event_id::VARCHAR AS cid, "
+        "event_type || ', inc' AS corp, "
+        "floor(value * 100)::BIGINT::VARCHAR AS cval FROM events"
+    )
+
+
+def q_translate_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = mutate.translate_regex(
+        orders, "o_orderpriority", "prio_class",
+        [("^1-", "top"), ("^[23]-", "mid")], default="low",
+    )
+    return out.select("o_orderkey", "prio_class")
+
+
+def sql_translate_regex() -> str:
+    return """
+SELECT o_orderkey,
+       CASE WHEN regexp_matches(o_orderpriority, '^1-') THEN 'top'
+            WHEN regexp_matches(o_orderpriority, '^[23]-') THEN 'mid'
+            ELSE 'low' END AS prio_class
+FROM orders
+"""
+
+
+def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.enrich import geoip
+
+    ev = _t(spark, sf_dir, "events")
+    ip = F.format_string(
+        "%d.%d.0.9",
+        (F.col("event_id") % 256).cast("int"),
+        (F.col("user_id") % 256).cast("int"),
+    )
+    out = geoip(ev.withColumn("ip", ip), "ip")
+    return out.select(
+        "event_id",
+        F.col("geo.country").alias("country"),
+        F.col("geo.octet0").alias("octet0"),
+    )
+
+
+def sql_geoip() -> str:
+    return """
+SELECT event_id,
+       CASE WHEN event_id % 256 = 10 THEN 'private'
+            WHEN event_id % 256 = 192 AND user_id % 256 = 168 THEN 'private'
+            WHEN event_id % 256 = 172 AND user_id % 256 BETWEEN 16 AND 31 THEN 'private'
+            WHEN event_id % 256 < 64 THEN 'US'
+            WHEN event_id % 256 < 128 THEN 'EU'
+            WHEN event_id % 256 < 192 THEN 'APAC'
+            ELSE 'other' END AS country,
+       (event_id % 256)::INT AS octet0
+FROM events
+"""
+
+
+def q_dlq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quarantine split (S3DlqWriter analog): per-row disposition — 'ok'
+    for clean rows, comma-joined failure tags otherwise."""
+    from .operators.dlq import quarantine
+
+    ev = _t(spark, sf_dir, "events")
+    checks = {
+        "big_value": F.col("value") < 100,
+        "not_error": F.col("event_type") != "error",
+    }
+    good, bad = quarantine(ev, checks)
+    return good.select("event_id", F.lit("ok").alias("status")).unionByName(
+        bad.select("event_id", F.array_join("_failure_tags", ",").alias("status"))
+    )
+
+
+def sql_dlq_quarantine() -> str:
+    return """
+SELECT event_id,
+       CASE WHEN value >= 100 AND event_type = 'error' THEN 'big_value,not_error'
+            WHEN value >= 100 THEN 'big_value'
+            WHEN event_type = 'error' THEN 'not_error'
+            ELSE 'ok' END AS status
+FROM events
+"""
+
+
+def q_kv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key_value with the full option surface
+    (KeyValueProcessorConfig.java:19-23): include/exclude, defaults,
+    delete_value_regex, non-match handling, key transform."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.withColumn(
+        "msg",
+        F.format_string(
+            "Type=%s&User=%d&Drop=zz&Flag", F.col("event_type"), F.col("user_id")
+        ),
+    )
+    out = strings.key_value(
+        kv, "msg", "m",
+        transform_key="lowercase",
+        include_keys=["type", "user", "flag", "extra"],
+        default_values={"extra": "dv"},
+        delete_value_regex="z",
+        non_match_value="none",
+    )
+    return out.select(
+        "event_id",
+        F.element_at("m", "type").alias("kv_type"),
+        F.element_at("m", "user").cast("long").alias("kv_user"),
+        F.element_at("m", "flag").alias("kv_flag"),
+        F.element_at("m", "extra").alias("kv_extra"),
+    )
+
+
+def sql_kv_options() -> str:
+    return (
+        "SELECT event_id, event_type AS kv_type, user_id AS kv_user, "
+        "'none' AS kv_flag, 'dv' AS kv_extra FROM events"
+    )
+
+
+def q_csv_header_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn("hdr", F.lit("id,typ,val")).withColumn(
+        "row",
+        F.format_string(
+            "%d,%s,%d", F.col("event_id"), F.col("event_type"),
+            (F.col("event_id") % 7).cast("int"),
+        ),
+    )
+    out = strings.csv_parse_header_event(df, "row", "hdr")
+    return out.select(
+        "event_id",
+        F.element_at("parsed", "id").alias("c_id"),
+        F.element_at("parsed", "typ").alias("c_typ"),
+        F.element_at("parsed", "val").cast("long").alias("c_val"),
+    )
+
+
+def sql_csv_header_event() -> str:
+    return (
+        "SELECT event_id, event_id::VARCHAR AS c_id, event_type AS c_typ, "
+        "event_id % 7 AS c_val FROM events"
+    )
+
+
+def q_expression_envvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`${name}` env-var operand resolved at compile time
+    (DataPrepperExpression.g4:243-261)."""
+    import os as _os
+
+    from .expression import compile_expression
+
+    _os.environ["DPS_EV_TYPE"] = "purchase"
+    ev = _t(spark, sf_dir, "events")
+    cond = compile_expression("/event_type == ${DPS_EV_TYPE} and /value > 10")
+    return ev.filter(cond).select("event_id")
+
+
+def sql_expression_envvar() -> str:
+    return "SELECT event_id FROM events WHERE event_type = 'purchase' AND value > 10"
+
+
+def q_codec_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ndjson out → ndjson in round-trip through the codec pair
+    (NdjsonOutputCodec.java:22) — values survive bit-for-bit."""
+    from .sources import codecs
+
+    d = tempfile.mkdtemp(prefix="dps_codec_")
+    sub = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select("event_id", "event_type", "user_id")
+    )
+    codecs.write_ndjson(sub, d + "/nd")
+    back = codecs.read_ndjson(spark, d + "/nd")
+    return back.select("event_id", "event_type", "user_id")
+
+
+def sql_codec_ndjson_roundtrip() -> str:
+    return (
+        "SELECT event_id, event_type, user_id FROM events WHERE event_id < 500"
+    )
+
+
+def q_codec_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """newline codec with header_destination
+    (NewlineDelimitedInputCodec.java:27,56-80): first line captured as a
+    header column on every data row."""
+    from .sources import codecs
+
+    ev = _t(spark, sf_dir, "events")
+    lines = [
+        f"e{r['event_id']}|{r['event_type']}"
+        for r in ev.filter(F.col("event_id") < 100)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+        .collect()
+    ]
+    d = tempfile.mkdtemp(prefix="dps_nl_")
+    path = os.path.join(d, "log.txt")
+    with open(path, "w") as f:
+        f.write("HEADER\n")
+        f.write("\n".join(lines) + "\n")
+    out = codecs.read_newline(spark, path, skip_lines=0, header_destination="hdr")
+    return out.select("message", "hdr")
+
+
+def sql_codec_newline() -> str:
+    return (
+        "SELECT 'e' || event_id::VARCHAR || '|' || event_type AS message, "
+        "'HEADER' AS hdr FROM events WHERE event_id < 100"
+    )
+
+
+def q_grok_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second grok family: SYSLOGBASE from the vendored standard pattern
+    set (program/pid/logsource/timestamp captures)."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.withColumn(
+        "log",
+        F.format_string(
+            "Oct 11 22:14:15 host%d app%d[%d]: job %s done",
+            (F.col("user_id") % 50).cast("int"),
+            (F.col("event_id") % 10).cast("int"),
+            (F.col("event_id") + 1).cast("int"),  # pid: POSINT excludes 0
+            F.col("event_type"),
+        ),
+    )
+    out = strings.grok(log, {"log": ["%{SYSLOGBASE} %{GREEDYDATA:message}"]})
+    return out.select(
+        "event_id", "timestamp", "logsource", "program", "pid", "message"
+    )
+
+
+def sql_grok_syslog() -> str:
+    return """
+SELECT event_id,
+       'Oct 11 22:14:15' AS "timestamp",
+       'host' || (user_id % 50)::VARCHAR AS logsource,
+       'app' || (event_id % 10)::VARCHAR AS program,
+       (event_id + 1)::VARCHAR AS pid,
+       'job ' || event_type || ' done' AS message
+FROM events
+"""
 
 
 # ================================================================ registry
@@ -1218,11 +1751,26 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_meta": q_multimodal_meta,
-    # rows-only (blocking/approx topology not SQL-expressible)
+    # round-2: formerly rows-only, now oracle-pinned
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    # round-2: operator-pinning additions
+    "ft_bm25_topk_distributed": q_ft_bm25_topk_distributed,
+    "simhash_pairs": q_simhash_pairs,
+    "service_map": q_service_map,
+    "list_to_map": q_list_to_map,
+    "csv_processor": q_csv_processor,
+    "translate_regex": q_translate_regex,
+    "geoip": q_geoip,
+    "dlq_quarantine": q_dlq_quarantine,
+    "kv_options": q_kv_options,
+    "csv_header_event": q_csv_header_event,
+    "expression_envvar": q_expression_envvar,
+    "codec_ndjson_roundtrip": q_codec_ndjson_roundtrip,
+    "codec_newline": q_codec_newline,
+    "grok_syslog": q_grok_syslog,
 }
 
 ORACLES = {
@@ -1271,6 +1819,24 @@ ORACLES = {
     "text_langid": sql_text_langid(),
     "text_fingerprint": sql_text_fingerprint(),
     "multimodal_meta": sql_multimodal_meta(),
+    "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
+    "ann_lsh_topk": sql_ann_lsh_topk(),
+    "ann_ivf_topk": sql_ann_ivf_topk(),
+    "multimodal_features": sql_multimodal_features(),
+    "ft_bm25_topk_distributed": sql_ft_bm25_topk(),
+    "simhash_pairs": sql_simhash_pairs(),
+    "service_map": sql_service_map(),
+    "list_to_map": sql_list_to_map(),
+    "csv_processor": sql_csv_processor(),
+    "translate_regex": sql_translate_regex(),
+    "geoip": sql_geoip(),
+    "dlq_quarantine": sql_dlq_quarantine(),
+    "kv_options": sql_kv_options(),
+    "csv_header_event": sql_csv_header_event(),
+    "expression_envvar": sql_expression_envvar(),
+    "codec_ndjson_roundtrip": sql_codec_ndjson_roundtrip(),
+    "codec_newline": sql_codec_newline(),
+    "grok_syslog": sql_grok_syslog(),
 }
 
 
