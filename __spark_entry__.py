@@ -5,9 +5,11 @@ entry()    — flagship: inverted-index build + block-max BM25 top-k over
 queries()  — one entry per implemented operator (SURVEY.md §2 +
              training-data prep); implementations live in
              data_prepper_spark/entry_queries.py.
-oracle_sql() — DuckDB twins; keys without an oracle are the
-             blocking/approx operators whose topology is not
-             SQL-expressible (driver records rows-only checks).
+oracle_sql() — DuckDB twins.  As of round 2 EVERY queries() key has an
+             oracle — including the banded-LSH / hyperplane-LSH / IVF
+             blocking topologies (md5-family hashes and folded plane
+             literals make them SQL-reproducible) and the distributed
+             BM25 path.
 """
 
 from __future__ import annotations

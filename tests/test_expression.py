@@ -73,3 +73,18 @@ def test_errors():
         compile_expression("bogusfn(/a)")
     with pytest.raises(ExpressionError):
         compile_expression("/a in {")
+
+
+def test_env_var_operand(df, monkeypatch):
+    monkeypatch.setenv("DPS_TEST_VERB", "GET")
+    assert ids(df, "/verb == ${DPS_TEST_VERB}") == ids(df, '/verb == "GET"')
+    monkeypatch.delenv("DPS_TEST_VERB")
+    with pytest.raises(ExpressionError):
+        compile_expression("/verb == ${DPS_TEST_VERB}")
+
+
+def test_cidr_errors(df):
+    with pytest.raises(ExpressionError):
+        compile_expression('cidrContains(/ip, "2001:db8::/32")')
+    with pytest.raises(ExpressionError):
+        compile_expression("cidrContains(/ip, /verb)")

@@ -242,3 +242,99 @@ def test_list_to_map(spark):
     )
     out = mutate.list_to_map(df, "arr", "m", key="k", value_key="v")
     assert out.collect()[0]["m"] == {"a": "1", "b": "2"}
+
+
+# ------------------------------------------------- round-2 option surface
+
+def test_key_value_options(spark):
+    df = spark.createDataFrame([("A=1&B=&C=xx3&Drop=9&Flag",)], "msg string")
+    out = strings.key_value(
+        df, "msg", "m",
+        transform_key="lowercase",
+        include_keys=["a", "b", "c", "flag", "extra"],
+        default_values={"extra": "dv"},
+        delete_value_regex="x",
+        non_match_value="none",
+    )
+    m = out.collect()[0]["m"]
+    assert m == {"a": "1", "b": "", "c": "3", "flag": "none", "extra": "dv"}
+
+
+def test_key_value_exclude_and_delete_key(spark):
+    df = spark.createDataFrame([("foo_a=1&foo_b=2&c=3",)], "msg string")
+    out = strings.key_value(df, "msg", "m", exclude_keys=["c"], delete_key_regex="^foo_")
+    assert out.collect()[0]["m"] == {"a": "1", "b": "2"}
+
+
+def test_csv_header_event(spark):
+    df = spark.createDataFrame([("1,foo,2.5", "id,typ,val")], "row string, hdr string")
+    out = strings.csv_parse_header_event(df, "row", "hdr")
+    r = out.collect()[0]
+    assert r["parsed"] == {"id": "1", "typ": "foo", "val": "2.5"}
+    assert "hdr" not in out.columns  # delete_header default
+    # mismatched lengths truncate to the shorter side
+    df2 = spark.createDataFrame([("1,foo,9,extra", "id,typ")], "row string, hdr string")
+    assert strings.csv_parse_header_event(df2, "row", "hdr").collect()[0]["parsed"] == {
+        "id": "1", "typ": "foo"
+    }
+
+
+def test_obfuscate_hash_action(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("card 1111-2222 ok",)], "msg string")
+    got = strings.obfuscate(df, "msg", [r"\d{4}-\d{4}"], action="hash").collect()[0]["msg"]
+    want = "card " + hashlib.sha256(b"1111-2222").hexdigest() + " ok"
+    assert got == want
+    whole = strings.obfuscate(df, "msg", [], action="hash").collect()[0]["msg"]
+    assert len(whole) == 64 and whole != "card 1111-2222 ok"
+
+
+def test_translate_iterate_and_file(spark, workdir):
+    import json
+    import os
+
+    df = spark.createDataFrame([(1, ["a", "b", "z"])], "id int, arr array<string>")
+    out = mutate.translate_iterate(df, "arr", "t", {"a": "1", "b": "2"}, default="?")
+    assert out.collect()[0]["t"] == ["1", "2", "?"]
+    p = os.path.join(workdir, "map.json")
+    with open(p, "w") as f:
+        json.dump({"x": "ex"}, f)
+    df2 = spark.createDataFrame([("x",), ("y",)], "s string")
+    out2 = mutate.translate_file(df2, "s", "t", p, default="d")
+    assert [r["t"] for r in out2.orderBy("s").collect()] == ["ex", "d"]
+
+
+def test_grok_syslog_both_paths(spark):
+    line = "Oct 11 22:14:15 web01 sshd[4242]: Accepted password"
+    df = spark.createDataFrame([(line,)], "log string")
+    for vec in (True, False):
+        r = strings.grok(
+            df, {"log": ["%{SYSLOGBASE} %{GREEDYDATA:message}"]}, vectorized=vec
+        ).collect()[0]
+        assert (r["timestamp"], r["logsource"], r["program"], r["pid"], r["message"]) == (
+            "Oct 11 22:14:15", "web01", "sshd", "4242", "Accepted password"
+        )
+
+
+def test_date_source_timezone(spark):
+    df = spark.createDataFrame([("2024-06-01 12:00:00",)], "raw string")
+    out = dates.date_processor(
+        df, "raw", ["yyyy-MM-dd HH:mm:ss"], destination="iso",
+        source_timezone="America/New_York",
+    )
+    # noon EDT == 16:00 UTC
+    assert out.collect()[0]["iso"].startswith("2024-06-01T16:00:00")
+
+
+def test_tail_sampler_sample_key_effective(events):
+    # percent=100 admits every group regardless of error condition
+    out = agg.tail_sampler(
+        events, ["user"], F.col("event_type") == "nope", percent=100.0, sample_key="user"
+    )
+    assert out.count() == 6
+
+
+def test_route_tagged_empty(events):
+    out = routing.route_tagged(events, {})
+    assert out.count() == 0 and "_route" in out.columns

@@ -227,3 +227,61 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"xx", "image", fake=False)
+
+
+# --------------------------------------------------- round-2 scale shapes
+
+def test_jaccard_prefix_filter_lossless(spark):
+    """Prefix-filtered blocking returns EXACTLY the unblocked answer."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different document about spark sql"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "spark sql is a completely different document about"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for n, t in ((1, 0.5), (2, 0.3), (3, 0.6)):
+        fast = dedup.jaccard_pairs(df, "doc_id", "text", n=n, threshold=t)
+        slow = dedup.jaccard_pairs(
+            df, "doc_id", "text", n=n, threshold=t, prefix_filter=False
+        )
+        key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard"])
+        assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
+
+def test_minhash_lsh_oracle_hashes_verified_exact(spark):
+    """Both hash families' outputs are exactly-verified: every emitted
+    pair's jaccard matches the exact pairwise value, and identical docs
+    (which collide in every band under ANY hash) always surface."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(4)] + [
+        (10, "one two three four five six seven eight"),
+        (11, "one two three four five six seven nine"),
+        (20, "totally unrelated content goes right here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=0.4, prefix_filter=False
+        ).collect()
+    }
+    for oh in (False, True):
+        got = dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", n=2, num_perm=8, bands=4, threshold=0.4,
+            oracle_hashes=oh,
+        ).collect()
+        for r in got:
+            assert exact[(r["doc_a"], r["doc_b"])] == r["jaccard"]
+        pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert (a, b) in pairs  # identical docs always collide
+
+
+def test_brute_topk_partition_invariant(emb, queries):
+    """Two-stage top-k is exact under any input partitioning."""
+    base = similarity.brute_topk(emb, queries, k=4).collect()
+    shuffled = similarity.brute_topk(emb.repartition(7), queries, k=4).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cos"])
+    assert sorted(map(key, base)) == sorted(map(key, shuffled))
