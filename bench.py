@@ -102,12 +102,23 @@ def main():
         suite = [
             "tpch_q1", "tpch_q3", "tpch_q5ish",
             "grok_clf", "agg_count_window", "remove_duplicates",
-            "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
+            "dedup_exact", "dedup_simhash",
             "ann_topk", "text_quality", "text_langid",
         ]
         for name in suite:
             fn = eq.QUERIES[name]
             timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
+        # minhash-LSH on the PRODUCTION hash path (xxhash64); the driver
+        # correctness entry runs the md5 oracle_hashes twin — same
+        # topology, verified there, benched here at production cost
+        from data_prepper_spark.trainprep import dedup as _dedup
+
+        timed(
+            "dedup_minhash_lsh",
+            lambda: _dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.5
+            ).collect(),
+        )
 
         total = round(sum(timings.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

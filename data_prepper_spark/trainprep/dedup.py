@@ -217,6 +217,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     oracle_hashes: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exactly verified.
 
@@ -311,10 +312,13 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     # pairs output is tiny relative to the shingle table: materialize it,
-    # then free the cached intermediates
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    band_rows.unpersist()
+    # then free the cached intermediates (materialize=False keeps the
+    # lazy plan — for .explain() inspection — and leaves unpersist to the
+    # caller)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
+        band_rows.unpersist()
     return out
 
 

@@ -107,11 +107,41 @@ def main():
     ))
 
     # 4. dedup blocking join
+    from data_prepper_spark.trainprep import dedup, similarity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lsh_lazy = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.5,
+        materialize=False,
+    )
     sections.append((
         "MinHash-LSH candidate join (bucket blocking, no cross join)",
         "The candidate join must be an equi-join on (band, bkey) — never a "
-        "cartesian product.",
-        cap(eq.q_dedup_minhash_lsh(spark, SF_DIR)),
+        "cartesian product; size-table joins carry NO broadcast hint "
+        "(AQE decides).",
+        cap(lsh_lazy),
+    ))
+
+    # 4b. exact-jaccard prefix-filter blocking
+    sections.append((
+        "Exact Jaccard with prefix-filter blocking",
+        "The candidate join's build sides are the PREFIX frames (rarest "
+        "shingles only), not the raw shingle table; verification joins the "
+        "full shingle table; no broadcast hints on per-doc tables.",
+        cap(dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)),
+    ))
+
+    # 4c. two-stage top-k (no single-partition-per-query window over N rows)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    sections.append((
+        "ANN brute-force top-k (two-stage: partial top-k then final window)",
+        "A MapInPandas partial top-k must sit BETWEEN the scoring project "
+        "and the row_number window, so the window only ranks ≤ k rows per "
+        "(query, input partition) instead of the full scored set.",
+        cap(similarity.brute_topk(emb, qs, k=5)),
     ))
 
     # 5. grok vectorized path
