@@ -6,6 +6,9 @@ Commands:
             crash skips completed bucket groups)
   query   — BM25 top-k for one query string or a file of queries
   bench   — timed one-shot build (prints docs/sec JSON)
+  publish — push built index segments to the warehouse: Iceberg tables
+            (partition-aware appends) when the runtime jar is present,
+            layout-identical hive-partitioned parquet otherwise
 
 Examples:
   spark-submit submit_main.py build \
@@ -29,7 +32,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _spark(app: str):
+def _spark(app: str, iceberg_catalog: str | None = None, warehouse: str | None = None):
     from data_prepper_spark.envtune import apply_malloc_tuning
 
     apply_malloc_tuning()
@@ -37,14 +40,18 @@ def _spark(app: str):
 
     # cluster managers/config come from spark-submit; only engine-required
     # settings are pinned here
-    return (
+    builder = (
         SparkSession.builder.appName(app)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .getOrCreate()
     )
+    if iceberg_catalog and warehouse:
+        from data_prepper_spark.tables import iceberg_builder_config
+
+        builder = iceberg_builder_config(builder, iceberg_catalog, warehouse)
+    return builder.getOrCreate()
 
 
 def cmd_build(args) -> None:
@@ -108,6 +115,22 @@ def cmd_bench(args) -> None:
     spark.stop()
 
 
+def cmd_publish(args) -> None:
+    from data_prepper_spark.tables import publish_index
+
+    spark = _spark(
+        "dps-index-publish",
+        iceberg_catalog=args.catalog if args.table_format != "parquet" else None,
+        warehouse=args.warehouse,
+    )
+    out = publish_index(
+        spark, args.index_dir, args.dest or (args.warehouse or ""),
+        fmt=args.table_format, catalog=args.catalog,
+    )
+    print(json.dumps({"published": out, "format": args.table_format}))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="submit_main.py")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -139,6 +162,15 @@ def main() -> None:
     pn.add_argument("--range-bits", type=int, default=8)
     pn.add_argument("--block-size", type=int, default=128)
     pn.set_defaults(fn=cmd_bench)
+
+    pp = sub.add_parser("publish")
+    pp.add_argument("--index-dir", required=True)
+    pp.add_argument("--table-format", choices=["auto", "iceberg", "parquet"],
+                    default="auto")
+    pp.add_argument("--catalog", default="dps")
+    pp.add_argument("--warehouse", help="Iceberg hadoop-catalog warehouse path")
+    pp.add_argument("--dest", help="parquet fallback destination directory")
+    pp.set_defaults(fn=cmd_publish)
 
     args = ap.parse_args()
     args.fn(args)
