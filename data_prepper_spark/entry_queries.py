@@ -1698,6 +1698,104 @@ FROM events
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-2-gram + dup-5-gram char
+    fractions) over documents."""
+    return textstats.repetition_features(_docs(spark, sf_dir))
+
+
+def sql_text_repetition() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, length(text) AS n_chars,
+         regexp_extract_all(lower(text), '{TOKEN_RX}') AS la
+  FROM documents
+),
+g2 AS (
+  SELECT doc, array_to_string(la[i:i+1], ' ') AS g
+  FROM (SELECT doc, la, unnest(generate_series(1, len(la) - 1)) AS i
+        FROM base WHERE len(la) >= 2)
+),
+c2 AS (SELECT doc, g, count(*)::BIGINT AS cnt FROM g2 GROUP BY 1, 2),
+mx AS (SELECT doc, max(cnt) AS m FROM c2 GROUP BY 1),
+top AS (
+  SELECT c2.doc, min(g) AS tg, any_value(m) AS top_cnt
+  FROM c2 JOIN mx ON c2.doc = mx.doc AND c2.cnt = mx.m GROUP BY c2.doc
+),
+g5 AS (
+  SELECT doc, array_to_string(la[i:i+4], ' ') AS g
+  FROM (SELECT doc, la, unnest(generate_series(1, len(la) - 4)) AS i
+        FROM base WHERE len(la) >= 5)
+),
+c5 AS (SELECT doc, g, count(*)::BIGINT AS cnt FROM g5 GROUP BY 1, 2),
+dup AS (
+  SELECT doc, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+  FROM c5 GROUP BY 1
+)
+SELECT b.doc,
+       round(CASE WHEN b.n_chars > 0
+                  THEN coalesce(top_cnt * length(tg), 0) / b.n_chars
+                  ELSE 0 END, 6) AS top_ngram_char_frac,
+       round(CASE WHEN b.n_chars > 0
+                  THEN coalesce(dup_chars, 0) / b.n_chars
+                  ELSE 0 END, 6) AS dup_ngram_char_frac
+FROM (SELECT DISTINCT doc, n_chars FROM base) b
+LEFT JOIN top ON b.doc = top.doc
+LEFT JOIN dup ON b.doc = dup.doc
+"""
+
+
+def q_decontam_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap decontamination: every 97th doc plays the role
+    of the benchmark set; each training doc counts distinct shared
+    8-grams."""
+    from .trainprep.decontam import ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_overlap(docs, bench, n=8)
+
+
+def sql_decontam_8gram() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, regexp_extract_all(lower(text), '{TOKEN_RX}') AS la
+  FROM documents
+),
+tg AS (
+  SELECT DISTINCT doc, array_to_string(la[i:i+7], ' ') AS sh
+  FROM (SELECT doc, la, unnest(generate_series(1, len(la) - 7)) AS i
+        FROM base WHERE len(la) >= 8)
+),
+bg AS (SELECT DISTINCT sh FROM tg WHERE doc % 97 = 0),
+hits AS (SELECT doc, count(*)::BIGINT AS n_hits FROM tg JOIN bg USING (sh) GROUP BY 1)
+SELECT d.doc_id AS doc, coalesce(n_hits, 0)::BIGINT AS n_hits,
+       coalesce(n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-weights sampling: per-source keep rates via
+    the shared md5-family hash (exact row set reproducible in SQL)."""
+    from .trainprep.decontam import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs, "source", {"src0": 0.5, "src1": 0.1}, key_col="doc_id",
+        default_rate=0.05,
+    )
+    return out.select("doc_id", "source")
+
+
+def sql_stratified_sample() -> str:
+    return """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 <
+      CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 1000 ELSE 500 END
+"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -1771,6 +1869,10 @@ QUERIES = {
     "codec_ndjson_roundtrip": q_codec_ndjson_roundtrip,
     "codec_newline": q_codec_newline,
     "grok_syslog": q_grok_syslog,
+    # round-2: LLM-pipeline additions
+    "text_repetition": q_text_repetition,
+    "decontam_8gram": q_decontam_8gram,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -1837,6 +1939,9 @@ ORACLES = {
     "codec_ndjson_roundtrip": sql_codec_ndjson_roundtrip(),
     "codec_newline": sql_codec_newline(),
     "grok_syslog": sql_grok_syslog(),
+    "text_repetition": sql_text_repetition(),
+    "decontam_8gram": sql_decontam_8gram(),
+    "stratified_sample": sql_stratified_sample(),
 }
 
 

@@ -105,6 +105,91 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     )
 
 
+def ngrams_col(col: Column, n: int) -> Column:
+    """ALL word n-grams (non-distinct — repetition counting needs the
+    multiplicity), space-joined, JVM-side."""
+    toks = tokens_array(col)
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1),
+    simplified to multiplicative char accounting (count × gram length —
+    no overlap subtraction):
+
+      top_ngram_char_frac — chars covered by the single most frequent
+        top_n-gram (tie → lexicographically smallest gram), / n_chars.
+      dup_ngram_char_frac — chars covered by dup_n-grams occurring ≥2
+        times (Σ count·len(gram)), / n_chars.
+
+    Shape: one explode + (doc, gram) count per n — two shuffles total,
+    both map-side combined; the per-doc reduction is aggregate-only (max
+    count, then min gram among ties — no windows)."""
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc"), F.length(c).alias("n_chars"),
+        ngrams_col(c, top_n).alias("_g_top"), ngrams_col(c, dup_n).alias("_g_dup"),
+    )
+    top_counts = (
+        base.select("doc", F.explode("_g_top").alias("g"))
+        .groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_max = top_counts.groupBy("doc").agg(F.max("cnt").alias("mx"))
+    top = (
+        top_counts.join(top_max, "doc")
+        .filter(F.col("cnt") == F.col("mx"))
+        .groupBy("doc")
+        .agg(F.min("g").alias("top_gram"), F.first("mx").alias("top_cnt"))
+    )
+    dup = (
+        base.select("doc", F.explode("_g_dup").alias("g"))
+        .groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(0)
+            ).alias("dup_chars")
+        )
+    )
+    sizes = base.select("doc", "n_chars")
+    out = (
+        sizes.join(top, "doc", "left")
+        .join(dup, "doc", "left")
+        .fillna({"top_cnt": 0, "dup_chars": 0})
+    )
+    return out.select(
+        "doc",
+        F.round(
+            F.when(
+                F.col("n_chars") > 0,
+                F.coalesce(F.col("top_cnt") * F.length("top_gram"), F.lit(0))
+                / F.col("n_chars"),
+            ).otherwise(0.0),
+            6,
+        ).alias("top_ngram_char_frac"),
+        F.round(
+            F.when(F.col("n_chars") > 0, F.col("dup_chars") / F.col("n_chars")).otherwise(0.0),
+            6,
+        ).alias("dup_ngram_char_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Document fingerprint: md5 over the space-joined sorted distinct
     token set (the classic 'fingerprint clustering' key — whitespace/

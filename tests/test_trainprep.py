@@ -285,3 +285,55 @@ def test_brute_topk_partition_invariant(emb, queries):
     shuffled = similarity.brute_topk(emb.repartition(7), queries, k=4).collect()
     key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cos"])
     assert sorted(map(key, base)) == sorted(map(key, shuffled))
+
+
+# ---------------------------------------------- round-2 LLM-pipeline ops
+
+def test_repetition_features(spark):
+    rows = [
+        (1, "spam spam spam spam"),                       # one dominant 2-gram
+        (2, "all words here are completely distinct ok"), # no repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    r = {x["doc"]: x for x in textstats.repetition_features(df).collect()}
+    # doc 1: top 2-gram "spam spam" (len 9) occurs 3x over 19 chars
+    assert r[1]["top_ngram_char_frac"] == round(3 * 9 / 19, 6)
+    assert r[2]["dup_ngram_char_frac"] == 0.0
+    assert r[2]["top_ngram_char_frac"] > 0  # a (unique) top 2-gram still exists
+
+
+def test_ngram_overlap_decontam(spark):
+    from data_prepper_spark.trainprep.decontam import ngram_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "a completely unrelated training document about spark"),
+            (3, "short"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog and more words here")],
+        "doc_id int, text string",
+    )
+    out = {r["doc"]: (r["n_hits"], r["contaminated"]) for r in
+           ngram_overlap(train, bench, n=8).collect()}
+    assert out[1][1] is True and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)  # < n tokens -> no grams, still in output
+
+
+def test_stratified_sample_deterministic(spark):
+    from data_prepper_spark.trainprep.decontam import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], "id long, s string"
+    )
+    out1 = stratified_sample(df, "s", {"a": 0.5, "b": 0.1}, key_col="id")
+    out2 = stratified_sample(df.repartition(13), "s", {"a": 0.5, "b": 0.1}, key_col="id")
+    ids1 = sorted(r["id"] for r in out1.collect())
+    assert ids1 == sorted(r["id"] for r in out2.collect())  # partition-invariant
+    na = sum(1 for r in out1.collect() if r["s"] == "a")
+    nb = out1.count() - na
+    assert 400 < na < 600 and 50 < nb < 150  # ~50% of 1000, ~10% of 1000
