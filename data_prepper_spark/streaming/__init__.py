@@ -4,6 +4,7 @@ processing-time timers)."""
 
 from .windows import (  # noqa: F401
     session_gap_agg,
+    stateful_count_conclude,
     streaming_count,
     streaming_incremental_tokens,
     tumbling_count,

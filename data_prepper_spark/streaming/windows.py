@@ -68,6 +68,63 @@ def session_gap_agg(
     ).agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def stateful_count_conclude(
+    df: DataFrame,
+    keys: list[str],
+    threshold: int,
+    timeout_ms: int = 60_000,
+):
+    """`aggregate`+`count` with the reference's CUSTOM group-conclusion
+    rule — emit a group's count when it reaches `threshold` OR when the
+    group has been idle for `timeout_ms` — via applyInPandasWithState.
+
+    This is the one §2.8 shape the built-in windows can't express: the
+    reference's AggregateGroupManager holds per-group mutable state and a
+    per-group timer (AggregateGroupManager.getGroupsToConclude:29-37,
+    AggregateProcessor.doExecute counting into group state); Spark's
+    GroupState carries the running count, ProcessingTimeTimeout plays the
+    conclude timer.  Output rows: (keys…, n, concluded_by) where
+    concluded_by ∈ {'threshold', 'timeout'}.
+
+    State is one long per group — at 10^9 groups this is exactly the
+    partitioned state store Structured Streaming shards by the groupBy
+    key (the peer-forwarder hash ring, managed)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = ", ".join(f"`{k}` string" for k in keys)
+    out_schema = f"{key_fields}, n long, concluded_by string"
+    state_schema = "n long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame([(*key, n, "timeout")], columns=[*keys, "n", "concluded_by"])
+            return
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if n >= threshold:
+            state.remove()
+            yield pd.DataFrame(
+                [(*key, n, "threshold")], columns=[*keys, "n", "concluded_by"]
+            )
+        else:
+            state.update((n,))
+            state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame(columns=[*keys, "n", "concluded_by"])
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def streaming_incremental_tokens(
     pages_stream: DataFrame,
     staging_path: str,

@@ -157,3 +157,37 @@ def test_streaming_incremental_tokens(spark, tiny_corpus_path, workdir):
     q2 = streaming_incremental_tokens(pages, staging, ckpt, IndexConfig(range_bits=2)).start()
     q2.awaitTermination(120)
     assert spark.read.parquet(staging).count() == n1
+
+
+def test_stateful_count_conclude(spark, workdir):
+    """applyInPandasWithState: a group crossing the count threshold
+    concludes immediately ('threshold'); an under-threshold group parks
+    in state and its processing-time timer concludes it ('timeout') —
+    the reference's AggregateGroupManager group_duration semantics."""
+    from data_prepper_spark.streaming import stateful_count_conclude
+
+    src = os.path.join(workdir, "state_src")
+    rows = [(i, "hot") for i in range(7)] + [(100 + i, "cold") for i in range(2)]
+    spark.createDataFrame(rows, "id long, k string").write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("id long, k string").parquet(src)
+    out = stateful_count_conclude(stream, ["k"], threshold=5, timeout_ms=2000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("concluded")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a live timer keeps the query running past availableNow's drain —
+    # poll the sink until both conclusions arrive, then stop explicitly
+    import time as _time
+
+    deadline = _time.time() + 90
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) AS c FROM concluded").collect()[0]["c"] >= 2:
+            break
+        _time.sleep(1)
+    q.stop()
+    got = {(r["k"], r["n"], r["concluded_by"]) for r in spark.sql("SELECT * FROM concluded").collect()}
+    assert ("hot", 7, "threshold") in got
+    assert ("cold", 2, "timeout") in got
