@@ -1796,6 +1796,22 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 <
 """
 
 
+def q_anomaly_rcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random_cut_forest anomaly mode (self-contained RRCF, operators/
+    rcf.py).  NO SQL oracle by design: the score is a function of the
+    sequential forest state over the whole per-key history — inherently
+    non-relational.  Determinism and spike-detection behavior are pinned
+    by tests/test_anomaly.py instead; the driver records rows-only."""
+    from .operators.anomaly import anomaly_rcf
+
+    ev = _t(spark, sf_dir, "events")
+    out = anomaly_rcf(
+        ev, ["user_id"], "value", "ts", shingle_size=4, sample_size=64,
+        num_trees=7, threshold=20.0, tiebreak_col="event_id",
+    )
+    return out.select("event_id", "anomaly_score", "grade")
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -1873,6 +1889,8 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "decontam_8gram": q_decontam_8gram,
     "stratified_sample": q_stratified_sample,
+    # rows-only by design: sequential per-key forest state, non-relational
+    "anomaly_rcf": q_anomaly_rcf,
 }
 
 ORACLES = {

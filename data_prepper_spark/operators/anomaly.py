@@ -10,10 +10,12 @@ library in this container, so the engine ships two modes:
             `shingle_size` prior points (window functions, pure JVM);
             grade = 1 if |z| > threshold else 0.  Deterministic and
             SQL-reproducible; this is the default.
-  rcf     — the plug point for a real RCF: gated import of an external
-            `rrcf`-style lib inside applyInPandas; raises
-            NotImplementedError here (library absent), with the grouping
-            and batch shape already correct.
+  rcf     — REAL random-cut-forest scoring via the self-contained RRCF
+            implementation in operators/rcf.py (public Guha et al. 2016
+            algorithm), run per key group inside applyInPandas.
+            Deterministic (counter-seeded per key/tree) but inherently
+            sequential per key — not SQL-reproducible, covered by
+            property tests instead of the DuckDB oracle.
 
 Like the reference, events are grouped by identification_keys and
 processed in time order; the deviation is attached, events pass through.
@@ -66,18 +68,57 @@ def anomaly_rcf(
     key: str,
     ts_col: str,
     shingle_size: int = 4,
-    sample_size: int = 256,
-    time_decay: float = 0.1,
-):
-    """True RCF mode — plug point only.  The grouping/batch topology is
-    the one a real implementation needs (applyInPandas per identification
-    key, time-ordered); the forest itself requires an external library
-    not present in this container."""
-    try:
-        import rrcf  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "anomaly_detector mode=random_cut_forest needs an RCF library "
-            "(e.g. `rrcf`) not present in this container; use anomaly_zscore"
-        ) from e
-    raise NotImplementedError("rcf mode wiring pending library availability")
+    sample_size: int = 128,
+    num_trees: int = 15,
+    threshold: float = 5.0,
+    seed: int = 42,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """`random_cut_forest` mode (RandomCutForestMode.java:32-53), backed
+    by the self-contained RRCF in :mod:`.rcf` (public Guha et al. 2016
+    algorithm — no external library).
+
+    Per identification-key group (applyInPandas; the reference shards by
+    the same keys via its hash ring): events in (ts, tiebreak) order are
+    shingled into `shingle_size`-dim points, scored against the forest
+    BEFORE insertion (score-then-update), then inserted; beyond
+    `sample_size` points the oldest is forgotten (sliding window).
+    Output adds `anomaly_score` (expected collusive displacement,
+    rounded to 6) and `grade` (1.0 when score > threshold).  Deterministic:
+    per-(key, tree) counter-seeded RNGs — identical scores at any
+    partitioning or cluster size."""
+    import zlib
+
+    import numpy as np
+
+    order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # fresh StructType — .add() would mutate the frame's cached schema
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("anomaly_score", DoubleType()), StructField("grade", DoubleType())]
+    )
+
+    from .rcf import RandomCutForest
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        vals = pdf[key].to_numpy(dtype=np.float64)
+        key_tuple = tuple(str(pdf.iloc[0][k]) for k in identification_keys) if len(pdf) else ()
+        salt = zlib.crc32("|".join(key_tuple).encode())
+        forest = RandomCutForest(
+            dim=shingle_size, num_trees=num_trees, window_size=sample_size,
+            seed=seed, key_salt=salt,
+        )
+        scores = np.zeros(len(vals), dtype=np.float64)
+        for i in range(len(vals)):
+            if i >= shingle_size - 1:
+                x = vals[i - shingle_size + 1 : i + 1]
+                scores[i] = forest.score(x)
+                forest.update(x)
+        pdf["anomaly_score"] = np.round(scores, 6)
+        pdf["grade"] = (scores > threshold).astype(np.float64)
+        return pdf
+
+    return df.groupBy(*identification_keys).applyInPandas(fn, schema=out_schema)

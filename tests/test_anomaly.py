@@ -33,6 +33,65 @@ def test_zscore_per_group_isolation(spark):
     assert all(x["grade"] == 0.0 for x in out.collect())
 
 
-def test_rcf_mode_raises():
-    with pytest.raises(NotImplementedError):
-        anomaly_rcf(None, ["g"], "v", "ts")
+def _rcf_frame(spark):
+    import math
+
+    rows = []
+    for k in ("a", "b"):
+        for i in range(120):
+            v = 10.0 + math.sin(i / 5.0)
+            if k == "a" and i == 90:
+                v = 500.0  # planted spike in group a only
+            rows.append((k, i, float(v)))
+    return spark.createDataFrame(rows, "k string, ts long, value double")
+
+
+def test_rcf_spike_detection(spark):
+    df = _rcf_frame(spark)
+    out = anomaly_rcf(
+        df, ["k"], "value", "ts", shingle_size=4, sample_size=64,
+        num_trees=7, threshold=20.0,
+    )
+    a = out.filter("k = 'a'").orderBy("ts").collect()
+    top = max(a, key=lambda r: r["anomaly_score"])
+    # the spike shingles (ts 90..93 contain the 500) dominate
+    assert top["ts"] in (90, 91, 92, 93)
+    graded = {r["ts"] for r in a if r["grade"] > 0}
+    assert graded == {90, 91, 92, 93}
+    # warm-up rows (shingle not yet full) score 0
+    assert all(r["anomaly_score"] == 0.0 for r in a[:3])
+    # group b (no spike) stays clean at this threshold
+    assert all(r["grade"] == 0.0 for r in out.filter("k = 'b'").collect())
+
+
+def test_rcf_deterministic_across_partitionings(spark):
+    df = _rcf_frame(spark)
+    kw = dict(shingle_size=4, sample_size=64, num_trees=7, threshold=20.0)
+    a1 = anomaly_rcf(df, ["k"], "value", "ts", **kw).orderBy("k", "ts").collect()
+    a2 = anomaly_rcf(df.repartition(7), ["k"], "value", "ts", **kw).orderBy("k", "ts").collect()
+    assert [r["anomaly_score"] for r in a1] == [r["anomaly_score"] for r in a2]
+
+
+def test_rcf_tree_invariants():
+    """Tree point-counts stay consistent through a full insert/forget
+    cycle (the sliding window churns every node counter)."""
+    import numpy as np
+
+    from data_prepper_spark.operators.rcf import RandomCutForest
+
+    f = RandomCutForest(dim=2, num_trees=3, window_size=16, seed=1, key_salt=7)
+    rng = np.random.default_rng(0)
+    for i in range(100):
+        x = rng.standard_normal(2)
+        f.score(x)
+        f.update(x)
+    for t in f.trees:
+        assert t.root.n == 16  # window full, counts exact
+
+        def walk(n):
+            if hasattr(n, "l"):
+                assert n.n == n.l.n + n.r.n
+                walk(n.l)
+                walk(n.r)
+
+        walk(t.root)
