@@ -69,11 +69,11 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, corpus: str, workdir: str) -> dict:
+def run_level(cpus: int, corpus: str, workdir: str, timeout: int = 1800) -> dict:
     index_dir = os.path.join(workdir, f"idx_{cpus}")
     code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, index_dir=index_dir)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -93,6 +93,12 @@ def main():
                          "compared)")
     ap.add_argument("--corpus", type=str, default=None,
                     help="reuse an existing corpus dir instead of generating")
+    ap.add_argument("--level-timeout", type=int, default=1800,
+                    help="per-level subprocess timeout (seconds)")
+    ap.add_argument("--no-md", action="store_true",
+                    help="print JSON only; do not rewrite BENCH.md (the "
+                         "file is hand-curated — update its table from the "
+                         "JSON instead)")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
@@ -119,7 +125,7 @@ def main():
         best: dict[int, dict] = {}
         for rep in range(args.reps):
             for c in levels:  # interleaved so host drift hits all levels alike
-                r = run_level(c, corpus, work)
+                r = run_level(c, corpus, work, timeout=args.level_timeout)
                 if c not in best or r["build_s"] < best[c]["build_s"]:
                     best[c] = r
         results = [best[c] for c in levels]
@@ -135,7 +141,8 @@ def main():
             "meets_0.8": eff_build >= 0.8,
         }
         print(json.dumps(result))
-        _write_bench_md(args, results, eff_build)
+        if not args.no_md:
+            _write_bench_md(args, results, eff_build)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
