@@ -19,28 +19,52 @@ from pyspark.sql import Column, DataFrame, functions as F
 # the extraction topology (ordered rlike→extract chain) is the same.
 
 _UA_BROWSERS = [
-    ("Edg/([\\d.]+)", "Edge"),
+    # crawlers first — their UAs often embed browser tokens (smartphone
+    # Googlebot carries "Chrome/")
+    ("Googlebot/([\\d.]+)", "Googlebot"),
+    ("bingbot/([\\d.]+)", "bingbot"),
+    ("DuckDuckBot[-/]([\\d.]+)", "DuckDuckBot"),
+    ("YandexBot/([\\d.]+)", "YandexBot"),
+    # branded chromium shells before Chrome (their UAs carry "Chrome/")
+    ("Edg[A]?/([\\d.]+)", "Edge"),
     ("OPR/([\\d.]+)", "Opera"),
+    ("SamsungBrowser/([\\d.]+)", "Samsung Internet"),
+    ("YaBrowser/([\\d.]+)", "Yandex Browser"),
+    ("UCBrowser/([\\d.]+)", "UC Browser"),
+    ("Vivaldi/([\\d.]+)", "Vivaldi"),
+    ("Brave/([\\d.]+)", "Brave"),
     ("Chrome/([\\d.]+)", "Chrome"),
     ("Firefox/([\\d.]+)", "Firefox"),
+    ("FxiOS/([\\d.]+)", "Firefox iOS"),
+    ("CriOS/([\\d.]+)", "Chrome iOS"),
     ("Version/([\\d.]+).*Safari", "Safari"),
     ("MSIE ([\\d.]+)", "IE"),
+    ("Trident/.*rv:([\\d.]+)", "IE"),
     ("curl/([\\d.]+)", "curl"),
+    ("[Ww]get/([\\d.]+)", "wget"),
+    ("python-requests/([\\d.]+)", "python-requests"),
+    ("okhttp/([\\d.]+)", "okhttp"),
 ]
 _UA_OS = [
     ("Windows NT 10", "Windows 10"),
+    ("Windows NT 6\\.3", "Windows 8.1"),
+    ("Windows NT 6\\.2", "Windows 8"),
+    ("Windows NT 6\\.1", "Windows 7"),
     ("Windows NT", "Windows"),
+    ("CrOS", "Chrome OS"),
     ("Android", "Android"),
-    ("iPhone OS|iOS", "iOS"),
+    ("iPhone OS|iOS|iPad", "iOS"),
     ("Mac OS X", "Mac OS X"),
+    ("FreeBSD", "FreeBSD"),
     ("Linux", "Linux"),
 ]
 _UA_DEVICE = [
+    ("[Bb]ot|[Cc]rawler|[Ss]pider", "Spider"),
     ("iPhone", "iPhone"),
     ("iPad", "iPad"),
     ("Android.*Mobile", "Android Phone"),
     ("Android", "Android Tablet"),
-    ("Windows|Macintosh|Linux", "Desktop"),
+    ("Windows|Macintosh|CrOS|Linux", "Desktop"),
 ]
 
 

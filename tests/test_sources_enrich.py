@@ -99,3 +99,28 @@ def test_trace_group_fill(spark):
     got = {r["spanId"]: r["traceGroup"] for r in out.collect()}
     assert got == {"s1": "checkout", "s2": "checkout", "s3": "checkout",
                    "s4": "search", "s5": "search"}
+
+
+def test_user_agent_extended_families(spark):
+    cases = [
+        ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+         "Googlebot", "2.1", "Spider"),
+        ("Mozilla/5.0 (Linux; Android 13; SM-S901B) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+         "Samsung Internet", "23.0", "Android Phone"),
+        ("Mozilla/5.0 (Windows NT 6.1; Win64; x64) Chrome/109.0.0.0 Safari/537.36",
+         "Chrome", "109.0.0.0", "Desktop"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) CriOS/114.0.5735.99 Mobile/15E148 Safari/604.1",
+         "Chrome iOS", "114.0.5735.99", "iPhone"),
+        ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) Chrome/120.0.0.0 Safari/537.36",
+         "Chrome", "120.0.0.0", "Desktop"),
+        ("python-requests/2.31.0", "python-requests", "2.31.0", "Other"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i int, ua string")
+    out = {r["i"]: r["user_agent"] for r in user_agent(df, "ua").collect()}
+    for i, (_, name, ver, device) in enumerate(cases):
+        assert out[i]["name"] == name, (i, out[i])
+        assert out[i]["version"] == ver, (i, out[i])
+        assert out[i]["device"] == device, (i, out[i])
+    # os spot checks
+    assert out[2]["os"] == "Windows 7"
+    assert out[4]["os"] == "Chrome OS"
