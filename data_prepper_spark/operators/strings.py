@@ -158,6 +158,71 @@ def key_value(
     return df.withColumn(destination, m)
 
 
+def key_value_recursive(
+    df: DataFrame,
+    source: str,
+    destination: str = "parsed_message",
+    field_split: str = "&",
+    value_split: str = "=",
+    max_depth: int = 8,
+) -> DataFrame:
+    """`key_value` with `recursive: true` (KeyValueProcessorConfig.java:
+    19-23): values wrapped in (), [] or {} are parsed as nested
+    key/value groups.  Nested delimiters make this context-sensitive —
+    not expressible as Catalyst string functions — so it runs as an
+    Arrow-batched pandas UDF emitting a JSON string at `destination`
+    (nested maps of arbitrary depth have no static Spark type; compose
+    with `parse_json` + a schema to get typed structs)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    opens, closes = "([{", ")]}"
+
+    def split_top(s: str, delim: str) -> list[str]:
+        parts, depth, cur = [], 0, []
+        for ch in s:
+            if ch in opens:
+                depth += 1
+            elif ch in closes and depth > 0:
+                depth -= 1
+            if ch == delim and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        return parts
+
+    def parse(s: str, depth: int):
+        out = {}
+        for pair in split_top(s, field_split):
+            if not pair:
+                continue
+            kv = split_top(pair, value_split)
+            k = kv[0]
+            v = value_split.join(kv[1:]) if len(kv) > 1 else None
+            if (
+                v
+                and depth < max_depth
+                and len(v) >= 2
+                and v[0] in opens
+                and v[-1] == closes[opens.index(v[0])]
+            ):
+                out[k] = parse(v[1:-1], depth + 1)
+            else:
+                out[k] = v
+        return out
+
+    def fn(s):
+        return s.map(lambda x: None if x is None else json.dumps(parse(x, 0)))
+
+    fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(fn, "string")
+    return df.withColumn(destination, udf(F.col(source)))
+
+
 def csv_parse(
     df: DataFrame,
     source: str,

@@ -59,7 +59,15 @@ _PROCESSORS = {
         df, c["source"], c["patterns"], c.get("target"),
         c.get("mask", "***"), c.get("action", "mask")
     ),
-    "key_value": lambda df, c: strings.key_value(
+    "key_value": lambda df, c: strings.key_value_recursive(
+        df,
+        c["source"],
+        c.get("destination", "parsed_message"),
+        c.get("field_split_characters", "&"),
+        c.get("value_split_characters", "="),
+    )
+    if c.get("recursive")
+    else strings.key_value(
         df,
         c["source"],
         c.get("destination", "parsed_message"),

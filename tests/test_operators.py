@@ -338,3 +338,23 @@ def test_tail_sampler_sample_key_effective(events):
 def test_route_tagged_empty(events):
     out = routing.route_tagged(events, {})
     assert out.count() == 0 and "_route" in out.columns
+
+
+def test_key_value_recursive(spark):
+    import json
+
+    df = spark.createDataFrame(
+        [("a=[b=1&c=2]&d=3&e={f=[g=4]&h=5}&i",)], "msg string"
+    )
+    out = strings.key_value_recursive(df, "msg", "j")
+    got = json.loads(out.collect()[0]["j"])
+    assert got == {
+        "a": {"b": "1", "c": "2"},
+        "d": "3",
+        "e": {"f": {"g": "4"}, "h": "5"},
+        "i": None,
+    }
+    # composes with parse_json for typed access
+    typed = strings.parse_json(out, "j", "a struct<b string, c string>, d string", "t")
+    r = typed.collect()[0]["t"]
+    assert r["a"]["b"] == "1" and r["d"] == "3"
