@@ -27,26 +27,37 @@ def read_newline(
     header_destination: str | None = None,
 ) -> DataFrame:
     """newline codec: each line → {message}; optional skip of leading
-    lines and capture of the first line as a header column (the
-    reference's header_destination)."""
+    lines and capture of each file's first post-skip line as a header
+    column.
+
+    The reference's skip/header semantics are PER OBJECT
+    (NewlineDelimitedInputCodec.java:27,56-80 parses one S3 object's
+    stream), so line numbering here is per input FILE: window partitioned
+    by input_file_name() — each file sorts independently (bounded by the
+    largest single file), never a global single-partition sort.  The
+    header is joined back per file (tiny broadcast side: one row per
+    file).  Caveat: in-file line order relies on the file fitting one
+    split (spark.sql.files.maxPartitionBytes); raise it for bigger files
+    when using skip/header — the skip-less default path has no ordering
+    dependency at all."""
     df = spark.read.text(path).withColumnRenamed("value", "message")
     if skip_lines == 0 and header_destination is None:
         return df
-    # line numbering needs a total order; file sources give none, so use
-    # a monotonic id within the natural read order (single-file semantics,
-    # matching the reference's per-object streaming parse)
-    df = df.withColumn("_ln", F.monotonically_increasing_id())
-    w = Window.orderBy("_ln")
+    df = (
+        df.withColumn("_file", F.input_file_name())
+        .withColumn("_ln", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("_file").orderBy("_ln")
     df = df.withColumn("_rn", F.row_number().over(w) - 1)
     if header_destination is not None:
-        header = df.filter(F.col("_rn") == skip_lines).select("message").collect()
-        hval = header[0]["message"] if header else None
-        df = df.filter(F.col("_rn") > skip_lines).withColumn(
-            header_destination, F.lit(hval)
+        headers = (
+            df.filter(F.col("_rn") == skip_lines)
+            .select("_file", F.col("message").alias(header_destination))
         )
+        df = df.filter(F.col("_rn") > skip_lines).join(headers, "_file", "left")
     else:
         df = df.filter(F.col("_rn") >= skip_lines)
-    return df.drop("_ln", "_rn")
+    return df.drop("_file", "_ln", "_rn")
 
 
 def read_json_array(spark: SparkSession, path: str) -> DataFrame:
