@@ -86,7 +86,7 @@ def q_ft_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     against plain SQL term frequencies."""
     import pandas as pd
 
-    from .index.codec import delta_decode_docids, varint_decode
+    from .index.codec import decode_docids, decode_uints
 
     idx = _index_dir(spark, sf_dir)
 
@@ -94,8 +94,8 @@ def q_ft_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             tids, dids, tfs = [], [], []
             for tid, d_enc, t_enc in zip(b["term_id"], b["doc_ids"], b["tfs"]):
-                d = delta_decode_docids(bytes(d_enc))
-                t = varint_decode(bytes(t_enc))
+                d = decode_docids(bytes(d_enc))
+                t = decode_uints(bytes(t_enc))
                 tids.extend([tid] * len(d))
                 dids.extend(d.tolist())
                 tfs.extend(t.tolist())

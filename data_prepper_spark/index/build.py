@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..hashing import xxh64_signed
-from .codec import delta_encode_docids, pack_f32, pack_i64, varint_encode
+from .codec import encode_docids, encode_uints, pack_f32, pack_i64
 from .config import SLICE_SCHEMA, IndexConfig
 from .ledger import Ledger
 from .tokenize import (
@@ -56,7 +56,7 @@ class BuildKilled(RuntimeError):
     """Raised by test fault injectors to simulate a mid-build crash."""
 
 
-def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int):
+def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: str = "varint"):
     """applyInPandas kernel over a COARSE (term_bucket, range_id) group:
     emits one encoded slice row per term present in the group.
 
@@ -100,9 +100,9 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int):
                     range_id,
                     np.int64(td.size),
                     np.int64(ttf.sum()),
-                    delta_encode_docids(td),
-                    varint_encode(ttf.astype(np.uint64)),
-                    varint_encode(tdl.astype(np.uint64)),
+                    encode_docids(td, codec),
+                    encode_uints(ttf.astype(np.uint64), codec),
+                    encode_uints(tdl.astype(np.uint64), codec),
                     pack_i64(td[starts]),
                     pack_f32(block_ubs),
                     np.float32(block_ubs.max()),
@@ -244,7 +244,7 @@ def build_index(
     avgdl = float(stats["avgdl"])
 
     # ---- stage: posting slices, per bucket-group ----
-    encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size)
+    encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size, cfg.codec)
     done = ledger.completed("postings", fp)
     for g in range(bucket_groups):
         if g in done:
@@ -391,7 +391,7 @@ def build_oneshot_tokens(
         p["stats"]
     )
     _mark("t_docmeta")
-    encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size)
+    encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size, cfg.codec)
     slices = (
         tokens.withColumn("term_id", F.xxhash64("term"))
         .withColumn("range_id", range_id_col(cfg))

@@ -84,6 +84,151 @@ def delta_decode_docids(buf: bytes) -> np.ndarray:
     return (u - _BIAS).astype(np.int64)
 
 
+# ------------------------------------------------------------- PForDelta
+#
+# Patched frame-of-reference (NewPFD-style): fixed 128-value blocks, each
+# bit-packed at the width covering ~90% of its values; the outliers
+# ("patches") store their high bits in a varint exception list.  Wins
+# over varint when deltas are small-and-uniform (dense posting lists —
+# exactly the head-term case); varint wins on tiny/skewed lists.  The
+# tagged stream API below lets the build pick per-index and the decoder
+# auto-detect per blob.
+
+_PFOR_BLOCK = 128
+
+
+def _bits_needed(v: np.ndarray) -> np.ndarray:
+    """Exact per-value bit widths (64 integer compares — no float log)."""
+    bits = np.zeros(v.size, dtype=np.int64)
+    for j in range(64):
+        bits += (v >= (np.uint64(1) << np.uint64(j))).astype(np.int64)
+    return bits
+
+
+def _pack_bits(block: np.ndarray, b: int) -> bytes:
+    if b == 0 or block.size == 0:
+        return b""
+    shifts = np.arange(b, dtype=np.uint64)
+    bits = ((block[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: np.ndarray, n: int, b: int) -> np.ndarray:
+    if b == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(buf, count=n * b, bitorder="little").reshape(n, b)
+    vals = np.zeros(n, dtype=np.uint64)
+    for j in range(b):
+        vals |= bits[:, j].astype(np.uint64) << np.uint64(j)
+    return vals
+
+
+def _varint_decode_n(b: np.ndarray, off: int, count: int) -> tuple[np.ndarray, int]:
+    """Decode exactly `count` LEB128 values starting at byte offset `off`."""
+    vals = np.zeros(count, dtype=np.uint64)
+    for i in range(count):
+        shift, v = 0, np.uint64(0)
+        while True:
+            byte = int(b[off])
+            off += 1
+            v |= np.uint64(byte & 0x7F) << np.uint64(shift)
+            if not byte & 0x80:
+                break
+            shift += 7
+        vals[i] = v
+    return vals, off
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """PForDelta-encode a uint64 array: per 128-value block,
+    ``[b:1][n:1][n_exc:1][exc_pos…][packed low bits][exc high varints]``."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    out = bytearray()
+    for s in range(0, v.size, _PFOR_BLOCK):
+        block = v[s : s + _PFOR_BLOCK]
+        n = block.size
+        widths = _bits_needed(block)
+        order = np.sort(widths)
+        b = int(order[min(n - 1, max(0, int(np.ceil(0.9 * n)) - 1))])
+        mask = (
+            np.uint64(0xFFFFFFFFFFFFFFFF) if b >= 64 else (np.uint64(1) << np.uint64(b)) - np.uint64(1)
+        )
+        exc_idx = np.flatnonzero(widths > b)
+        low = block & mask
+        high = block[exc_idx] >> np.uint64(b)
+        out.append(b)
+        out.append(n - 1)  # 1..128 → 0..127
+        out.append(exc_idx.size)
+        out.extend(exc_idx.astype(np.uint8).tobytes())
+        out.extend(_pack_bits(low, b))
+        out.extend(varint_encode(high))
+    return bytes(out)
+
+
+def pfor_decode(buf: bytes) -> np.ndarray:
+    b_arr = np.frombuffer(buf, dtype=np.uint8)
+    chunks = []
+    off = 0
+    while off < b_arr.size:
+        b = int(b_arr[off])
+        n = int(b_arr[off + 1]) + 1
+        n_exc = int(b_arr[off + 2])
+        off += 3
+        exc_pos = b_arr[off : off + n_exc].astype(np.int64)
+        off += n_exc
+        packed_len = (n * b + 7) // 8
+        vals = _unpack_bits(b_arr[off : off + packed_len], n, b)
+        off += packed_len
+        if n_exc:
+            high, off = _varint_decode_n(b_arr, off, n_exc)
+            vals[exc_pos] |= high << np.uint64(b)
+        chunks.append(vals)
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(chunks)
+
+
+# --------------------------------------------- tagged posting-stream API
+
+_TAG_VARINT, _TAG_PFOR = 0, 1
+
+
+def encode_uints(values: np.ndarray, codec: str = "varint") -> bytes:
+    """Self-describing uint stream: 1 tag byte + payload.  `codec` ∈
+    {'varint', 'pfor'} — the build picks per index (IndexConfig.codec),
+    the decoder dispatches on the tag, so mixed segments coexist."""
+    if codec == "pfor":
+        return bytes([_TAG_PFOR]) + pfor_encode(values)
+    return bytes([_TAG_VARINT]) + varint_encode(values)
+
+
+def decode_uints(buf: bytes) -> np.ndarray:
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    tag, payload = buf[0], buf[1:]
+    return pfor_decode(payload) if tag == _TAG_PFOR else varint_decode(payload)
+
+
+def encode_docids(doc_ids: np.ndarray, codec: str = "varint") -> bytes:
+    """Sorted signed docIDs → bias + delta + tagged uint stream."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    if d.size == 0:
+        return encode_uints(np.empty(0, dtype=np.uint64), codec)
+    u = d.astype(np.uint64) + _BIAS
+    stream = np.empty(u.size, dtype=np.uint64)
+    stream[0] = u[0]
+    stream[1:] = u[1:] - u[:-1]
+    return encode_uints(stream, codec)
+
+
+def decode_docids(buf: bytes) -> np.ndarray:
+    stream = decode_uints(buf)
+    if stream.size == 0:
+        return np.empty(0, dtype=np.int64)
+    u = np.cumsum(stream, dtype=np.uint64)
+    return (u - _BIAS).astype(np.int64)
+
+
 def pack_i64(values: np.ndarray) -> bytes:
     return np.ascontiguousarray(values, dtype="<i8").tobytes()
 

@@ -12,6 +12,10 @@ Scale knobs and how they map to a 1000-executor / 10^12-doc deployment:
 - ``n_buckets``: term-hash partition count of the written index (the Iceberg
   ``bucket(term)`` analog). Queries prune to the q buckets of their terms.
 - ``block_size``: postings per block-max entry (WAND skip granularity).
+- ``codec``: posting-stream compression — 'varint' (LEB128) or 'pfor'
+  (PForDelta: 128-value blocks bit-packed at the 90th-percentile width +
+  varint patches).  Streams are tag-byte self-describing, so segments
+  built with different codecs read back uniformly.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ class IndexConfig:
     range_bits: int = 2
     block_size: int = 128
     n_buckets: int = 16
+    codec: str = "varint"
 
     @property
     def n_ranges(self) -> int:

@@ -22,7 +22,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .codec import delta_decode_docids, unpack_f32, unpack_i64, varint_decode
+from .codec import decode_docids, decode_uints, unpack_f32, unpack_i64
 
 
 @dataclass
@@ -48,9 +48,9 @@ def decode_slice(row, idf: float, label: str | None = None) -> TermSlice:
     return TermSlice(
         term=label if label is not None else str(get("term_id")),
         idf=idf,
-        doc_ids=delta_decode_docids(bytes(get("doc_ids"))),
-        tfs=varint_decode(bytes(get("tfs"))).astype(np.int64),
-        dls=varint_decode(bytes(get("dls"))).astype(np.int64),
+        doc_ids=decode_docids(bytes(get("doc_ids"))),
+        tfs=decode_uints(bytes(get("tfs"))).astype(np.int64),
+        dls=decode_uints(bytes(get("dls"))).astype(np.int64),
         block_firsts=unpack_i64(bytes(get("block_firsts"))),
         block_ubs=unpack_f32(bytes(get("block_ubs"))),
     )

@@ -73,3 +73,47 @@ def test_tokenizer_paths_agree(text):
     b = sorted(zip(ob.tolist(), (str(x) for x in tb), fb.tolist()))
     assert a == b
     assert la.tolist() == lb.tolist()
+
+
+# ------------------------------------------------------ PForDelta (round 2)
+
+from data_prepper_spark.index.codec import (  # noqa: E402
+    decode_docids,
+    decode_uints,
+    encode_docids,
+    encode_uints,
+    pfor_decode,
+    pfor_encode,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(u64s)
+def test_pfor_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    out = pfor_decode(pfor_encode(arr))
+    assert out.dtype == np.uint64
+    assert out.tolist() == arr.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(u64s, st.sampled_from(["varint", "pfor"]))
+def test_tagged_uints_roundtrip(vals, codec):
+    arr = np.array(vals, dtype=np.uint64)
+    assert decode_uints(encode_uints(arr, codec)).tolist() == arr.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(i64s, st.sampled_from(["varint", "pfor"]))
+def test_tagged_docids_roundtrip(vals, codec):
+    arr = np.array(sorted(set(vals)), dtype=np.int64)
+    out = decode_docids(encode_docids(arr, codec))
+    assert out.dtype == np.int64
+    assert out.tolist() == arr.tolist()
+
+
+def test_pfor_beats_varint_on_dense_lists():
+    """The head-term case PFor exists for: dense docID deltas (small,
+    uniform) pack far below varint's 1-byte-per-value floor."""
+    deltas = np.random.default_rng(7).integers(1, 16, size=4096).astype(np.uint64)
+    assert len(pfor_encode(deltas)) < 0.8 * len(varint_encode(deltas))

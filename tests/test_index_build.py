@@ -105,3 +105,27 @@ def test_bucket_pruning_plan(spark, tiny_index):
     assert all(f"term_bucket={bucket}/" in r["f"] for r in pruned), pruned
     n_total = len(spark.read.parquet(f"{index_dir}/postings").inputFiles())
     assert 0 < len(pruned) < n_total
+
+
+def test_pfor_codec_rank_identical(spark, tiny_corpus_path, workdir, tiny_index, oracle_tiny):
+    """An index built with codec='pfor' returns byte-for-byte the same
+    BM25 top-k as the varint index AND the oracle — the codec is a pure
+    storage concern."""
+    import os
+
+    from data_prepper_spark.corpus import reference_queries
+    from data_prepper_spark.index.build import build_oneshot
+    from data_prepper_spark.index.config import IndexConfig
+    from data_prepper_spark.index.query import BM25Searcher
+
+    idx_pfor = os.path.join(workdir, "index_tiny_pfor")
+    pages = spark.read.parquet(tiny_corpus_path)
+    cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8, codec="pfor")
+    build_oneshot(spark, pages, idx_pfor, cfg)
+    s_pfor = BM25Searcher(spark, idx_pfor)
+    s_var = BM25Searcher(spark, tiny_index[0])
+    for q in reference_queries()[:12]:
+        got = s_pfor.search(q["query_text"], k=q["k"])
+        assert got == s_var.search(q["query_text"], k=q["k"])
+        want = oracle_tiny.topk(q["query_text"], q["k"])
+        assert [d for d, _ in got] == [d for d, _ in want]
