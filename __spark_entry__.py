@@ -5,11 +5,13 @@ entry()    — flagship: inverted-index build + block-max BM25 top-k over
 queries()  — one entry per implemented operator (SURVEY.md §2 +
              training-data prep); implementations live in
              data_prepper_spark/entry_queries.py.
-oracle_sql() — DuckDB twins.  As of round 2 EVERY queries() key has an
-             oracle — including the banded-LSH / hyperplane-LSH / IVF
-             blocking topologies (md5-family hashes and folded plane
-             literals make them SQL-reproducible) and the distributed
-             BM25 path.
+oracle_sql() — DuckDB twins.  As of round 2 every queries() key has an
+             oracle EXCEPT `anomaly_rcf` (rows-only by design: the RRCF
+             score is a sequential function of per-key forest state —
+             non-relational; pinned by tests/test_anomaly.py instead).
+             The banded-LSH / hyperplane-LSH / IVF blocking topologies
+             and the distributed BM25 path ARE fully oracled (md5-family
+             hashes and folded plane literals make them reproducible).
 """
 
 from __future__ import annotations

@@ -1327,19 +1327,17 @@ FROM m
 # ======================================= round-2 operator pinning queries
 
 def q_ft_bm25_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 10^12-doc search path, oracle-pinned: per-range BMW partial
-    top-k via applyInPandas, global orderBy.limit — no term's full
-    posting list ever on one node.  Retrieves 3k by exact score, then
-    applies the shared round-then-rank tie rule."""
+    """The 10^12-doc search path, oracle-pinned: per-range scoring via
+    applyInPandas, then a global distributed TakeOrdered under the SQL
+    oracle's EXACT tie rule (round(score,4) DESC, doc_id ASC) — no
+    per-range exact-score truncation, so no rounded-tie winner can be
+    missed, and no term's full posting list is ever on one node."""
     idx = _index_dir(spark, sf_dir)
     s = BM25Searcher(spark, idx)
     rows = []
     for qid, qtext in FT_QUERIES:
-        hits = s.search(qtext, k=FT_K * 3, distributed=True)
-        hits = sorted(
-            ((round(sc, 4), did) for did, sc in hits), key=lambda t: (-t[0], t[1])
-        )[:FT_K]
-        rows.extend((qid, did, sc) for sc, did in hits)
+        hits = s.search(qtext, k=FT_K, distributed=True, mode="brute", tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
     return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
 
 

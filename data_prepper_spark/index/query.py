@@ -53,6 +53,9 @@ class BM25Searcher:
         self.cfg = IndexConfig.from_dict(self.stats)
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
+        # indexes written before IndexConfig.codec carry raw (untagged)
+        # varint streams — detect from stats so they decode correctly
+        self.legacy_codec = "codec" not in self.stats
         # hive-partitioned segment datasets (term_bucket dirs); opening the
         # dataset only lists files — reads stay pruned per query
         self._postings = pads.dataset(f"{index_dir}/postings", partitioning="hive")
@@ -98,8 +101,14 @@ class BM25Searcher:
         k: int = 10,
         mode: str = "bmw",
         distributed: bool = False,
+        tie_round: int | None = None,
     ) -> list[tuple[int, float]]:
-        """Top-k (doc_id, score), rank-identical to the oracle."""
+        """Top-k (doc_id, score), rank-identical to the oracle.
+
+        ``tie_round`` (distributed brute mode only): rank globally by
+        (round(score, tie_round) DESC, doc_id ASC) over ALL matches —
+        the SQL oracle's exact tie rule, with no per-range exact-score
+        truncation that could drop a rounded-tie winner."""
         _, ids, buckets = self._terms_buckets(query_text)
         dfs = self.term_stats(ids, buckets)
         ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
@@ -107,12 +116,15 @@ class BM25Searcher:
             return []
         idf = {i: idf_value(self.n_docs, dfs[i]) for i in ids}
         if distributed:
-            return self._search_distributed(ids, buckets, idf, k, mode)
+            return self._search_distributed(ids, buckets, idf, k, mode, tie_round)
         rows = self._pruned_slice_rows(list(ids), buckets)
         by_range: dict[int, list[TermSlice]] = {}
         for r in rows:
             by_range.setdefault(int(r["range_id"]), []).append(
-                decode_slice(r, idf[r["term_id"]], label=ids[r["term_id"]])
+                decode_slice(
+                    r, idf[r["term_id"]], label=ids[r["term_id"]],
+                    legacy=self.legacy_codec,
+                )
             )
         ids_all, sc_all = [], []
         for slices in by_range.values():
@@ -127,29 +139,44 @@ class BM25Searcher:
         ids, sc = topk_select(np.concatenate(ids_all), np.concatenate(sc_all), k)
         return list(zip(ids.tolist(), sc.tolist()))
 
-    def _search_distributed(self, labels, buckets, idf, k, mode) -> list[tuple[int, float]]:
+    def _search_distributed(
+        self, labels, buckets, idf, k, mode, tie_round: int | None = None
+    ) -> list[tuple[int, float]]:
         cfg, avgdl = self.cfg, self.avgdl
+        legacy = self.legacy_codec
 
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
             slices = [
-                decode_slice(row, idf[row["term_id"]], label=labels[row["term_id"]])
+                decode_slice(
+                    row, idf[row["term_id"]], label=labels[row["term_id"]],
+                    legacy=legacy,
+                )
                 for row in pdf.to_dict("records")
             ]
             if mode == "bmw":
                 ids, sc = score_bmw(slices, cfg.k1, cfg.b, avgdl, k)
             else:
                 ids, sc = score_brute(slices, cfg.k1, cfg.b, avgdl)
-                ids, sc = topk_select(ids, sc, k)
+                if tie_round is None:
+                    ids, sc = topk_select(ids, sc, k)
+                # tie_round: keep EVERY match — the global rounded-tie
+                # rank must see all candidates (a docID-range holds its
+                # full candidate set locally; only (doc, score) pairs
+                # reach the global TakeOrdered)
             return pd.DataFrame({"doc_id": ids, "score": sc})
 
-        out = (
+        scored = (
             self._pruned_slices(list(labels), buckets)
             .groupBy("range_id")
             .applyInPandas(score_range, schema="doc_id long, score double")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .collect()
         )
+        if tie_round is not None:
+            ordered = scored.orderBy(
+                F.round(F.col("score"), tie_round).desc(), F.asc("doc_id")
+            )
+        else:
+            ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        out = ordered.limit(k).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in out]
 
     def search_all(self, query_text: str) -> list[tuple[int, float]]:
@@ -166,7 +193,10 @@ class BM25Searcher:
         by_range: dict[int, list[TermSlice]] = {}
         for r in rows:
             by_range.setdefault(int(r["range_id"]), []).append(
-                decode_slice(r, idf[r["term_id"]], label=ids[r["term_id"]])
+                decode_slice(
+                    r, idf[r["term_id"]], label=ids[r["term_id"]],
+                    legacy=self.legacy_codec,
+                )
             )
         out: list[tuple[int, float]] = []
         for slices in by_range.values():

@@ -22,7 +22,14 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .codec import decode_docids, decode_uints, unpack_f32, unpack_i64
+from .codec import (
+    decode_docids,
+    decode_uints,
+    delta_decode_docids,
+    unpack_f32,
+    unpack_i64,
+    varint_decode,
+)
 
 
 @dataclass
@@ -38,19 +45,34 @@ class TermSlice:
     block_ubs: np.ndarray     # float32, per-block max of the tf-normalization
 
 
-def decode_slice(row, idf: float, label: str | None = None) -> TermSlice:
+def decode_slice(
+    row, idf: float, label: str | None = None, legacy: bool = False
+) -> TermSlice:
     """Decode a postings-slice row (Row / dict / namedtuple-like).
 
     ``label`` is the term STRING for this row's term_id — slices are
     processed in sorted-label order so float accumulation order matches
-    the pure-Python oracle exactly (rank/bit identity)."""
+    the pure-Python oracle exactly (rank/bit identity).
+
+    ``legacy=True`` reads the pre-tag-byte on-disk format (raw varint
+    streams, indexes built before IndexConfig.codec existed) — the
+    searcher detects the format from the stats table, so old segments
+    never get mis-dispatched on their first payload byte."""
     get = row.__getitem__ if hasattr(row, "__getitem__") else getattr
+    if legacy:
+        doc_ids = delta_decode_docids(bytes(get("doc_ids")))
+        tfs = varint_decode(bytes(get("tfs"))).astype(np.int64)
+        dls = varint_decode(bytes(get("dls"))).astype(np.int64)
+    else:
+        doc_ids = decode_docids(bytes(get("doc_ids")))
+        tfs = decode_uints(bytes(get("tfs"))).astype(np.int64)
+        dls = decode_uints(bytes(get("dls"))).astype(np.int64)
     return TermSlice(
         term=label if label is not None else str(get("term_id")),
         idf=idf,
-        doc_ids=decode_docids(bytes(get("doc_ids"))),
-        tfs=decode_uints(bytes(get("tfs"))).astype(np.int64),
-        dls=decode_uints(bytes(get("dls"))).astype(np.int64),
+        doc_ids=doc_ids,
+        tfs=tfs,
+        dls=dls,
         block_firsts=unpack_i64(bytes(get("block_firsts"))),
         block_ubs=unpack_f32(bytes(get("block_ubs"))),
     )

@@ -154,7 +154,11 @@ def key_value(
         defaults = F.create_map(
             *[F.lit(x) for kv in default_values.items() for x in kv]
         )
-        m = F.map_zip_with(m, defaults, lambda _, v, dv: F.coalesce(v, dv))
+        # merge only keys ABSENT from the parsed map — a present-but-
+        # valueless pair (null value) keeps its null, per the reference
+        present = F.map_keys(m)
+        missing = F.map_filter(defaults, lambda k, _: ~F.array_contains(present, k))
+        m = F.map_concat(m, missing)
     return df.withColumn(destination, m)
 
 

@@ -141,7 +141,8 @@ def _aggregate(df: DataFrame, c: dict) -> DataFrame:
         from ..expression import compile_expression
 
         return agg_ops.tail_sampler(
-            df, keys, compile_expression(c["error_condition"]), c.get("percent", 0.0), keys[0]
+            df, keys, compile_expression(c["error_condition"]),
+            c.get("percent", 0.0), c.get("sample_key", keys[0]),
         )
     raise ValueError(f"unknown aggregate action {action!r}")
 
@@ -165,9 +166,9 @@ def _read_source(spark: SparkSession, spec) -> DataFrame:
     raise ValueError(f"unknown source {name!r}")
 
 
-def compile_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
-    """spec → {route_name: DataFrame}; '_default' holds unrouted events
-    (all events when no `route:` section, like a route-less DP sink)."""
+def _processed_frame(spark: SparkSession, spec: dict) -> DataFrame:
+    """source → processor chain → the pre-routing frame (shared by
+    compile_pipeline and run_pipeline)."""
     df = _read_source(spark, spec["source"])
     for step in spec.get("processor", []):
         (name, conf), = step.items()
@@ -175,6 +176,13 @@ def compile_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
         if fn is None:
             raise ValueError(f"unknown processor {name!r}")
         df = fn(df, conf or {})
+    return df
+
+
+def compile_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
+    """spec → {route_name: DataFrame}; '_default' holds unrouted events
+    (all events when no `route:` section, like a route-less DP sink)."""
+    df = _processed_frame(spark, spec)
     if "route" in spec:
         return routing.route(df, spec["route"])
     return {"_default": df}
@@ -194,13 +202,7 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, int]:
     one Spark job per file sink, not a write + a recount of the DAG."""
     from pyspark.sql import Observation
 
-    df = _read_source(spark, spec["source"])
-    for step in spec.get("processor", []):
-        (pname, conf), = step.items()
-        fn = _PROCESSORS.get(pname)
-        if fn is None:
-            raise ValueError(f"unknown processor {pname!r}")
-        df = fn(df, conf or {})
+    df = _processed_frame(spark, spec)
     has_routes = "route" in spec
     routed: dict[str, DataFrame] = {}
     if has_routes:
@@ -213,6 +215,11 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, int]:
     for sink in spec.get("sink", []):
         (name, conf), = sink.items()
         wanted = conf.get("routes")
+        if wanted and not has_routes:
+            raise ValueError(
+                f"sink declares routes {wanted} but the spec has no "
+                "`route:` section"
+            )
         if wanted and has_routes:
             parts = [routed[r] for r in wanted]
             out = parts[0]

@@ -57,8 +57,17 @@ def _topk_two_stage(scored: DataFrame, qid_col: str, id_col: str, k: int) -> Dat
 
     def partial(batches):
         for b in batches:
+            # na_position='first': Spark's ORDER BY cos DESC ranks NaN
+            # ABOVE every value, pandas defaults to last — without this a
+            # NaN-cosine row (zero-norm vector) would be cut in stage 1
+            # exactly when its batch is full, making output depend on
+            # partitioning
             yield (
-                b.sort_values([qid_col, "cos", id_col], ascending=[True, False, True])
+                b.sort_values(
+                    [qid_col, "cos", id_col],
+                    ascending=[True, False, True],
+                    na_position="first",
+                )
                 .groupby(qid_col, sort=False)
                 .head(k)
             )

@@ -117,3 +117,25 @@ def test_pfor_beats_varint_on_dense_lists():
     uniform) pack far below varint's 1-byte-per-value floor."""
     deltas = np.random.default_rng(7).integers(1, 16, size=4096).astype(np.uint64)
     assert len(pfor_encode(deltas)) < 0.8 * len(varint_encode(deltas))
+
+
+def test_legacy_untagged_slice_decode():
+    """Indexes written before the tag byte (raw varint streams) decode
+    through decode_slice(legacy=True) — the searcher's stats-based
+    format detection keeps old segments readable."""
+    from data_prepper_spark.index.scoring import decode_slice
+
+    docids = np.array([-5, 3, 900], dtype=np.int64)
+    tfs = np.array([1, 2, 3], dtype=np.uint64)
+    row = {
+        "doc_ids": delta_encode_docids(docids),       # OLD untagged format
+        "tfs": varint_encode(tfs),
+        "dls": varint_encode(tfs),
+        "block_firsts": pack_i64(docids[:1]),
+        "block_ubs": pack_f32(np.array([1.0], dtype=np.float32)),
+    }
+    ts = decode_slice(row, idf=1.0, label="t", legacy=True)
+    assert ts.doc_ids.tolist() == [-5, 3, 900]
+    assert ts.tfs.tolist() == [1, 2, 3]
+    # first tf == 1 makes the first byte 0x01 == the pfor tag: the
+    # non-legacy decoder would mis-dispatch this very blob

@@ -358,3 +358,31 @@ def test_key_value_recursive(spark):
     typed = strings.parse_json(out, "j", "a struct<b string, c string>, d string", "t")
     r = typed.collect()[0]["t"]
     assert r["a"]["b"] == "1" and r["d"] == "3"
+
+
+def test_key_value_default_not_overwriting_null_value(spark):
+    # a PRESENT valueless pair keeps its null; only ABSENT keys get defaults
+    df = spark.createDataFrame([("Flag&Type=x",)], "msg string")
+    out = strings.key_value(
+        df, "msg", "m", default_values={"Flag": "d", "Extra": "e"}
+    )
+    m = out.collect()[0]["m"]
+    assert m["Flag"] is None and m["Extra"] == "e" and m["Type"] == "x"
+
+
+def test_date_zone_no_double_shift(spark):
+    df = spark.createDataFrame(
+        [("2024-06-01 10:00:00 +0000", "2024-06-01 12:00:00")], "with_z string, no_z string"
+    )
+    # zone-carrying pattern: source_timezone must NOT re-shift
+    out = dates.date_processor(
+        df, "with_z", ["yyyy-MM-dd HH:mm:ss Z"], destination="iso",
+        source_timezone="America/New_York",
+    )
+    assert out.collect()[0]["iso"].startswith("2024-06-01T10:00:00")
+    # zone-less pattern: interpreted in the source zone (noon EDT = 16 UTC)
+    out2 = dates.date_processor(
+        df, "no_z", ["yyyy-MM-dd HH:mm:ss"], destination="iso",
+        source_timezone="America/New_York",
+    )
+    assert out2.collect()[0]["iso"].startswith("2024-06-01T16:00:00")

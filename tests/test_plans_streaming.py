@@ -191,3 +191,9 @@ def test_stateful_count_conclude(spark, workdir):
     got = {(r["k"], r["n"], r["concluded_by"]) for r in spark.sql("SELECT * FROM concluded").collect()}
     assert ("hot", 7, "threshold") in got
     assert ("cold", 2, "timeout") in got
+
+
+def test_sink_routes_without_route_section_errors(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="no `route:` section"):
+        run_pipeline(spark, {"source": df, "sink": [{"count": {"routes": ["errors"]}}]})
