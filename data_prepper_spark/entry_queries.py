@@ -1794,6 +1794,48 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 <
 """
 
 
+def q_expression_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSL function family end-to-end (length / contains / hasTags /
+    getMetadata / cidrContains — docs/expression_syntax.md:171-191), over
+    events with synthesized _tags/_meta/ip columns."""
+    from .expression import TAGS_COL, META_COL, compile_expression
+
+    ev = _t(spark, sf_dir, "events")
+    df = (
+        ev.withColumn(
+            TAGS_COL,
+            F.when(F.col("event_id") % 3 == 0, F.array(F.lit("err"), F.lit("slow")))
+            .otherwise(F.array(F.lit("ok"))),
+        )
+        .withColumn(
+            META_COL,
+            F.create_map(F.lit("env"), F.when(F.col("user_id") % 2 == 0, "prod").otherwise("dev")),
+        )
+        .withColumn(
+            "ip",
+            F.format_string(
+                "10.%d.0.7", (F.col("event_id") % 512).cast("int")
+            ),
+        )
+    )
+    cond = compile_expression(
+        'length(/event_type) >= 5 and contains(/event_type, "r") '
+        'and hasTags("err") and getMetadata("/env") == "prod" '
+        'and cidrContains(/ip, "10.0.0.0/9")'
+    )
+    return df.filter(cond).select("event_id")
+
+
+def sql_expression_functions() -> str:
+    return """
+SELECT event_id FROM events
+WHERE length(event_type) >= 5 AND contains(event_type, 'r')
+  AND event_id % 3 = 0
+  AND user_id % 2 = 0
+  AND (event_id % 512) < 128
+"""
+
+
 def q_anomaly_rcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """random_cut_forest anomaly mode (self-contained RRCF, operators/
     rcf.py).  NO SQL oracle by design: the score is a function of the
@@ -1887,6 +1929,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "decontam_8gram": q_decontam_8gram,
     "stratified_sample": q_stratified_sample,
+    "expression_functions": q_expression_functions,
     # rows-only by design: sequential per-key forest state, non-relational
     "anomaly_rcf": q_anomaly_rcf,
 }
@@ -1958,6 +2001,7 @@ ORACLES = {
     "text_repetition": sql_text_repetition(),
     "decontam_8gram": sql_decontam_8gram(),
     "stratified_sample": sql_stratified_sample(),
+    "expression_functions": sql_expression_functions(),
 }
 
 
