@@ -895,6 +895,61 @@ GROUP BY 1
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting-revenue: pure filtered aggregate — the predicate-
+    pushdown showcase (all three filters reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def sql_tpch_q6() -> str:
+    return """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered analytic window (running per-user value sum) — the sorts/
+    windows family the reference lacks entirely (SURVEY §2.7)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+def sql_running_total() -> str:
+    return """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+"""
+
+
 # ====================================================== trainprep family
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1894,6 +1949,8 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5ish": q_tpch_q5ish,
+    "tpch_q6": q_tpch_q6,
+    "running_total": q_running_total,
     # training-data prep
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1970,6 +2027,8 @@ ORACLES = {
     "tpch_q1": sql_tpch_q1(),
     "tpch_q3": sql_tpch_q3(),
     "tpch_q5ish": sql_tpch_q5ish(),
+    "tpch_q6": sql_tpch_q6(),
+    "running_total": sql_running_total(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_jaccard": sql_dedup_jaccard(),
     "dedup_simhash": sql_dedup_simhash(),
