@@ -1891,6 +1891,122 @@ WHERE length(event_type) >= 5 AND contains(event_type, 'r')
 """
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline COMPILER itself, driver-pinned: a reference-shaped
+    spec (grok → date → convert_entry_type → add_entries → route) over
+    synthesized CLF lines, returning the `errors` route."""
+    from .plans import compile_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    clf = ev.withColumn(
+        "log",
+        F.format_string(
+            '10.0.%d.%d - user%d [11/Dec/2021:10:00:00 -0700] "GET /p/%d HTTP/1.0" %d %d',
+            (F.col("user_id") % 256).cast("int"),
+            (F.col("event_id") % 256).cast("int"),
+            F.col("user_id").cast("int"),
+            F.col("event_id").cast("int"),
+            F.when(F.col("event_type") == "error", 500).otherwise(200).cast("int"),
+            (F.col("event_id") % 5000 + 100).cast("int"),
+        ),
+    )
+    spec = {
+        "source": clf,
+        "processor": [
+            {"grok": {"match": {"log": ["%{COMMONAPACHELOG}"]}}},
+            {
+                "date": {
+                    "match_key": "timestamp",
+                    "patterns": ["dd/MMM/yyyy:HH:mm:ss Z"],
+                    "destination": "@timestamp",
+                }
+            },
+            {"convert_entry_type": {"key": "response", "type": "integer"}},
+            {
+                "add_entries": {
+                    "entries": [
+                        {"key": "status_class", "value_expression": "/response / 100"}
+                    ]
+                }
+            },
+        ],
+        "route": {"errors": "/response >= 500"},
+    }
+    routed = compile_pipeline(spark, spec)
+    return routed["errors"].select(
+        "event_id",
+        "response",
+        F.round("status_class", 4).alias("status_class"),
+        F.col("@timestamp").alias("ts_iso"),
+    )
+
+
+def sql_pipeline_e2e() -> str:
+    return """
+SELECT event_id, 500::BIGINT AS response, 5.0 AS status_class,
+       '2021-12-11T17:00:00.000Z' AS ts_iso
+FROM events WHERE event_type = 'error'
+"""
+
+
+def q_codec_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json-array codec (JsonInputCodec.java:30): one file holding a
+    top-level JSON array → one row per element."""
+    import json
+
+    from .sources import codecs
+
+    ev = _t(spark, sf_dir, "events")
+    rows = [
+        {"event_id": r["event_id"], "event_type": r["event_type"]}
+        for r in ev.filter(F.col("event_id") < 200)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+        .collect()
+    ]
+    d = tempfile.mkdtemp(prefix="dps_ja_")
+    path = os.path.join(d, "events.json")
+    with open(path, "w") as f:
+        json.dump(rows, f)
+    return codecs.read_json_array(spark, path).select("event_id", "event_type")
+
+
+def sql_codec_json_array() -> str:
+    return "SELECT event_id, event_type FROM events WHERE event_id < 200"
+
+
+def q_codec_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv codec round-trip (CsvInputCodec.java:37): header + quoted
+    fields written driver-side, read back via read_csv."""
+    from .sources import codecs
+
+    ev = _t(spark, sf_dir, "events")
+    rows = (
+        ev.filter(F.col("event_id") < 300)
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="dps_csv_")
+    path = os.path.join(d, "events.csv")
+    with open(path, "w") as f:
+        f.write("id,typ,uid\n")
+        for r in rows:
+            f.write(f'{r["event_id"]},"{r["event_type"]}",{r["user_id"]}\n')
+    out = codecs.read_csv(spark, path, header=True)
+    return out.select(
+        F.col("id").cast("long").alias("event_id"),
+        F.col("typ").alias("event_type"),
+        F.col("uid").cast("long").alias("user_id"),
+    )
+
+
+def sql_codec_csv() -> str:
+    return (
+        "SELECT event_id, event_type, user_id FROM events WHERE event_id < 300"
+    )
+
+
 def q_anomaly_rcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """random_cut_forest anomaly mode (self-contained RRCF, operators/
     rcf.py).  NO SQL oracle by design: the score is a function of the
@@ -1987,6 +2103,9 @@ QUERIES = {
     "decontam_8gram": q_decontam_8gram,
     "stratified_sample": q_stratified_sample,
     "expression_functions": q_expression_functions,
+    "pipeline_e2e": q_pipeline_e2e,
+    "codec_json_array": q_codec_json_array,
+    "codec_csv": q_codec_csv,
     # rows-only by design: sequential per-key forest state, non-relational
     "anomaly_rcf": q_anomaly_rcf,
 }
@@ -2061,6 +2180,9 @@ ORACLES = {
     "decontam_8gram": sql_decontam_8gram(),
     "stratified_sample": sql_stratified_sample(),
     "expression_functions": sql_expression_functions(),
+    "pipeline_e2e": sql_pipeline_e2e(),
+    "codec_json_array": sql_codec_json_array(),
+    "codec_csv": sql_codec_csv(),
 }
 
 
