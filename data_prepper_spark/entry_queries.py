@@ -1116,6 +1116,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_text_quality() -> str:
+    # floor(x*1e4 + 0.5)/1e4 mirrors textstats.round4 — plain round()
+    # disagrees between engines on exact .00005 boundaries (seen at sf0.1)
     sw = ", ".join(f"'{s}'" for s in textstats.LANG_STOPWORDS["en"])
     return f"""
 WITH f AS (
@@ -1128,12 +1130,12 @@ WITH f AS (
   FROM documents
 )
 SELECT doc_id, n_tokens,
-       round(CASE WHEN n_chars > 0 THEN alnum / n_chars::DOUBLE ELSE 0 END, 4) AS alpha_ratio,
-       round(CASE WHEN n_tokens > 0 THEN stop / n_tokens::DOUBLE ELSE 0 END, 4) AS stopword_ratio,
-       round(0.4 * least(n_tokens / 100.0, 1.0)
+       floor((CASE WHEN n_chars > 0 THEN alnum / n_chars::DOUBLE ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+       floor((CASE WHEN n_tokens > 0 THEN stop / n_tokens::DOUBLE ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+       floor((0.4 * least(n_tokens / 100.0, 1.0)
              + 0.3 * (CASE WHEN n_chars > 0 THEN alnum / n_chars::DOUBLE ELSE 0 END)
-             + 0.3 * least((CASE WHEN n_tokens > 0 THEN stop / n_tokens::DOUBLE ELSE 0 END) * 5.0, 1.0),
-             4) AS quality_score
+             + 0.3 * least((CASE WHEN n_tokens > 0 THEN stop / n_tokens::DOUBLE ELSE 0 END) * 5.0, 1.0))
+             * 10000.0 + 0.5) / 10000.0 AS quality_score
 FROM f
 """
 

@@ -47,6 +47,18 @@ def stopword_hits(col: Column, stopwords: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
 
+def round4(x: Column) -> Column:
+    """floor(x·10⁴ + 0.5)/10⁴ — engine-agnostic half-up rounding.
+
+    The features are rationals (token/char counts), so a score can land
+    EXACTLY on a .00005 boundary (observed at sf0.1: 0.84025); Spark's
+    BigDecimal-of-double round and DuckDB's round() then disagree on the
+    same double.  floor(x·1e4 + 0.5) is a pure IEEE expression — both
+    engines compute identical bits from identical inputs.  Values are
+    non-negative here (half-up == half-away-from-zero)."""
+    return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features + a composite score in [0,1].
 
@@ -54,7 +66,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
       n_chars, n_tokens, avg_token_len, alpha_ratio (alnum+space chars /
       chars), stopword_ratio (en), and quality_score =
       0.4*min(n_tokens/100,1) + 0.3*alpha_ratio + 0.3*min(stop_ratio*5,1),
-      rounded to 4 places.
+      rounded to 4 places (engine-agnostic half-up — see round4).
     """
     c = F.col(text_col)
     n_chars = F.length(c)
@@ -72,10 +84,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         n_tokens.alias("n_tokens"),
-        F.round(avg_tok, 4).alias("avg_token_len"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        round4(avg_tok).alias("avg_token_len"),
+        round4(alpha_ratio).alias("alpha_ratio"),
+        round4(stop_ratio).alias("stopword_ratio"),
+        round4(score).alias("quality_score"),
     )
 
 
