@@ -173,8 +173,12 @@ def _write_termstats(spark: SparkSession, p: dict, cfg: IndexConfig) -> None:
         .withColumn("term_bucket", _term_bucket_from_id(cfg))
         .repartition(cfg.n_buckets, F.col("term_bucket"))
     )
-    termstats.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        p["termstats"]
+    (
+        termstats.sortWithinPartitions("term_bucket", "term_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .partitionBy("term_bucket")
+        .parquet(p["termstats"])
     )
 
 
@@ -266,7 +270,16 @@ def build_index(
             .repartition(cfg.n_buckets, F.col("term_bucket"))
         )
         gdir = os.path.join(p["postings"], f"bgroup={g}")
-        slices.write.mode("overwrite").partitionBy("term_bucket").parquet(gdir)
+        # term_id-sorted rows + 1 MB row groups: query-side pyarrow reads
+        # prune row groups on term_id min/max stats (measured at 1M docs:
+        # slice read 100ms -> ~10ms; unsorted hash ids make stats useless)
+        (
+            slices.sortWithinPartitions("term_bucket", "term_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 1 << 20)
+            .partitionBy("term_bucket")
+            .parquet(gdir)
+        )
         back = spark.read.parquet(gdir)
         cnt = back.agg(
             F.sum("cf_slice").alias("cf"), F.sum("df_slice").alias("df")
@@ -404,9 +417,13 @@ def build_oneshot_tokens(
         # one file per term_bucket dir (see build_index note)
         .repartition(cfg.n_buckets, F.col("term_bucket"))
     )
-    slices.write.mode("overwrite").partitionBy("bgroup", "term_bucket").parquet(
-        p["postings"]
-    )
+    (
+        slices.sortWithinPartitions("term_bucket", "term_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .partitionBy("bgroup", "term_bucket")
+        .parquet(p["postings"])
+    )  # sorted + small row groups -> term_id row-group pruning at query time
     _mark("t_encode")
     _termdict(tokens, cfg).repartition(
         cfg.n_buckets, F.col("term_bucket")

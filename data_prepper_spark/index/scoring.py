@@ -150,9 +150,21 @@ def score_bmw(
     n_got = 0
     theta = -np.inf
     seg_end = np.append(bounds[1:], np.iinfo(np.int64).max)
-    for si in seg_order:
+    # Pruning-convergence guard: a rare term co-occurring with a stopword
+    # makes EVERY segment's upper bound exceed theta (the rare term's few
+    # wide blocks overlap the whole grid), so the segment loop degenerates
+    # to per-segment Python overhead × ~1k segments (measured 2-5 s per
+    # query at 1M docs).  After MAX_SEG segments without a break, exact
+    # whole-range brute scoring in ONE vectorized pass is strictly
+    # cheaper (~ms) — output is identical either way (both paths score
+    # exactly; only the pruning strategy differs).
+    MAX_SEG = 16
+    for n_seen, si in enumerate(seg_order):
         if n_got >= k and seg_ub[si] < theta:
             break  # all remaining segments have strictly smaller bounds
+        if n_seen >= MAX_SEG:
+            ids, sc = score_brute(slices, k1, b, avgdl)
+            return topk_select(ids, sc, k)
         lo, hi = bounds[si], seg_end[si]
         sub = []
         for s in slices:
