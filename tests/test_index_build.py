@@ -129,3 +129,29 @@ def test_pfor_codec_rank_identical(spark, tiny_corpus_path, workdir, tiny_index,
         assert got == s_var.search(q["query_text"], k=q["k"])
         want = oracle_tiny.topk(q["query_text"], q["k"])
         assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_bmw_guard_rare_plus_stopword(spark, workdir):
+    """The pruning-convergence pathology: a rare term + a term in every
+    doc.  The guard must keep bmw exact (== brute) and fast."""
+    import os
+    import time
+
+    from data_prepper_spark.index.build import build_oneshot_text
+    from data_prepper_spark.index.config import IndexConfig
+    from data_prepper_spark.index.query import BM25Searcher
+
+    rows = [
+        (i, "the common filler words repeat here " + ("rareword " if i % 97 == 0 else "") + f"tail{i % 7}")
+        for i in range(3000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = os.path.join(workdir, "idx_guard")
+    build_oneshot_text(spark, docs, d, IndexConfig(range_bits=2, block_size=32, n_buckets=8))
+    s = BM25Searcher(spark, d)
+    t0 = time.perf_counter()
+    a = s.search("rareword the", k=10, mode="bmw")
+    dt = time.perf_counter() - t0
+    b = s.search("rareword the", k=10, mode="brute")
+    assert a == b and len(a) == 10
+    assert dt < 2.0  # pre-guard this shape ran the full segment loop
