@@ -120,18 +120,17 @@ def q_ft_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 BM25 per reference query via the real block-max index;
-    final selection by (round(score,4) DESC, doc_id ASC) — the tie rule
-    shared with the SQL oracle."""
+    """Top-10 BM25 per reference query — through the DISTRIBUTED scale
+    path (per-docID-range applyInPandas scoring, global TakeOrdered under
+    the oracle's exact tie rule round(score,4) DESC, doc_id ASC).  This is
+    the 10^12-doc plan; the driver-mode pyarrow read stays available as
+    the low-latency serving entry (`BM25Searcher.search`, default)."""
     idx = _index_dir(spark, sf_dir)
     s = BM25Searcher(spark, idx)
     rows = []
     for qid, qtext in FT_QUERIES:
-        hits = s.search_all(qtext)
-        hits = sorted(
-            ((round(sc, 4), did) for did, sc in hits), key=lambda t: (-t[0], t[1])
-        )[:FT_K]
-        rows.extend((qid, did, sc) for sc, did in hits)
+        hits = s.search(qtext, k=FT_K, distributed=True, mode="brute", tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
     return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
 
 
@@ -1874,22 +1873,46 @@ def q_expression_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "10.%d.0.7", (F.col("event_id") % 512).cast("int")
             ),
         )
+        .withColumn(
+            "ip6",
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.format_string(
+                    "::ffff:%d.0.0.9", (F.col("event_id") % 256).cast("int")
+                ),
+            ).otherwise(
+                F.format_string(
+                    "2001:db8:%x::%x",
+                    (F.col("user_id") % 16).cast("int"),
+                    (F.col("event_id") % 4096).cast("int"),
+                )
+            ),
+        )
     )
     cond = compile_expression(
         'length(/event_type) >= 5 and contains(/event_type, "r") '
         'and hasTags("err") and getMetadata("/env") == "prod" '
-        'and cidrContains(/ip, "10.0.0.0/9")'
+        'and cidrContains(/ip, "10.0.0.0/9") '
+        'and cidrContains(/ip6, "2001:db8:a::/64", "2001:db8:b::/118", '
+        '"::ffff:0.0.0.0/100")'
     )
     return df.filter(cond).select("event_id")
 
 
 def sql_expression_functions() -> str:
+    # ip6 membership re-derived arithmetically: v4-mapped rows
+    # (event_id%5=0) match ::ffff:0.0.0.0/100 iff first octet < 16;
+    # plain rows match 2001:db8:a::/64 iff group3 = 0xa, or
+    # 2001:db8:b::/118 iff group3 = 0xb and the low group < 0x400
     return """
 SELECT event_id FROM events
 WHERE length(event_type) >= 5 AND contains(event_type, 'r')
   AND event_id % 3 = 0
   AND user_id % 2 = 0
   AND (event_id % 512) < 128
+  AND (CASE WHEN event_id % 5 = 0 THEN (event_id % 256) < 16
+       ELSE (user_id % 16) = 10
+            OR ((user_id % 16) = 11 AND (event_id % 4096) < 1024) END)
 """
 
 
@@ -2190,13 +2213,16 @@ ORACLES = {
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The flagship: build the inverted index over `documents`, answer the
-    reference query set with block-max BM25, return (query_id, rank,
-    doc_id, score)."""
+    reference query set with BM25 through the DISTRIBUTED scale path
+    (per-range applyInPandas scoring + global TakeOrdered — the plan that
+    holds at 10^12 docs; rank ties broken by the oracle rule
+    round(score,4) DESC, doc_id ASC)."""
     idx = _index_dir(spark, sf_dir)
     s = BM25Searcher(spark, idx)
     rows = []
     for qid, qtext in FT_QUERIES:
-        for rank, (did, sc) in enumerate(s.search(qtext, k=FT_K), 1):
+        hits = s.search(qtext, k=FT_K, distributed=True, mode="brute", tie_round=4)
+        for rank, (did, sc) in enumerate(hits, 1):
             rows.append((qid, rank, did, round(sc, 4)))
     return spark.createDataFrame(
         rows, "query_id int, rank int, doc_id long, score double"

@@ -314,28 +314,115 @@ def _apply_function(name: str, args: list[Column]) -> Column:
     raise ExpressionError(f"unknown function {name}()")
 
 
-def _cidr_contains(ip_col: Column, cidrs: list[str]) -> Column:
-    """IPv4 CIDR test as pure bit arithmetic on the dotted-quad column —
-    JVM-side, no UDF (CidrExpressionFunction.java:19 uses commons-net).
-    CIDR strings are parsed driver-side at compile time; IPv6 networks
-    raise (128-bit range math has no JVM-column form here — documented
-    gap vs the reference's commons-net IPv6 path)."""
+_SIGN_BIT = -(1 << 63)  # Long.MIN_VALUE — xor flips the sign bit
+
+
+def _bias(u64: int) -> int:
+    """Unsigned 64-bit value → sign-bit-flipped signed long, so SIGNED
+    comparison of biased values == UNSIGNED comparison of the originals."""
+    return (u64 ^ (1 << 63)) - (1 << 64) if (u64 ^ (1 << 63)) >= (1 << 63) else (u64 ^ (1 << 63))
+
+
+def _ipv4_num(ip_col: Column) -> Column:
     octets = F.split(ip_col, r"\.")
-    ip_num = (
-        octets.getItem(0).cast("long") * F.lit(1 << 24)
-        + octets.getItem(1).cast("long") * F.lit(1 << 16)
-        + octets.getItem(2).cast("long") * F.lit(1 << 8)
-        + octets.getItem(3).cast("long")
+    return (
+        F.get(octets, 0).try_cast("long") * F.lit(1 << 24)
+        + F.get(octets, 1).try_cast("long") * F.lit(1 << 16)
+        + F.get(octets, 2).try_cast("long") * F.lit(1 << 8)
+        + F.get(octets, 3).try_cast("long")
     )
-    cond = F.lit(False)
-    for s in cidrs:
-        net = ipaddress.ip_network(s, strict=False)
-        if net.version != 4:
-            raise ExpressionError(
-                f"cidrContains: IPv6 CIDR {s!r} is not supported (IPv4 only)"
+
+
+def _ipv6_halves(ip_col: Column) -> tuple[Column, Column, Column]:
+    """(valid, biased_hi, biased_lo) for an IPv6 text column — pure
+    Catalyst column arithmetic, no UDF.  Handles '::' zero-compression
+    and the embedded-IPv4 tail ('::ffff:192.0.2.1').  The two unsigned
+    64-bit halves are built with shiftleft|bitwiseOR (wrapping bit ops —
+    no ANSI overflow) and sign-bit-biased so signed (hi, lo) lexicographic
+    compare equals unsigned 128-bit compare."""
+    s = F.lower(F.trim(ip_col))
+    # embedded IPv4 tail → two trailing hex groups
+    has_v4 = s.rlike(r"\.")
+    quad = F.split(F.regexp_extract(s, r"(\d+\.\d+\.\d+\.\d+)$", 1), r"\.")
+
+    def q(i: int) -> Column:
+        return F.get(quad, i).try_cast("long")
+
+    g6 = F.conv((q(0) * 256 + q(1)).cast("string"), 10, 16)
+    g7 = F.conv((q(2) * 256 + q(3)).cast("string"), 10, 16)
+    s = F.when(
+        has_v4,
+        F.concat(
+            F.regexp_replace(s, r"\d+\.\d+\.\d+\.\d+$", ""), g6, F.lit(":"), g7
+        ),
+    ).otherwise(s)
+    # '::' expansion to 8 groups
+    halves = F.split(s, "::", -1)
+    left = F.filter(F.split(F.get(halves, 0), ":", -1), lambda x: x != "")
+    right = F.filter(
+        F.split(F.coalesce(F.element_at(halves, 2), F.lit("")), ":", -1),
+        lambda x: x != "",
+    )
+    pad = F.array_repeat(F.lit("0"), F.lit(8) - F.size(left) - F.size(right))
+    groups = F.when(F.size(halves) == 2, F.concat(left, pad, right)).otherwise(
+        F.filter(F.split(s, ":", -1), lambda x: x != "")
+    )
+    gv = F.transform(groups, lambda g: F.conv(g, 16, 10).try_cast("long"))
+
+    def pack(a: Column, b: Column, c: Column, d: Column) -> Column:
+        return (
+            F.shiftleft(a, 48)
+            .bitwiseOR(F.shiftleft(b, 32))
+            .bitwiseOR(F.shiftleft(c, 16))
+            .bitwiseOR(d)
+        )
+
+    hi = pack(F.get(gv, 0), F.get(gv, 1), F.get(gv, 2), F.get(gv, 3))
+    lo = pack(F.get(gv, 4), F.get(gv, 5), F.get(gv, 6), F.get(gv, 7))
+    valid = F.size(groups) == 8
+    bias = F.lit(_SIGN_BIT)
+    return valid, hi.bitwiseXOR(bias), lo.bitwiseXOR(bias)
+
+
+def _cidr_contains(ip_col: Column, cidrs: list[str]) -> Column:
+    """CIDR membership as pure column arithmetic, IPv4 AND IPv6 — no UDF
+    (the reference's CidrExpressionFunction.java:19 delegates to
+    commons-net SubnetUtils / IP6 range classes; here both families
+    compile to JVM-side range compares).  IPv4: dotted quad → one long.
+    IPv6: '::'-expanded groups → two sign-bit-biased longs, 128-bit range
+    test as lexicographic (hi, lo) compare.  CIDR strings parse
+    driver-side at compile time; an address only tests against its own
+    family's networks."""
+    v4nets = []
+    v6ranges = []
+    for spec in cidrs:
+        net = ipaddress.ip_network(spec, strict=False)
+        if net.version == 4:
+            v4nets.append((int(net.network_address), int(net.broadcast_address)))
+        else:
+            lo, hi = int(net.network_address), int(net.broadcast_address)
+            v6ranges.append(
+                (
+                    _bias(lo >> 64), _bias(lo & ((1 << 64) - 1)),
+                    _bias(hi >> 64), _bias(hi & ((1 << 64) - 1)),
+                )
             )
-        lo, hi = int(net.network_address), int(net.broadcast_address)
-        cond = cond | ((ip_num >= F.lit(lo)) & (ip_num <= F.lit(hi)))
+    is_v6 = ip_col.contains(":")
+    cond = F.lit(False)
+    if v4nets:
+        ip_num = _ipv4_num(ip_col)
+        v4c = F.lit(False)
+        for lo, hi in v4nets:
+            v4c = v4c | ((ip_num >= F.lit(lo)) & (ip_num <= F.lit(hi)))
+        cond = cond | (~is_v6 & v4c)
+    if v6ranges:
+        valid, bhi, blo = _ipv6_halves(ip_col)
+        v6c = F.lit(False)
+        for lo_h, lo_l, hi_h, hi_l in v6ranges:
+            ge_lo = (bhi > F.lit(lo_h)) | ((bhi == F.lit(lo_h)) & (blo >= F.lit(lo_l)))
+            le_hi = (bhi < F.lit(hi_h)) | ((bhi == F.lit(hi_h)) & (blo <= F.lit(hi_l)))
+            v6c = v6c | (ge_lo & le_hi)
+        cond = cond | (is_v6 & valid & v6c)
     return cond
 
 
