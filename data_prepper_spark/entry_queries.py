@@ -17,6 +17,7 @@ temp dir, cached across queries.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import tempfile
 
@@ -342,6 +343,47 @@ def sql_parse_json() -> str:
     return "SELECT event_id, (props->>'k')::INT AS k FROM events"
 
 
+def q_parse_json_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json with `pointer` subtree extraction + `tags_on_failure`
+    (ParseJsonProcessor.java:61-101,117-139): pointer /meta/ids/1 lands
+    the second array element under the end key 'ids.1'; malformed rows
+    (every 13th) keep a null value and gain the failure tag in _tags."""
+    ev = _t(spark, sf_dir, "events")
+    js = ev.withColumn(
+        "js",
+        F.when(F.col("event_id") % 13 == 0, F.lit('{"meta": broken'))
+        .otherwise(
+            F.format_string(
+                '{"meta":{"env":"%s","ids":[%d,%d]}}',
+                F.when(F.col("user_id") % 2 == 0, "prod").otherwise("dev"),
+                F.col("user_id").cast("long"),
+                F.col("event_id").cast("long"),
+            )
+        ),
+    )
+    out = strings.parse_json(
+        js,
+        "js",
+        "meta struct<env:string,ids:array<bigint>>",
+        pointer="/meta/ids/1",
+        tags_on_failure=["_jsonfailure"],
+    )
+    return out.select(
+        "event_id",
+        F.col("`ids.1`").alias("ids_1"),
+        F.array_join(F.col("_tags"), ",").alias("tags"),
+    )
+
+
+def sql_parse_json_pointer() -> str:
+    return """
+SELECT event_id,
+       CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id END AS ids_1,
+       CASE WHEN event_id % 13 = 0 THEN '_jsonfailure' ELSE NULL END AS tags
+FROM events
+"""
+
+
 def q_grok_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference e2e archetype (basic-grok-e2e-pipeline.yml): format
     synthetic Apache CLF lines, grok them back apart."""
@@ -391,6 +433,46 @@ def sql_date_iso() -> str:
         "SELECT event_id, strftime(date_trunc('second', ts), "
         "'%Y-%m-%dT%H:%M:%S.000Z') AS iso FROM events"
     )
+
+
+def q_date_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date with source_locale + missing-field defaulting
+    (DateProcessor.java:99-113): French abbreviated month names under a
+    year-less pattern 'dd MMM HH:mm' — the year defaults to `now`'s
+    (2026, fixed for reproducibility), month names translate via the CLDR
+    vocabulary before the default-locale parse."""
+    ev = _t(spark, sf_dir, "events")
+    months_fr = ["janv.", "févr.", "mars", "avr.", "mai", "juin", "juil.",
+                 "août", "sept.", "oct.", "nov.", "déc."]
+    raw = ev.withColumn(
+        "raw_fr",
+        F.format_string(
+            "%02d %s %02d:%02d",
+            (F.col("event_id") % 28 + 1).cast("int"),
+            F.element_at(
+                F.array(*[F.lit(m) for m in months_fr]),
+                (F.col("user_id") % 12 + 1).cast("int"),
+            ),
+            (F.col("event_id") % 24).cast("int"),
+            (F.col("user_id") % 60).cast("int"),
+        ),
+    )
+    out = dates.date_processor(
+        raw, "raw_fr", ["dd MMM HH:mm"], destination="iso",
+        source_locale="fr-FR", now=_dt.date(2026, 3, 5),
+    )
+    return out.select("event_id", "iso")
+
+
+def sql_date_locale() -> str:
+    return """
+SELECT event_id,
+       strftime(make_timestamp(2026, (user_id % 12 + 1)::INT,
+                               (event_id % 28 + 1)::INT,
+                               (event_id % 24)::INT, (user_id % 60)::INT, 0),
+                '%Y-%m-%dT%H:%M:%S.000Z') AS iso
+FROM events
+"""
 
 
 def q_obfuscate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,7 +1556,9 @@ def q_list_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("typ").alias("k"), F.col("event_type").cast("string").alias("v")),
         F.struct(F.lit("uid").alias("k"), F.col("user_id").cast("string").alias("v")),
     )
-    out = mutate.list_to_map(ev.withColumn("arr", arr), "arr", "m", key="k", value_key="v")
+    out = mutate.list_to_map(
+        ev.withColumn("arr", arr), "arr", "m", key="k", value_key="v", flatten=True
+    )
     return out.select(
         "event_id",
         F.element_at("m", "typ").alias("mt"),
@@ -1486,6 +1570,80 @@ def sql_list_to_map() -> str:
     return (
         "SELECT event_id, event_type AS mt, user_id::VARCHAR AS mu FROM events"
     )
+
+
+def q_list_to_map_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list_to_map's full option surface (constructTargetNode,
+    ListToMapProcessor.java:91-123) under DUPLICATE keys: grouped-list
+    default, flatten first, flatten last — all three in one pass."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array(
+        F.struct(F.lit("a").alias("k"), F.col("event_type").cast("string").alias("v")),
+        F.struct(F.lit("b").alias("k"), F.col("user_id").cast("string").alias("v")),
+        F.struct(F.lit("a").alias("k"), (F.col("event_id") % 7).cast("string").alias("v")),
+    )
+    base = ev.withColumn("arr", arr)
+    grouped = mutate.list_to_map(base, "arr", "mg", key="k", value_key="v")
+    first = mutate.list_to_map(
+        grouped, "arr", "mf", key="k", value_key="v", flatten=True
+    )
+    last = mutate.list_to_map(
+        first, "arr", "ml", key="k", value_key="v",
+        flatten=True, flattened_element="last",
+    )
+    return last.select(
+        "event_id",
+        F.array_join(F.element_at("mg", "a"), ",").alias("a_all"),
+        F.element_at("mf", "a").alias("a_first"),
+        F.element_at("ml", "a").alias("a_last"),
+        F.element_at("mf", "b").alias("b0"),
+    )
+
+
+def sql_list_to_map_flatten() -> str:
+    return """
+SELECT event_id,
+       event_type || ',' || (event_id % 7)::VARCHAR AS a_all,
+       event_type AS a_first,
+       (event_id % 7)::VARCHAR AS a_last,
+       user_id::VARCHAR AS b0
+FROM events
+"""
+
+
+def q_obfuscate_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """obfuscate with the predefined %{NAME} pattern library
+    (CommonPattern.java:8-15, resolved per ObfuscationProcessor.java:62-78):
+    EMAIL_ADDRESS + US_SSN_NUMBER masked; non-matching rows unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    msg = ev.withColumn(
+        "msg",
+        F.format_string(
+            "c %s s %03d-%02d-%04d r %d",
+            F.when(
+                F.col("event_id") % 4 == 0,
+                F.format_string("u%d@example.com", F.col("user_id").cast("long")),
+            ).otherwise(F.format_string("u%d", F.col("user_id").cast("long"))),
+            (F.col("user_id") % 1000).cast("int"),
+            (F.col("event_id") % 100).cast("int"),
+            (F.col("event_id") % 10000).cast("int"),
+            F.col("event_id").cast("long"),
+        ),
+    )
+    out = strings.obfuscate(
+        msg, "msg", ["%{EMAIL_ADDRESS}", "%{US_SSN_NUMBER}"]
+    )
+    return out.select("event_id", "msg")
+
+
+def sql_obfuscate_patterns() -> str:
+    return """
+SELECT event_id,
+       'c ' || CASE WHEN event_id % 4 = 0 THEN '***'
+                    ELSE 'u' || user_id::VARCHAR END
+            || ' s *** r ' || event_id::VARCHAR AS msg
+FROM events
+"""
 
 
 def q_csv_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2066,6 +2224,10 @@ QUERIES = {
     "string_chain": q_string_chain,
     "key_value": q_key_value,
     "parse_json": q_parse_json,
+    "parse_json_pointer": q_parse_json_pointer,
+    "date_locale": q_date_locale,
+    "list_to_map_flatten": q_list_to_map_flatten,
+    "obfuscate_patterns": q_obfuscate_patterns,
     "grok_clf": q_grok_clf,
     "date_iso": q_date_iso,
     "obfuscate": q_obfuscate,
@@ -2149,6 +2311,10 @@ ORACLES = {
     "string_chain": sql_string_chain(),
     "key_value": sql_key_value(),
     "parse_json": sql_parse_json(),
+    "parse_json_pointer": sql_parse_json_pointer(),
+    "date_locale": sql_date_locale(),
+    "list_to_map_flatten": sql_list_to_map_flatten(),
+    "obfuscate_patterns": sql_obfuscate_patterns(),
     "grok_clf": sql_grok_clf(),
     "date_iso": sql_date_iso(),
     "obfuscate": sql_obfuscate(),

@@ -200,16 +200,47 @@ def list_to_map(
     target: str,
     key: str,
     value_key: str | None = None,
+    flatten: bool = False,
+    flattened_element: str = "first",
 ) -> DataFrame:
-    """`list_to_map` (ListToMapProcessor.java:30,47-83): array<struct> →
-    map keyed by the struct's `key` field; whole-struct values when
-    value_key is None."""
+    """`list_to_map` (ListToMapProcessor.java:30,47-83; full option
+    surface per constructTargetNode :91-123): array<struct> → map keyed
+    by the struct's `key` field.
+
+      flatten=False (reference default, :98-110) — each key maps to the
+        LIST of its items' values, in order of appearance.
+      flatten=True (:111-118) — each key maps to ONE value; on duplicate
+        keys, `flattened_element` 'first' (default) or 'last' picks the
+        occurrence (FlattenedElement enum).
+      value_key None → whole item; else item[value_key] (:104-108).
+
+    Pure higher-order-function Catalyst (array_distinct + filter +
+    transform — per-event lists are small; no shuffle, no UDF).  The
+    reference's target=None root-merge needs data-dependent column names
+    and is out of scope in a fixed-schema engine (documented)."""
     arr = F.col(source)
-    if value_key is None:
-        entries = F.transform(arr, lambda x: F.struct(x.getField(key).alias("k"), x.alias("v")))
+    val = (lambda x: x) if value_key is None else (lambda x: x.getField(value_key))
+    keys = F.array_distinct(F.transform(arr, lambda x: x.getField(key)))
+    if flatten:
+        if flattened_element not in ("first", "last"):
+            raise ValueError(f"flattened_element must be first|last, got {flattened_element!r}")
+        idx = 0 if flattened_element == "first" else -1
+
+        def pick(k):
+            matches = F.filter(arr, lambda x: x.getField(key) == k)
+            chosen = F.get(matches, 0) if idx == 0 else F.element_at(matches, -1)
+            return val(chosen)
+
+        entries = F.transform(keys, lambda k: F.struct(k.alias("k"), pick(k).alias("v")))
     else:
         entries = F.transform(
-            arr, lambda x: F.struct(x.getField(key).alias("k"), x.getField(value_key).alias("v"))
+            keys,
+            lambda k: F.struct(
+                k.alias("k"),
+                F.transform(
+                    F.filter(arr, lambda x: x.getField(key) == k), val
+                ).alias("v"),
+            ),
         )
     return df.withColumn(target, F.map_from_entries(entries))
 

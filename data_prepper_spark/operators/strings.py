@@ -13,6 +13,8 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..expression import TAGS_COL
+
 
 def substitute_string(df: DataFrame, entries: list[dict]) -> DataFrame:
     """`substitute_string` (SubstituteStringProcessor.java:25,41-52):
@@ -52,6 +54,36 @@ def trim_string(df: DataFrame, with_keys: list[str]) -> DataFrame:
     return df
 
 
+# Predefined obfuscation pattern library (CommonPattern.java:8-15) —
+# referenced in configs as %{NAME}, resolved at plan time
+# (ObfuscationProcessor.java:62-78; unknown names are config errors).
+OBFUSCATE_COMMON_PATTERNS: dict[str, str] = {
+    "EMAIL_ADDRESS": r"[A-Za-z0-9+_.-]+@([\w-]+\.)+[\w-]{2,4}",
+    "IP_ADDRESS_V4": r"((25[0-5]|(2[0-4]|1\d|[1-9]|)\d)\.?\b){4}",
+    "BASE_NUMBER": r"[0-9]*\.?[0-9]+",
+    "CREDIT_CARD_NUMBER": r"(\d[ -]*?){13,16}",
+    "US_PHONE_NUMBER": r"\+?\d?[\s-]?(\(\d{3}\)|\d{3})[\s-]?\d{3}[\s-]?\d{4}",
+    "US_SSN_NUMBER": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def _resolve_obfuscate_patterns(patterns: list[str]) -> list[str]:
+    out = []
+    for raw in patterns:
+        m = re.fullmatch(r"%\{([A-Z0-9_]+)\}", raw)
+        if m:
+            name = m.group(1)
+            if name not in OBFUSCATE_COMMON_PATTERNS:
+                raise ValueError(
+                    f"obfuscate: no predefined pattern {raw!r} "
+                    f"(have {sorted(OBFUSCATE_COMMON_PATTERNS)})"
+                )
+            out.append(OBFUSCATE_COMMON_PATTERNS[name])
+        else:
+            out.append(raw)
+    return out
+
+
 def obfuscate(
     df: DataFrame,
     source: str,
@@ -61,7 +93,8 @@ def obfuscate(
     action: str = "mask",
 ) -> DataFrame:
     """`obfuscate` (ObfuscationProcessor.java:31,92) with its pluggable
-    action (MaskAction.java:24-35; the one-way-hash action):
+    action (MaskAction.java:24-35; the one-way-hash action) and the
+    predefined %{NAME} pattern library (CommonPattern.java:8-15):
 
       action="mask" — every regex match → the mask string (pure Catalyst).
       action="hash" — every regex match → its sha256 hex digest.  With no
@@ -69,6 +102,7 @@ def obfuscate(
         patterns, per-match replacement needs a callback, which regexes
         can't express in Catalyst → Arrow-batched pandas UDF (the one
         documented per-row-Python site outside media decode)."""
+    patterns = _resolve_obfuscate_patterns(patterns)
     if action == "mask":
         c: Column = F.col(source)
         for p in patterns:
@@ -273,16 +307,104 @@ def csv_parse_header_event(
     return out.drop(header_col) if delete_header else out
 
 
-def parse_json(df: DataFrame, source: str, schema: str, destination: str | None = None) -> DataFrame:
+def _pointer_walk(schema_ddl: str, pointer: str):
+    """Resolve a JSON pointer against the declared schema at COMPILE time
+    (the reference checks per-row with containsKey —
+    ParseJsonProcessor.java:125-128; in a fixed-schema engine validity is
+    a schema property).  Returns (elements, end_key, valid).  End-key rule
+    per getEndOfPointer (ParseJsonProcessor.java:141-153): last element,
+    or last two when the last is an array index; '/' → '.'
+    (normalizePointerStructure :160-162)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    trimmed = pointer.strip("/")
+    elements = trimmed.split("/")
+    cur = StructType.fromDDL(schema_ddl)
+    valid = True
+    for e in elements:
+        if re.fullmatch(r"[0-9]+", e) and isinstance(cur, ArrayType):
+            cur = cur.elementType
+        elif isinstance(cur, StructType) and e in cur.fieldNames():
+            cur = cur[e].dataType
+        else:
+            valid = False
+            break
+    if len(elements) <= 1:
+        end_key = trimmed
+    elif re.fullmatch(r"[0-9]+", elements[-1]):
+        end_key = elements[-2] + "/" + elements[-1]
+    else:
+        end_key = elements[-1]
+    return elements, end_key.replace("/", "."), valid
+
+
+def parse_json(
+    df: DataFrame,
+    source: str,
+    schema: str,
+    destination: str | None = None,
+    pointer: str | None = None,
+    tags_on_failure: list[str] | None = None,
+) -> DataFrame:
     """`parse_json` (ParseJsonProcessor.java:34,61-101): from_json with a
-    known schema; struct merged at root when destination is None."""
+    known schema; struct merged at root when destination is None.
+
+    ``pointer`` extracts a subtree (parseUsingPointer :117-139): the
+    value lands under the pointer's end key — or under the full
+    dot-normalized pointer when the end key would collide with an
+    existing root column (:133-135).  An invalid pointer falls back to
+    the whole parsed document (:125-128; resolved at compile time
+    against the declared schema).  ``tags_on_failure`` appends to the
+    ``_tags`` metadata column on rows whose JSON does not parse
+    (:93-99 — from_json yields NULL for malformed input; failure =
+    non-null source, null parse)."""
     parsed = F.from_json(F.col(source), schema)
+    out = df
+    if tags_on_failure:
+        # PERMISSIVE from_json yields an all-null struct (not NULL) for
+        # malformed input — detect failure via a corrupt-record field
+        # (the declarative twin of Jackson's JsonProcessingException,
+        # ParseJsonProcessor.java:93-96)
+        aug = F.from_json(
+            F.col(source),
+            schema + ", _dp_corrupt string",
+            {"columnNameOfCorruptRecord": "_dp_corrupt"},
+        )
+        failed = F.col(source).isNotNull() & aug.getField("_dp_corrupt").isNotNull()
+        have = df.columns
+        base = F.col(TAGS_COL) if TAGS_COL in have else F.lit(None).cast("array<string>")
+        out = out.withColumn(
+            TAGS_COL,
+            F.when(
+                failed,
+                F.array_union(
+                    F.coalesce(base, F.array().cast("array<string>")),
+                    F.array(*[F.lit(t) for t in tags_on_failure]),
+                ),
+            ).otherwise(base),
+        )
+    if pointer is not None:
+        elements, end_key, valid = _pointer_walk(schema, pointer)
+        if valid:
+            col = parsed
+            for e in elements:
+                if re.fullmatch(r"[0-9]+", e):
+                    col = F.get(col, int(e))
+                else:
+                    col = col.getField(e)
+            key = end_key
+            if destination is None and end_key in df.columns:
+                key = pointer.strip("/").replace("/", ".")
+            if destination is not None:
+                return out.withColumn(destination, F.struct(col.alias(key)))
+            return out.withColumn(key, col)
+        # invalid pointer → whole document (reference fallback)
     if destination is not None:
-        return df.withColumn(destination, parsed)
-    out = df.withColumn("_j", parsed)
-    for f_name in out.select("_j.*").columns:
-        out = out.withColumn(f_name, F.col("_j").getField(f_name))
-    return out.drop("_j")
+        return out.withColumn(destination, parsed)
+    tmp = out.withColumn("_j", parsed)
+    for f_name in tmp.select("_j.*").columns:
+        tmp = tmp.withColumn(f_name, F.col("_j").getField(f_name))
+    return tmp.drop("_j")
 
 
 # --------------------------------------------------------------------- grok

@@ -236,12 +236,22 @@ def test_percent_sampler_deterministic(events):
 
 
 def test_list_to_map(spark):
+    # duplicate key 'a' — exercises all three modes (ListToMapProcessor
+    # constructTargetNode :91-123)
     df = spark.createDataFrame(
-        [(1, [{"k": "a", "v": "1"}, {"k": "b", "v": "2"}])],
+        [(1, [{"k": "a", "v": "1"}, {"k": "b", "v": "2"}, {"k": "a", "v": "3"}])],
         "id int, arr array<struct<k string, v string>>",
     )
-    out = mutate.list_to_map(df, "arr", "m", key="k", value_key="v")
-    assert out.collect()[0]["m"] == {"a": "1", "b": "2"}
+    grouped = mutate.list_to_map(df, "arr", "m", key="k", value_key="v")
+    assert grouped.collect()[0]["m"] == {"a": ["1", "3"], "b": ["2"]}
+    first = mutate.list_to_map(df, "arr", "m", key="k", value_key="v", flatten=True)
+    assert first.collect()[0]["m"] == {"a": "1", "b": "2"}
+    last = mutate.list_to_map(
+        df, "arr", "m", key="k", value_key="v", flatten=True, flattened_element="last"
+    )
+    assert last.collect()[0]["m"] == {"a": "3", "b": "2"}
+    whole = mutate.list_to_map(df, "arr", "m", key="k", flatten=True)
+    assert whole.collect()[0]["m"]["a"].asDict() == {"k": "a", "v": "1"}
 
 
 # ------------------------------------------------- round-2 option surface
