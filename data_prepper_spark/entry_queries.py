@@ -743,9 +743,11 @@ _UA_TEMPLATES = [
     "curl/8.4.0",
 ]
 _UA_EXPECTED = [
-    ("Chrome", "120.0.0.0", "Windows 10", "Desktop"),
-    ("Safari", "17.0", "iOS", "iPhone"),
-    ("Firefox", "121.0", "Linux", "Desktop"),
+    # uap-core semantics (operators/uap.py): (family, joined version
+    # major[.minor[.patch]], os.full, device.name)
+    ("Chrome", "120.0.0", "Windows 10", "Other"),
+    ("Mobile Safari", "17.0", "iOS 17.0", "iPhone"),
+    ("Firefox", "121.0", "Linux", "Other"),
     ("curl", "8.4.0", "Other", "Other"),
 ]
 
@@ -764,8 +766,8 @@ def q_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("user_agent.name").alias("ua_name"),
         F.col("user_agent.version").alias("ua_version"),
-        F.col("user_agent.os").alias("ua_os"),
-        F.col("user_agent.device").alias("ua_device"),
+        F.col("user_agent.os.full").alias("ua_os"),
+        F.col("user_agent.device.name").alias("ua_device"),
     )
 
 
@@ -775,6 +777,81 @@ def sql_user_agent() -> str:
             f"WHEN {i} THEN '{exp[idx]}'" for i, exp in enumerate(_UA_EXPECTED)
         )
         return f"CASE event_id % 4 {arms} END"
+
+    return (
+        f"SELECT event_id, {case(0)} AS ua_name, {case(1)} AS ua_version, "
+        f"{case(2)} AS ua_os, {case(3)} AS ua_device FROM events"
+    )
+
+
+_UA_REAL = [
+    # (genuine UA string, uap-core expected: family, version, os_full, device)
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.110 Safari/537.36",
+     ("Chrome", "120.0.6099", "Windows 10", "Other")),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+     ("Edge", "120.0.2210", "Windows 10", "Other")),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+     ("Safari", "17.1", "Mac OS X 10.15.7", "Mac")),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1_2 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1.2 Mobile/15E148 Safari/604.1",
+     ("Mobile Safari", "17.1.2", "iOS 17.1.2", "iPhone")),
+    ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+     ("Firefox", "121.0", "Ubuntu", "Other")),
+    ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.144 Mobile Safari/537.36",
+     ("Chrome Mobile", "120.0.6099", "Android 14", "Pixel 8")),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/120.0.6099.119 Mobile/15E148 Safari/604.1",
+     ("Chrome Mobile iOS", "120.0.6099", "iOS 17.1", "iPhone")),
+    ("Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+     ("Samsung Internet", "23.0", "Android 13", "Samsung SM-S918B")),
+    ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; Googlebot/2.1; +http://www.google.com/bot.html) Chrome/120.0.6099.129 Safari/537.36",
+     ("Googlebot", "2.1", "Other", "Spider")),
+    ("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+     ("bingbot", "2.0", "Other", "Spider")),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.0.0",
+     ("Opera", "105.0.0", "Windows 10", "Other")),
+    ("Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+     ("IE", "11.0", "Windows 7", "Other")),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/120.0 Mobile/15E148 Safari/605.1.15",
+     ("Firefox iOS", "120.0", "iOS 17.1", "iPhone")),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/119.0.6045.105 Safari/537.36",
+     ("HeadlessChrome", "119.0.6045", "Linux", "Other")),
+    ("Mozilla/5.0 (Android 14; Mobile; rv:121.0) Gecko/121.0 Firefox/121.0",
+     ("Firefox Mobile", "121.0", "Android 14", "Generic Smartphone")),
+    ("python-requests/2.31.0",
+     ("Python Requests", "2.31.0", "Other", "Other")),
+]
+
+
+def q_user_agent_uap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uap-core-fidelity user_agent over GENUINE browser/bot UA strings
+    (the reference wraps uap-java 1.5.4 over the public uap-core DB —
+    UserAgentProcessor.java:29,43-60).  Each event carries one of 16
+    real-world UAs; output is the reference's (name, version, os.full,
+    device.name)."""
+    from .operators.enrich import user_agent
+
+    ev = _t(spark, sf_dir, "events")
+    ua_col = None
+    for i, (ua, _) in enumerate(_UA_REAL):
+        cond = F.col("event_id") % len(_UA_REAL) == i
+        ua_col = F.when(cond, ua) if ua_col is None else ua_col.when(cond, ua)
+    out = user_agent(ev.withColumn("ua", ua_col), "ua")
+    return out.select(
+        "event_id",
+        F.col("user_agent.name").alias("ua_name"),
+        F.col("user_agent.version").alias("ua_version"),
+        F.col("user_agent.os.full").alias("ua_os"),
+        F.col("user_agent.device.name").alias("ua_device"),
+    )
+
+
+def sql_user_agent_uap() -> str:
+    n = len(_UA_REAL)
+
+    def case(idx: int) -> str:
+        arms = " ".join(
+            f"WHEN {i} THEN '{exp[idx]}'" for i, (_, exp) in enumerate(_UA_REAL)
+        )
+        return f"CASE event_id % {n} {arms} END"
 
     return (
         f"SELECT event_id, {case(0)} AS ua_name, {case(1)} AS ua_version, "
@@ -2227,6 +2304,7 @@ QUERIES = {
     "parse_json_pointer": q_parse_json_pointer,
     "date_locale": q_date_locale,
     "list_to_map_flatten": q_list_to_map_flatten,
+    "user_agent_uap": q_user_agent_uap,
     "obfuscate_patterns": q_obfuscate_patterns,
     "grok_clf": q_grok_clf,
     "date_iso": q_date_iso,
@@ -2314,6 +2392,7 @@ ORACLES = {
     "parse_json_pointer": sql_parse_json_pointer(),
     "date_locale": sql_date_locale(),
     "list_to_map_flatten": sql_list_to_map_flatten(),
+    "user_agent_uap": sql_user_agent_uap(),
     "obfuscate_patterns": sql_obfuscate_patterns(),
     "grok_clf": sql_grok_clf(),
     "date_iso": sql_date_iso(),

@@ -10,90 +10,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # ------------------------------------------------------------- user_agent
 #
-# The reference wraps uap-java's CachingParser
-# (user-agent-processor/.../UserAgentProcessor.java:29,43-60) → struct
-# {name, version, os, device}.  The full uap regex database isn't in this
-# container; this is a deterministic regex-lite parser covering the major
-# families, implemented as pure Catalyst expressions (codegen, no UDF).
-# A production deployment would swap the pattern table for uap-core's —
-# the extraction topology (ordered rlike→extract chain) is the same.
+# uap-core-semantics engine in operators/uap.py (the reference wraps
+# uap-java's CachingParser over the public ua-parser/uap-core database —
+# UserAgentProcessor.java:29,43-60).  Re-exported here as the processor
+# entry point.
 
-_UA_BROWSERS = [
-    # crawlers first — their UAs often embed browser tokens (smartphone
-    # Googlebot carries "Chrome/")
-    ("Googlebot/([\\d.]+)", "Googlebot"),
-    ("bingbot/([\\d.]+)", "bingbot"),
-    ("DuckDuckBot[-/]([\\d.]+)", "DuckDuckBot"),
-    ("YandexBot/([\\d.]+)", "YandexBot"),
-    # branded chromium shells before Chrome (their UAs carry "Chrome/")
-    ("Edg[A]?/([\\d.]+)", "Edge"),
-    ("OPR/([\\d.]+)", "Opera"),
-    ("SamsungBrowser/([\\d.]+)", "Samsung Internet"),
-    ("YaBrowser/([\\d.]+)", "Yandex Browser"),
-    ("UCBrowser/([\\d.]+)", "UC Browser"),
-    ("Vivaldi/([\\d.]+)", "Vivaldi"),
-    ("Brave/([\\d.]+)", "Brave"),
-    ("Chrome/([\\d.]+)", "Chrome"),
-    ("Firefox/([\\d.]+)", "Firefox"),
-    ("FxiOS/([\\d.]+)", "Firefox iOS"),
-    ("CriOS/([\\d.]+)", "Chrome iOS"),
-    ("Version/([\\d.]+).*Safari", "Safari"),
-    ("MSIE ([\\d.]+)", "IE"),
-    ("Trident/.*rv:([\\d.]+)", "IE"),
-    ("curl/([\\d.]+)", "curl"),
-    ("[Ww]get/([\\d.]+)", "wget"),
-    ("python-requests/([\\d.]+)", "python-requests"),
-    ("okhttp/([\\d.]+)", "okhttp"),
-]
-_UA_OS = [
-    ("Windows NT 10", "Windows 10"),
-    ("Windows NT 6\\.3", "Windows 8.1"),
-    ("Windows NT 6\\.2", "Windows 8"),
-    ("Windows NT 6\\.1", "Windows 7"),
-    ("Windows NT", "Windows"),
-    ("CrOS", "Chrome OS"),
-    ("Android", "Android"),
-    ("iPhone OS|iOS|iPad", "iOS"),
-    ("Mac OS X", "Mac OS X"),
-    ("FreeBSD", "FreeBSD"),
-    ("Linux", "Linux"),
-]
-_UA_DEVICE = [
-    ("[Bb]ot|[Cc]rawler|[Ss]pider", "Spider"),
-    ("iPhone", "iPhone"),
-    ("iPad", "iPad"),
-    ("Android.*Mobile", "Android Phone"),
-    ("Android", "Android Tablet"),
-    ("Windows|Macintosh|CrOS|Linux", "Desktop"),
-]
+from .uap import parse_user_agent  # noqa: E402
 
 
-def _chain(src: Column, table: list[tuple[str, str]], default: str) -> Column:
-    c = None
-    for pat, name in table:
-        cond = src.rlike(pat)
-        c = F.when(cond, name) if c is None else c.when(cond, name)
-    return c.otherwise(default) if c is not None else F.lit(default)
-
-
-def user_agent(df: DataFrame, source: str, target: str = "user_agent") -> DataFrame:
-    """Parse a UA string column into a struct {name, version, os, device}.
-    First-match-wins ordered pattern chains (Edge before Chrome, etc.),
-    all inside whole-stage codegen."""
-    src = F.col(source)
-    version = None
-    for pat, _ in _UA_BROWSERS:
-        e = F.regexp_extract(src, pat, 1)
-        cond = src.rlike(pat)
-        version = F.when(cond, e) if version is None else version.when(cond, e)
-    version = version.otherwise(F.lit(""))
-    struct = F.struct(
-        _chain(src, _UA_BROWSERS, "Other").alias("name"),
-        version.alias("version"),
-        _chain(src, _UA_OS, "Other").alias("os"),
-        _chain(src, _UA_DEVICE, "Other").alias("device"),
-    )
-    return df.withColumn(target, struct)
+def user_agent(
+    df: DataFrame,
+    source: str,
+    target: str = "user_agent",
+    exclude_original: bool = False,
+) -> DataFrame:
+    """`user_agent` processor: uap-core rule semantics compiled to a
+    Catalyst CASE-WHEN chain → the reference's output struct
+    {name, version, os{name, version, full}, device{name}[, original]}
+    (UserAgentProcessor.getParsedUserAgent :85-118)."""
+    return parse_user_agent(df, source, target, exclude_original=exclude_original)
 
 
 # ----------------------------------------------------------------- geoip

@@ -64,12 +64,16 @@ def test_user_agent(spark):
     df = spark.createDataFrame([(u,) for u in uas], "ua string")
     out = {r["ua"][:20]: r["user_agent"] for r in user_agent(df, "ua").collect()}
     chrome = out[uas[0][:20]]
-    assert chrome["name"] == "Chrome" and chrome["version"].startswith("120")
-    assert chrome["os"] == "Windows 10" and chrome["device"] == "Desktop"
+    assert chrome["name"] == "Chrome" and chrome["version"] == "120.0.0"
+    assert chrome["os"]["full"] == "Windows 10" and chrome["device"]["name"] == "Other"
+    assert chrome["original"] == uas[0]
     iphone = out[uas[1][:20]]
-    assert iphone["name"] == "Safari" and iphone["os"] == "iOS" and iphone["device"] == "iPhone"
+    assert iphone["name"] == "Mobile Safari" and iphone["os"]["full"] == "iOS 17.0"
+    assert iphone["device"]["name"] == "iPhone"
     assert out["curl/8.4.0"[:20]]["name"] == "curl"
-    assert out["weird-bot/1.0"[:20]]["name"] == "Other"
+    # 'weird-bot' hits the generic crawler device rule but no UA family
+    weird = out["weird-bot/1.0"[:20]]
+    assert weird["name"] == "Other" and weird["device"]["name"] == "Spider"
 
 
 def test_geoip_stub(spark):
@@ -102,25 +106,27 @@ def test_trace_group_fill(spark):
 
 
 def test_user_agent_extended_families(spark):
+    # expectations follow uap-core rule semantics (operators/uap.py)
     cases = [
         ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
          "Googlebot", "2.1", "Spider"),
         ("Mozilla/5.0 (Linux; Android 13; SM-S901B) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
-         "Samsung Internet", "23.0", "Android Phone"),
+         "Samsung Internet", "23.0", "Samsung SM-S901B"),
         ("Mozilla/5.0 (Windows NT 6.1; Win64; x64) Chrome/109.0.0.0 Safari/537.36",
-         "Chrome", "109.0.0.0", "Desktop"),
+         "Chrome", "109.0.0", "Other"),
         ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) CriOS/114.0.5735.99 Mobile/15E148 Safari/604.1",
-         "Chrome iOS", "114.0.5735.99", "iPhone"),
+         "Chrome Mobile iOS", "114.0.5735", "iPhone"),
         ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) Chrome/120.0.0.0 Safari/537.36",
-         "Chrome", "120.0.0.0", "Desktop"),
-        ("python-requests/2.31.0", "python-requests", "2.31.0", "Other"),
+         "Chrome", "120.0.0", "Other"),
+        ("python-requests/2.31.0", "Python Requests", "2.31.0", "Other"),
     ]
     df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i int, ua string")
     out = {r["i"]: r["user_agent"] for r in user_agent(df, "ua").collect()}
     for i, (_, name, ver, device) in enumerate(cases):
         assert out[i]["name"] == name, (i, out[i])
         assert out[i]["version"] == ver, (i, out[i])
-        assert out[i]["device"] == device, (i, out[i])
-    # os spot checks
-    assert out[2]["os"] == "Windows 7"
-    assert out[4]["os"] == "Chrome OS"
+        assert out[i]["device"]["name"] == device, (i, out[i])
+    # os spot checks (reference os map: name/version/full)
+    assert out[2]["os"]["full"] == "Windows 7"
+    assert out[2]["os"]["name"] == "Windows" and out[2]["os"]["version"] == "7"
+    assert out[4]["os"]["full"] == "Chrome OS 14541.0.0"
