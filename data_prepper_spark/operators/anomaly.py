@@ -73,6 +73,7 @@ def anomaly_rcf(
     threshold: float = 5.0,
     seed: int = 42,
     tiebreak_col: str | None = None,
+    max_events_per_key: int | None = 100_000,
 ) -> DataFrame:
     """`random_cut_forest` mode (RandomCutForestMode.java:32-53), backed
     by the self-contained RRCF in :mod:`.rcf` (public Guha et al. 2016
@@ -86,7 +87,16 @@ def anomaly_rcf(
     Output adds `anomaly_score` (expected collusive displacement,
     rounded to 6) and `grade` (1.0 when score > threshold).  Deterministic:
     per-(key, tree) counter-seeded RNGs — identical scores at any
-    partitioning or cluster size."""
+    partitioning or cluster size.
+
+    ``max_events_per_key`` is the hot-key guard: RCF is inherently
+    sequential per key (same sharding axis as the reference's hash ring),
+    so one skewed identification key would otherwise serialize a task for
+    arbitrarily long.  Groups larger than the cap score only their most
+    recent `max_events_per_key` events (the live window — the reference's
+    sample_size bounds retained STATE the same way); earlier rows pass
+    through with score 0 / grade 0, exactly like warm-up rows.  Bounded
+    per-task wall time, deterministic output.  None disables the cap."""
     import zlib
 
     import numpy as np
@@ -112,8 +122,11 @@ def anomaly_rcf(
             seed=seed, key_salt=salt,
         )
         scores = np.zeros(len(vals), dtype=np.float64)
-        for i in range(len(vals)):
-            if i >= shingle_size - 1:
+        start = 0
+        if max_events_per_key is not None and len(vals) > max_events_per_key:
+            start = len(vals) - max_events_per_key
+        for i in range(max(start, 0), len(vals)):
+            if i - start >= shingle_size - 1:
                 x = vals[i - shingle_size + 1 : i + 1]
                 scores[i] = forest.score(x)
                 forest.update(x)

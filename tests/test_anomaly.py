@@ -95,3 +95,36 @@ def test_rcf_tree_invariants():
                 walk(n.r)
 
         walk(t.root)
+
+
+def test_rcf_hot_key_cap(spark):
+    """A 100x-skewed identification key must not serialize the task:
+    with max_events_per_key set, only the most recent window is scored
+    (earlier rows pass through as warm-up-style zeros) and wall time
+    stays bounded."""
+    import time
+
+    rows = [("hot", t, float((t * 37) % 100)) for t in range(20000)]
+    rows += [("cold%d" % g, t, float(t % 50)) for g in range(5) for t in range(200)]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    t0 = time.monotonic()
+    out = (
+        anomaly_rcf(
+            df, ["k"], "value", "ts",
+            shingle_size=4, sample_size=64, num_trees=7,
+            max_events_per_key=2000,
+        )
+        .orderBy("k", "ts")
+        .collect()
+    )
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"hot key serialized the task: {elapsed:.0f}s"
+    assert len(out) == 20000 + 5 * 200  # every event passes through
+    hot = [r for r in out if r["k"] == "hot"]
+    # everything before the live window is warm-up-style zero...
+    assert all(r["anomaly_score"] == 0.0 for r in hot[:18000])
+    # ...and the live window actually scored
+    assert any(r["anomaly_score"] > 0.0 for r in hot[18000:])
+    # cold keys are under the cap: fully scored as before
+    cold = [r for r in out if r["k"] == "cold0"]
+    assert any(r["anomaly_score"] > 0.0 for r in cold)
