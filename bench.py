@@ -26,6 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 WEBTEXT_DOCS = int(os.environ.get("SPARK_GRAFT_WEBTEXT_DOCS", "50000"))
+# serving-scale probe: BM25 latency against a 1M-doc index (sf0.1's 5k
+# docs don't exercise pruning).  The corpus+index are cached under a
+# stable path keyed by doc count, so only the first run pays the build.
+# 0 disables.
+SERVING_DOCS = int(os.environ.get("SPARK_GRAFT_SERVING_DOCS", "1000000"))
+SERVING_CACHE = os.environ.get(
+    "SPARK_GRAFT_SERVING_CACHE", "/tmp/dps_serving"
+)
 
 
 def main():
@@ -119,6 +127,42 @@ def main():
                 docs, "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.5
             ).collect(),
         )
+
+        # ---- serving-scale BM25 latency (1M-doc index, cached across runs;
+        # build time reported in extras, NOT in the suite total — the suite
+        # number stays comparable round-over-round)
+        if SERVING_DOCS > 0:
+            from data_prepper_spark.corpus import reference_queries
+
+            sdir = f"{SERVING_CACHE}_{SERVING_DOCS}"
+            s_corpus = os.path.join(sdir, "webtext")
+            s_idx = os.path.join(sdir, "idx")
+            if not os.path.exists(os.path.join(s_idx, "stats")):
+                os.makedirs(sdir, exist_ok=True)
+                if not os.path.exists(s_corpus):
+                    generate_corpus(spark, s_corpus, SERVING_DOCS, partitions=64)
+                t0 = time.perf_counter()
+                build_oneshot(
+                    spark, spark.read.parquet(s_corpus), s_idx,
+                    IndexConfig(range_bits=3, block_size=128, n_buckets=32),
+                )
+                build_s = time.perf_counter() - t0
+                extras["serving_build_s"] = round(build_s, 1)
+                extras["serving_build_docs_per_sec"] = round(
+                    SERVING_DOCS / build_s, 1
+                )
+            s1m = BM25Searcher(spark, s_idx)
+            qs = [q["query_text"] for q in reference_queries()][:20]
+            slat: list[float] = []
+            for _ in range(3):
+                for qtext in qs:
+                    t0 = time.perf_counter()
+                    s1m.search(qtext, k=10)
+                    slat.append(time.perf_counter() - t0)
+            slat.sort()
+            extras["serving_docs"] = SERVING_DOCS
+            extras["serving_p50_ms"] = round(slat[len(slat) // 2] * 1000, 1)
+            extras["serving_p95_ms"] = round(slat[int(len(slat) * 0.95) - 1] * 1000, 1)
 
         total = round(sum(timings.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

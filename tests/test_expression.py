@@ -84,7 +84,8 @@ def test_env_var_operand(df, monkeypatch):
 
 
 def test_cidr_errors(df):
-    with pytest.raises(ExpressionError):
-        compile_expression('cidrContains(/ip, "2001:db8::/32")')
+    # IPv6 CIDRs compile since round 3 (128-bit column arithmetic)
+    compile_expression('cidrContains(/ip, "2001:db8::/32")')
+    # non-literal arguments are still config errors
     with pytest.raises(ExpressionError):
         compile_expression("cidrContains(/ip, /verb)")
