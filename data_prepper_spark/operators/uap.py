@@ -188,8 +188,8 @@ def load_regexes_yaml(path: str) -> tuple[list[dict], list[dict], list[dict]]:
         import yaml
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
-            "load_regexes_yaml requires PyYAML (absent from this "
-            "container); the bundled uap-core subset is used by default"
+            "load_regexes_yaml requires PyYAML; the bundled uap-core "
+            "subset is used by default"
         ) from e
     with open(path) as f:
         db = yaml.safe_load(f)

@@ -130,3 +130,40 @@ def test_user_agent_extended_families(spark):
     assert out[2]["os"]["full"] == "Windows 7"
     assert out[2]["os"]["name"] == "Windows" and out[2]["os"]["version"] == "7"
     assert out[4]["os"]["full"] == "Chrome OS 14541.0.0"
+
+
+def test_uap_regexes_yaml_drop_in(spark, tmp_path):
+    """A uap-core-format regexes.yaml loads and drives the engine —
+    the bundled subset is swappable for the full public database."""
+    from data_prepper_spark.operators.uap import load_regexes_yaml, parse_user_agent
+
+    y = tmp_path / "regexes.yaml"
+    y.write_text(
+        """
+user_agent_parsers:
+  - regex: '(MyBrowser)/(\\d+)\\.(\\d+)\\.(\\d+)'
+    family_replacement: 'My Browser'
+  - regex: '(OtherTool)/(\\d+)'
+os_parsers:
+  - regex: '(MyOS) (\\d+)\\.(\\d+)'
+device_parsers:
+  - regex: 'mydevice'
+    regex_flag: 'i'
+    device_replacement: 'My Device'
+"""
+    )
+    ua_r, os_r, dev_r = load_regexes_yaml(str(y))
+    df = spark.createDataFrame(
+        [("MyBrowser/3.2.1 (MyOS 9.4; MyDevice)",), ("OtherTool/7",)], "ua string"
+    )
+    out = parse_user_agent(
+        df, "ua", ua_rules=ua_r, os_rules=os_r, device_rules=dev_r
+    ).collect()
+    byname = {r["ua"].split("/")[0]: r["user_agent"] for r in out}
+    first = byname["MyBrowser"]
+    assert first["name"] == "My Browser" and first["version"] == "3.2.1"
+    assert first["os"]["full"] == "MyOS 9.4"
+    assert first["device"]["name"] == "My Device"
+    second = byname["OtherTool"]
+    assert second["name"] == "OtherTool" and second["version"] == "7"
+    assert second["os"]["name"] == "Other" and second["device"]["name"] == "Other"
