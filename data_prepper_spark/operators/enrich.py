@@ -23,12 +23,30 @@ def user_agent(
     source: str,
     target: str = "user_agent",
     exclude_original: bool = False,
+    dedupe: bool = True,
 ) -> DataFrame:
     """`user_agent` processor: uap-core rule semantics compiled to a
     Catalyst CASE-WHEN chain → the reference's output struct
     {name, version, os{name, version, full}, device{name}[, original]}
-    (UserAgentProcessor.getParsedUserAgent :85-118)."""
-    return parse_user_agent(df, source, target, exclude_original=exclude_original)
+    (UserAgentProcessor.getParsedUserAgent :85-118).
+
+    ``dedupe=True`` is the Spark recast of the reference's
+    CachingParser (:40 — memoize repeated UA strings): the ~50-regex
+    rule chain runs once per DISTINCT UA string, and the results join
+    back null-safely.  Real-world UA cardinality is tiny relative to row
+    count, so AQE converts the join to a broadcast at runtime — per-row
+    cost collapses from ~50 regex evaluations to one hash probe.  Set
+    False to evaluate the chain per row (no shuffle at all)."""
+    if not dedupe:
+        return parse_user_agent(df, source, target, exclude_original=exclude_original)
+    uas = df.select(F.col(source)).distinct()
+    parsed = parse_user_agent(
+        uas, source, target, exclude_original=exclude_original
+    ).withColumnRenamed(source, "_ua_key")
+    out = df.join(
+        parsed, F.col(source).eqNullSafe(F.col("_ua_key")), "left"
+    ).drop("_ua_key")
+    return out
 
 
 # ----------------------------------------------------------------- geoip
