@@ -1110,6 +1110,101 @@ FROM events
 
 # ====================================================== trainprep family
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falcon/RefinedWeb-style corpus-wide repeated-line removal
+    (trainprep.dedup.line_dedup): each doc synthesizes 3..7 lines from a
+    50-value vocabulary, so popular lines repeat across the corpus;
+    lines occurring more than 3x corpus-wide are dropped, order
+    preserved."""
+    docs = _docs(spark, sf_dir)
+    # j=0 is shared boilerplate (7 values — always over threshold);
+    # j>0 draws from a 5000-value tail (mostly unique — kept)
+    lines = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 5 + 2).cast("int")),
+        lambda j: F.when(
+            j == 0,
+            F.concat(F.lit("boiler "), (F.col("doc_id") % 7).cast("string")),
+        ).when(
+            # mid band: doc_id % 130 over 500 docs → counts of exactly 4
+            # (dropped) and 3 (kept) — straddles max_occurrences=3
+            j == 1,
+            F.concat(F.lit("mid "), (F.col("doc_id") % 130).cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("line "),
+                ((F.col("doc_id") * 97 + j * 31) % 5000).cast("string"),
+            )
+        ),
+    )
+    df = docs.select("doc_id", lines.alias("lines"))
+    out = dedup.line_dedup(df, "doc_id", "lines", max_occurrences=3)
+    return out.select(
+        "doc_id",
+        F.array_join("lines", "|").alias("kept"),
+        F.size("lines").alias("n_kept"),
+    )
+
+
+def sql_line_dedup() -> str:
+    return """
+WITH lines AS (
+  SELECT doc_id, j,
+         CASE WHEN j = 0 THEN 'boiler ' || (doc_id % 7)::VARCHAR
+              WHEN j = 1 THEN 'mid ' || (doc_id % 130)::VARCHAR
+              ELSE 'line ' || ((doc_id * 97 + j * 31) % 5000)::VARCHAR
+         END AS l
+  FROM documents, unnest(range(0, (doc_id % 5 + 2)::INT + 1)) AS t(j)
+),
+counts AS (SELECT l, count(*) AS c FROM lines GROUP BY 1),
+kept AS (
+  SELECT doc_id, j, l FROM lines JOIN counts USING (l) WHERE c <= 3
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.l, '|' ORDER BY k.j), '') AS kept,
+       count(k.l)::INT AS n_kept
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (trainprep.dedup.url_dedup): four
+    scrape-variant forms of each logical URL — mixed case + :443,
+    utm tracking params, fragments — collapse to one canonical form;
+    the lowest doc_id per canonical wins."""
+    docs = _docs(spark, sf_dir)
+    base = (F.col("doc_id") % 250).cast("string")
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(variant == 0, F.format_string(
+            "https://www.site%s.com/a/%s?id=%s", base, base, base))
+        .when(variant == 1, F.format_string(
+            "HTTPS://WWW.SITE%s.COM:443/a/%s?id=%s", base, base, base))
+        .when(variant == 2, F.format_string(
+            "https://www.site%s.com/a/%s?utm_source=feed&id=%s", base, base, base))
+        .otherwise(F.format_string(
+            "https://www.site%s.com/a/%s?id=%s#sec", base, base, base))
+    )
+    out = dedup.url_dedup(docs.select("doc_id", url.alias("url")), "doc_id", "url")
+    return out.select("doc_id", "canonical_url", "is_keep")
+
+
+def sql_url_dedup() -> str:
+    return """
+WITH c AS (
+  SELECT doc_id,
+         'https://www.site' || (doc_id % 250)::VARCHAR || '.com/a/'
+           || (doc_id % 250)::VARCHAR || '?id=' || (doc_id % 250)::VARCHAR
+           AS canonical_url
+  FROM documents
+)
+SELECT doc_id, canonical_url,
+       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+            THEN 1 ELSE 0 END AS is_keep
+FROM c
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -2334,6 +2429,8 @@ QUERIES = {
     "running_total": q_running_total,
     # training-data prep
     "dedup_exact": q_dedup_exact,
+    "line_dedup": q_line_dedup,
+    "url_dedup": q_url_dedup,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash": q_dedup_minhash,
@@ -2419,6 +2516,8 @@ ORACLES = {
     "tpch_q6": sql_tpch_q6(),
     "running_total": sql_running_total(),
     "dedup_exact": sql_dedup_exact(),
+    "line_dedup": sql_line_dedup(),
+    "url_dedup": sql_url_dedup(),
     "dedup_jaccard": sql_dedup_jaccard(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_minhash": sql_dedup_minhash(),

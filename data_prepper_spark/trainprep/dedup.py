@@ -411,3 +411,98 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------- line-level dedup
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    lines_col: str,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Corpus-wide repeated-line removal (the Falcon/RefinedWeb
+    line-dedup move): drop every line whose occurrence count across the
+    WHOLE corpus exceeds ``max_occurrences``; each document keeps its
+    surviving lines in original order (empty array when none survive).
+
+    Scale shape: posexplode → one groupBy(line) count (map-side partial
+    aggregation collapses the head — boilerplate lines combine before
+    the shuffle) → shuffle join exploded lines against the count table
+    (AQE broadcasts when the distinct-line table is small) → one
+    groupBy(id) reassembly.  Two shuffles total, both keyed evenly
+    (line hash / doc id); no window over the corpus, no driver state.
+    At petabyte scale the count-join key could be xxhash64(line) to cut
+    shuffle bytes — the raw string is kept here so the DuckDB oracle
+    reproduces the topology byte-for-byte."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(lines_col)).alias("pos", "line")
+    )
+    counts = ex.groupBy("line").agg(F.count("*").alias("_n"))
+    kept = (
+        ex.join(counts, "line")
+        .filter(F.col("_n") <= max_occurrences)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ).alias(lines_col)
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(kept, id_col, "left")
+        .withColumn(
+            lines_col,
+            F.coalesce(F.col(lines_col), F.array().cast("array<string>")),
+        )
+    )
+
+
+# --------------------------------------------------- URL canonical dedup
+
+_TRACKING_PARAM_RX = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form for web-corpus dedup: lowercase scheme+host,
+    strip default ports (:80 http / :443 https), drop tracking query
+    params (utm_*, fbclid, gclid, ...), drop fragments.  Pure Catalyst
+    (regexp extracts + higher-order filter) — runs in the scan
+    projection, no UDF, no shuffle."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "https"), F.regexp_replace(host, r":443$", "")
+    ).when(
+        (scheme == "http"), F.regexp_replace(host, r":80$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(no_frag, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    kept_params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RX),
+    )
+    qjoined = F.array_join(kept_params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qjoined == "", F.lit("")).otherwise(F.concat(F.lit("?"), qjoined)),
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-level dedup: canonicalize, keep the lowest id per canonical
+    URL.  One groupBy(canonical) min — map-side combine collapses
+    duplicates before the shuffle; output marks every row keep/drop."""
+    canon = df.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
+    winners = canon.groupBy("canonical_url").agg(F.min(id_col).alias("_win"))
+    return (
+        canon.join(winners, "canonical_url")
+        .withColumn("is_keep", (F.col(id_col) == F.col("_win")).cast("int"))
+        .drop("_win")
+    )
