@@ -99,3 +99,46 @@ def test_dedup_joins_never_cartesian(spark):
         p = plan_of(frame)
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_line_dedup_plan_shape(spark):
+    """line_dedup: equi-joins only (no cartesian/NLJ), no Python eval
+    in the plan — the whole pipeline is Catalyst."""
+    from data_prepper_spark.trainprep import dedup
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.lit("a"), F.lit("b")).alias("lines"),
+    )
+    p = plan_of(dedup.line_dedup(df, "doc_id", "lines"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # count aggregation must have a map-side partial
+    assert p.count("HashAggregate") >= 2
+
+
+def test_url_dedup_plan_shape(spark):
+    """url_dedup: canonicalization stays in the scan projection (no
+    UDF, no extra shuffle before the single groupBy)."""
+    from data_prepper_spark.trainprep import dedup
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://Ex.com/p?utm_source=x&id="), F.col("id")).alias("url"),
+    )
+    p = plan_of(dedup.url_dedup(df, "doc_id", "url"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_user_agent_dedupe_plan_shape(spark):
+    """user_agent dedupe mode: the regex chain runs on the DISTINCT
+    side only; no Python eval anywhere."""
+    from data_prepper_spark.operators.enrich import user_agent
+
+    df = spark.range(100).select(
+        F.concat(F.lit("curl/8."), F.col("id")).alias("ua")
+    )
+    p = plan_of(user_agent(df, "ua"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
