@@ -54,8 +54,9 @@ pages = spark.read.parquet({corpus!r})
 n_docs = pages.count()  # warm the scan / JVM before timing
 cfg = IndexConfig(range_bits=3, block_size=128, n_buckets=32)
 t0 = time.perf_counter()
-build_oneshot(spark, pages, {index_dir!r}, cfg)
+_stats = build_oneshot(spark, pages, {index_dir!r}, cfg)
 build_s = time.perf_counter() - t0
+stage_t = json.loads(_stats.get("timings", "{{}}")) if isinstance(_stats, dict) else {{}}
 s = BM25Searcher(spark, {index_dir!r})
 qs = [q["query_text"] for q in reference_queries()][:20]
 t0 = time.perf_counter()
@@ -64,7 +65,8 @@ for q in qs:
 query_s = time.perf_counter() - t0
 print("RESULT " + json.dumps({{"cpus": cpus, "n_docs": n_docs,
       "build_s": round(build_s, 3), "docs_per_sec": round(n_docs / build_s, 1),
-      "query_s": round(query_s, 3), "queries_per_sec": round(len(qs) / query_s, 2)}}))
+      "query_s": round(query_s, 3), "queries_per_sec": round(len(qs) / query_s, 2),
+      "stages": stage_t}}))
 spark.stop()
 """
 

@@ -152,6 +152,40 @@ def main():
         cap(eq.q_grok_clf(spark, SF_DIR)),
     ))
 
+    # 6. round-3 additions
+    from data_prepper_spark.operators.enrich import user_agent as _ua
+    from pyspark.sql import functions as F
+
+    ua_df = spark.range(1000).select(
+        F.concat(F.lit("curl/8."), (F.col("id") % 16).cast("string")).alias("ua")
+    )
+    sections.append((
+        "user_agent dedupe mode (CachingParser recast)",
+        "The ~50-regex uap rule chain evaluates only on the DISTINCT-UA "
+        "side of the join (HashAggregate before the Project carrying the "
+        "regex CASE chain); the big side contributes only a join probe. "
+        "AQE converts to broadcast at runtime when the distinct set is "
+        "small.  No Python eval nodes.",
+        cap(_ua(ua_df, "ua")),
+    ))
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lines_df = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " the ").alias("lines"),
+    )
+    from data_prepper_spark.trainprep import dedup as _dd
+    sections.append((
+        "Corpus-wide line dedup (explode → count → join → reassemble)",
+        "Exactly two wide dependencies: one HashAggregate pair (partial + "
+        "final — map-side combine collapses boilerplate lines before the "
+        "shuffle) for the occurrence count, one aggregation keyed by doc "
+        "for ordered reassembly.  The count join is a plain equi-join "
+        "(AQE broadcast when the distinct-line table is small); no "
+        "cartesian, no Python.",
+        cap(_dd.line_dedup(lines_df, "doc_id", "lines", max_occurrences=3)),
+    ))
+
     out = ["# PLANS — physical-plan evidence for the load-bearing queries",
            "",
            "Generated by tools/explain_plans.py (sf0.01). What to look for",
