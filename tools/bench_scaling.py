@@ -128,6 +128,7 @@ def main():
         for rep in range(args.reps):
             for c in levels:  # interleaved so host drift hits all levels alike
                 r = run_level(c, corpus, work, timeout=args.level_timeout)
+                print(f"LEVEL rep={rep} " + json.dumps(r), flush=True)
                 if c not in best or r["build_s"] < best[c]["build_s"]:
                     best[c] = r
         results = [best[c] for c in levels]
