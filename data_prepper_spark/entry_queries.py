@@ -60,7 +60,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _index_dir(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
         d = tempfile.mkdtemp(prefix="dps_entry_index_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
         build_oneshot_text(spark, _docs(spark, sf_dir), d, cfg)
         _INDEX_CACHE[key] = d
