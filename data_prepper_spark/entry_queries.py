@@ -1465,10 +1465,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_dedup_minhash_lsh() -> str:
-    # num_perm=16, bands=8 → r=2: band b key = hash60(h_{2b} ',' h_{2b+1})
-    return f"""
-WITH {_SH3_SQL},
+# num_perm=16, bands=8 → r=2: band b key = hash60(h_{2b} ',' h_{2b+1});
+# shared by the pairs oracle and the connected-components clusters oracle
+_LSH_PAIRS_CTES = f"""{_SH3_SQL},
 perms AS (SELECT unnest(range(16)) AS perm),
 sig AS (
   SELECT doc, perm,
@@ -1492,12 +1491,35 @@ inter AS (
   JOIN sh s1 ON c.doc_a = s1.doc
   JOIN sh s2 ON c.doc_b = s2.doc AND s1.sh = s2.sh
   GROUP BY 1, 2
+),
+pr AS (
+  SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc
+  JOIN sizes sb ON doc_b = sb.doc
+  WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+)"""
+
+
+def sql_dedup_minhash_lsh() -> str:
+    return f"WITH {_LSH_PAIRS_CTES}\nSELECT doc_a, doc_b, jaccard FROM pr"
+
+
+def sql_dedup_clusters() -> str:
+    """Near-dup clusters: min-id connected component over the LSH pairs —
+    fixpoint reachability via recursive CTE (UNION dedup terminates on
+    cycles)."""
+    return f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+nodes AS (SELECT doc_a AS n FROM pr UNION SELECT doc_b FROM pr),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+reach AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT e.v AS n, r.m AS m FROM reach r JOIN edges e ON e.u = r.n
 )
-SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON doc_a = sa.doc
-JOIN sizes sb ON doc_b = sb.doc
-WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+SELECT n AS doc_id, min(m)::BIGINT AS cluster_id FROM reach GROUP BY 1
 """
 
 
@@ -2384,6 +2406,181 @@ def q_anomaly_rcf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ================================================================ registry
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS: LSH pairs → connected components
+    (alternating large-star/small-star, Kiveris SoCC'14) → every doc
+    labeled with its component's min doc_id.  The oracle reproduces both
+    the band topology AND the transitive closure (recursive CTE)."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, num_perm=16, bands=8,
+        threshold=0.5, oracle_hashes=True,
+    )
+    return dedup.connected_components(pairs, "doc_a", "doc_b").select(
+        "doc_id", "cluster_id"
+    )
+
+
+def q_ft_resume_termstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill-resume through the checkpoint ledger, ORACLE-PINNED: the build
+    is killed after the first posting bucket-group commits, resumed (the
+    resume run asserts completed groups are NOT recomputed), and the
+    RESUMED index's termstats must equal the SQL oracle — i.e. identical
+    to an uninterrupted build.  Mirrors the reference's lease/positive-ack
+    coordinator (data-prepper-core .../LeaseBasedSourceCoordinator.java
+    completePartition semantics)."""
+    import shutil
+
+    from .index.build import BuildKilled, build_index
+    from .index.ledger import Ledger
+
+    docs = _docs(spark, sf_dir)
+    # wrap documents in the webtext page shape so the FULL resumable path
+    # (extraction + lang routing + ledger) runs, not the text shortcut
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>d</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).cast("binary").alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
+    d = tempfile.mkdtemp(prefix="dps_resume_entry_")
+
+    def killer(stage, pid):
+        if stage == "postings" and pid == 1:
+            raise BuildKilled("simulated crash after group 1 committed")
+
+    try:
+        build_index(
+            spark, pages, d, cfg, src_tag="resume_entry",
+            bucket_groups=4, fault_injector=killer,
+        )
+        raise AssertionError("fault injector did not fire")
+    except BuildKilled:
+        pass
+    done_before = Ledger(d).completed("postings")
+
+    def must_not_recompute(stage, pid):
+        if stage == "postings" and pid in done_before:
+            raise AssertionError(f"bucket-group {pid} was recomputed on resume")
+
+    build_index(
+        spark, pages, d, cfg, src_tag="resume_entry",
+        bucket_groups=4, fault_injector=must_not_recompute,
+    )
+    out = spark.read.parquet(f"{d}/termstats").select("term", "df")
+    out = out.localCheckpoint(eager=True)  # materialize before cleanup
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def q_stateful_conclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CUSTOM aggregate group-conclusion rule as a real
+    Structured Streaming query (applyInPandasWithState, GroupState +
+    ProcessingTimeTimeout; AggregateGroupManager.getGroupsToConclude:29-37)
+    — run with availableNow over a single-file staging copy of `events`
+    (one micro-batch ⇒ deterministic threshold conclusions), polled then
+    stopped (a live GroupState timer would keep the drained query alive)."""
+    import shutil
+    import time as _time
+    import uuid
+
+    from .streaming.windows import stateful_count_conclude
+
+    threshold = 60
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"), F.lit("#"), (F.col("user_id") % 37).cast("string")
+        ).alias("grp")
+    )
+    d = tempfile.mkdtemp(prefix="dps_stateful_")
+    ev.coalesce(1).write.mode("overwrite").parquet(d + "/in")
+    stream = spark.readStream.schema("grp string").parquet(d + "/in")
+    out = stateful_count_conclude(
+        stream, keys=["grp"], threshold=threshold, timeout_ms=600_000
+    )
+    name = "stateful_conclude_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", d + "/ckpt")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        # poll the sink: one batch carries all data, so the row count is
+        # stable once the first batch lands
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+                break
+            _time.sleep(0.5)
+        _time.sleep(1.0)
+    finally:
+        q.stop()
+    res = spark.table(name).filter(F.col("concluded_by") == "threshold")
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(d, ignore_errors=True)
+    return res.select("grp", "n", "concluded_by")
+
+
+def sql_stateful_conclude() -> str:
+    return """
+SELECT event_type || '#' || (user_id % 37)::VARCHAR AS grp,
+       count(*)::BIGINT AS n,
+       'threshold' AS concluded_by
+FROM events
+GROUP BY 1
+HAVING count(*) >= 60
+"""
+
+
+def q_codec_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip-compressed ndjson out → auto-detected read back
+    (S3ObjectWorker.java:89-96 compression auto-detect; sink-side codec
+    CompressionOption) — values survive the compressed round-trip."""
+    from .sources import codecs
+
+    d = tempfile.mkdtemp(prefix="dps_codec_gz_")
+    sub = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 400)
+        .select("event_id", "event_type", "value")
+        .withColumn("value", F.round("value", 6))
+    )
+    codecs.write_ndjson(sub, d + "/gz", compression="gzip")
+    fnames = [f for f in os.listdir(d + "/gz") if f.endswith(".json.gz")]
+    assert fnames, "expected .json.gz part files"
+    back = codecs.read_ndjson(spark, d + "/gz")
+    return back.select("event_id", "event_type", F.round("value", 6).alias("value"))
+
+
+def sql_codec_compressed() -> str:
+    return (
+        "SELECT event_id, event_type, round(value, 6) AS value "
+        "FROM events WHERE event_id < 400"
+    )
+
+
+def q_select_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select_entries + no-op passthrough (SelectEntriesProcessor.java:
+    include_keys whitelist; the no-op is identity) — keep only the listed
+    keys, all other columns dropped."""
+    from .operators import mutate
+
+    ev = _t(spark, sf_dir, "events")
+    ev = mutate.add_entries(
+        ev, [{"key": "noise", "value": "drop-me"}]
+    )
+    out = mutate.select_entries(ev, ["event_id", "event_type", "value"])
+    assert set(out.columns) == {"event_id", "event_type", "value"}
+    return out.withColumn("value", F.round("value", 6))
+
+
+def sql_select_entries() -> str:
+    return "SELECT event_id, event_type, round(value, 6) AS value FROM events"
+
+
 QUERIES = {
     # fulltext index engine (north star)
     "ft_token_counts": q_ft_token_counts,
@@ -2472,6 +2669,12 @@ QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
     "codec_json_array": q_codec_json_array,
     "codec_csv": q_codec_csv,
+    # round-3: pytest-only components now oracle-pinned
+    "dedup_clusters": q_dedup_clusters,
+    "ft_resume_termstats": q_ft_resume_termstats,
+    "stateful_conclude": q_stateful_conclude,
+    "codec_compressed": q_codec_compressed,
+    "select_entries": q_select_entries,
     # rows-only by design: sequential per-key forest state, non-relational
     "anomaly_rcf": q_anomaly_rcf,
 }
@@ -2556,6 +2759,11 @@ ORACLES = {
     "pipeline_e2e": sql_pipeline_e2e(),
     "codec_json_array": sql_codec_json_array(),
     "codec_csv": sql_codec_csv(),
+    "dedup_clusters": sql_dedup_clusters(),
+    "ft_resume_termstats": sql_ft_term_df(),
+    "stateful_conclude": sql_stateful_conclude(),
+    "codec_compressed": sql_codec_compressed(),
+    "select_entries": sql_select_entries(),
 }
 
 

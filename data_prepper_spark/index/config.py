@@ -45,6 +45,33 @@ class IndexConfig:
         keys = IndexConfig.__dataclass_fields__.keys()
         return IndexConfig(**{k: d[k] for k in keys if k in d})
 
+    @staticmethod
+    def for_corpus(
+        n_docs: int,
+        avg_doc_tokens: int = 150,
+        target_group_postings: int = 2_000_000,
+        n_buckets: int = 32,
+        **kw,
+    ) -> "IndexConfig":
+        """Scale the docID-range salt with corpus size.
+
+        The encode unit is one (term_bucket, range_id) applyInPandas
+        group ≈ total_postings / (n_buckets · 2^range_bits) rows, so a
+        FIXED range_bits makes per-task memory grow linearly with the
+        corpus — measured on this box as build-scaling efficiency decay
+        0.84 → 0.64 going 4M → 10M docs with range_bits=3 (BENCH.md).
+        Bounding the group at ~target_group_postings keeps the encode
+        task's working set flat at any corpus size: the knob a 10^12-doc
+        deployment turns is range_bits ≈ log2(total/(buckets·target)),
+        never task memory.  Rank identity is invariant to range_bits
+        (slices are merged at query time; tests pin this)."""
+        import math
+
+        total = max(1, n_docs) * avg_doc_tokens
+        groups_needed = max(1, total // (target_group_postings * n_buckets))
+        range_bits = max(2, math.ceil(math.log2(groups_needed)))
+        return IndexConfig(range_bits=range_bits, n_buckets=n_buckets, **kw)
+
 
 # url deliberately NOT in the token stream: at ~100 tokens/doc it would be
 # shipped 100× per doc through Arrow IPC, the staging write, and the

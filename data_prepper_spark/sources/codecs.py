@@ -99,8 +99,19 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         ) from e
 
 
-def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).json(path)
+def write_ndjson(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """ndjson out; optional codec (gzip/bzip2/...) — the s3 sink's
+    compression option (S3SinkConfig buffer_type/compression); readers
+    auto-detect by extension (S3ObjectWorker.java:89-96)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def write_parquet(

@@ -506,3 +506,89 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         .withColumn("is_keep", (F.col(id_col) == F.col("_win")).cast("int"))
         .drop("_win")
     )
+
+
+# ------------------------------------------------------------ components
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = min node id in the component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): O(log² n) rounds,
+    each round exactly one groupBy-min plus one join — and crucially no
+    per-node neighborhood is ever materialized on a single task (the
+    groupBy carries only the running min), so a celebrity node with 10⁸
+    near-dups costs the same as any other key at 10^12-doc scale.
+    Per-round localCheckpoint cuts the iterative-join lineage (plan
+    growth, not data, is the classic failure mode of loops on Spark).
+
+    The reference has no graph stage; this extends its remove_duplicates
+    semantics (SURVEY §2.6) from exact-key groups to transitive near-dup
+    clusters, which is what a training-data pipeline actually dedups on.
+    """
+    spark = pairs.sparkSession
+    e = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        dn = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = dn.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = dn.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        selfe = mins.select("u", F.col("m").alias("v"))
+        return (
+            nbrs.union(selfe).filter(F.col("u") != F.col("v")).distinct()
+        )
+
+    def _checksum(e: DataFrame):
+        c = e.select(F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b"))
+        # decimal(38,0) sum: ANSI mode (Spark 4) makes a long sum of
+        # xxhash64 values throw on overflow
+        row = c.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+    # fixpoint: every edge is (node > root) → root; roots map to themselves
+    assign = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    return assign.union(roots).distinct()

@@ -155,3 +155,40 @@ def test_bmw_guard_rare_plus_stopword(spark, workdir):
     b = s.search("rareword the", k=10, mode="brute")
     assert a == b and len(a) == 10
     assert dt < 2.0  # pre-guard this shape ran the full segment loop
+
+
+def test_range_bits_rank_identical(spark, tiny_corpus_path, workdir, tiny_index, oracle_tiny):
+    """range_bits is the scale-out knob (IndexConfig.for_corpus bounds the
+    encode group by raising it with corpus size) — it must be a pure
+    layout concern: an index built with 8x the ranges returns identical
+    BM25 top-k, in both driver and distributed modes."""
+    import os
+
+    from data_prepper_spark.corpus import reference_queries
+    from data_prepper_spark.index.build import build_oneshot
+    from data_prepper_spark.index.config import IndexConfig
+    from data_prepper_spark.index.query import BM25Searcher
+
+    idx_wide = os.path.join(workdir, "index_tiny_rb5")
+    pages = spark.read.parquet(tiny_corpus_path)
+    cfg = IndexConfig(range_bits=5, block_size=16, n_buckets=8)
+    build_oneshot(spark, pages, idx_wide, cfg)
+    s_wide = BM25Searcher(spark, idx_wide)
+    s_ref = BM25Searcher(spark, tiny_index[0])
+    for q in reference_queries()[:12]:
+        got = s_wide.search(q["query_text"], k=q["k"])
+        assert got == s_ref.search(q["query_text"], k=q["k"])
+        want = oracle_tiny.topk(q["query_text"], q["k"])
+        assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_for_corpus_group_bound():
+    """for_corpus keeps postings-per-encode-group ≈ flat as docs grow."""
+    from data_prepper_spark.index.config import IndexConfig
+
+    for n_docs in (10_000, 1_000_000, 10_000_000, 1_000_000_000):
+        cfg = IndexConfig.for_corpus(n_docs)
+        group = n_docs * 150 / (cfg.n_buckets * cfg.n_ranges)
+        assert group <= 2_000_000 or cfg.range_bits >= 2
+        if n_docs >= 1_000_000:
+            assert group <= 2_000_000 * 1.05, (n_docs, cfg.range_bits, group)

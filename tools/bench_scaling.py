@@ -52,7 +52,9 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet({corpus!r})
 n_docs = pages.count()  # warm the scan / JVM before timing
-cfg = IndexConfig(range_bits=3, block_size=128, n_buckets=32)
+# group-size-bounded config: range_bits scales with the corpus so the
+# encode task's working set is flat at any size (see IndexConfig.for_corpus)
+cfg = IndexConfig.for_corpus(n_docs, block_size=128)
 t0 = time.perf_counter()
 _stats = build_oneshot(spark, pages, {index_dir!r}, cfg)
 build_s = time.perf_counter() - t0
