@@ -41,7 +41,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..hashing import xxh64_signed
-from .codec import encode_docids, encode_uints, pack_f32, pack_i64
+from .codec import (
+    VARINT_TAG,
+    encode_docids,
+    encode_uints,
+    pack_f32,
+    pack_i64,
+    varint_encode_arr,
+)
 from .config import SLICE_SCHEMA, IndexConfig
 from .ledger import Ledger
 from .tokenize import (
@@ -67,9 +74,24 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
     per-term work inside is numpy slicing over one lexsort — the same
     partial-aggregation shape, two orders of magnitude fewer crossings.
     Skew stays bounded: a group holds ~|tokens|/(buckets×ranges) rows by
-    construction, head terms included (range_id splits them)."""
+    construction, head terms included (range_id splits them).
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+    The varint path is encoded GROUP-AT-ONCE: docID deltas (restarting at
+    each term-run boundary), tfs and dls are each LEB128-encoded in one
+    vectorized pass over the whole group, then the per-term blobs are
+    byte-slices of the three streams (LEB128 is self-delimiting, so the
+    concatenation of per-term encodings IS the whole-group encoding).
+    This drops per-term Python/numpy call overhead — previously ~50 numpy
+    calls per term, dominating the encode stage on large vocabularies —
+    to 5 byte-slices per term.  Output is byte-identical to the per-term
+    loop (pinned by tests/test_codec.py::test_encode_kernel_vectorized_identity)."""
+
+    cols = [
+        "term_id", "range_id", "df_slice", "cf_slice", "doc_ids", "tfs",
+        "dls", "block_firsts", "block_ubs", "max_ub", "n_blocks",
+    ]
+
+    def _prep(pdf: pd.DataFrame):
         terms = pdf["term_id"].to_numpy(np.int64)
         d = pdf["doc_id"].to_numpy(np.int64)
         tf = pdf["tf"].to_numpy(np.int64)
@@ -83,12 +105,17 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
         ub32 = np.nextafter(norm.astype(np.float32), np.float32(np.inf))
         # term run boundaries
         new_run = np.empty(len(terms), dtype=bool)
-        if len(terms):
-            new_run[0] = True
-            new_run[1:] = terms[1:] != terms[:-1]
+        new_run[0] = True
+        new_run[1:] = terms[1:] != terms[:-1]
         runs = np.flatnonzero(new_run)
         ends = np.append(runs[1:], len(terms))
-        range_id = np.int32(pdf["range_id"].iloc[0]) if len(pdf) else np.int32(0)
+        return terms, d, tf, dl, ub32, runs, ends
+
+    def encode_loop(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame([], columns=cols)
+        terms, d, tf, dl, ub32, runs, ends = _prep(pdf)
+        range_id = np.int32(pdf["range_id"].iloc[0])
         rows = []
         for s, e in zip(runs, ends):
             td, ttf, tdl, tub = d[s:e], tf[s:e], dl[s:e], ub32[s:e]
@@ -109,15 +136,75 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
                     np.int32(starts.size),
                 )
             )
+        return pd.DataFrame(rows, columns=cols)
+
+    def encode_vectorized(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame([], columns=cols)
+        terms, d, tf, dl, ub32, runs, ends = _prep(pdf)
+        n_terms = runs.size
+        sizes = ends - runs
+
+        # --- the three LEB128 streams, one vectorized pass each ---
+        u = d.astype(np.uint64) + np.uint64(1 << 63)  # signed→unsigned order
+        stream = np.empty_like(u)
+        stream[0] = u[0]
+        stream[1:] = u[1:] - u[:-1]
+        stream[runs] = u[runs]  # delta restarts at each term-run boundary
+        doc_out, doc_ends = varint_encode_arr(stream)
+        tf_out, tf_ends = varint_encode_arr(tf.astype(np.uint64))
+        dl_out, dl_ends = varint_encode_arr(dl.astype(np.uint64))
+        doc_bytes, tf_bytes, dl_bytes = (
+            doc_out.tobytes(), tf_out.tobytes(), dl_out.tobytes()
+        )
+        # per-term byte ranges = value-end offsets at the run boundaries
+        last = ends - 1
+        doc_e = doc_ends[last]
+        tf_e = tf_ends[last]
+        dl_e = dl_ends[last]
+
+        # --- block-max skip metadata, one global reduceat ---
+        nb = (sizes + block_size - 1) // block_size
+        nb_off = np.concatenate(([0], np.cumsum(nb)))
+        n_blocks_total = int(nb_off[-1])
+        within = np.arange(n_blocks_total) - np.repeat(nb_off[:-1], nb)
+        gbs = np.repeat(runs, nb) + within * block_size  # global block starts
+        block_ubs_all = np.maximum.reduceat(ub32, gbs)
+        firsts_bytes = pack_i64(d[gbs])
+        ubs_bytes = pack_f32(block_ubs_all)
+        max_ub = np.maximum.reduceat(block_ubs_all, nb_off[:-1])
+        cf = np.add.reduceat(tf, runs)
+
+        doc_b = np.concatenate(([0], doc_e[:-1])).tolist()
+        tf_b = np.concatenate(([0], tf_e[:-1])).tolist()
+        dl_b = np.concatenate(([0], dl_e[:-1])).tolist()
+        doc_el, tf_el, dl_el = doc_e.tolist(), tf_e.tolist(), dl_e.tolist()
+        f_off = (nb_off * 8).tolist()
+        u_off = (nb_off * 4).tolist()
         return pd.DataFrame(
-            rows,
-            columns=[
-                "term_id", "range_id", "df_slice", "cf_slice", "doc_ids", "tfs",
-                "dls", "block_firsts", "block_ubs", "max_ub", "n_blocks",
-            ],
+            {
+                "term_id": terms[runs],
+                "range_id": np.full(n_terms, np.int32(pdf["range_id"].iloc[0])),
+                "df_slice": sizes.astype(np.int64),
+                "cf_slice": cf.astype(np.int64),
+                "doc_ids": [
+                    VARINT_TAG + doc_bytes[s:e] for s, e in zip(doc_b, doc_el)
+                ],
+                "tfs": [VARINT_TAG + tf_bytes[s:e] for s, e in zip(tf_b, tf_el)],
+                "dls": [VARINT_TAG + dl_bytes[s:e] for s, e in zip(dl_b, dl_el)],
+                "block_firsts": [
+                    firsts_bytes[f_off[i] : f_off[i + 1]] for i in range(n_terms)
+                ],
+                "block_ubs": [
+                    ubs_bytes[u_off[i] : u_off[i + 1]] for i in range(n_terms)
+                ],
+                "max_ub": max_ub.astype(np.float32),
+                "n_blocks": nb.astype(np.int32),
+            },
+            columns=cols,
         )
 
-    return encode
+    return encode_vectorized if codec == "varint" else encode_loop
 
 
 def _paths(index_dir: str) -> dict:

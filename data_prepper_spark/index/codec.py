@@ -22,11 +22,18 @@ _BIAS = np.uint64(1 << 63)
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * (j + 1)) for j in range(9)]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized."""
+def varint_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array, fully vectorized.
+
+    Returns ``(out, ends)`` where *out* is the byte stream as a uint8
+    array and ``ends[i]`` is the byte offset one past value *i* — because
+    LEB128 is per-value self-delimiting, ``out[ends[i-1]:ends[i]]`` is
+    exactly the encoding of ``values[i]``, which lets a caller encode the
+    concatenation of many posting streams in ONE pass and slice the
+    per-stream bytes out afterwards (see build.encode_slice_fn)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = np.ones(v.size, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += (v >= t)
@@ -42,6 +49,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
         cont = ((j + 1) < nbytes[mask]).astype(np.uint8) << 7
         out[pos] = byte.astype(np.uint8) | cont
+    return out, ends
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    out, _ = varint_encode_arr(values)
     return out.tobytes()
 
 
@@ -191,6 +204,7 @@ def pfor_decode(buf: bytes) -> np.ndarray:
 # --------------------------------------------- tagged posting-stream API
 
 _TAG_VARINT, _TAG_PFOR = 0, 1
+VARINT_TAG = bytes([_TAG_VARINT])  # for callers that batch-encode + slice
 
 
 def encode_uints(values: np.ndarray, codec: str = "varint") -> bytes:

@@ -57,3 +57,83 @@ def test_compression_is_compact():
     ids = np.sort(np.random.default_rng(0).choice(1 << 40, size=10000, replace=False)).astype(np.int64)
     enc = delta_encode_docids(ids)
     assert len(enc) < 10000 * 8 * 0.6  # beats raw int64 comfortably
+
+
+# ---- encode kernel: vectorized (group-at-once) vs per-term loop ----
+
+
+def _fake_group(rng, n_rows, n_terms, range_id=3):
+    import pandas as pd
+
+    terms = rng.integers(-(2**62), 2**62, size=n_terms, dtype=np.int64)
+    pdf = pd.DataFrame(
+        {
+            "term_id": rng.choice(terms, size=n_rows),
+            "range_id": np.full(n_rows, range_id, dtype=np.int32),
+            "doc_id": rng.integers(-(2**62), 2**62, size=n_rows, dtype=np.int64),
+            "tf": rng.integers(1, 50, size=n_rows).astype(np.int64),
+            "dl": rng.integers(10, 5000, size=n_rows).astype(np.int64),
+        }
+    )
+    # dl must be consistent per doc_id (as produced by the tokenizer)
+    pdf["dl"] = pdf.groupby("doc_id")["dl"].transform("first")
+    return pdf.drop_duplicates(["term_id", "doc_id"]).reset_index(drop=True)
+
+
+def test_encode_kernel_vectorized_identity():
+    """The group-at-once varint kernel must emit byte-identical rows to the
+    per-term loop — same blobs, same stats, same row order."""
+    from data_prepper_spark.index.build import encode_slice_fn
+
+    rng = np.random.default_rng(7)
+    vec = encode_slice_fn(142.7, 1.2, 0.75, block_size=4, codec="varint")
+    # the loop path is what codec='pfor' uses; rebuild it with varint blobs
+    # by calling the underlying loop via a pfor fn's closure is not possible,
+    # so pin identity through the public surface: encode with block sizes
+    # that force multi-block terms and compare against a hand loop.
+    from data_prepper_spark.index.codec import (
+        encode_docids,
+        encode_uints,
+        pack_f32,
+        pack_i64,
+    )
+
+    for n_rows, n_terms in [(1, 1), (37, 5), (4000, 40), (3000, 1)]:
+        pdf = _fake_group(rng, n_rows, n_terms)
+        out = vec(pdf)
+        # reference: straight per-term re-encode
+        s = pdf.sort_values(["term_id", "doc_id"]).reset_index(drop=True)
+        k1, b, avgdl, bs = 1.2, 0.75, 142.7, 4
+        got = {r.term_id: r for r in out.itertuples(index=False)}
+        assert len(got) == s["term_id"].nunique() == len(out)
+        for tid, g in s.groupby("term_id", sort=True):
+            d = g["doc_id"].to_numpy(np.int64)
+            tf = g["tf"].to_numpy(np.int64)
+            dl = g["dl"].to_numpy(np.int64)
+            norm = tf.astype(np.float64) * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+            )
+            ub = np.nextafter(norm.astype(np.float32), np.float32(np.inf))
+            starts = np.arange(0, d.size, bs)
+            block_ubs = np.maximum.reduceat(ub, starts)
+            r = got[tid]
+            assert r.df_slice == d.size
+            assert r.cf_slice == tf.sum()
+            assert r.doc_ids == encode_docids(d, "varint")
+            assert r.tfs == encode_uints(tf.astype(np.uint64), "varint")
+            assert r.dls == encode_uints(dl.astype(np.uint64), "varint")
+            assert r.block_firsts == pack_i64(d[starts])
+            assert r.block_ubs == pack_f32(block_ubs)
+            assert r.max_ub == np.float32(block_ubs.max())
+            assert r.n_blocks == starts.size
+            assert r.range_id == 3
+    # empty group
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {c: pd.Series(dtype=t) for c, t in [
+            ("term_id", "int64"), ("range_id", "int32"), ("doc_id", "int64"),
+            ("tf", "int64"), ("dl", "int64"),
+        ]}
+    )
+    assert len(vec(empty)) == 0
