@@ -76,6 +76,23 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def varint_value_ends(b: np.ndarray) -> np.ndarray:
+    """Terminator-byte index of every value in a LEB128 stream — ONE cheap
+    pass (vs ~10 decode passes).  ``b[ends[i-1]+1 : ends[i]+1]`` is the
+    encoding of value *i*, so a caller can decode an arbitrary value range
+    of the stream without touching the rest (block-lazy posting reads)."""
+    return np.flatnonzero((b & 0x80) == 0)
+
+
+def varint_decode_range(b: np.ndarray, ends: np.ndarray, a: int, z: int) -> np.ndarray:
+    """Decode values [a, z) of a LEB128 stream given its value-end index
+    (from :func:`varint_value_ends`)."""
+    if z <= a:
+        return np.empty(0, dtype=np.uint64)
+    start = 0 if a == 0 else int(ends[a - 1]) + 1
+    return varint_decode(b[start : int(ends[z - 1]) + 1].tobytes())
+
+
 def delta_encode_docids(doc_ids: np.ndarray) -> bytes:
     """Sorted signed-int64 docIDs → delta+varint bytes (order-preserving bias)."""
     d = np.ascontiguousarray(doc_ids, dtype=np.int64)

@@ -32,14 +32,17 @@ from .config import IndexConfig
 from .scoring import (
     TermSlice,
     decode_slice,
+    decode_slice_lazy,
     idf_value,
     score_bmw,
+    score_bmw_lazy,
     score_brute,
     topk_select,
 )
 
 _SLICE_COLS = [
-    "term_id", "range_id", "doc_ids", "tfs", "dls", "block_firsts", "block_ubs",
+    "term_id", "range_id", "df_slice", "doc_ids", "tfs", "dls",
+    "block_firsts", "block_ubs",
 ]
 
 
@@ -118,17 +121,40 @@ class BM25Searcher:
         if distributed:
             return self._search_distributed(ids, buckets, idf, k, mode, tie_round)
         rows = self._pruned_slice_rows(list(ids), buckets)
-        by_range: dict[int, list[TermSlice]] = {}
+        # block-lazy scoring (varint tag, non-legacy): decode cost per
+        # query ∝ blocks of scored segments, not df — the df-independent
+        # path a 10^12-doc index needs.  Falls back to eager decode per
+        # row if any stream is pfor-tagged (decode_slice_lazy → None).
+        lazy_ok = mode == "bmw" and not self.legacy_codec
+        by_range: dict[int, list] = {}
+        lazy_by_range: dict[int, bool] = {}
         for r in rows:
-            by_range.setdefault(int(r["range_id"]), []).append(
-                decode_slice(
+            rid = int(r["range_id"])
+            s = (
+                decode_slice_lazy(
+                    r, idf[r["term_id"]], self.cfg.block_size, ids[r["term_id"]]
+                )
+                if lazy_ok
+                else None
+            )
+            if s is None:
+                s = decode_slice(
                     r, idf[r["term_id"]], label=ids[r["term_id"]],
                     legacy=self.legacy_codec,
                 )
-            )
+                lazy_by_range[rid] = False
+            else:
+                lazy_by_range.setdefault(rid, True)
+            by_range.setdefault(rid, []).append(s)
         ids_all, sc_all = [], []
-        for slices in by_range.values():
-            if mode == "bmw":
+        for rid, slices in by_range.items():
+            if mode == "bmw" and lazy_by_range.get(rid, False):
+                ids, sc = score_bmw_lazy(slices, self.cfg.k1, self.cfg.b, self.avgdl, k)
+            elif mode == "bmw":
+                slices = [
+                    s.to_term_slice() if not isinstance(s, TermSlice) else s
+                    for s in slices
+                ]
                 ids, sc = score_bmw(slices, self.cfg.k1, self.cfg.b, self.avgdl, k)
             else:
                 ids, sc = score_brute(slices, self.cfg.k1, self.cfg.b, self.avgdl)

@@ -23,12 +23,16 @@ from dataclasses import dataclass
 import numpy as np
 
 from .codec import (
+    _BIAS,
+    _TAG_VARINT,
     decode_docids,
     decode_uints,
     delta_decode_docids,
     unpack_f32,
     unpack_i64,
     varint_decode,
+    varint_decode_range,
+    varint_value_ends,
 )
 
 
@@ -76,6 +80,205 @@ def decode_slice(
         block_firsts=unpack_i64(bytes(get("block_firsts"))),
         block_ubs=unpack_f32(bytes(get("block_ubs"))),
     )
+
+
+class LazySlice:
+    """Block-lazy posting slice: holds the RAW tagged varint streams and
+    decodes only the value ranges BMW actually scores.
+
+    Why it exists: eager ``decode_slice`` pays ~10 vectorized passes per
+    stream over the FULL posting list of every query term — at 10M docs a
+    stopword's slices dominate query latency even though block-max pruning
+    scores only a handful of segments.  Two properties of the on-disk
+    format make lazy reads free of any format change:
+
+    - LEB128 is self-delimiting, so ONE terminator-scan pass
+      (:func:`codec.varint_value_ends`) yields per-value byte offsets and
+      any value range decodes independently;
+    - ``block_firsts[j]`` stores block *j*'s first docID uncompressed, so
+      a block-aligned range re-anchors the delta chain without decoding
+      anything before it (the range's first delta is discarded in favor of
+      the stored absolute value — same reconstruction, no prefix scan).
+
+    Decode cost is then ∝ blocks-touched-by-scored-segments, not df —
+    the property that holds at 10^12 docs.  Scores are bit-identical to
+    the eager path: identical tf/dl/idf values feed the same
+    ``score_brute`` accumulation in the same sorted-term order.
+    """
+
+    __slots__ = (
+        "term", "idf", "n", "block_size", "doc_b", "tf_b", "dl_b",
+        "block_firsts", "block_ubs",
+        "_doc_ends", "_tf_ends", "_dl_ends", "_last_doc",
+    )
+
+    def __init__(self, term, idf, n, block_size, doc_b, tf_b, dl_b,
+                 block_firsts, block_ubs):
+        self.term = term
+        self.idf = idf
+        self.n = n
+        self.block_size = block_size
+        self.doc_b = doc_b          # np.uint8, tag byte stripped
+        self.tf_b = tf_b
+        self.dl_b = dl_b
+        self.block_firsts = block_firsts
+        self.block_ubs = block_ubs
+        self._doc_ends = None
+        self._tf_ends = None
+        self._dl_ends = None
+        self._last_doc = None
+
+    # -- lazy per-stream value-end indexes (one cheap pass each) --
+    def _de(self):
+        if self._doc_ends is None:
+            self._doc_ends = varint_value_ends(self.doc_b)
+        return self._doc_ends
+
+    def _te(self):
+        if self._tf_ends is None:
+            self._tf_ends = varint_value_ends(self.tf_b)
+        return self._tf_ends
+
+    def _le(self):
+        if self._dl_ends is None:
+            self._dl_ends = varint_value_ends(self.dl_b)
+        return self._dl_ends
+
+    def _ids_range(self, va: int, vz: int) -> np.ndarray:
+        """Absolute docIDs for value range [va, vz); va MUST be a block
+        start (its stored delta is replaced by block_firsts' absolute)."""
+        vals = varint_decode_range(self.doc_b, self._de(), va, vz)
+        # biased docID of the block's first posting (exact modular wrap)
+        first_u = np.uint64(
+            (int(self.block_firsts[va // self.block_size]) + (1 << 63)) & ((1 << 64) - 1)
+        )
+        u = np.empty(vals.size, dtype=np.uint64)
+        u[0] = first_u
+        np.cumsum(vals[1:], dtype=np.uint64, out=u[1:])
+        u[1:] += first_u
+        return (u - _BIAS).astype(np.int64)
+
+    def last_doc(self) -> int:
+        if self._last_doc is None:
+            va = (self.block_firsts.size - 1) * self.block_size
+            self._last_doc = int(self._ids_range(va, self.n)[-1])
+        return self._last_doc
+
+    def segment_values(self, lo: int, hi: int):
+        """(doc_ids, tfs, dls) for postings with lo <= docID < hi —
+        decodes only the covering blocks of each stream."""
+        bs = self.block_size
+        lo_b = int(np.searchsorted(self.block_firsts, lo, side="right")) - 1
+        if lo_b < 0:
+            lo_b = 0
+        hi_b = int(np.searchsorted(self.block_firsts, hi, side="left"))
+        va, vz = lo_b * bs, min(hi_b * bs, self.n)
+        if vz <= va:
+            return (np.empty(0, np.int64),) * 3
+        ids = self._ids_range(va, vz)
+        a = int(np.searchsorted(ids, lo, side="left"))
+        z = int(np.searchsorted(ids, hi, side="left"))
+        if z <= a:
+            return (np.empty(0, np.int64),) * 3
+        tfs = varint_decode_range(self.tf_b, self._te(), va + a, va + z).astype(np.int64)
+        dls = varint_decode_range(self.dl_b, self._le(), va + a, va + z).astype(np.int64)
+        return ids[a:z], tfs, dls
+
+    def to_term_slice(self) -> TermSlice:
+        """Full eager decode (brute-fallback path)."""
+        stream = varint_decode(self.doc_b.tobytes())
+        u = np.cumsum(stream, dtype=np.uint64)
+        return TermSlice(
+            term=self.term,
+            idf=self.idf,
+            doc_ids=(u - _BIAS).astype(np.int64),
+            tfs=varint_decode(self.tf_b.tobytes()).astype(np.int64),
+            dls=varint_decode(self.dl_b.tobytes()).astype(np.int64),
+            block_firsts=self.block_firsts,
+            block_ubs=self.block_ubs,
+        )
+
+
+def decode_slice_lazy(row, idf: float, block_size: int, label: str) -> LazySlice | None:
+    """LazySlice from a postings row, or None if any stream is not a
+    tagged varint blob (pfor / legacy indexes take the eager path)."""
+    get = row.__getitem__ if hasattr(row, "__getitem__") else getattr
+    doc_raw, tf_raw, dl_raw = (
+        np.frombuffer(bytes(get(c)), dtype=np.uint8)
+        for c in ("doc_ids", "tfs", "dls")
+    )
+    if not (doc_raw.size and doc_raw[0] == _TAG_VARINT
+            and tf_raw.size and tf_raw[0] == _TAG_VARINT
+            and dl_raw.size and dl_raw[0] == _TAG_VARINT):
+        return None
+    return LazySlice(
+        term=label,
+        idf=idf,
+        n=int(get("df_slice")),
+        block_size=block_size,
+        doc_b=doc_raw[1:],
+        tf_b=tf_raw[1:],
+        dl_b=dl_raw[1:],
+        block_firsts=unpack_i64(bytes(get("block_firsts"))),
+        block_ubs=unpack_f32(bytes(get("block_ubs"))),
+    )
+
+
+def score_bmw_lazy(
+    slices: list[LazySlice], k1: float, b: float, avgdl: float, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max top-k over one docID range, block-lazy decode.  Identical
+    output to :func:`score_bmw` on the same slices (same segment grid,
+    same upper bounds, same exact scoring — only the decode strategy
+    differs); pinned by tests/test_index_build.py::test_lazy_bmw_identity."""
+    slices = [s for s in slices if s.n]
+    if not slices:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    slices = sorted(slices, key=lambda s: s.term)
+    bounds = np.unique(np.concatenate([s.block_firsts for s in slices]))
+    n_seg = bounds.size
+    seg_ub = np.zeros(n_seg, dtype=np.float64)
+    for s in slices:
+        blk = np.searchsorted(s.block_firsts, bounds, side="right") - 1
+        valid = blk >= 0
+        valid &= bounds <= s.last_doc()
+        contrib = np.zeros(n_seg, dtype=np.float64)
+        contrib[valid] = s.idf * s.block_ubs[blk[valid]].astype(np.float64)
+        seg_ub += contrib
+    seg_order = np.argsort(-seg_ub, kind="stable")
+
+    got_ids: list[np.ndarray] = []
+    got_scores: list[np.ndarray] = []
+    n_got = 0
+    theta = -np.inf
+    seg_end = np.append(bounds[1:], np.iinfo(np.int64).max)
+    MAX_SEG = 16  # pruning-convergence guard (see score_bmw)
+    for n_seen, si in enumerate(seg_order):
+        if n_got >= k and seg_ub[si] < theta:
+            break
+        if n_seen >= MAX_SEG:
+            ids, sc = score_brute([s.to_term_slice() for s in slices], k1, b, avgdl)
+            return topk_select(ids, sc, k)
+        lo, hi = bounds[si], seg_end[si]
+        sub = []
+        for s in slices:
+            ids, tfs, dls = s.segment_values(int(lo), int(hi))
+            if ids.size:
+                sub.append(
+                    TermSlice(s.term, s.idf, ids, tfs, dls, s.block_firsts, s.block_ubs)
+                )
+        if not sub:
+            continue
+        ids, sc = score_brute(sub, k1, b, avgdl)
+        got_ids.append(ids)
+        got_scores.append(sc)
+        n_got += ids.size
+        if n_got >= k:
+            allsc = np.concatenate(got_scores)
+            theta = np.partition(-allsc, k - 1)[k - 1] * -1.0
+    if not got_ids:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    return topk_select(np.concatenate(got_ids), np.concatenate(got_scores), k)
 
 
 def idf_value(n_docs: int, df: int) -> float:

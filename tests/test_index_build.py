@@ -192,3 +192,65 @@ def test_for_corpus_group_bound():
         assert group <= 2_000_000 or cfg.range_bits >= 2
         if n_docs >= 1_000_000:
             assert group <= 2_000_000 * 1.05, (n_docs, cfg.range_bits, group)
+
+
+def test_lazy_bmw_identity():
+    """Block-lazy BMW (decode only scored blocks) must produce EXACTLY the
+    eager scorer's (doc_id, score) top-k — same grid, same bounds, same
+    accumulation — including through the MAX_SEG brute fallback."""
+    import numpy as np
+    import pandas as pd
+
+    from data_prepper_spark.index.build import encode_slice_fn
+    from data_prepper_spark.index.scoring import (
+        decode_slice,
+        decode_slice_lazy,
+        score_bmw,
+        score_bmw_lazy,
+    )
+
+    rng = np.random.default_rng(11)
+    k1, b, avgdl, bs = 1.2, 0.75, 120.0, 8
+    vec = encode_slice_fn(avgdl, k1, b, block_size=bs, codec="varint")
+    n = 60_000
+    terms = rng.choice(
+        rng.integers(-(2**62), 2**62, size=6, dtype=np.int64), size=n
+    )
+    pdf = pd.DataFrame(
+        {
+            "term_id": terms,
+            "range_id": np.zeros(n, dtype=np.int32),
+            "doc_id": rng.integers(-(2**62), 2**62, size=n, dtype=np.int64),
+            "tf": rng.integers(1, 30, size=n).astype(np.int64),
+            "dl": rng.integers(20, 400, size=n).astype(np.int64),
+        }
+    )
+    pdf["dl"] = pdf.groupby("doc_id")["dl"].transform("first")
+    pdf = pdf.drop_duplicates(["term_id", "doc_id"]).reset_index(drop=True)
+    out = vec(pdf)
+    idf = {int(t): 0.5 + 0.1 * i for i, t in enumerate(sorted(out["term_id"]))}
+
+    for n_terms, k in [(2, 10), (6, 10), (3, 1), (6, 10**9)]:  # last: MAX_SEG fallback
+        sel = out.iloc[:n_terms]
+        eager = [
+            decode_slice(sel.iloc[i], idf[int(sel.iloc[i]["term_id"])],
+                         label=str(int(sel.iloc[i]["term_id"])))
+            for i in range(len(sel))
+        ]
+        lazy = [
+            decode_slice_lazy(sel.iloc[i], idf[int(sel.iloc[i]["term_id"])], bs,
+                              label=str(int(sel.iloc[i]["term_id"])))
+            for i in range(len(sel))
+        ]
+        assert all(s is not None for s in lazy)
+        ids_e, sc_e = score_bmw(eager, k1, b, avgdl, k)
+        ids_l, sc_l = score_bmw_lazy(lazy, k1, b, avgdl, k)
+        assert np.array_equal(ids_e, ids_l)
+        assert np.array_equal(sc_e, sc_l)
+        # and lazy full-decode round-trips to the eager arrays
+        for se, sl in zip(eager, lazy):
+            ts = sl.to_term_slice()
+            assert np.array_equal(se.doc_ids, ts.doc_ids)
+            assert np.array_equal(se.tfs, ts.tfs)
+            assert np.array_equal(se.dls, ts.dls)
+            assert sl.last_doc() == int(se.doc_ids[-1])
