@@ -169,9 +169,8 @@ def _varint_decode_n(b: np.ndarray, off: int, count: int) -> tuple[np.ndarray, i
     return vals, off
 
 
-def pfor_encode(values: np.ndarray) -> bytes:
-    """PForDelta-encode a uint64 array: per 128-value block,
-    ``[b:1][n:1][n_exc:1][exc_pos…][packed low bits][exc high varints]``."""
+def _pfor_encode_block_loop(values: np.ndarray) -> bytes:
+    """Reference per-block PFor encoder (kept for the identity test)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     out = bytearray()
     for s in range(0, v.size, _PFOR_BLOCK):
@@ -193,6 +192,87 @@ def pfor_encode(values: np.ndarray) -> bytes:
         out.extend(_pack_bits(low, b))
         out.extend(varint_encode(high))
     return bytes(out)
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """PForDelta-encode a uint64 array: per 128-value block,
+    ``[b:1][n:1][n_exc:1][exc_pos…][packed low bits][exc high varints]``.
+
+    All-blocks-at-once: widths, per-block 90th-pct bit width, exception
+    masks and the exception varint stream are computed globally; full
+    blocks bit-pack grouped by width (a 128-value block at width w packs
+    to exactly 16·w bytes, so same-width blocks pack in one call and
+    split on fixed boundaries).  Byte-identical to the per-block loop
+    (tests/test_codec.py::test_pfor_vectorized_identity)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n_total = v.size
+    if n_total == 0:
+        return b""
+    n_full = n_total // _PFOR_BLOCK
+    n_last = n_total - n_full * _PFOR_BLOCK
+    nb = n_full + (1 if n_last else 0)
+    widths = _bits_needed(v)
+
+    # per-block selected bit width (90th percentile of value widths)
+    b_blk = np.empty(nb, dtype=np.int64)
+    if n_full:
+        wf = np.sort(widths[: n_full * _PFOR_BLOCK].reshape(n_full, _PFOR_BLOCK), axis=1)
+        b_blk[:n_full] = wf[:, int(np.ceil(0.9 * _PFOR_BLOCK)) - 1]
+    if n_last:
+        wl = np.sort(widths[n_full * _PFOR_BLOCK :])
+        b_blk[-1] = wl[min(n_last - 1, max(0, int(np.ceil(0.9 * n_last)) - 1))]
+
+    b_val = np.repeat(b_blk, np.r_[np.full(n_full, _PFOR_BLOCK), [n_last]][: nb] if n_last else np.full(n_full, _PFOR_BLOCK))
+    mask_val = np.where(
+        b_val >= 64,
+        np.uint64(0xFFFFFFFFFFFFFFFF),
+        (np.uint64(1) << b_val.astype(np.uint64)) - np.uint64(1),
+    )
+    low = v & mask_val
+    exc_mask = widths > b_val
+    exc_global = np.flatnonzero(exc_mask)
+    high = v[exc_global] >> b_val[exc_global].astype(np.uint64)
+    exc_pos = (exc_global % _PFOR_BLOCK).astype(np.uint8)
+    exc_blk = exc_global // _PFOR_BLOCK
+    n_exc = np.bincount(exc_blk, minlength=nb).astype(np.int64)
+
+    # exception high-bit varints, one global pass; per-block byte slices
+    hv_out, hv_ends = varint_encode_arr(high)
+    hv_bytes = hv_out.tobytes()
+    exc_off = np.concatenate(([0], np.cumsum(n_exc)))
+    hv_blk_end = np.where(
+        exc_off[1:] > 0, hv_ends[np.maximum(exc_off[1:] - 1, 0)], 0
+    ) if high.size else np.zeros(nb, dtype=np.int64)
+    # blocks with no exceptions inherit the previous end (empty slice)
+    hv_blk_end = np.maximum.accumulate(hv_blk_end)
+    hv_blk_start = np.concatenate(([0], hv_blk_end[:-1]))
+
+    # packed low bits: full blocks grouped by width, one _pack_bits per width
+    packed: list[bytes | None] = [None] * nb
+    if n_full:
+        lows_full = low[: n_full * _PFOR_BLOCK].reshape(n_full, _PFOR_BLOCK)
+        for w in np.unique(b_blk[:n_full]):
+            sel = np.flatnonzero(b_blk[:n_full] == w)
+            if w == 0:
+                for i in sel:
+                    packed[i] = b""
+                continue
+            buf = _pack_bits(lows_full[sel].ravel(), int(w))
+            step = 16 * int(w)  # 128·w bits = 16·w bytes, always byte-aligned
+            for j, i in enumerate(sel):
+                packed[i] = buf[j * step : (j + 1) * step]
+    if n_last:
+        packed[-1] = _pack_bits(low[n_full * _PFOR_BLOCK :], int(b_blk[-1]))
+
+    exc_pos_split = np.split(exc_pos, exc_off[1:-1]) if nb > 1 else [exc_pos]
+    n_in_blk = [_PFOR_BLOCK] * n_full + ([n_last] if n_last else [])
+    parts = []
+    for i in range(nb):
+        parts.append(bytes([int(b_blk[i]), n_in_blk[i] - 1, int(n_exc[i])]))
+        parts.append(exc_pos_split[i].tobytes())
+        parts.append(packed[i])
+        parts.append(hv_bytes[int(hv_blk_start[i]) : int(hv_blk_end[i])])
+    return b"".join(parts)
 
 
 def pfor_decode(buf: bytes) -> np.ndarray:

@@ -137,3 +137,37 @@ def test_encode_kernel_vectorized_identity():
         ]}
     )
     assert len(vec(empty)) == 0
+
+
+def test_pfor_vectorized_identity():
+    """All-blocks-at-once pfor_encode must be byte-identical to the
+    per-block reference loop, across width mixes / exception shapes /
+    partial final blocks."""
+    from data_prepper_spark.index.codec import (
+        _pfor_encode_block_loop,
+        pfor_decode,
+        pfor_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    cases = [
+        np.empty(0, dtype=np.uint64),
+        np.zeros(1, dtype=np.uint64),
+        np.zeros(128, dtype=np.uint64),
+        np.zeros(300, dtype=np.uint64),
+        rng.integers(0, 50, size=128).astype(np.uint64),
+        rng.integers(0, 50, size=1000).astype(np.uint64),
+        rng.integers(0, 2**63, size=777).astype(np.uint64),
+        # mostly-small with big outliers (the pfor sweet spot)
+        np.where(
+            rng.random(5000) < 0.05,
+            rng.integers(2**40, 2**63, size=5000),
+            rng.integers(0, 30, size=5000),
+        ).astype(np.uint64),
+        rng.integers(0, 3, size=129).astype(np.uint64),
+        rng.integers(0, 2**63, size=127).astype(np.uint64),
+    ]
+    for x in cases:
+        a = pfor_encode(x)
+        assert a == _pfor_encode_block_loop(x)
+        assert np.array_equal(pfor_decode(a), x)
