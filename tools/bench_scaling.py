@@ -79,10 +79,17 @@ def run_level(cpus: int, corpus: str, workdir: str, timeout: int = 1800) -> dict
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
     )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    try:
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        raise RuntimeError(
+            f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        )
+    finally:
+        # each rep rebuilds from scratch; only the JSON is kept — at 10M docs
+        # two live index dirs plus shuffle spill can fill the disk
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 def main():
