@@ -42,11 +42,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..hashing import xxh64_signed
 from .codec import (
+    PFOR_TAG,
     VARINT_TAG,
     encode_docids,
     encode_uints,
     pack_f32,
     pack_i64,
+    pfor_encode_runs,
     varint_encode_arr,
 )
 from .config import SLICE_SCHEMA, IndexConfig
@@ -76,15 +78,18 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
     Skew stays bounded: a group holds ~|tokens|/(buckets×ranges) rows by
     construction, head terms included (range_id splits them).
 
-    The varint path is encoded GROUP-AT-ONCE: docID deltas (restarting at
-    each term-run boundary), tfs and dls are each LEB128-encoded in one
-    vectorized pass over the whole group, then the per-term blobs are
-    byte-slices of the three streams (LEB128 is self-delimiting, so the
-    concatenation of per-term encodings IS the whole-group encoding).
-    This drops per-term Python/numpy call overhead — previously ~50 numpy
-    calls per term, dominating the encode stage on large vocabularies —
-    to 5 byte-slices per term.  Output is byte-identical to the per-term
-    loop (pinned by tests/test_codec.py::test_encode_kernel_vectorized_identity)."""
+    BOTH codecs encode GROUP-AT-ONCE: docID deltas (restarting at each
+    term-run boundary), tfs and dls are each encoded in one vectorized
+    pass over the whole group, then the per-term blobs are byte-slices of
+    the three streams — LEB128 is per-value self-delimiting, and the PFor
+    kernel (codec.pfor_encode_runs) restarts its 128-value blocks at
+    every run boundary, so in both cases the concatenation of per-term
+    encodings IS the whole-group encoding.  This drops per-term
+    Python/numpy call overhead — previously ~50 numpy calls per term,
+    dominating the encode stage on large vocabularies — to 5 byte-slices
+    per term.  Output is byte-identical to the per-term loop (pinned by
+    tests/test_codec.py::test_encode_kernel_vectorized_identity and
+    ::test_encode_kernel_pfor_identity)."""
 
     cols = [
         "term_id", "range_id", "df_slice", "cf_slice", "doc_ids", "tfs",
@@ -145,23 +150,32 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
         n_terms = runs.size
         sizes = ends - runs
 
-        # --- the three LEB128 streams, one vectorized pass each ---
+        # --- the three posting streams, one vectorized pass each ---
         u = d.astype(np.uint64) + np.uint64(1 << 63)  # signed→unsigned order
         stream = np.empty_like(u)
         stream[0] = u[0]
         stream[1:] = u[1:] - u[:-1]
         stream[runs] = u[runs]  # delta restarts at each term-run boundary
-        doc_out, doc_ends = varint_encode_arr(stream)
-        tf_out, tf_ends = varint_encode_arr(tf.astype(np.uint64))
-        dl_out, dl_ends = varint_encode_arr(dl.astype(np.uint64))
-        doc_bytes, tf_bytes, dl_bytes = (
-            doc_out.tobytes(), tf_out.tobytes(), dl_out.tobytes()
-        )
-        # per-term byte ranges = value-end offsets at the run boundaries
-        last = ends - 1
-        doc_e = doc_ends[last]
-        tf_e = tf_ends[last]
-        dl_e = dl_ends[last]
+        if codec == "pfor":
+            # PFor blocks restart at run boundaries, so per-term blobs are
+            # byte slices of the group-wide streams (codec.pfor_encode_runs)
+            doc_bytes, doc_e = pfor_encode_runs(stream, runs)
+            tf_bytes, tf_e = pfor_encode_runs(tf.astype(np.uint64), runs)
+            dl_bytes, dl_e = pfor_encode_runs(dl.astype(np.uint64), runs)
+            tag = PFOR_TAG
+        else:
+            doc_out, doc_ends = varint_encode_arr(stream)
+            tf_out, tf_ends = varint_encode_arr(tf.astype(np.uint64))
+            dl_out, dl_ends = varint_encode_arr(dl.astype(np.uint64))
+            doc_bytes, tf_bytes, dl_bytes = (
+                doc_out.tobytes(), tf_out.tobytes(), dl_out.tobytes()
+            )
+            # per-term byte ranges = value-end offsets at the run boundaries
+            last = ends - 1
+            doc_e = doc_ends[last]
+            tf_e = tf_ends[last]
+            dl_e = dl_ends[last]
+            tag = VARINT_TAG
 
         # --- block-max skip metadata, one global reduceat ---
         nb = (sizes + block_size - 1) // block_size
@@ -188,10 +202,10 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
                 "df_slice": sizes.astype(np.int64),
                 "cf_slice": cf.astype(np.int64),
                 "doc_ids": [
-                    VARINT_TAG + doc_bytes[s:e] for s, e in zip(doc_b, doc_el)
+                    tag + doc_bytes[s:e] for s, e in zip(doc_b, doc_el)
                 ],
-                "tfs": [VARINT_TAG + tf_bytes[s:e] for s, e in zip(tf_b, tf_el)],
-                "dls": [VARINT_TAG + dl_bytes[s:e] for s, e in zip(dl_b, dl_el)],
+                "tfs": [tag + tf_bytes[s:e] for s, e in zip(tf_b, tf_el)],
+                "dls": [tag + dl_bytes[s:e] for s, e in zip(dl_b, dl_el)],
                 "block_firsts": [
                     firsts_bytes[f_off[i] : f_off[i + 1]] for i in range(n_terms)
                 ],
@@ -204,7 +218,7 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
             columns=cols,
         )
 
-    return encode_vectorized if codec == "varint" else encode_loop
+    return encode_vectorized
 
 
 def _paths(index_dir: str) -> dict:

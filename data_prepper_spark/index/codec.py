@@ -275,6 +275,132 @@ def pfor_encode(values: np.ndarray) -> bytes:
     return b"".join(parts)
 
 
+def pfor_encode_runs(
+    values: np.ndarray, runs: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode MANY concatenated posting streams with per-run PFor block
+    restarts in one vectorized pass — the PFor analog of
+    :func:`varint_encode_arr`'s encode-once-slice-after contract used by
+    ``build.encode_slice_fn``.
+
+    ``runs`` holds the sorted start index of each stream (``runs[0] == 0``).
+    Returns ``(buf, ends)`` where ``buf[ends[i-1]:ends[i]]`` is
+    byte-identical to ``pfor_encode(values[runs[i]:runs[i+1]])`` — blocks
+    restart at every run boundary, so per-run encodings are plain byte
+    slices of the global stream (pinned by
+    tests/test_codec.py::test_pfor_runs_identity).
+
+    2-D gathers are processed in fixed slabs of blocks so transient
+    memory stays bounded regardless of group size."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    runs = np.ascontiguousarray(runs, dtype=np.int64)
+    n = v.size
+    n_runs = runs.size
+    if n == 0:
+        return b"", np.zeros(n_runs, dtype=np.int64)
+    sizes = np.diff(np.append(runs, n))
+    nb_run = (sizes + _PFOR_BLOCK - 1) // _PFOR_BLOCK
+    nb_off = np.concatenate(([0], np.cumsum(nb_run)))
+    NB = int(nb_off[-1])
+    within = np.arange(NB) - np.repeat(nb_off[:-1], nb_run)
+    blk_start = np.repeat(runs, nb_run) + within * _PFOR_BLOCK
+    run_end_rep = np.repeat(runs + sizes, nb_run)
+    blk_n = np.minimum(blk_start + _PFOR_BLOCK, run_end_rep) - blk_start
+
+    widths = _bits_needed(v)
+    col = np.arange(_PFOR_BLOCK)
+
+    # --- per-block 90th-pct width, slab-wise (bounds the 2-D sort) ---
+    b_blk = np.empty(NB, dtype=np.int64)
+    SLAB = 8192
+    for s0 in range(0, NB, SLAB):
+        s1 = min(s0 + SLAB, NB)
+        bs, bn = blk_start[s0:s1], blk_n[s0:s1]
+        valid = col[None, :] < bn[:, None]
+        idx_c = np.where(valid, bs[:, None] + col[None, :], 0)
+        w2d = np.where(valid, widths[idx_c], 255)
+        w2d.sort(axis=1)
+        sel = np.minimum(bn - 1, np.maximum(0, np.ceil(0.9 * bn).astype(np.int64) - 1))
+        b_blk[s0:s1] = w2d[np.arange(s1 - s0), sel]
+
+    b_val = np.repeat(b_blk, blk_n)
+    exc_global = np.flatnonzero(widths > b_val)
+    high = v[exc_global] >> b_val[exc_global].astype(np.uint64)
+    blk_id_per_value = np.repeat(np.arange(NB), blk_n)
+    exc_blk = blk_id_per_value[exc_global]
+    exc_pos = (exc_global - blk_start[exc_blk]).astype(np.uint8)
+    n_exc = np.bincount(exc_blk, minlength=NB).astype(np.int64)
+
+    hv_out, hv_ends = varint_encode_arr(high)
+    exc_off = np.concatenate(([0], np.cumsum(n_exc)))
+    if high.size:
+        hv_blk_end = np.where(exc_off[1:] > 0, hv_ends[np.maximum(exc_off[1:] - 1, 0)], 0)
+        hv_blk_end = np.maximum.accumulate(hv_blk_end)
+    else:
+        hv_blk_end = np.zeros(NB, dtype=np.int64)
+    hv_len = np.diff(np.concatenate(([0], hv_blk_end)))
+
+    # --- packed low bits: UNPADDED global bit-scatter, one packbits ---
+    # each block's packed section is ceil(n·b/8) bytes; a value's b bits
+    # land at section_start·8 + pos_in_block·b, LSB-first — identical to
+    # _pack_bits on the block alone (padding bits stay zero)
+    plen = (blk_n * b_blk + 7) // 8
+    packed_off = np.concatenate(([0], np.cumsum(plen)))
+    total_packed = int(packed_off[-1])
+    idx_in_block = np.arange(n) - np.repeat(blk_start, blk_n)
+    value_bit = np.repeat(packed_off[:-1] * 8, blk_n) + idx_in_block * b_val
+    gbits = np.zeros(total_packed * 8, dtype=np.uint8)
+    for w in np.unique(b_blk):
+        if w == 0:
+            continue
+        sel = np.flatnonzero(b_val == w)
+        mask = (
+            np.uint64(0xFFFFFFFFFFFFFFFF)
+            if w >= 64
+            else (np.uint64(1) << np.uint64(w)) - np.uint64(1)
+        )
+        lows = v[sel] & mask
+        shifts = np.arange(w, dtype=np.uint64)
+        bits = ((lows[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        targets = value_bit[sel][:, None] + np.arange(w)
+        gbits[targets.ravel()] = bits.ravel()
+    packed_stream = (
+        np.packbits(gbits, bitorder="little")
+        if total_packed
+        else np.empty(0, dtype=np.uint8)
+    )
+
+    # --- assemble [hdr 3][exc_pos][packed][exc varints] per block via
+    # stream scatters (no per-block Python) ---
+    blk_len = 3 + n_exc + plen + hv_len
+    out_off = np.concatenate(([0], np.cumsum(blk_len)))
+    out = np.zeros(int(out_off[-1]), dtype=np.uint8)
+    hdr = out_off[:-1]
+    out[hdr] = b_blk.astype(np.uint8)
+    out[hdr + 1] = (blk_n - 1).astype(np.uint8)
+    out[hdr + 2] = n_exc.astype(np.uint8)
+    if exc_pos.size:
+        t = np.repeat(hdr + 3, n_exc) + (
+            np.arange(exc_pos.size) - np.repeat(exc_off[:-1], n_exc)
+        )
+        out[t] = exc_pos
+    if total_packed:
+        t = np.repeat(hdr + 3 + n_exc, plen) + (
+            np.arange(total_packed) - np.repeat(packed_off[:-1], plen)
+        )
+        out[t] = packed_stream
+    if hv_out.size:
+        t = np.repeat(hdr + 3 + n_exc + plen, hv_len) + (
+            np.arange(hv_out.size) - np.repeat(np.concatenate(([0], hv_blk_end[:-1])), hv_len)
+        )
+        out[t] = hv_out
+    cum = np.cumsum(blk_len)
+    last_blk = nb_off[1:] - 1
+    ends = np.where(nb_run > 0, cum[np.maximum(last_blk, 0)], 0)
+    ends = np.maximum.accumulate(ends)
+    return out.tobytes(), ends
+
+
 def pfor_decode(buf: bytes) -> np.ndarray:
     b_arr = np.frombuffer(buf, dtype=np.uint8)
     chunks = []
@@ -302,6 +428,7 @@ def pfor_decode(buf: bytes) -> np.ndarray:
 
 _TAG_VARINT, _TAG_PFOR = 0, 1
 VARINT_TAG = bytes([_TAG_VARINT])  # for callers that batch-encode + slice
+PFOR_TAG = bytes([_TAG_PFOR])
 
 
 def encode_uints(values: np.ndarray, codec: str = "varint") -> bytes:

@@ -139,6 +139,81 @@ def test_encode_kernel_vectorized_identity():
     assert len(vec(empty)) == 0
 
 
+def test_encode_kernel_pfor_identity():
+    """The group-at-once PFor kernel (codec='pfor' now uses
+    encode_vectorized via pfor_encode_runs) must emit per-term blobs
+    byte-identical to a straight per-term pfor re-encode."""
+    from data_prepper_spark.index.build import encode_slice_fn
+    from data_prepper_spark.index.codec import encode_docids, encode_uints
+
+    rng = np.random.default_rng(17)
+    vec = encode_slice_fn(142.7, 1.2, 0.75, block_size=4, codec="pfor")
+    for n_rows, n_terms in [(1, 1), (37, 5), (4000, 40), (3000, 1), (500, 499)]:
+        pdf = _fake_group(rng, n_rows, n_terms)
+        out = vec(pdf)
+        s = pdf.sort_values(["term_id", "doc_id"]).reset_index(drop=True)
+        got = {r.term_id: r for r in out.itertuples(index=False)}
+        assert len(got) == s["term_id"].nunique() == len(out)
+        for tid, g in s.groupby("term_id", sort=True):
+            d = g["doc_id"].to_numpy(np.int64)
+            tf = g["tf"].to_numpy(np.int64)
+            dl = g["dl"].to_numpy(np.int64)
+            r = got[tid]
+            assert r.df_slice == d.size
+            assert r.doc_ids == encode_docids(d, "pfor")
+            assert r.tfs == encode_uints(tf.astype(np.uint64), "pfor")
+            assert r.dls == encode_uints(dl.astype(np.uint64), "pfor")
+
+
+def test_pfor_runs_identity():
+    """pfor_encode_runs must be byte-identical, per run, to pfor_encode of
+    that run alone — across run-size mixes, outliers, zero-size runs."""
+    from data_prepper_spark.index.codec import (
+        pfor_decode,
+        pfor_encode,
+        pfor_encode_runs,
+    )
+
+    rng = np.random.default_rng(23)
+
+    def check(values, runs):
+        buf, ends = pfor_encode_runs(values, runs)
+        starts = np.concatenate(([0], ends[:-1]))
+        bounds = np.append(runs, values.size)
+        for i in range(len(runs)):
+            seg = values[bounds[i] : bounds[i + 1]]
+            blob = buf[int(starts[i]) : int(ends[i])]
+            assert blob == pfor_encode(seg)
+            assert np.array_equal(pfor_decode(blob), seg)
+        assert int(ends[-1]) == len(buf)
+
+    vals, runs = [], [0]
+    for sz in [1, 5, 128, 129, 127, 300, 1000, 7, 384, 2, 64]:
+        hi = 2 ** int(rng.integers(1, 63))
+        vals.append(rng.integers(0, hi, size=sz).astype(np.uint64))
+        runs.append(runs[-1] + sz)
+    check(np.concatenate(vals), np.array(runs[:-1]))
+    # outlier-heavy (the pfor exception path)
+    v = np.where(
+        rng.random(5000) < 0.07,
+        rng.integers(2**40, 2**63, size=5000),
+        rng.integers(0, 30, size=5000),
+    ).astype(np.uint64)
+    r = np.concatenate(
+        ([0], np.sort(rng.choice(np.arange(1, 5000), size=37, replace=False)))
+    )
+    check(v, r)
+    check(np.zeros(500, dtype=np.uint64), np.array([0]))
+    check(np.zeros(0, dtype=np.uint64), np.array([0]))
+    buf, ends = pfor_encode_runs(np.zeros(0, dtype=np.uint64), np.array([0, 0, 0]))
+    assert buf == b"" and list(ends) == [0, 0, 0]
+    # zero-size runs in the middle (duplicate starts)
+    check(rng.integers(0, 1000, size=300).astype(np.uint64), np.array([0, 100, 100, 250]))
+    # width-64 values (mask edge)
+    v64 = rng.integers(0, 2**63, size=400).astype(np.uint64) | np.uint64(1 << 63)
+    check(v64, np.array([0, 13, 200]))
+
+
 def test_pfor_vectorized_identity():
     """All-blocks-at-once pfor_encode must be byte-identical to the
     per-block reference loop, across width mixes / exception shapes /
