@@ -62,7 +62,7 @@ def cmd_build(args) -> None:
     cfg = IndexConfig(
         k1=args.k1, b=args.b, lang=args.lang,
         range_bits=args.range_bits, block_size=args.block_size,
-        n_buckets=args.buckets,
+        n_buckets=args.buckets, codec=args.codec,
     )
     pages = spark.read.parquet(args.input)
     t0 = time.perf_counter()
@@ -105,7 +105,7 @@ def cmd_bench(args) -> None:
     pages = spark.read.parquet(args.input)
     n = pages.count()
     cfg = IndexConfig(range_bits=args.range_bits, block_size=args.block_size,
-                      n_buckets=args.buckets)
+                      n_buckets=args.buckets, codec=args.codec)
     t0 = time.perf_counter()
     stats = build_oneshot(spark, pages, args.index_dir, cfg)
     dt = time.perf_counter() - t0
@@ -145,6 +145,7 @@ def main() -> None:
     pb.add_argument("--lang", default="en")
     pb.add_argument("--k1", type=float, default=1.2)
     pb.add_argument("--b", type=float, default=0.75)
+    pb.add_argument("--codec", choices=["varint", "pfor"], default="varint")
     pb.set_defaults(fn=cmd_build)
 
     pq = sub.add_parser("query")
@@ -161,6 +162,7 @@ def main() -> None:
     pn.add_argument("--buckets", type=int, default=256)
     pn.add_argument("--range-bits", type=int, default=8)
     pn.add_argument("--block-size", type=int, default=128)
+    pn.add_argument("--codec", choices=["varint", "pfor"], default="varint")
     pn.set_defaults(fn=cmd_bench)
 
     pp = sub.add_parser("publish")
