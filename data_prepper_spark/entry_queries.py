@@ -1365,6 +1365,43 @@ SELECT query_id, rank::INT AS rank, vec_id, cos FROM ranked WHERE rank <= 5
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: nearest-centroid clustering then within-cluster cosine
+    dedup (similarity.semdedup; arXiv:2303.09540)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, n_centroids=8, threshold=0.35)
+
+
+def sql_semdedup() -> str:
+    cos_sc = _sql_cos("e.embedding", "c.cvec")
+    cos_xy = _sql_cos("x.embedding", "y.embedding")
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id, c.cid, {cos_sc} AS ccos
+  FROM embeddings e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM s
+  ) WHERE rn = 1
+),
+m AS (SELECT a.vec_id, a.cluster_id, e.embedding
+      FROM a JOIN embeddings e USING (vec_id)),
+d AS (
+  SELECT DISTINCT y.vec_id
+  FROM m x JOIN m y
+    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  WHERE {cos_xy} >= 0.35
+)
+SELECT a.vec_id, a.cluster_id,
+       (a.vec_id IN (SELECT vec_id FROM d)) AS dropped
+FROM a
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textstats.quality_features(_docs(spark, sf_dir))
     return out.select(
@@ -2645,6 +2682,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "semdedup": q_semdedup,
     "multimodal_features": q_multimodal_features,
     # round-2: operator-pinning additions
     "ft_bm25_topk_distributed": q_ft_bm25_topk_distributed,
@@ -2737,6 +2775,7 @@ ORACLES = {
     "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
     "ann_lsh_topk": sql_ann_lsh_topk(),
     "ann_ivf_topk": sql_ann_ivf_topk(),
+    "semdedup": sql_semdedup(),
     "multimodal_features": sql_multimodal_features(),
     "ft_bm25_topk_distributed": sql_ft_bm25_topk(),
     "simhash_pairs": sql_simhash_pairs(),

@@ -243,3 +243,78 @@ def ivf_topk(
         F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
     )
     return _topk_two_stage(scored, qid_col, id_col, k)
+
+# --------------------------------------------------------------- SemDeDup
+
+def semdedup(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then drop within-cluster
+    near-duplicates above a cosine threshold.
+
+    1. assign: every vector goes to its nearest centroid by cosine.
+       Centroids are a deterministic seed set (the n_centroids lowest
+       ids) standing in for the paper's k-means step — the assignment
+       plan is identical either way: broadcast the tiny centroid table,
+       score JVM-side, argmax with one groupBy min(struct) (no window,
+       no extra shuffle of the vector table).
+    2. dedup: within a cluster, any vector with a lower-id neighbor at
+       cos >= threshold is marked dropped (the paper keeps one
+       representative per semantic group; lowest-id is the deterministic
+       representative choice).
+
+    At 100 TB the centroid count scales with the corpus (k ≈ N / target
+    cluster size) so the broadcast stays tiny, the pair join shuffles on
+    cluster_id only, and the within-cluster quadratic term is bounded by
+    the cluster size the clusterer targets — the same blocking story as
+    the LSH/IVF paths above.
+
+    Output: (vec_id, cluster_id, dropped) for every input vector.
+    """
+    cents = vectors.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = vectors.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("cid"),
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("ccos"),
+    )
+    # argmax per vector under (ccos DESC, cid ASC): min of the inverted
+    # struct — field-by-field struct ordering makes this exact, and a
+    # groupBy (map-side partial min) beats a per-vector window at scale.
+    assign = (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("ccos")).alias("neg"), F.col("cid").alias("cid"))
+            ).alias("s")
+        )
+        .select(F.col(id_col), F.col("s.cid").alias("cluster_id"))
+    )
+    m = vectors.join(assign, id_col).select(id_col, "cluster_id", vec_col)
+    a, b = m.alias("a"), m.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            F.round(
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(id_col)
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return assign.join(dropped, id_col, "left").select(
+        id_col, "cluster_id", F.coalesce("dropped", F.lit(False)).alias("dropped")
+    )
