@@ -1402,6 +1402,109 @@ FROM a
 """
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-10 (distributed scale path) fused with
+    vector-cosine top-5 by reciprocal-rank fusion (similarity.rrf_fuse).
+    Query embeddings are the vectors whose vec_id equals the FT query id,
+    so both lists share the query axis; vec_id is a doc_id subset."""
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = s.search(qtext, k=FT_K, distributed=True, mode="brute", tie_round=4)
+        rows.extend((qid, did, r + 1) for r, (did, _sc) in enumerate(hits))
+    bm25 = spark.createDataFrame(rows, "query_id long, doc_id long, r long")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    ann = similarity.brute_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("r"),
+    )
+    return similarity.rrf_fuse([bm25, ann], k=FT_K)
+
+
+def sql_hybrid_rrf() -> str:
+    cos = _sql_cos("e.embedding", "qv.qvec")
+    return _ft_sql_base() + f"""
+, scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+bm AS (
+  SELECT query_id::BIGINT AS query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS r
+  FROM scores
+),
+bmk AS (SELECT query_id, doc_id, r FROM bm WHERE r <= {FT_K}),
+qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+ascored AS (
+  SELECT qv.query_id, e.vec_id AS doc_id, {cos} AS cos
+  FROM embeddings e CROSS JOIN qv
+),
+ank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r
+  FROM ascored
+),
+annk AS (SELECT query_id, doc_id, r FROM ank WHERE r <= 5),
+u AS (SELECT * FROM bmk UNION ALL SELECT * FROM annk),
+fused AS (
+  SELECT query_id, doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf
+  FROM u GROUP BY 1, 2
+),
+rr AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, rank::INT AS rank, doc_id, rrf FROM rr WHERE rank <= {FT_K}
+"""
+
+
+def q_dedup_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal over the documents table: MinHash-LSH
+    candidate pairs → connected components → keep the min-id
+    representative of every cluster plus all singletons (anti-join of
+    the drop set — one shuffle on doc_id)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=16, bands=8,
+        threshold=0.5, oracle_hashes=True,
+    )
+    cc = dedup.connected_components(pairs, "doc_a", "doc_b")
+    drop = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source")
+
+
+def sql_dedup_retained() -> str:
+    return f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+nodes AS (SELECT doc_a AS n FROM pr UNION SELECT doc_b FROM pr),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+reach AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT e.v AS n, r.m AS m FROM reach r JOIN edges e ON e.u = r.n
+),
+cc AS (SELECT n AS doc_id, min(m)::BIGINT AS cluster_id FROM reach GROUP BY 1)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textstats.quality_features(_docs(spark, sf_dir))
     return out.select(
@@ -2683,6 +2786,8 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "semdedup": q_semdedup,
+    "hybrid_rrf": q_hybrid_rrf,
+    "dedup_retained": q_dedup_retained,
     "multimodal_features": q_multimodal_features,
     # round-2: operator-pinning additions
     "ft_bm25_topk_distributed": q_ft_bm25_topk_distributed,
@@ -2776,6 +2881,8 @@ ORACLES = {
     "ann_lsh_topk": sql_ann_lsh_topk(),
     "ann_ivf_topk": sql_ann_ivf_topk(),
     "semdedup": sql_semdedup(),
+    "hybrid_rrf": sql_hybrid_rrf(),
+    "dedup_retained": sql_dedup_retained(),
     "multimodal_features": sql_multimodal_features(),
     "ft_bm25_topk_distributed": sql_ft_bm25_topk(),
     "simhash_pairs": sql_simhash_pairs(),

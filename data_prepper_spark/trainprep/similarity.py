@@ -318,3 +318,32 @@ def semdedup(
     return assign.join(dropped, id_col, "left").select(
         id_col, "cluster_id", F.coalesce("dropped", F.lit(False)).alias("dropped")
     )
+
+# ----------------------------------------------- hybrid-search rank fusion
+
+def rrf_fuse(ranked: list, k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of per-query ranked lists — the standard hybrid-search combiner for
+    a lexical (BM25) list and a vector (ANN) list.
+
+    Each input frame carries (query_id, doc_id, r) with r the 1-based
+    rank inside its own list; the fused score is sum(1 / (c + r)) over
+    the lists a doc appears in.  The inputs are already top-k lists, so
+    the fused candidate set is <= sum(k_i) rows per query by
+    construction — the final per-query window ranks a bounded, tiny set
+    no matter how large the underlying corpus or vector table is.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    u = reduce(lambda x, y: x.unionByName(y), ranked)
+    scored = u.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(1.0 / (F.lit(float(c)) + F.col("r"))), 6).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf")
+    )
