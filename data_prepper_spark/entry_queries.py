@@ -71,6 +71,33 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _INDEX_CACHE[key]
 
 
+def _merged_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two half-corpus indexes (doc_id parity split — ids INTERLEAVE, so
+    both halves populate the same docID ranges and the merged index holds
+    duplicate (term_id, range_id) slice keys, the hardest merge shape)
+    merged by index.merge.merge_indexes."""
+    key = "merged:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
+        from .index.merge import merge_indexes
+
+        cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
+        docs = _docs(spark, sf_dir)
+        halves = []
+        for i in range(2):
+            d = tempfile.mkdtemp(prefix=f"dps_entry_half{i}_")
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            build_oneshot_text(spark, docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i), d, cfg)
+            halves.append(d)
+        out = tempfile.mkdtemp(prefix="dps_entry_merged_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        merge_indexes(spark, halves, out)
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
 # =============================================================== fulltext
 
 def q_ft_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,6 +229,22 @@ ranked AS (
 )
 SELECT query_id, doc_id, score_r FROM ranked WHERE rn <= {FT_K}
 """
+
+
+def q_ft_merged_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-merge correctness gate: split the documents table by doc_id
+    parity, build one index per half, MERGE the segments
+    (index/merge.py: posting-row union + exact block-bound recompute
+    under the merged avgdl), and answer the reference query set from the
+    MERGED index through the distributed scale path.  Oracle: the same
+    full-corpus BM25 SQL as ft_bm25_topk — the merge must be invisible."""
+    idx = _merged_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = s.search(qtext, k=FT_K, distributed=True, mode="brute", tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
 
 
 # ====================================================== DP operator family
@@ -2787,6 +2830,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "semdedup": q_semdedup,
     "hybrid_rrf": q_hybrid_rrf,
+    "ft_merged_bm25": q_ft_merged_bm25,
     "dedup_retained": q_dedup_retained,
     "multimodal_features": q_multimodal_features,
     # round-2: operator-pinning additions
@@ -2882,6 +2926,7 @@ ORACLES = {
     "ann_ivf_topk": sql_ann_ivf_topk(),
     "semdedup": sql_semdedup(),
     "hybrid_rrf": sql_hybrid_rrf(),
+    "ft_merged_bm25": sql_ft_bm25_topk(),
     "dedup_retained": sql_dedup_retained(),
     "multimodal_features": sql_multimodal_features(),
     "ft_bm25_topk_distributed": sql_ft_bm25_topk(),

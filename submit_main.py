@@ -6,6 +6,8 @@ Commands:
             crash skips completed bucket groups)
   query   — BM25 top-k for one query string or a file of queries
   bench   — timed one-shot build (prints docs/sec JSON)
+  merge   — merge built indexes (disjoint doc-id spaces) into one:
+            posting-row union + exact block-bound recompute, resumable
   publish — push built index segments to the warehouse: Iceberg tables
             (partition-aware appends) when the runtime jar is present,
             layout-identical hive-partitioned parquet otherwise
@@ -131,6 +133,18 @@ def cmd_publish(args) -> None:
     spark.stop()
 
 
+def cmd_merge(args) -> None:
+    from data_prepper_spark.index.merge import merge_indexes
+
+    spark = _spark("dps-index-merge")
+    t0 = time.perf_counter()
+    stats = merge_indexes(spark, args.src, args.index_dir)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"merged": args.index_dir, "sources": args.src,
+                      "seconds": round(dt, 1), **stats}))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="submit_main.py")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -164,6 +178,13 @@ def main() -> None:
     pn.add_argument("--block-size", type=int, default=128)
     pn.add_argument("--codec", choices=["varint", "pfor"], default="varint")
     pn.set_defaults(fn=cmd_bench)
+
+    pm = sub.add_parser("merge")
+    pm.add_argument("--src", nargs="+", required=True,
+                    help="two or more built index directories (disjoint doc ids)")
+    pm.add_argument("--index-dir", required=True,
+                    help="output directory for the merged index")
+    pm.set_defaults(fn=cmd_merge)
 
     pp = sub.add_parser("publish")
     pp.add_argument("--index-dir", required=True)
