@@ -247,6 +247,94 @@ def q_ft_merged_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
 
 
+# phrase reference set: bigrams + trigrams present in the documents
+# tables at both verification scale factors
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "part filter"),
+    (1, "merge group"),
+    (2, "table hash"),
+    (3, "order fast"),
+    (4, "the fast join"),
+    (5, "scan the table"),
+]
+
+
+def _pos_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Positional index over the documents table (cfg.positions=True)."""
+    key = "pos:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
+        d = tempfile.mkdtemp(prefix="dps_entry_posindex_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        cfg = IndexConfig(
+            k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16, positions=True
+        )
+        build_oneshot_text(spark, _docs(spark, sf_dir), d, cfg)
+        _INDEX_CACHE[key] = d
+    return _INDEX_CACHE[key]
+
+
+def q_ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase BM25 top-k over the POSITIONAL index (index/phrase.py:
+    per-docID-range positional adjacency kernel → global df → fold idf
+    into a Catalyst score).  Lucene PhraseQuery semantics: tf = phrase
+    occurrence count, df = matching-doc count."""
+    from .index.phrase import phrase_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, ph in PHRASE_QUERIES:
+        hits = phrase_topk(s, ph, k=FT_K, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_phrase_topk() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, ph in PHRASE_QUERIES:
+        ts = ph.split()
+        joins = "".join(
+            f" JOIN toks t{j} ON t0.doc_id = t{j}.doc_id AND t{j}.ord = t0.ord + {j}"
+            for j in range(1, len(ts))
+        )
+        conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
+        ctes.append(
+            f"m{qid} AS (SELECT t0.doc_id, count(*)::BIGINT AS tfp "
+            f"FROM toks t0{joins} WHERE {conds} GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM m{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM m{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM m{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+scores AS ({union}),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM scores
+)
+SELECT query_id, doc_id, score_r FROM ranked WHERE rn <= {FT_K}
+"""
+    )
+
+
 # ====================================================== DP operator family
 
 def q_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2831,6 +2919,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "hybrid_rrf": q_hybrid_rrf,
     "ft_merged_bm25": q_ft_merged_bm25,
+    "ft_phrase_topk": q_ft_phrase_topk,
     "dedup_retained": q_dedup_retained,
     "multimodal_features": q_multimodal_features,
     # round-2: operator-pinning additions
@@ -2927,6 +3016,7 @@ ORACLES = {
     "semdedup": sql_semdedup(),
     "hybrid_rrf": sql_hybrid_rrf(),
     "ft_merged_bm25": sql_ft_bm25_topk(),
+    "ft_phrase_topk": sql_ft_phrase_topk(),
     "dedup_retained": sql_dedup_retained(),
     "multimodal_features": sql_multimodal_features(),
     "ft_bm25_topk_distributed": sql_ft_bm25_topk(),

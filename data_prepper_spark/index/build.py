@@ -51,7 +51,7 @@ from .codec import (
     pfor_encode_runs,
     varint_encode_arr,
 )
-from .config import SLICE_SCHEMA, IndexConfig
+from .config import SLICE_SCHEMA, SLICE_SCHEMA_POS, IndexConfig
 from .ledger import Ledger
 from .tokenize import (
     doc_src_from_pages,
@@ -65,7 +65,7 @@ class BuildKilled(RuntimeError):
     """Raised by test fault injectors to simulate a mid-build crash."""
 
 
-def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: str = "varint"):
+def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: str = "varint", positions: bool = False):
     """applyInPandas kernel over a COARSE (term_bucket, range_id) group:
     emits one encoded slice row per term present in the group.
 
@@ -95,6 +95,13 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
         "term_id", "range_id", "df_slice", "cf_slice", "doc_ids", "tfs",
         "dls", "block_firsts", "block_ubs", "max_ub", "n_blocks",
     ]
+    if positions:
+        # per-term positional stream: the per-(doc,term) RAW LEB128 blobs
+        # from the tokenizer, concatenated in docID order behind ONE tag
+        # byte (positions always varint — deltas are tiny; pfor's 128-value
+        # blocks would restart mid-doc).  Per-doc boundaries are the
+        # decoded tfs, so nothing extra is stored.
+        cols = cols + ["positions"]
 
     def _prep(pdf: pd.DataFrame):
         terms = pdf["term_id"].to_numpy(np.int64)
@@ -103,6 +110,9 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
         dl = pdf["dl"].to_numpy(np.int64)
         order = np.lexsort((d, terms))
         terms, d, tf, dl = terms[order], d[order], tf[order], dl[order]
+        pos_blobs = (
+            pdf["pos_blob"].to_numpy()[order] if positions else None
+        )
         # per-posting score upper bound factor (idf-independent, BMW-style)
         norm = tf.astype(np.float64) * (k1 + 1.0) / (
             tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
@@ -114,39 +124,40 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
         new_run[1:] = terms[1:] != terms[:-1]
         runs = np.flatnonzero(new_run)
         ends = np.append(runs[1:], len(terms))
-        return terms, d, tf, dl, ub32, runs, ends
+        return terms, d, tf, dl, ub32, runs, ends, pos_blobs
 
     def encode_loop(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return pd.DataFrame([], columns=cols)
-        terms, d, tf, dl, ub32, runs, ends = _prep(pdf)
+        terms, d, tf, dl, ub32, runs, ends, pos_blobs = _prep(pdf)
         range_id = np.int32(pdf["range_id"].iloc[0])
         rows = []
         for s, e in zip(runs, ends):
             td, ttf, tdl, tub = d[s:e], tf[s:e], dl[s:e], ub32[s:e]
             starts = np.arange(0, td.size, block_size)
             block_ubs = np.maximum.reduceat(tub, starts)
-            rows.append(
-                (
-                    np.int64(terms[s]),
-                    range_id,
-                    np.int64(td.size),
-                    np.int64(ttf.sum()),
-                    encode_docids(td, codec),
-                    encode_uints(ttf.astype(np.uint64), codec),
-                    encode_uints(tdl.astype(np.uint64), codec),
-                    pack_i64(td[starts]),
-                    pack_f32(block_ubs),
-                    np.float32(block_ubs.max()),
-                    np.int32(starts.size),
-                )
+            row = (
+                np.int64(terms[s]),
+                range_id,
+                np.int64(td.size),
+                np.int64(ttf.sum()),
+                encode_docids(td, codec),
+                encode_uints(ttf.astype(np.uint64), codec),
+                encode_uints(tdl.astype(np.uint64), codec),
+                pack_i64(td[starts]),
+                pack_f32(block_ubs),
+                np.float32(block_ubs.max()),
+                np.int32(starts.size),
             )
+            if positions:
+                row = row + (VARINT_TAG + b"".join(pos_blobs[s:e]),)
+            rows.append(row)
         return pd.DataFrame(rows, columns=cols)
 
     def encode_vectorized(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return pd.DataFrame([], columns=cols)
-        terms, d, tf, dl, ub32, runs, ends = _prep(pdf)
+        terms, d, tf, dl, ub32, runs, ends, pos_blobs = _prep(pdf)
         n_terms = runs.size
         sizes = ends - runs
 
@@ -189,6 +200,13 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
         max_ub = np.maximum.reduceat(block_ubs_all, nb_off[:-1])
         cf = np.add.reduceat(tf, runs)
 
+        pos_col = (
+            {"positions": [
+                VARINT_TAG + b"".join(pos_blobs[s:e]) for s, e in zip(runs, ends)
+            ]}
+            if positions
+            else {}
+        )
         doc_b = np.concatenate(([0], doc_e[:-1])).tolist()
         tf_b = np.concatenate(([0], tf_e[:-1])).tolist()
         dl_b = np.concatenate(([0], dl_e[:-1])).tolist()
@@ -214,6 +232,7 @@ def encode_slice_fn(avgdl: float, k1: float, b: float, block_size: int, codec: s
                 ],
                 "max_ub": max_ub.astype(np.float32),
                 "n_blocks": nb.astype(np.int32),
+                **pos_col,
             },
             columns=cols,
         )
@@ -349,7 +368,13 @@ def build_index(
     avgdl = float(stats["avgdl"])
 
     # ---- stage: posting slices, per bucket-group ----
-    encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size, cfg.codec)
+    encode = encode_slice_fn(
+        avgdl, cfg.k1, cfg.b, cfg.block_size, cfg.codec, positions=cfg.positions
+    )
+    slice_schema = SLICE_SCHEMA_POS if cfg.positions else SLICE_SCHEMA
+    token_cols = ["term_id", "term_bucket", "range_id", "doc_id", "tf", "dl"] + (
+        ["pos_blob"] if cfg.positions else []
+    )
     done = ledger.completed("postings", fp)
     for g in range(bucket_groups):
         if g in done:
@@ -359,9 +384,9 @@ def build_index(
         )
         slices = (
             tg.withColumn("term_id", F.xxhash64("term"))
-            .select("term_id", "term_bucket", "range_id", "doc_id", "tf", "dl")
+            .select(*token_cols)
             .groupBy("term_bucket", "range_id")
-            .applyInPandas(encode, schema=SLICE_SCHEMA)
+            .applyInPandas(encode, schema=slice_schema)
             .withColumn("term_bucket", _term_bucket_from_id(cfg))
             # align write partitioning with the directory layout: one
             # task per bucket -> one file per term_bucket dir, regardless
@@ -430,7 +455,9 @@ def build_oneshot_text(
 ) -> dict:
     """Build over a pre-extracted-text table (id, text) — e.g. the
     driver's `documents` table; no html extraction, no lang filter."""
-    tokens = tokenize_stage_text(docs, id_col=id_col, text_col=text_col)
+    tokens = tokenize_stage_text(
+        docs, id_col=id_col, text_col=text_col, positions=cfg.positions
+    )
     doc_src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(id_col).cast("string").alias("url"),
@@ -505,14 +532,20 @@ def build_oneshot_tokens(
         p["stats"]
     )
     _mark("t_docmeta")
-    encode = encode_slice_fn(avgdl, cfg.k1, cfg.b, cfg.block_size, cfg.codec)
+    encode = encode_slice_fn(
+        avgdl, cfg.k1, cfg.b, cfg.block_size, cfg.codec, positions=cfg.positions
+    )
+    slice_schema = SLICE_SCHEMA_POS if cfg.positions else SLICE_SCHEMA
+    token_cols = ["term_id", "term_bucket", "range_id", "doc_id", "tf", "dl"] + (
+        ["pos_blob"] if cfg.positions else []
+    )
     slices = (
         tokens.withColumn("term_id", F.xxhash64("term"))
         .withColumn("range_id", range_id_col(cfg))
         .withColumn("term_bucket", _term_bucket_from_id(cfg))
-        .select("term_id", "term_bucket", "range_id", "doc_id", "tf", "dl")
+        .select(*token_cols)
         .groupBy("term_bucket", "range_id")
-        .applyInPandas(encode, schema=SLICE_SCHEMA)
+        .applyInPandas(encode, schema=slice_schema)
         .withColumn("term_bucket", _term_bucket_from_id(cfg))
         .withColumn("bgroup", F.lit(0))
         # one file per term_bucket dir (see build_index note)

@@ -32,6 +32,11 @@ class IndexConfig:
     block_size: int = 128
     n_buckets: int = 16
     codec: str = "varint"
+    # positional postings: store per-(term,doc) token positions as a 4th
+    # stream (raw LEB128 deltas concatenated per term) — enables exact
+    # phrase queries (index/phrase.py).  Off by default: the BM25-only
+    # index stays byte-identical to pre-positions builds.
+    positions: bool = False
 
     @property
     def n_ranges(self) -> int:
@@ -77,6 +82,10 @@ class IndexConfig:
 # shipped 100× per doc through Arrow IPC, the staging write, and the
 # posting shuffle.  docmeta joins urls back from the pages scan instead.
 TOKENS_SCHEMA = "doc_id long, term string, tf int, dl int"
+# positional variant: pos_blob = RAW (untagged) LEB128 deltas of the
+# 0-based token positions of this (doc, term) — raw so the slice encoder
+# can concatenate per-doc blobs into one tagged per-term stream
+TOKENS_POS_SCHEMA = TOKENS_SCHEMA + ", pos_blob binary"
 # postings are keyed by term_id = xxhash64(term) (the classic term
 # dictionary split): the posting shuffle and encode kernel touch ONLY
 # fixed-width integers — term strings live in the termdict/termstats
@@ -86,3 +95,6 @@ SLICE_SCHEMA = (
     "doc_ids binary, tfs binary, dls binary, "
     "block_firsts binary, block_ubs binary, max_ub float, n_blocks int"
 )
+# positional slices append one column; per-doc position counts are the
+# decoded tfs, so no extra offsets are stored
+SLICE_SCHEMA_POS = SLICE_SCHEMA + ", positions binary"

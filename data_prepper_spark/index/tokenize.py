@@ -10,11 +10,81 @@ then a single mapInPandas that turns each Arrow batch of pages into
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..textproc import extract_text_series, tokenize_counts_arrow
-from .config import IndexConfig, TOKENS_SCHEMA
+from .config import IndexConfig, TOKENS_POS_SCHEMA, TOKENS_SCHEMA
+
+
+def tokenize_positions_arrow(texts: pd.Series):
+    """Positional variant of ``tokenize_counts_arrow``: same Arrow-native
+    token stream, but instead of a C++ group-by count it produces, per
+    (doc, term), a RAW (untagged) LEB128 blob of position deltas — first
+    value is the absolute 0-based token position, the rest are gaps.
+
+    Raw blobs let the slice encoder build the per-term positional stream
+    by pure byte concatenation in docID order (LEB128 is self-delimiting)
+    and prepend ONE tag byte — the same group-at-once shape as the other
+    three streams.  All deltas for the whole batch are encoded in one
+    vectorized pass; per-(doc,term) blobs are byte slices of it.
+
+    Returns ``(owners, terms, tfs, doc_lens, pos_blobs)``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codec import varint_encode_arr
+
+    pa.set_cpu_count(1)
+    arr = pa.Array.from_pandas(texts.astype("object"))
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(arr), pattern="[^a-z0-9]+", replacement=" "
+    )
+    lists = pc.split_pattern(cleaned, " ")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parents = parents.filter(mask)
+    pnp = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.bincount(pnp, minlength=len(texts)).astype(np.int64)
+    if pnp.size == 0:
+        return (
+            np.empty(0, np.int64),
+            pd.array([], dtype=pd.ArrowDtype(pa.string())),
+            np.empty(0, np.int64),
+            lens,
+            [],
+        )
+    # 0-based position among the doc's kept tokens (flatten preserves order)
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    pos = np.arange(pnp.size, dtype=np.int64) - starts[pnp]
+    dic = flat.dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, codes, pnp))
+    p_s, c_s, pos_s = pnp[order], codes[order], pos[order]
+    new_run = np.empty(p_s.size, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
+    runs = np.flatnonzero(new_run)
+    ends = np.append(runs[1:], p_s.size)
+    deltas = np.empty_like(pos_s)
+    deltas[0] = pos_s[0]
+    deltas[1:] = pos_s[1:] - pos_s[:-1]
+    deltas[runs] = pos_s[runs]  # delta restarts at each (doc,term) run
+    out, oends = varint_encode_arr(deltas.astype(np.uint64))
+    ob = out.tobytes()
+    e_off = oends[ends - 1]
+    b_off = np.where(runs > 0, oends[runs - 1], 0)
+    pos_blobs = [ob[s:e] for s, e in zip(b_off.tolist(), e_off.tolist())]
+    owners = p_s[runs]
+    terms = pd.array(
+        dic.dictionary.take(pa.array(c_s[runs])), dtype=pd.ArrowDtype(pa.string())
+    )
+    tfs = (ends - runs).astype(np.int64)
+    return owners, terms, tfs, lens, pos_blobs
 
 
 def with_doc_id(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -40,24 +110,39 @@ def range_id_col(cfg: IndexConfig, doc_id_col: str = "doc_id"):
 
 
 def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """pages(url, html, lang) → tokens(doc_id, term, tf, dl)."""
+    """pages(url, html, lang) → tokens(doc_id, term, tf, dl[, pos_blob])."""
     src = with_doc_id(pages, cfg).select("doc_id", "html")
+    positions = cfg.positions
 
     def fn(batches):
         for b in batches:
             texts = extract_text_series(b["html"])
-            owners, terms, tfs, lens = tokenize_counts_arrow(texts)
             doc_ids = b["doc_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids[owners],
-                    "term": terms,
-                    "tf": tfs.astype("int32"),
-                    "dl": lens[owners].astype("int32"),
-                }
-            )
+            if positions:
+                owners, terms, tfs, lens, blobs = tokenize_positions_arrow(texts)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[owners],
+                        "term": terms,
+                        "tf": tfs.astype("int32"),
+                        "dl": lens[owners].astype("int32"),
+                        "pos_blob": blobs,
+                    }
+                )
+            else:
+                owners, terms, tfs, lens = tokenize_counts_arrow(texts)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[owners],
+                        "term": terms,
+                        "tf": tfs.astype("int32"),
+                        "dl": lens[owners].astype("int32"),
+                    }
+                )
 
-    return src.mapInPandas(fn, schema=TOKENS_SCHEMA)
+    return src.mapInPandas(
+        fn, schema=TOKENS_POS_SCHEMA if positions else TOKENS_SCHEMA
+    )
 
 
 def doc_src_from_pages(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -69,6 +154,7 @@ def tokenize_stage_text(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> DataFrame:
     """Pre-extracted-text variant: docs(id, text) → tokens, same schema.
 
@@ -82,15 +168,29 @@ def tokenize_stage_text(
 
     def fn(batches):
         for b in batches:
-            owners, terms, tfs, lens = tokenize_counts_arrow(b["text"])
             doc_ids = b["doc_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids[owners],
-                    "term": terms,
-                    "tf": tfs.astype("int32"),
-                    "dl": lens[owners].astype("int32"),
-                }
-            )
+            if positions:
+                owners, terms, tfs, lens, blobs = tokenize_positions_arrow(b["text"])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[owners],
+                        "term": terms,
+                        "tf": tfs.astype("int32"),
+                        "dl": lens[owners].astype("int32"),
+                        "pos_blob": blobs,
+                    }
+                )
+            else:
+                owners, terms, tfs, lens = tokenize_counts_arrow(b["text"])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[owners],
+                        "term": terms,
+                        "tf": tfs.astype("int32"),
+                        "dl": lens[owners].astype("int32"),
+                    }
+                )
 
-    return src.mapInPandas(fn, schema=TOKENS_SCHEMA)
+    return src.mapInPandas(
+        fn, schema=TOKENS_POS_SCHEMA if positions else TOKENS_SCHEMA
+    )

@@ -65,6 +65,7 @@ def cmd_build(args) -> None:
         k1=args.k1, b=args.b, lang=args.lang,
         range_bits=args.range_bits, block_size=args.block_size,
         n_buckets=args.buckets, codec=args.codec,
+        positions=args.positions,
     )
     pages = spark.read.parquet(args.input)
     t0 = time.perf_counter()
@@ -86,7 +87,12 @@ def cmd_query(args) -> None:
     queries = [args.q] if args.q else [l.strip() for l in open(args.qfile) if l.strip()]
     for q in queries:
         t0 = time.perf_counter()
-        hits = s.search(q, k=args.k, distributed=args.distributed)
+        if args.phrase:
+            from data_prepper_spark.index.phrase import phrase_topk
+
+            hits = phrase_topk(s, q, k=args.k)
+        else:
+            hits = s.search(q, k=args.k, distributed=args.distributed)
         ms = (time.perf_counter() - t0) * 1000
         urls = s.urls_for([d for d, _ in hits])
         print(json.dumps({
@@ -160,6 +166,8 @@ def main() -> None:
     pb.add_argument("--k1", type=float, default=1.2)
     pb.add_argument("--b", type=float, default=0.75)
     pb.add_argument("--codec", choices=["varint", "pfor"], default="varint")
+    pb.add_argument("--positions", action="store_true",
+                    help="store positional postings (enables phrase queries)")
     pb.set_defaults(fn=cmd_build)
 
     pq = sub.add_parser("query")
@@ -168,6 +176,9 @@ def main() -> None:
     pq.add_argument("--qfile")
     pq.add_argument("--k", type=int, default=10)
     pq.add_argument("--distributed", action="store_true")
+    pq.add_argument("--phrase", action="store_true",
+                    help="exact phrase query (needs a positional index: "
+                         "build with --positions)")
     pq.set_defaults(fn=cmd_query)
 
     pn = sub.add_parser("bench")

@@ -1,0 +1,125 @@
+"""Positional postings + exact phrase queries (index/phrase.py).
+
+Pins: (a) the Arrow positional tokenizer emits exactly the positions of
+the shared ``tokenize`` spec; (b) phrase BM25 matches a brute-force
+pure-Python oracle (Lucene PhraseQuery semantics: tf = occurrence count,
+df = matching docs); (c) storing positions does not perturb plain BM25;
+(d) phrase queries on a positions-less index fail loudly."""
+
+import math
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.index.build import build_oneshot_text
+from data_prepper_spark.index.codec import VARINT_TAG, decode_uints
+from data_prepper_spark.index.config import IndexConfig
+from data_prepper_spark.index.phrase import phrase_topk
+from data_prepper_spark.index.query import BM25Searcher
+from data_prepper_spark.index.tokenize import tokenize_positions_arrow
+from data_prepper_spark.textproc import tokenize
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "quick brown quick brown fox"),
+    (3, "brown quick nothing here at all"),
+    (4, "a quick brown fox and another quick brown fox"),
+    (5, "Unrelated CONTENT with   punctuation!! and digits 42 42 42"),
+    (6, ""),
+    (7, "quick quick quick"),
+]
+VARINT_TAG_LEN = 1
+
+
+def _py_positions(text):
+    toks = tokenize(text)
+    out = {}
+    for i, t in enumerate(toks):
+        out.setdefault(t, []).append(i)
+    return out, len(toks)
+
+
+def test_positional_tokenizer_matches_spec():
+    texts = pd.Series([t for _, t in DOCS], dtype="object")
+    owners, terms, tfs, lens, blobs = tokenize_positions_arrow(texts)
+    got = {}
+    for o, t, tf, blob in zip(owners, terms, tfs, blobs):
+        deltas = decode_uints(VARINT_TAG + blob)  # raw blob: prepend the tag
+        assert deltas.size == tf
+        got.setdefault(int(o), {})[str(t)] = np.cumsum(deltas).tolist()
+    for i, (_, text) in enumerate(DOCS):
+        want, n = _py_positions(text)
+        assert lens[i] == n
+        assert got.get(i, {}) == {k: v for k, v in want.items()}
+
+
+def _phrase_oracle(docs, phrase, k1=1.2, b=0.75):
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}  # empty docs are not indexed
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    ts = phrase.split()
+    m = {}
+    for d, seq in toks.items():
+        c = sum(
+            1
+            for i in range(len(seq) - len(ts) + 1)
+            if seq[i : i + len(ts)] == ts
+        )
+        if c:
+            m[d] = c
+    if not m:
+        return []
+    idf = math.log(1 + (n - len(m) + 0.5) / (len(m) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark):
+    d = tempfile.mkdtemp(prefix="dps_test_posidx_")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cfg = IndexConfig(range_bits=2, block_size=4, n_buckets=4, positions=True)
+    build_oneshot_text(spark, docs, d, cfg)
+    return d
+
+
+def test_phrase_matches_brute_oracle(spark, pos_index):
+    s = BM25Searcher(spark, pos_index)
+    for ph in ["quick brown", "brown quick", "quick brown fox", "42 42",
+               "quick quick", "lazy cat", "the quick brown fox"]:
+        want = _phrase_oracle(DOCS, ph)
+        got = phrase_topk(s, ph, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], ph
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, ph
+
+
+def test_positions_do_not_perturb_bm25(spark, pos_index):
+    d2 = tempfile.mkdtemp(prefix="dps_test_plainidx_")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_oneshot_text(
+        spark, docs, d2, IndexConfig(range_bits=2, block_size=4, n_buckets=4)
+    )
+    sp, s2 = BM25Searcher(spark, pos_index), BM25Searcher(spark, d2)
+    for q in ["quick", "brown fox", "the 42"]:
+        a, b_ = sp.search(q, k=10), s2.search(q, k=10)
+        assert [x for x, _ in a] == [x for x, _ in b_], q
+        assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(a, b_)), q
+
+
+def test_phrase_requires_positional_index(spark):
+    d = tempfile.mkdtemp(prefix="dps_test_nopos_")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_oneshot_text(
+        spark, docs, d, IndexConfig(range_bits=2, block_size=4, n_buckets=4)
+    )
+    s = BM25Searcher(spark, d)
+    with pytest.raises(ValueError, match="positional"):
+        phrase_topk(s, "quick brown")
