@@ -100,12 +100,12 @@ def merge_indexes(
                 f"{d}: legacy (untagged varint) index — streams are not "
                 "self-describing, rebuild before merging"
             )
-        if (c.k1, c.b, c.n_buckets, c.block_size) != (
-            base.k1, base.b, base.n_buckets, base.block_size,
+        if (c.k1, c.b, c.n_buckets, c.block_size, c.positions) != (
+            base.k1, base.b, base.n_buckets, base.block_size, base.positions,
         ):
             raise ValueError(
-                f"{d}: incompatible config (k1/b/n_buckets/block_size must "
-                "match across merge sources)"
+                f"{d}: incompatible config (k1/b/n_buckets/block_size/"
+                "positions must match across merge sources)"
             )
     n_docs = sum(int(s["n_docs"]) for s in stats)
     total_tokens = sum(int(s["total_tokens"]) for s in stats)

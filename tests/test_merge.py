@@ -125,3 +125,32 @@ def test_merge_resumes_without_recompute(spark, half_indexes, merged_index):
     before = mtimes("postings")
     merge_indexes(spark, half_indexes, out)
     assert mtimes("postings") == before
+
+
+def test_merge_positional_phrase_identity(spark, workdir):
+    """Merging positional indexes carries the positions stream through
+    (schema-driven union + pass-through in the bound recompute kernel):
+    phrase results on the merged index equal the full build's."""
+    from data_prepper_spark.index.build import build_oneshot_text
+    from data_prepper_spark.index.phrase import phrase_topk
+
+    docs = [(i, f"alpha beta gamma doc {i} " + ("alpha beta " * (i % 4)))
+            for i in range(1, 41)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    cfg = IndexConfig(range_bits=2, block_size=8, n_buckets=4, positions=True)
+    full = os.path.join(workdir, "pos_full")
+    build_oneshot_text(spark, sdf, full, cfg)
+    halves = []
+    for i in range(2):
+        d = os.path.join(workdir, f"pos_half{i}")
+        build_oneshot_text(
+            spark, sdf.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i), d, cfg
+        )
+        halves.append(d)
+    out = os.path.join(workdir, "pos_merged")
+    merge_indexes(spark, halves, out)
+    sf, sm = BM25Searcher(spark, full), BM25Searcher(spark, out)
+    for ph in ["alpha beta", "beta gamma", "alpha beta gamma"]:
+        a, b = phrase_topk(sf, ph, k=10), phrase_topk(sm, ph, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b], ph
+        assert all(abs(x - y) < 1e-9 for (_, x), (_, y) in zip(a, b)), ph

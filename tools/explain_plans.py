@@ -186,6 +186,51 @@ def main():
         cap(_dd.line_dedup(lines_df, "doc_id", "lines", max_occurrences=3)),
     ))
 
+    # 7. round-3 additions: semdedup / segment merge / phrase
+    sections.append((
+        "SemDeDup assignment (broadcast centroids, groupBy-argmax, no window)",
+        "Centroid side is BroadcastNestedLoop/BroadcastExchange (k rows); "
+        "cluster assignment is ONE HashAggregate pair (partial min(struct) "
+        "then final) — no per-vector window; the pair join shuffles on "
+        "cluster_id only.",
+        cap(similarity.semdedup(emb, n_centroids=8, threshold=0.35)),
+    ))
+
+    from data_prepper_spark.index.merge import recompute_ubs_fn
+
+    posts = spark.read.parquet(f"{idx}/postings")
+    fixed = posts.withColumn("bgroup", F.lit(0).cast("int")).mapInPandas(
+        recompute_ubs_fn(200.0, cfg.k1, cfg.b, cfg.block_size),
+        schema=posts.withColumn("bgroup", F.lit(0).cast("int")).schema,
+    )
+    sections.append((
+        "Segment merge posting pass (union + bound recompute, NO Exchange)",
+        "The merge's posting rewrite is scan → MapInPandas → write: no "
+        "Exchange anywhere — posting rows never shuffle during a merge; "
+        "only the tf/dl streams are decoded in the kernel.",
+        cap(fixed),
+    ))
+
+    pidx = eq._pos_index_dir(spark, SF_DIR)
+    from data_prepper_spark.index.phrase import _POS_COLS
+
+    phr_ids = [xxh64_signed(t) for t in ("part", "filter")]
+    phr_buckets = sorted({pmod(i, 16) for i in phr_ids})
+    phr = (
+        spark.read.parquet(f"{pidx}/postings")
+        .filter(
+            F.col("term_bucket").isin(phr_buckets) & F.col("term_id").isin(phr_ids)
+        )
+        .select("range_id", *_POS_COLS)
+    )
+    sections.append((
+        "Phrase query slice scan (positional index, bucket-pruned)",
+        "PartitionFilters prune to the phrase terms' term_bucket dirs; "
+        "ReadSchema carries the positions stream only here — plain BM25 "
+        "scans never read it (separate column, pruned away).",
+        cap(phr),
+    ))
+
     out = ["# PLANS — physical-plan evidence for the load-bearing queries",
            "",
            "Generated by tools/explain_plans.py (sf0.01). What to look for",
