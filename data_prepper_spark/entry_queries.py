@@ -335,6 +335,51 @@ SELECT query_id, doc_id, score_r FROM ranked WHERE rn <= {FT_K}
     )
 
 
+def q_ft_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-position fidelity gate: ALL matching docs of each phrase
+    with occurrence count and the 0-based token position of the FIRST
+    occurrence (the highlighting hook) — pins the positional stream's
+    contents, not just rank order."""
+    from functools import reduce
+
+    from .index.phrase import phrase_matches
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    outs = []
+    for qid, ph in PHRASE_QUERIES:
+        m = phrase_matches(s, ph)
+        outs.append(
+            m.select(
+                F.lit(qid).alias("query_id"), "doc_id", "tf_phrase", "first_pos"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def sql_ft_phrase_positions() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+)"""
+    selects = []
+    for qid, ph in PHRASE_QUERIES:
+        ts = ph.split()
+        joins = "".join(
+            f" JOIN toks t{j} ON t0.doc_id = t{j}.doc_id AND t{j}.ord = t0.ord + {j}"
+            for j in range(1, len(ts))
+        )
+        conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
+        selects.append(
+            f"SELECT {qid} AS query_id, t0.doc_id, count(*)::BIGINT AS tf_phrase, "
+            f"(min(t0.ord) - 1)::BIGINT AS first_pos "
+            f"FROM toks t0{joins} WHERE {conds} GROUP BY 1, 2"
+        )
+    return base + "\n" + "\nUNION ALL\n".join(selects)
+
+
 # ====================================================== DP operator family
 
 def q_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2920,6 +2965,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "ft_merged_bm25": q_ft_merged_bm25,
     "ft_phrase_topk": q_ft_phrase_topk,
+    "ft_phrase_positions": q_ft_phrase_positions,
     "dedup_retained": q_dedup_retained,
     "multimodal_features": q_multimodal_features,
     # round-2: operator-pinning additions
@@ -3017,6 +3063,7 @@ ORACLES = {
     "hybrid_rrf": sql_hybrid_rrf(),
     "ft_merged_bm25": sql_ft_bm25_topk(),
     "ft_phrase_topk": sql_ft_phrase_topk(),
+    "ft_phrase_positions": sql_ft_phrase_positions(),
     "dedup_retained": sql_dedup_retained(),
     "multimodal_features": sql_multimodal_features(),
     "ft_bm25_topk_distributed": sql_ft_bm25_topk(),

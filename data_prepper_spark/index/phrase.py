@@ -39,74 +39,123 @@ from .codec import decode_docids, decode_uints
 _POS_COLS = ["term_id", "df_slice", "doc_ids", "tfs", "dls", "positions"]
 
 
+def _match_rows(rows: list[dict], term_seq: list[int]):
+    """Adjacency match over one docID-range's slice rows.  Returns
+    parallel lists (doc_ids, tf_phrase, dls, first_pos) — the core shared
+    by the distributed kernel and the driver serving path.
+
+    Fully vectorized: no per-doc Python loop.  Positions are flattened to
+    composite keys (doc_index * stride + position - term_offset) and the
+    phrase match is an m-way ``np.intersect1d`` over those key arrays —
+    a stopword phrase costs sorts over its posting length, not a Python
+    iteration per document."""
+    uniq = set(term_seq)
+    acc = {t: {"docs": [], "tf": [], "dl": [], "pos": []} for t in uniq}
+    max_pos = 0
+    for row in rows:
+        tid = int(row["term_id"])
+        if tid not in uniq:
+            continue
+        d = decode_docids(bytes(row["doc_ids"]))
+        tf = decode_uints(bytes(row["tfs"])).astype(np.int64)
+        dl = decode_uints(bytes(row["dls"])).astype(np.int64)
+        deltas = decode_uints(bytes(row["positions"])).astype(np.int64)
+        # per-doc absolute positions from the delta stream, vectorized:
+        # global cumsum minus the cumsum value at each doc's segment start
+        cum = np.cumsum(deltas)
+        ends = np.cumsum(tf)
+        starts = ends - tf
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        pos = cum - np.repeat(base, tf)
+        a = acc[tid]
+        a["docs"].append(d)
+        a["tf"].append(tf)
+        a["dl"].append(dl)
+        a["pos"].append(pos)
+        if pos.size:
+            max_pos = max(max_pos, int(pos.max()))
+    T = {}
+    for t in uniq:
+        if not acc[t]["docs"]:
+            return [], [], [], []
+        T[t] = (
+            np.concatenate(acc[t]["docs"]),
+            np.concatenate(acc[t]["tf"]),
+            np.concatenate(acc[t]["dl"]),
+            np.concatenate(acc[t]["pos"]),
+        )
+    common = None
+    for t in term_seq:
+        common = (
+            np.sort(T[t][0])
+            if common is None
+            else np.intersect1d(common, T[t][0], assume_unique=True)
+        )
+        if common.size == 0:
+            return [], [], [], []
+    stride = max_pos + len(term_seq) + 2
+    keys = None
+    for j, t in enumerate(term_seq):
+        docs, tf, dl, pos = T[t]
+        loc = np.searchsorted(common, docs)
+        loc_c = np.minimum(loc, common.size - 1)
+        in_common = common[loc_c] == docs
+        di = np.repeat(loc_c, tf)
+        keep = np.repeat(in_common, tf)
+        pj = pos[keep] - j
+        di = di[keep]
+        ok = pj >= 0
+        kj = di[ok] * stride + pj[ok]
+        keys = kj if keys is None else np.intersect1d(keys, kj, assume_unique=True)
+        if keys is not None and keys.size == 0:
+            return [], [], [], []
+    di = keys // stride
+    pstart = keys % stride
+    bounds = np.flatnonzero(np.concatenate(([True], di[1:] != di[:-1])))
+    tfp = np.diff(np.append(bounds, di.size))
+    docs_out = common[di[bounds]]
+    first = pstart[bounds]
+    # dl lookup from the first term's arrays
+    d0, _, dl0, _ = T[term_seq[0]]
+    o = np.argsort(d0, kind="stable")
+    dl_out = dl0[o][np.searchsorted(d0[o], docs_out)]
+    return (
+        docs_out.tolist(),
+        tfp.tolist(),
+        dl_out.tolist(),
+        first.tolist(),
+    )
+
+
 def _range_kernel(term_seq: list[int]):
     """applyInPandas kernel over one docID-range's slices for the phrase
     terms: decode positions, intersect adjacency, emit matching docs."""
-    uniq = sorted(set(term_seq))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        # per term: doc -> (positions array, dl); merged indexes may carry
-        # several slices per (term, range) — disjoint docs, so dict update
-        # is safe
-        per_term: dict[int, dict[int, np.ndarray]] = {t: {} for t in uniq}
-        dls: dict[int, int] = {}
-        for row in pdf.to_dict("records"):
-            tid = int(row["term_id"])
-            d = decode_docids(bytes(row["doc_ids"]))
-            tf = decode_uints(bytes(row["tfs"]))
-            dl = decode_uints(bytes(row["dls"]))
-            pos_deltas = decode_uints(bytes(row["positions"]))
-            offs = np.concatenate(([0], np.cumsum(tf.astype(np.int64))))
-            m = per_term[tid]
-            for i in range(d.size):
-                pd_i = pos_deltas[offs[i] : offs[i + 1]]
-                m[int(d[i])] = np.cumsum(pd_i)
-                dls[int(d[i])] = int(dl[i])
-        # docs present for every phrase term
-        common = None
-        for t in term_seq:
-            keys = per_term[t].keys()
-            common = keys if common is None else (common & keys)
-            if not common:
-                return pd.DataFrame(
-                    {"doc_id": [], "tf_phrase": [], "dl": []}
-                ).astype({"doc_id": "int64", "tf_phrase": "int64", "dl": "int64"})
-        out_d, out_tf, out_dl = [], [], []
-        for doc in common:
-            matches = per_term[term_seq[0]][doc]
-            for j in range(1, len(term_seq)):
-                matches = np.intersect1d(
-                    matches, per_term[term_seq[j]][doc] - j, assume_unique=True
-                )
-                if matches.size == 0:
-                    break
-            if matches.size:
-                out_d.append(doc)
-                out_tf.append(int(matches.size))
-                out_dl.append(dls[doc])
+        out_d, out_tf, out_dl, out_fp = _match_rows(
+            pdf.to_dict("records"), term_seq
+        )
         return pd.DataFrame(
-            {"doc_id": out_d, "tf_phrase": out_tf, "dl": out_dl}
-        ).astype({"doc_id": "int64", "tf_phrase": "int64", "dl": "int64"})
+            {"doc_id": out_d, "tf_phrase": out_tf, "dl": out_dl,
+             "first_pos": out_fp}
+        ).astype({"doc_id": "int64", "tf_phrase": "int64", "dl": "int64",
+                  "first_pos": "int64"})
 
     return fn
 
 
-def phrase_topk(
-    searcher,
-    phrase_text: str,
-    k: int = 10,
-    tie_round: int = 4,
-) -> list[tuple[int, float]]:
-    """Top-k (doc_id, bm25_phrase_score) for an exact phrase, global
-    rank by (round(score, tie_round) DESC, doc_id ASC) — the SQL oracle's
-    tie rule.  *searcher* is a BM25Searcher over a positional index."""
+def phrase_matches(searcher, phrase_text: str):
+    """Matching docs of an exact phrase as a localCheckpointed DataFrame
+    (doc_id, tf_phrase, dl, first_pos) — first_pos is the 0-based token
+    position of the first occurrence (the highlighting hook).  None when
+    the phrase has no terms."""
     if not searcher.stats.get("positions"):
         raise ValueError(
             "phrase queries need a positional index (IndexConfig.positions=True)"
         )
     terms = tokenize(phrase_text)
     if not terms:
-        return []
+        return None
     ids = {xxh64_signed(t): t for t in set(terms)}
     buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in ids})
     term_seq = [xxh64_signed(t) for t in terms]
@@ -118,11 +167,36 @@ def phrase_topk(
         )
         .select("range_id", *_POS_COLS)
     )
-    matched = (
+    return (
         slices.groupBy("range_id")
-        .applyInPandas(_range_kernel(term_seq), schema="doc_id long, tf_phrase long, dl long")
-        .localCheckpoint()  # two passes (df count + top-k) share one scan
+        .applyInPandas(
+            _range_kernel(term_seq),
+            schema="doc_id long, tf_phrase long, dl long, first_pos long",
+        )
+        .localCheckpoint()  # consumers run 2 passes (df count + rank)
     )
+
+
+def phrase_topk(
+    searcher,
+    phrase_text: str,
+    k: int = 10,
+    tie_round: int = 4,
+    distributed: bool = True,
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, bm25_phrase_score) for an exact phrase, global
+    rank by (round(score, tie_round) DESC, doc_id ASC) — the SQL oracle's
+    tie rule.  *searcher* is a BM25Searcher over a positional index.
+
+    distributed=True is the scale path (per-range applyInPandas — no
+    term's postings on one node); distributed=False is the ms-latency
+    serving path: the same adjacency core over a bucket-pruned pyarrow
+    read, no Spark job (mirrors BM25Searcher's driver mode)."""
+    if not distributed:
+        return _phrase_topk_driver(searcher, phrase_text, k, tie_round)
+    matched = phrase_matches(searcher, phrase_text)
+    if matched is None:
+        return []
     df_p = matched.count()
     if df_p == 0:
         return []
@@ -140,3 +214,44 @@ def phrase_topk(
         .collect()
     )
     return [(int(r["doc_id"]), float(r["score"])) for r in out]
+
+
+def _phrase_topk_driver(
+    searcher, phrase_text: str, k: int, tie_round: int
+) -> list[tuple[int, float]]:
+    import pyarrow.dataset as pads
+
+    if not searcher.stats.get("positions"):
+        raise ValueError(
+            "phrase queries need a positional index (IndexConfig.positions=True)"
+        )
+    terms = tokenize(phrase_text)
+    if not terms:
+        return []
+    ids = sorted({xxh64_signed(t) for t in terms})
+    buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in ids})
+    term_seq = [xxh64_signed(t) for t in terms]
+    flt = pads.field("term_bucket").isin(buckets) & pads.field("term_id").isin(ids)
+    rows = searcher._postings.to_table(
+        columns=["range_id"] + _POS_COLS, filter=flt
+    ).to_pylist()
+    by_range: dict[int, list] = {}
+    for r in rows:
+        by_range.setdefault(int(r["range_id"]), []).append(r)
+    docs, tfs, dls = [], [], []
+    for rr in by_range.values():
+        d, tf, dl, _fp = _match_rows(rr, term_seq)
+        docs.extend(d)
+        tfs.extend(tf)
+        dls.extend(dl)
+    if not docs:
+        return []
+    df_p = len(docs)
+    n, avgdl, k1, b = searcher.n_docs, searcher.avgdl, searcher.cfg.k1, searcher.cfg.b
+    idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+    da = np.asarray(docs, dtype=np.int64)
+    ta = np.asarray(tfs, dtype=np.float64)
+    la = np.asarray(dls, dtype=np.float64)
+    sc = idf * ta * (k1 + 1.0) / (ta + k1 * (1.0 - b + b * la / avgdl))
+    order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+    return [(int(da[i]), float(sc[i])) for i in order]

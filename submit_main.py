@@ -90,7 +90,7 @@ def cmd_query(args) -> None:
         if args.phrase:
             from data_prepper_spark.index.phrase import phrase_topk
 
-            hits = phrase_topk(s, q, k=args.k)
+            hits = phrase_topk(s, q, k=args.k, distributed=args.distributed)
         else:
             hits = s.search(q, k=args.k, distributed=args.distributed)
         ms = (time.perf_counter() - t0) * 1000

@@ -101,6 +101,17 @@ def test_phrase_matches_brute_oracle(spark, pos_index):
             assert abs(gs - ws) < 1e-9, ph
 
 
+def test_phrase_driver_equals_distributed(spark, pos_index):
+    """The ms-latency driver path and the per-range distributed path are
+    the same adjacency core — results must be identical."""
+    s = BM25Searcher(spark, pos_index)
+    for ph in ["quick brown", "quick brown fox", "42 42", "lazy cat"]:
+        a = phrase_topk(s, ph, k=10, distributed=True)
+        b = phrase_topk(s, ph, k=10, distributed=False)
+        assert [d for d, _ in a] == [d for d, _ in b], ph
+        assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(a, b)), ph
+
+
 def test_positions_do_not_perturb_bm25(spark, pos_index):
     d2 = tempfile.mkdtemp(prefix="dps_test_plainidx_")
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
