@@ -380,6 +380,45 @@ WITH toks AS (
     return base + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_ft_live_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingestion gate: the documents table is split into 3
+    parquet files and drained ONE FILE PER MICRO-BATCH through the live
+    index (index/live.py: delta build → segment merge → atomic CURRENT
+    pointer swap, idempotent on batch replay), then the reference query
+    set is answered from the CURRENT index.  Oracle: the same full-corpus
+    BM25 SQL as ft_bm25_topk — incremental streaming ingestion must be
+    invisible to queries."""
+    from .index.live import resolve_current, start_stream_index
+
+    key = "live:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
+        src = tempfile.mkdtemp(prefix="dps_entry_livesrc_")
+        out = tempfile.mkdtemp(prefix="dps_entry_liveidx_")
+        for d in (src, out):
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _docs(spark, sf_dir).select("doc_id", "text").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(src)
+        cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
+        q = start_stream_index(
+            spark, src, out, cfg,
+            schema="doc_id long, text string",
+            available_now=True, max_files_per_trigger=1,
+            builder=build_oneshot_text,
+        )
+        q.awaitTermination(600)
+        _INDEX_CACHE[key] = resolve_current(out)
+    s = BM25Searcher(spark, _INDEX_CACHE[key])
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = s.search(qtext, k=FT_K, distributed=True, mode="brute", tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
 # ====================================================== DP operator family
 
 def q_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2964,6 +3003,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "hybrid_rrf": q_hybrid_rrf,
     "ft_merged_bm25": q_ft_merged_bm25,
+    "ft_live_bm25": q_ft_live_bm25,
     "ft_phrase_topk": q_ft_phrase_topk,
     "ft_phrase_positions": q_ft_phrase_positions,
     "dedup_retained": q_dedup_retained,
@@ -3062,6 +3102,7 @@ ORACLES = {
     "semdedup": sql_semdedup(),
     "hybrid_rrf": sql_hybrid_rrf(),
     "ft_merged_bm25": sql_ft_bm25_topk(),
+    "ft_live_bm25": sql_ft_bm25_topk(),
     "ft_phrase_topk": sql_ft_phrase_topk(),
     "ft_phrase_positions": sql_ft_phrase_positions(),
     "dedup_retained": sql_dedup_retained(),

@@ -6,6 +6,8 @@ Commands:
             crash skips completed bucket groups)
   query   — BM25 top-k for one query string or a file of queries
   bench   — timed one-shot build (prints docs/sec JSON)
+  stream  — live index: tail/drain a parquet dir of pages, per-batch
+            delta build + segment merge + atomic CURRENT pointer swap
   merge   — merge built indexes (disjoint doc-id spaces) into one:
             posting-row union + exact block-bound recompute, resumable
   publish — push built index segments to the warehouse: Iceberg tables
@@ -82,8 +84,10 @@ def cmd_build(args) -> None:
 def cmd_query(args) -> None:
     from data_prepper_spark.index.query import BM25Searcher
 
+    from data_prepper_spark.index.live import resolve_current
+
     spark = _spark("dps-bm25-query")
-    s = BM25Searcher(spark, args.index_dir)
+    s = BM25Searcher(spark, resolve_current(args.index_dir))
     queries = [args.q] if args.q else [l.strip() for l in open(args.qfile) if l.strip()]
     for q in queries:
         t0 = time.perf_counter()
@@ -151,6 +155,28 @@ def cmd_merge(args) -> None:
     spark.stop()
 
 
+def cmd_stream(args) -> None:
+    from data_prepper_spark.index.config import IndexConfig
+    from data_prepper_spark.index.live import resolve_current, start_stream_index
+
+    spark = _spark("dps-live-index")
+    cfg = IndexConfig(
+        k1=args.k1, b=args.b, lang=args.lang,
+        range_bits=args.range_bits, block_size=args.block_size,
+        n_buckets=args.buckets, codec=args.codec,
+    )
+    q = start_stream_index(
+        spark, args.input, args.index_dir, cfg,
+        checkpoint_dir=args.checkpoint,
+        available_now=not args.follow,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    print(json.dumps({"live_index": args.index_dir,
+                      "current": resolve_current(args.index_dir)}))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="submit_main.py")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -189,6 +215,23 @@ def main() -> None:
     pn.add_argument("--block-size", type=int, default=128)
     pn.add_argument("--codec", choices=["varint", "pfor"], default="varint")
     pn.set_defaults(fn=cmd_bench)
+
+    ps = sub.add_parser("stream")
+    ps.add_argument("--input", required=True,
+                    help="parquet directory of pages to tail/drain")
+    ps.add_argument("--index-dir", required=True)
+    ps.add_argument("--checkpoint", help="streaming checkpoint dir")
+    ps.add_argument("--follow", action="store_true",
+                    help="tail continuously (default: drain existing files and stop)")
+    ps.add_argument("--max-files-per-trigger", type=int, default=None)
+    ps.add_argument("--buckets", type=int, default=256)
+    ps.add_argument("--range-bits", type=int, default=8)
+    ps.add_argument("--block-size", type=int, default=128)
+    ps.add_argument("--lang", default="en")
+    ps.add_argument("--k1", type=float, default=1.2)
+    ps.add_argument("--b", type=float, default=0.75)
+    ps.add_argument("--codec", choices=["varint", "pfor"], default="varint")
+    ps.set_defaults(fn=cmd_stream)
 
     pm = sub.add_parser("merge")
     pm.add_argument("--src", nargs="+", required=True,

@@ -1,0 +1,73 @@
+"""Live (streaming) index: readStream pages → per-batch delta build →
+merge → CURRENT pointer swap (index/live.py).  Gate: after the stream
+drains a multi-file corpus one file per micro-batch, the CURRENT index
+must be rank-identical to the pure-Python oracle over the whole corpus —
+i.e. incremental ingestion is invisible to queries."""
+
+import os
+
+import pytest
+
+from data_prepper_spark.corpus import reference_queries
+from data_prepper_spark.index.config import IndexConfig
+from data_prepper_spark.index.live import (
+    apply_batch,
+    resolve_current,
+    start_stream_index,
+)
+from data_prepper_spark.index.query import BM25Searcher
+
+CFG = IndexConfig(range_bits=2, block_size=16, n_buckets=8)
+
+
+def _assert_rank_identical(got, want, ctx):
+    import numpy as np
+
+    assert [d for d, _ in got] == [d for d, _ in want], ctx
+    assert np.allclose(
+        np.array([s for _, s in got]), np.array([s for _, s in want]),
+        rtol=1e-9, atol=1e-12,
+    ), ctx
+
+
+@pytest.fixture(scope="module")
+def live_dir(spark, tiny_corpus_path, workdir):
+    out = os.path.join(workdir, "live_index")
+    q = start_stream_index(
+        spark, tiny_corpus_path, out, CFG,
+        checkpoint_dir=os.path.join(workdir, "live_ckpt"),
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    assert not q.isActive
+    return out
+
+
+def test_live_index_rank_identical(spark, live_dir, oracle_tiny):
+    cur = resolve_current(live_dir)
+    assert cur != live_dir  # CURRENT pointer exists and resolves
+    s = BM25Searcher(spark, cur)
+    assert s.n_docs == oracle_tiny.n_docs
+    for q in reference_queries()[:8]:
+        want = oracle_tiny.topk(q["query_text"], q["k"])
+        got = s.search(q["query_text"], k=q["k"], mode="bmw")
+        _assert_rank_identical(got, want, q["query_text"])
+
+
+def test_live_index_multiple_versions_and_prune(live_dir):
+    versions = sorted(
+        int(n.split("=", 1)[1]) for n in os.listdir(live_dir) if n.startswith("v=")
+    )
+    # several micro-batches ran (one file each) and old versions pruned
+    assert len(versions) <= 2  # keep_versions=1
+    assert versions[-1] >= 2  # at least 3 batches merged
+
+
+def test_live_batch_replay_is_idempotent(spark, live_dir, tiny_corpus_path):
+    """Replaying an already-committed batch_id (crash-recovery path) must
+    change nothing — no duplicate docs, same CURRENT."""
+    before = open(os.path.join(live_dir, "CURRENT")).read()
+    pages = spark.read.parquet(tiny_corpus_path).limit(50)
+    last_bid = int(before.split(",")[1])
+    apply_batch(spark, pages, last_bid, live_dir, CFG)  # replay
+    assert open(os.path.join(live_dir, "CURRENT")).read() == before
