@@ -419,6 +419,61 @@ def q_ft_live_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
 
 
+def q_ft_bm25_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: top-3 BM25 hits per (query, document-source facet).
+    The exact match set comes from the index (search_all — the driver
+    serving read; rank-identity of that set is pinned by ft_bm25_topk);
+    facet join + per-facet ranking run as Spark relational ops, the way a
+    search UI's facet rail composes with the scorer.  The per-facet
+    window ranks only the match set, never the corpus."""
+    from pyspark.sql import Window
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        rows.extend((qid, did, sc) for did, sc in s.search_all(qtext))
+    scored = spark.createDataFrame(rows, "query_id int, doc_id long, score double")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("query_id", "source").orderBy(
+        F.round("score", 4).desc(), F.asc("doc_id")
+    )
+    return (
+        scored.join(docs, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "source", "rank", "doc_id",
+            F.round("score", 4).alias("score_r"),
+        )
+    )
+
+
+def sql_ft_bm25_faceted() -> str:
+    return _ft_sql_base() + f"""
+, scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT sc.query_id, d.source, sc.doc_id, round(sc.score, 4) AS score_r,
+         row_number() OVER (PARTITION BY sc.query_id, d.source
+                            ORDER BY round(sc.score, 4) DESC, sc.doc_id) AS rank
+  FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
+)
+SELECT query_id, source, rank::INT AS rank, doc_id, score_r
+FROM ranked WHERE rank <= 3
+"""
+
+
 # ====================================================== DP operator family
 
 def q_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3004,6 +3059,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "ft_merged_bm25": q_ft_merged_bm25,
     "ft_live_bm25": q_ft_live_bm25,
+    "ft_bm25_faceted": q_ft_bm25_faceted,
     "ft_phrase_topk": q_ft_phrase_topk,
     "ft_phrase_positions": q_ft_phrase_positions,
     "dedup_retained": q_dedup_retained,
@@ -3103,6 +3159,7 @@ ORACLES = {
     "hybrid_rrf": sql_hybrid_rrf(),
     "ft_merged_bm25": sql_ft_bm25_topk(),
     "ft_live_bm25": sql_ft_bm25_topk(),
+    "ft_bm25_faceted": sql_ft_bm25_faceted(),
     "ft_phrase_topk": sql_ft_phrase_topk(),
     "ft_phrase_positions": sql_ft_phrase_positions(),
     "dedup_retained": sql_dedup_retained(),
