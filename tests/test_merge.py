@@ -154,3 +154,23 @@ def test_merge_positional_phrase_identity(spark, workdir):
         a, b = phrase_topk(sf, ph, k=10), phrase_topk(sm, ph, k=10)
         assert [d for d, _ in a] == [d for d, _ in b], ph
         assert all(abs(x - y) < 1e-9 for (_, x), (_, y) in zip(a, b)), ph
+
+
+def test_merge_three_way(spark, tiny_corpus_path, workdir, oracle_tiny):
+    """merge_indexes is N-way: one call over three thirds — the tiered
+    (LSM-style) compaction building block — stays rank-identical."""
+    pages = spark.read.parquet(tiny_corpus_path)
+    dirs = []
+    for i in range(3):
+        d = os.path.join(workdir, f"index_third{i}")
+        build_oneshot(
+            spark, pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i), d, CFG
+        )
+        dirs.append(d)
+    out = os.path.join(workdir, "index_merged3")
+    merge_indexes(spark, dirs, out)
+    s = BM25Searcher(spark, out)
+    for qt, k in [("the", 5), ("zanzibar", 10), ("spark index the", 10)]:
+        _assert_rank_identical(
+            s.search(qt, k=k, mode="bmw"), oracle_tiny.topk(qt, k), qt
+        )
