@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .build import build_oneshot
 from .config import IndexConfig
+from .ledger import Ledger
 from .merge import merge_indexes
 
 
@@ -60,7 +61,15 @@ def resolve_current(index_dir: str) -> str:
     """Directory a searcher should open: the CURRENT version of a live
     index, or *index_dir* itself for a plain batch-built index."""
     cur = _read_current(index_dir)
-    return index_dir if cur is None else os.path.join(index_dir, f"v={cur[0]}")
+    if cur is None:
+        return index_dir
+    if cur[0] < 0:
+        raise ValueError(
+            "live index has ingested batches but published no version yet "
+            "(merge_every deferral) — run index.live.compact() to fold "
+            "pending deltas"
+        )
+    return os.path.join(index_dir, f"v={cur[0]}")
 
 
 def _prune(index_dir: str, current_version: int, keep_versions: int) -> None:
@@ -71,6 +80,23 @@ def _prune(index_dir: str, current_version: int, keep_versions: int) -> None:
                 shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
 
 
+def _pending_deltas(index_dir: str) -> list[str]:
+    root = os.path.join(index_dir, "_delta")
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(
+        os.listdir(root), key=lambda n: int(n.split("=", 1)[1])
+    ):
+        d = os.path.join(root, name)
+        # only deltas whose build FINALIZED count (the ledger's finalize
+        # commit is the last write of a one-shot build; stats/ alone is
+        # written mid-build and would admit a crashed, postings-less delta)
+        if Ledger(d).completed("finalize"):
+            out.append(d)
+    return out
+
+
 def apply_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -79,9 +105,17 @@ def apply_batch(
     cfg: IndexConfig,
     keep_versions: int = 1,
     builder=build_oneshot,
+    merge_every: int = 1,
 ) -> None:
-    """Index one micro-batch: delta build → merge → pointer swap.
-    Idempotent on batch_id (replays after a crash are skipped)."""
+    """Index one micro-batch: delta build → (maybe) merge → pointer swap.
+    Idempotent on batch_id (replays after a crash are skipped).
+
+    merge_every=1 merges the base on every batch (lowest visibility lag,
+    highest write amplification).  merge_every=k defers: deltas
+    accumulate on disk and one N-WAY merge folds base + k deltas at
+    once — per-batch base-rewrite cost drops k×, at the price of up to
+    k-1 batches of visibility lag.  Call :func:`compact` to fold any
+    pending deltas immediately (e.g. after an availableNow drain)."""
     cur = _read_current(index_dir)
     if cur is not None and batch_id <= cur[1]:
         return  # replayed batch — already committed
@@ -93,21 +127,62 @@ def apply_batch(
     shutil.rmtree(delta, ignore_errors=True)  # partial replay leftovers
     builder(spark, batch_df, delta, cfg)
     os.makedirs(index_dir, exist_ok=True)
-    if cur is None:
+    cur = _read_current(index_dir)
+    if cur is None and merge_every <= 1:
         dest = os.path.join(index_dir, "v=0")
         shutil.rmtree(dest, ignore_errors=True)
         shutil.move(delta, dest)
         _write_current(index_dir, 0, batch_id)
+        return
+    pending = _pending_deltas(index_dir)
+    if len(pending) >= merge_every or cur is None and len(pending) > 1:
+        _fold(spark, index_dir, pending, batch_id, keep_versions)
     else:
-        v_new = cur[0] + 1
+        # delta committed on disk; advance the batch watermark only —
+        # the delta becomes visible at the next fold
+        _write_current(
+            index_dir, cur[0] if cur is not None else -1, batch_id
+        )
+
+
+def _fold(
+    spark: SparkSession,
+    index_dir: str,
+    pending: list[str],
+    batch_id: int,
+    keep_versions: int = 1,
+) -> None:
+    cur = _read_current(index_dir)
+    version = cur[0] if cur is not None else -1
+    sources = (
+        [os.path.join(index_dir, f"v={version}")] if version >= 0 else []
+    ) + pending
+    if not sources:
+        return
+    if len(sources) == 1:
+        v_new = version + 1
         dest = os.path.join(index_dir, f"v={v_new}")
         shutil.rmtree(dest, ignore_errors=True)
-        merge_indexes(
-            spark, [os.path.join(index_dir, f"v={cur[0]}"), delta], dest
-        )
-        _write_current(index_dir, v_new, batch_id)
-        shutil.rmtree(delta, ignore_errors=True)
-        _prune(index_dir, v_new, keep_versions)
+        shutil.move(sources[0], dest)
+    else:
+        v_new = version + 1
+        dest = os.path.join(index_dir, f"v={v_new}")
+        shutil.rmtree(dest, ignore_errors=True)
+        merge_indexes(spark, sources, dest)
+        for d in pending:
+            shutil.rmtree(d, ignore_errors=True)
+    _write_current(index_dir, v_new, batch_id)
+    _prune(index_dir, v_new, keep_versions)
+
+
+def compact(spark: SparkSession, index_dir: str) -> str:
+    """Fold any pending (unmerged) deltas into a new CURRENT version —
+    one N-way merge.  Returns the resulting CURRENT directory."""
+    cur = _read_current(index_dir)
+    pending = _pending_deltas(index_dir)
+    if pending:
+        _fold(spark, index_dir, pending, cur[1] if cur else -1)
+    return resolve_current(index_dir)
 
 
 def start_stream_index(
@@ -120,6 +195,7 @@ def start_stream_index(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     builder=build_oneshot,
+    merge_every: int = 1,
 ):
     """Start the live-index stream over a parquet directory of pages.
 
@@ -133,7 +209,10 @@ def start_stream_index(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_path)
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: apply_batch(spark, df, bid, index_dir, cfg, builder=builder)
+        lambda df, bid: apply_batch(
+            spark, df, bid, index_dir, cfg,
+            builder=builder, merge_every=merge_every,
+        )
     ).option(
         "checkpointLocation",
         checkpoint_dir or os.path.join(index_dir, "_checkpoint"),

@@ -170,8 +170,13 @@ def cmd_stream(args) -> None:
         checkpoint_dir=args.checkpoint,
         available_now=not args.follow,
         max_files_per_trigger=args.max_files_per_trigger,
+        merge_every=args.merge_every,
     )
     q.awaitTermination()
+    if args.merge_every > 1:
+        from data_prepper_spark.index.live import compact
+
+        compact(spark, args.index_dir)
     print(json.dumps({"live_index": args.index_dir,
                       "current": resolve_current(args.index_dir)}))
     spark.stop()
@@ -224,6 +229,9 @@ def main() -> None:
     ps.add_argument("--follow", action="store_true",
                     help="tail continuously (default: drain existing files and stop)")
     ps.add_argument("--max-files-per-trigger", type=int, default=None)
+    ps.add_argument("--merge-every", type=int, default=1,
+                    help="fold base+deltas every k batches (N-way merge; "
+                         "k x less base-rewrite, up to k-1 batches lag)")
     ps.add_argument("--buckets", type=int, default=256)
     ps.add_argument("--range-bits", type=int, default=8)
     ps.add_argument("--block-size", type=int, default=128)

@@ -71,3 +71,30 @@ def test_live_batch_replay_is_idempotent(spark, live_dir, tiny_corpus_path):
     last_bid = int(before.split(",")[1])
     apply_batch(spark, pages, last_bid, live_dir, CFG)  # replay
     assert open(os.path.join(live_dir, "CURRENT")).read() == before
+
+
+def test_live_deferred_merge_and_compact(spark, tiny_corpus_path, workdir, oracle_tiny):
+    """merge_every=k defers folding: deltas accumulate on disk and one
+    N-way merge folds base + k deltas (k× less base-rewrite).  After the
+    drain, compact() folds the remainder; results must still be
+    rank-identical to the full-corpus oracle."""
+    from data_prepper_spark.index.live import compact
+
+    out = os.path.join(workdir, "live_deferred")
+    q = start_stream_index(
+        spark, tiny_corpus_path, out, CFG,
+        checkpoint_dir=os.path.join(workdir, "live_deferred_ckpt"),
+        available_now=True, max_files_per_trigger=1, merge_every=3,
+    )
+    q.awaitTermination(600)
+    assert not q.isActive
+    cur = compact(spark, out)
+    # far fewer folds than batches: versions advance once per fold
+    ver = int(open(os.path.join(out, "CURRENT")).read().split(",")[0])
+    assert ver <= 3
+    s = BM25Searcher(spark, cur)
+    assert s.n_docs == oracle_tiny.n_docs
+    for rq in reference_queries()[:5]:
+        want = oracle_tiny.topk(rq["query_text"], rq["k"])
+        got = s.search(rq["query_text"], k=rq["k"], mode="bmw")
+        _assert_rank_identical(got, want, rq["query_text"])

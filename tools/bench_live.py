@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--corpus", default="/tmp/wt480k")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--merge-every", type=int, default=1)
     args = ap.parse_args()
 
     os.chdir(REPO)
@@ -77,8 +78,13 @@ def main():
         spark, args.corpus, live_dir, cfg,
         checkpoint_dir=os.path.join(work, "ckpt"),
         available_now=True, max_files_per_trigger=per_trigger,
+        merge_every=args.merge_every,
     )
     q.awaitTermination()
+    if args.merge_every > 1:
+        from data_prepper_spark.index.live import compact
+
+        compact(spark, live_dir)
     t_stream = round(time.perf_counter() - t0, 1)
 
     sb = BM25Searcher(spark, batch_dir)
@@ -98,6 +104,7 @@ def main():
                 "n_docs": n_docs,
                 "cpus": args.cpus,
                 "n_batches": -(-n_files // per_trigger),
+                "merge_every": args.merge_every,
                 "t_batch_build_s": t_batch,
                 "t_stream_drain_s": t_stream,
                 "freshness_tax": round(t_stream / t_batch, 2),
