@@ -166,7 +166,7 @@ def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
 
 
-def _ft_sql_base() -> str:
+def _ft_sql_base(where: str = "") -> str:
     qvals = ", ".join(
         f"({qid}, '{term}')"
         for qid, qtext in FT_QUERIES
@@ -175,7 +175,7 @@ def _ft_sql_base() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term
-  FROM documents
+  FROM documents {where}
 ),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
@@ -207,8 +207,8 @@ def sql_ft_doc_stats() -> str:
     )
 
 
-def sql_ft_bm25_topk() -> str:
-    return _ft_sql_base() + f"""
+def sql_ft_bm25_topk(base_where: str = "", scores_where: str = "") -> str:
+    return _ft_sql_base(base_where) + f"""
 , scores AS (
   SELECT q.query_id, tf.doc_id,
          sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
@@ -219,6 +219,7 @@ def sql_ft_bm25_topk() -> str:
   JOIN df USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats s
+  {scores_where}
   GROUP BY 1, 2
 ),
 ranked AS (
@@ -229,6 +230,95 @@ ranked AS (
 )
 SELECT query_id, doc_id, score_r FROM ranked WHERE rn <= {FT_K}
 """
+
+
+DEL_MOD, DEL_REM = 7, 3  # deterministic tombstone set: doc_id % 7 == 3
+
+
+def _deleted_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Copy of the base index with doc_id % 7 == 3 tombstoned
+    (index/deletes.py delete_docs — a metadata write, no Spark job)."""
+    key = "tomb:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
+        from .index.deletes import delete_docs
+
+        base = _index_dir(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="dps_entry_tombidx_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        shutil.rmtree(d)
+        shutil.copytree(base, d)
+        ids = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{base}/docmeta")
+            .select("doc_id")
+            .collect()
+            if r["doc_id"] % DEL_MOD == DEL_REM
+        ]
+        delete_docs(d, ids)
+        _INDEX_CACHE[key] = d
+    return _INDEX_CACHE[key]
+
+
+def _purged_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = "purged:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
+        from .index.deletes import purge_deletes
+
+        src = _deleted_index_dir(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="dps_entry_purgedidx_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        purge_deletes(spark, src, d)
+        _INDEX_CACHE[key] = d
+    return _INDEX_CACHE[key]
+
+
+def q_ft_delete_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone (liveDocs) semantics gate: docs with doc_id % 7 == 3 are
+    deleted via index/deletes.py tombstones; the searcher masks them from
+    every result while n_docs / avgdl / df stay FULL-index (Lucene's
+    delete model — docFreq counts deleted docs until segments merge).
+    Oracle: full-corpus BM25 statistics, deleted docs filtered from the
+    score set before ranking."""
+    idx = _deleted_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = s.search(qtext, k=FT_K, distributed=True, mode="brute", tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_delete_bm25() -> str:
+    return sql_ft_bm25_topk(
+        scores_where=f"WHERE tf.doc_id % {DEL_MOD} <> {DEL_REM}"
+    )
+
+
+def q_ft_purged_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purge (forceMerge) gate: the tombstoned index is rewritten by
+    index/deletes.py purge_deletes — postings decoded, masked, re-encoded;
+    block-max bounds recomputed under the post-delete avgdl; docmeta /
+    stats / termstats rebuilt.  Oracle: BM25 over the SURVIVING corpus
+    only — the purge must be indistinguishable from a fresh build."""
+    idx = _purged_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = s.search(qtext, k=FT_K, distributed=True, mode="brute", tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_purged_bm25() -> str:
+    return sql_ft_bm25_topk(
+        base_where=f"WHERE doc_id % {DEL_MOD} <> {DEL_REM}"
+    )
 
 
 def q_ft_merged_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3058,6 +3148,8 @@ QUERIES = {
     "semdedup": q_semdedup,
     "hybrid_rrf": q_hybrid_rrf,
     "ft_merged_bm25": q_ft_merged_bm25,
+    "ft_delete_bm25": q_ft_delete_bm25,
+    "ft_purged_bm25": q_ft_purged_bm25,
     "ft_live_bm25": q_ft_live_bm25,
     "ft_bm25_faceted": q_ft_bm25_faceted,
     "ft_phrase_topk": q_ft_phrase_topk,
@@ -3158,6 +3250,8 @@ ORACLES = {
     "semdedup": sql_semdedup(),
     "hybrid_rrf": sql_hybrid_rrf(),
     "ft_merged_bm25": sql_ft_bm25_topk(),
+    "ft_delete_bm25": sql_ft_delete_bm25(),
+    "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_live_bm25": sql_ft_bm25_topk(),
     "ft_bm25_faceted": sql_ft_bm25_faceted(),
     "ft_phrase_topk": sql_ft_phrase_topk(),

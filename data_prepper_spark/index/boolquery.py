@@ -1,0 +1,288 @@
+"""Boolean and prefix queries over the BM25 index (Lucene BooleanQuery /
+PrefixQuery semantics).
+
+Boolean (must / should / must_not — Lucene's +term term -term):
+  - a doc matches iff it contains EVERY must term, at least one scoring
+    term overall, and NO must_not term;
+  - score = Σ BM25 contributions of the must+should terms it contains
+    (must clauses score too, exactly as Lucene's BooleanWeight sums
+    scoring clauses; must_not never contributes).
+
+Execution is conjunctive-first, the classic inverted-index plan:
+  - candidates = m-way sorted intersection of the must terms' docID
+    arrays, SMALLEST FIRST — per-range cost is bounded by the rarest
+    must term's slice df, not the stopword's (the reason search engines
+    love AND queries);
+  - must_not is a sorted-membership anti-filter on the candidate set;
+  - only then are the scoring slices filtered to candidates and scored
+    (one vectorized brute pass over candidates — no BMW needed because
+    the candidate set is already small; a pure-should query falls back
+    to the union, same as plain BM25 brute).
+
+Both serving modes mirror BM25Searcher: driver (bucket-pruned pyarrow
+read, no Spark job) and distributed (per-docID-range applyInPandas +
+global TakeOrdered).  A doc's postings for every term live in the same
+docID range, so boolean constraints evaluate completely inside a range —
+the per-range kernel is exact, no cross-range state.
+
+Prefix queries rewrite through the term dictionary (Lucene
+MultiTermQuery): expand the prefix against termdict — a vocabulary scan,
+bounded by |vocab| not corpus size — then score the expansion as a
+should-group where each concrete term keeps its own idf (Lucene's
+SCORING_BOOLEAN_REWRITE).  Expansion is capped like
+BooleanQuery.maxClauseCount.
+
+Reference anchor: the reference's expression DSL routes (`and`/`or`/
+`not` predicates over fields, data-prepper-expression/.../
+DataPrepperExpression.g4:302-304) are the pipeline-side boolean
+analog; full-text booleans are what its opensearch sink delegates to
+Lucene.  Tombstones (index/deletes.py) are respected via the searcher's
+liveDocs mask.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+from pyspark.sql import functions as F
+
+from ..hashing import xxh64_signed
+from ..textproc import tokenize
+from .deletes import mask_term_slice
+from .scoring import decode_slice, idf_value, score_brute, topk_select
+
+_SLICE_COLS = [
+    "term_id", "range_id", "df_slice", "doc_ids", "tfs", "dls",
+    "block_firsts", "block_ubs",
+]
+
+
+def _norm_terms(terms) -> list[str]:
+    out: list[str] = []
+    for t in terms or ():
+        out.extend(tokenize(t))
+    seen: set[str] = set()
+    uniq = []
+    for t in out:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    return uniq
+
+
+def _member(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    if sorted_set.size == 0:
+        return np.zeros(ids.shape, dtype=bool)
+    loc = np.clip(np.searchsorted(sorted_set, ids), 0, sorted_set.size - 1)
+    return sorted_set[loc] == ids
+
+
+def _range_eval(slices_by_id, must_ids, not_ids, scoring, k1, b, avgdl):
+    """Evaluate one docID range.  *slices_by_id*: term_id → TermSlice
+    (already tombstone-masked).  Returns (doc_ids, scores) of matching
+    docs in this range (exact scores, unranked)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    # conjunction: every must term needs postings in this range
+    if must_ids:
+        must_slices = []
+        for i in must_ids:
+            s = slices_by_id.get(i)
+            if s is None or s.doc_ids.size == 0:
+                return empty
+            must_slices.append(s)
+        must_slices.sort(key=lambda s: s.doc_ids.size)  # smallest first
+        cand = must_slices[0].doc_ids
+        for s in must_slices[1:]:
+            cand = np.intersect1d(cand, s.doc_ids, assume_unique=True)
+            if cand.size == 0:
+                return empty
+    else:
+        arrs = [
+            slices_by_id[i].doc_ids for i in scoring if i in slices_by_id
+        ]
+        if not arrs:
+            return empty
+        cand = np.unique(np.concatenate(arrs))
+    if not_ids:
+        excl = [
+            slices_by_id[i].doc_ids for i in not_ids if i in slices_by_id
+        ]
+        if excl:
+            ex = np.unique(np.concatenate(excl))
+            cand = cand[~_member(cand, ex)]
+            if cand.size == 0:
+                return empty
+    # score candidates only: filter each scoring slice to the candidates
+    subs = []
+    for i in scoring:
+        s = slices_by_id.get(i)
+        if s is None or s.doc_ids.size == 0:
+            continue
+        keep = _member(s.doc_ids, cand)
+        if not keep.any():
+            continue
+        from .scoring import TermSlice
+
+        subs.append(
+            TermSlice(
+                s.term, s.idf, s.doc_ids[keep], s.tfs[keep], s.dls[keep],
+                s.block_firsts, s.block_ubs,
+            )
+        )
+    if not subs:
+        return empty
+    return score_brute(subs, k1, b, avgdl)
+
+
+def search_bool(
+    searcher,
+    must=(),
+    should=(),
+    must_not=(),
+    k: int = 10,
+    distributed: bool = False,
+    tie_round: int | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, score) under Lucene BooleanQuery semantics.
+    *searcher* is a BM25Searcher.  ``tie_round`` ranks by
+    (round(score, n) DESC, doc_id ASC) — the SQL oracle's tie rule."""
+    must = _norm_terms(must)
+    should = [t for t in _norm_terms(should) if t not in must]
+    must_not = _norm_terms(must_not)
+    overlap = set(must_not) & set(must + should)
+    if overlap:
+        raise ValueError(f"terms both scored and prohibited: {sorted(overlap)}")
+    if not must and not should:
+        return []
+    ids = {xxh64_signed(t): t for t in must + should + must_not}
+    from ..hashing import pmod
+
+    buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in ids})
+    dfs = searcher.term_stats(ids, buckets)
+    must_ids = [xxh64_signed(t) for t in must]
+    if any(dfs.get(i, 0) == 0 for i in must_ids):
+        return []  # a required term matches nothing
+    scoring = sorted(
+        (i for t in must + should for i in (xxh64_signed(t),) if dfs.get(i, 0) > 0),
+        key=lambda i: ids[i],
+    )  # sorted TERM-STRING order — the engine's fixed accumulation order
+    not_ids = [i for t in must_not for i in (xxh64_signed(t),) if dfs.get(i, 0) > 0]
+    if not scoring:
+        return []
+    idf = {i: idf_value(searcher.n_docs, dfs[i]) for i in scoring}
+    live_ids = [i for i in ids if dfs.get(i, 0) > 0]
+    if distributed:
+        return _search_bool_distributed(
+            searcher, ids, live_ids, buckets, must_ids, not_ids, scoring,
+            idf, k, tie_round,
+        )
+    rows = searcher._pruned_slice_rows(live_ids, buckets)
+    by_range: dict[int, dict] = {}
+    for r in rows:
+        s = decode_slice(
+            r, idf.get(r["term_id"], 0.0), label=ids[r["term_id"]],
+            legacy=searcher.legacy_codec,
+        )
+        if searcher.deleted.size:
+            s = mask_term_slice(s, searcher.deleted)
+        by_range.setdefault(int(r["range_id"]), {})[int(r["term_id"])] = s
+    cfg = searcher.cfg
+    out_ids, out_sc = [], []
+    for slices_by_id in by_range.values():
+        i_r, s_r = _range_eval(
+            slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b,
+            searcher.avgdl,
+        )
+        out_ids.append(i_r)
+        out_sc.append(s_r)
+    if not out_ids:
+        return []
+    da = np.concatenate(out_ids)
+    sc = np.concatenate(out_sc)
+    if da.size == 0:
+        return []
+    if tie_round is not None:
+        order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+        return [(int(da[i]), float(sc[i])) for i in order]
+    ids_k, sc_k = topk_select(da, sc, k)
+    return list(zip(ids_k.tolist(), sc_k.tolist()))
+
+
+def _search_bool_distributed(
+    searcher, labels, live_ids, buckets, must_ids, not_ids, scoring, idf,
+    k, tie_round,
+):
+    """Per-docID-range applyInPandas boolean evaluation + global
+    TakeOrdered — the scale path (a range holds every term's postings for
+    its docs, so the boolean constraints close locally)."""
+    cfg, avgdl, legacy = searcher.cfg, searcher.avgdl, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def eval_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        slices_by_id = {}
+        for row in pdf.to_dict("records"):
+            s = decode_slice(
+                row, idf.get(row["term_id"], 0.0), label=labels[row["term_id"]],
+                legacy=legacy,
+            )
+            if deleted.size:
+                s = mask_term_slice(s, deleted)
+            slices_by_id[int(row["term_id"])] = s
+        i_r, s_r = _range_eval(
+            slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b, avgdl
+        )
+        return pd.DataFrame({"doc_id": i_r, "score": s_r})
+
+    scored = (
+        searcher._pruned_slices(live_ids, buckets)
+        .groupBy("range_id")
+        .applyInPandas(eval_range, schema="doc_id long, score double")
+    )
+    if tie_round is not None:
+        ordered = scored.orderBy(
+            F.round(F.col("score"), tie_round).desc(), F.asc("doc_id")
+        )
+    else:
+        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    out = ordered.limit(k).collect()
+    return [(int(r["doc_id"]), float(r["score"])) for r in out]
+
+
+# ------------------------------------------------------------------ prefix
+
+def expand_prefix(searcher, prefix: str, max_expansions: int = 1024) -> list[str]:
+    """Concrete terms matching *prefix* from the term dictionary — a
+    vocabulary scan (pyarrow over the hive-partitioned termdict; cost is
+    bounded by |vocab|, never corpus size).  Raises when the expansion
+    exceeds *max_expansions*, like BooleanQuery.maxClauseCount."""
+    ds = pads.dataset(f"{searcher.index_dir}/termdict", partitioning="hive")
+    col = ds.to_table(columns=["term"])["term"]
+    m = pc.starts_with(col, pattern=prefix)
+    terms = sorted(set(col.filter(m).to_pylist()))
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"prefix '{prefix}' expands to {len(terms)} terms "
+            f"(> max_expansions={max_expansions})"
+        )
+    return terms
+
+
+def search_prefix(
+    searcher,
+    prefix: str,
+    k: int = 10,
+    distributed: bool = False,
+    tie_round: int | None = None,
+    max_expansions: int = 1024,
+) -> list[tuple[int, float]]:
+    """Prefix top-k: dictionary expansion → scoring-boolean rewrite
+    (each expanded term scores with its own idf)."""
+    terms = expand_prefix(searcher, prefix, max_expansions)
+    if not terms:
+        return []
+    return search_bool(
+        searcher, should=terms, k=k, distributed=distributed,
+        tie_round=tie_round,
+    )

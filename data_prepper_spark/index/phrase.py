@@ -167,14 +167,19 @@ def phrase_matches(searcher, phrase_text: str):
         )
         .select("range_id", *_POS_COLS)
     )
-    return (
-        slices.groupBy("range_id")
-        .applyInPandas(
-            _range_kernel(term_seq),
-            schema="doc_id long, tf_phrase long, dl long, first_pos long",
-        )
-        .localCheckpoint()  # consumers run 2 passes (df count + rank)
+    matched = slices.groupBy("range_id").applyInPandas(
+        _range_kernel(term_seq),
+        schema="doc_id long, tf_phrase long, dl long, first_pos long",
     )
+    if searcher.deleted.size:
+        # liveDocs mask: tombstoned docs leave the match set, so the
+        # phrase df (computed from this frame) counts live matches only.
+        # The match set is tiny, so an isin literal suffices here; a
+        # large delete backlog would anti-join the tombstone table.
+        matched = matched.filter(
+            ~F.col("doc_id").isin(searcher.deleted.tolist())
+        )
+    return matched.localCheckpoint()  # consumers run 2 passes (df count + rank)
 
 
 def phrase_topk(
@@ -244,6 +249,13 @@ def _phrase_topk_driver(
         docs.extend(d)
         tfs.extend(tf)
         dls.extend(dl)
+    if searcher.deleted.size and docs:
+        from .deletes import _member
+
+        keep = ~_member(np.asarray(docs, dtype=np.int64), searcher.deleted)
+        docs = [d for d, kp in zip(docs, keep) if kp]
+        tfs = [t for t, kp in zip(tfs, keep) if kp]
+        dls = [l for l, kp in zip(dls, keep) if kp]
     if not docs:
         return []
     df_p = len(docs)

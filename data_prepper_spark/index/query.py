@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..hashing import pmod, xxh64_signed
 from ..textproc import tokenize
 from .config import IndexConfig
+from .deletes import mask_term_slice, read_tombstones
 from .scoring import (
     TermSlice,
     decode_slice,
@@ -59,6 +60,10 @@ class BM25Searcher:
         # indexes written before IndexConfig.codec carry raw (untagged)
         # varint streams — detect from stats so they decode correctly
         self.legacy_codec = "codec" not in self.stats
+        # liveDocs mask (index/deletes.py): tombstoned docs are filtered
+        # from every result; corpus stats stay full-index until a purge —
+        # Lucene's delete semantics.  Sorted int64, usually empty.
+        self.deleted = read_tombstones(index_dir)
         # hive-partitioned segment datasets (term_bucket dirs); opening the
         # dataset only lists files — reads stay pruned per query
         self._postings = pads.dataset(f"{index_dir}/postings", partitioning="hive")
@@ -125,7 +130,10 @@ class BM25Searcher:
         # query ∝ blocks of scored segments, not df — the df-independent
         # path a 10^12-doc index needs.  Falls back to eager decode per
         # row if any stream is pfor-tagged (decode_slice_lazy → None).
-        lazy_ok = mode == "bmw" and not self.legacy_codec
+        # tombstones force the eager path: masking needs materialized
+        # docID arrays (block metadata stays valid — masking only removes
+        # postings, see deletes.mask_term_slice)
+        lazy_ok = mode == "bmw" and not self.legacy_codec and self.deleted.size == 0
         by_range: dict[int, list] = {}
         lazy_by_range: dict[int, bool] = {}
         for r in rows:
@@ -142,6 +150,8 @@ class BM25Searcher:
                     r, idf[r["term_id"]], label=ids[r["term_id"]],
                     legacy=self.legacy_codec,
                 )
+                if self.deleted.size:
+                    s = mask_term_slice(s, self.deleted)
                 lazy_by_range[rid] = False
             else:
                 lazy_by_range.setdefault(rid, True)
@@ -170,6 +180,7 @@ class BM25Searcher:
     ) -> list[tuple[int, float]]:
         cfg, avgdl = self.cfg, self.avgdl
         legacy = self.legacy_codec
+        deleted = self.deleted  # sorted int64, ships with the task closure
 
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
             slices = [
@@ -179,6 +190,8 @@ class BM25Searcher:
                 )
                 for row in pdf.to_dict("records")
             ]
+            if deleted.size:
+                slices = [mask_term_slice(s, deleted) for s in slices]
             if mode == "bmw":
                 ids, sc = score_bmw(slices, cfg.k1, cfg.b, avgdl, k)
             else:
@@ -218,12 +231,13 @@ class BM25Searcher:
         rows = self._pruned_slice_rows(list(ids), buckets)
         by_range: dict[int, list[TermSlice]] = {}
         for r in rows:
-            by_range.setdefault(int(r["range_id"]), []).append(
-                decode_slice(
-                    r, idf[r["term_id"]], label=ids[r["term_id"]],
-                    legacy=self.legacy_codec,
-                )
+            s = decode_slice(
+                r, idf[r["term_id"]], label=ids[r["term_id"]],
+                legacy=self.legacy_codec,
             )
+            if self.deleted.size:
+                s = mask_term_slice(s, self.deleted)
+            by_range.setdefault(int(r["range_id"]), []).append(s)
         out: list[tuple[int, float]] = []
         for slices in by_range.values():
             ids, sc = score_brute(slices, self.cfg.k1, self.cfg.b, self.avgdl)
