@@ -232,6 +232,134 @@ SELECT query_id, doc_id, score_r FROM ranked WHERE rn <= {FT_K}
 """
 
 
+# boolean reference set over the documents vocabulary: (qid, must, should, must_not)
+BOOL_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
+    (0, ["table"], ["scan", "fast"], ["slow"]),
+    (1, ["data", "query"], [], []),
+    (2, [], ["merge", "join", "window"], ["batch"]),
+    (3, ["the", "customer"], ["value"], ["spark"]),
+    (4, ["dup"], ["data"], []),  # rare must term: conjunctive pruning path
+]
+
+# prefix reference set: multi-term ('s' → scan/slow/small/sort/spark/stream)
+# and single-term expansions
+PREFIX_QUERIES: list[tuple[int, str]] = [(0, "s"), (1, "c"), (2, "d"), (3, "qu")]
+
+
+def q_ft_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene BooleanQuery semantics (index/boolquery.py): doc matches
+    iff it has every must term, ≥1 scoring term, and no must_not term;
+    score = Σ BM25 of the must+should terms it contains.  Served through
+    the DISTRIBUTED path (per-docID-range applyInPandas — boolean
+    constraints close inside a range — + global TakeOrdered under the
+    oracle tie rule)."""
+    from .index.boolquery import search_bool
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, must, should, must_not in BOOL_QUERIES:
+        hits = search_bool(
+            s, must=must, should=should, must_not=must_not, k=FT_K,
+            distributed=True, tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_bool_topk() -> str:
+    ctes, selects = [], []
+    for qid, must, should, must_not in BOOL_QUERIES:
+        scoring = sorted(set(must) | set(should))
+        sc_in = ", ".join(f"'{t}'" for t in scoring)
+        if must:
+            m_in = ", ".join(f"'{t}'" for t in must)
+            ctes.append(
+                f"cand{qid} AS (SELECT doc_id FROM tf WHERE term IN ({m_in}) "
+                f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(must)})"
+            )
+        else:
+            ctes.append(
+                f"cand{qid} AS (SELECT DISTINCT doc_id FROM tf "
+                f"WHERE term IN ({sc_in}))"
+            )
+        notp = ""
+        if must_not:
+            n_in = ", ".join(f"'{t}'" for t in must_not)
+            notp = (
+                f" AND NOT EXISTS (SELECT 1 FROM tf nx WHERE "
+                f"nx.doc_id = tf.doc_id AND nx.term IN ({n_in}))"
+            )
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({sc_in})\n"
+            f"  AND tf.doc_id IN (SELECT doc_id FROM cand{qid}){notp}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + ",\n" + ",\n".join(ctes) + f""",
+bscores AS ({union}),
+branked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM bscores
+)
+SELECT query_id, doc_id, score_r FROM branked WHERE rn <= {FT_K}
+"""
+
+
+def q_ft_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix queries (Lucene MultiTermQuery, SCORING_BOOLEAN_REWRITE):
+    the prefix expands against the term dictionary (a vocabulary scan,
+    bounded by |vocab| not corpus size), then the expansion scores as a
+    should-group where each concrete term keeps its own idf.  Distributed
+    serving path + oracle tie rule."""
+    from .index.boolquery import search_prefix
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, prefix in PREFIX_QUERIES:
+        hits = search_prefix(s, prefix, k=FT_K, distributed=True, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_prefix_topk() -> str:
+    pvals = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    return _ft_sql_base() + f""",
+pq(query_id, prefix) AS (VALUES {pvals}),
+pexp AS (
+  SELECT pq.query_id, df.term, df.df FROM pq
+  JOIN df ON df.term LIKE pq.prefix || '%'
+),
+pscores AS (
+  SELECT e.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM pexp e
+  JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+pranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM pscores
+)
+SELECT query_id, doc_id, score_r FROM pranked WHERE rn <= {FT_K}
+"""
+
+
 DEL_MOD, DEL_REM = 7, 3  # deterministic tombstone set: doc_id % 7 == 3
 
 
@@ -3148,6 +3276,8 @@ QUERIES = {
     "semdedup": q_semdedup,
     "hybrid_rrf": q_hybrid_rrf,
     "ft_merged_bm25": q_ft_merged_bm25,
+    "ft_bool_topk": q_ft_bool_topk,
+    "ft_prefix_topk": q_ft_prefix_topk,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_live_bm25": q_ft_live_bm25,
@@ -3250,6 +3380,8 @@ ORACLES = {
     "semdedup": sql_semdedup(),
     "hybrid_rrf": sql_hybrid_rrf(),
     "ft_merged_bm25": sql_ft_bm25_topk(),
+    "ft_bool_topk": sql_ft_bool_topk(),
+    "ft_prefix_topk": sql_ft_prefix_topk(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_live_bm25": sql_ft_bm25_topk(),

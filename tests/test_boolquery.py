@@ -1,0 +1,146 @@
+"""Boolean (must/should/must_not) and prefix query correctness vs the
+pure-Python oracle — Lucene BooleanQuery / PrefixQuery semantics
+(index/boolquery.py)."""
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from data_prepper_spark.index.boolquery import (
+    expand_prefix,
+    search_bool,
+    search_prefix,
+)
+from data_prepper_spark.index.query import BM25Searcher
+
+K1, B = 1.2, 0.75
+
+
+def _bool_oracle(oracle, must, should, must_not, k=10, exclude=()):
+    """Pure-Python BooleanQuery: candidates ∩ must, − must_not, scored
+    over must+should in sorted-term order (the engine's accumulation
+    order).  *exclude*: tombstoned docs (full-index stats retained)."""
+    must = list(dict.fromkeys(must))
+    should = [t for t in dict.fromkeys(should) if t not in must]
+    scoring = sorted(set(must + should))
+    if any(t not in oracle.postings for t in must):
+        return []
+    if must:
+        cand = None
+        for t in must:
+            docs = set(oracle.postings[t])
+            cand = docs if cand is None else cand & docs
+    else:
+        cand = set()
+        for t in scoring:
+            cand |= set(oracle.postings.get(t, ()))
+    for t in must_not:
+        cand -= set(oracle.postings.get(t, ()))
+    cand -= set(exclude)
+    scores = {}
+    for t in scoring:
+        idf = oracle.idf(t)
+        for d, tf in oracle.postings.get(t, {}).items():
+            if d not in cand:
+                continue
+            dl = oracle.doc_len[d]
+            denom = tf + K1 * (1.0 - B + B * dl / oracle.avgdl)
+            scores[d] = scores.get(d, 0.0) + idf * tf * (K1 + 1.0) / denom
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def _assert_rank_identical(got, want, ctx):
+    assert [d for d, _ in got] == [d for d, _ in want], ctx
+    g = np.array([s for _, s in got])
+    w = np.array([s for _, s in want])
+    if g.size:
+        np.testing.assert_allclose(g, w, rtol=1e-9, atol=1e-12, err_msg=ctx)
+
+
+CASES = [
+    (["the"], ["data", "search"], ["engine"]),
+    (["the", "data"], [], []),
+    ([], ["spark", "index", "web"], ["the"]),
+    (["zanzibar"], ["the"], []),            # rare/absent-ish must
+    (["the"], [], ["of", "and", "to"]),     # broad must_not set
+    ([], ["the", "of"], []),                # pure-should (plain BM25 shape)
+]
+
+
+def test_bool_driver_matches_oracle(spark, tiny_index, oracle_tiny):
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    for must, should, must_not in CASES:
+        want = _bool_oracle(oracle_tiny, must, should, must_not)
+        got = search_bool(s, must=must, should=should, must_not=must_not, k=10)
+        _assert_rank_identical(got, want, f"{must}/{should}/{must_not}")
+
+
+def test_bool_distributed_matches_driver(spark, tiny_index, oracle_tiny):
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    for must, should, must_not in CASES[:4]:
+        drv = search_bool(s, must=must, should=should, must_not=must_not, k=10)
+        dst = search_bool(
+            s, must=must, should=should, must_not=must_not, k=10,
+            distributed=True,
+        )
+        _assert_rank_identical(dst, drv, f"{must}/{should}/{must_not}")
+
+
+def test_bool_absent_must_is_empty(spark, tiny_index):
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    assert search_bool(s, must=["qqqabsentqqq"], should=["the"]) == []
+
+
+def test_bool_prohibited_and_scored_raises(spark, tiny_index):
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    with pytest.raises(ValueError):
+        search_bool(s, must=["the"], must_not=["the"])
+
+
+def test_bool_respects_tombstones(spark, tiny_index, oracle_tiny, workdir):
+    from data_prepper_spark.index.deletes import delete_docs
+
+    src, _, _ = tiny_index
+    d = os.path.join(workdir, "index_tomb_bool")
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.copytree(src, d)
+    full = _bool_oracle(oracle_tiny, ["the"], ["data"], [], k=20)
+    deleted = [doc for doc, _ in full[:3]]
+    delete_docs(d, deleted)
+    s = BM25Searcher(spark, d)
+    got = search_bool(s, must=["the"], should=["data"], k=10)
+    want = _bool_oracle(oracle_tiny, ["the"], ["data"], [], k=10, exclude=deleted)
+    _assert_rank_identical(got, want, "tombstoned bool")
+
+
+def test_prefix_expansion_matches_vocabulary(spark, tiny_index, oracle_tiny):
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    for p in ["th", "dat", "s", "tok00"]:
+        want = sorted({t for t in oracle_tiny.postings if t.startswith(p)})
+        assert expand_prefix(s, p) == want, p
+
+
+def test_prefix_search_matches_scoring_rewrite(spark, tiny_index, oracle_tiny):
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    for p in ["th", "dat", "tok00"]:
+        exp = sorted({t for t in oracle_tiny.postings if t.startswith(p)})
+        want = _bool_oracle(oracle_tiny, [], exp, [])
+        got = search_prefix(s, p, k=10)
+        _assert_rank_identical(got, want, p)
+
+
+def test_prefix_cap_raises(spark, tiny_index):
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    with pytest.raises(ValueError):
+        expand_prefix(s, "t", max_expansions=2)
