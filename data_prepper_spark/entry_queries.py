@@ -598,6 +598,73 @@ WITH toks AS (
     return base + "\n" + "\nUNION ALL\n".join(selects)
 
 
+SNIPPET_PAD = 2  # context tokens either side of the phrase
+
+
+def q_ft_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting/snippet extraction: for every phrase match, the
+    stored first-occurrence position (positional index, index/phrase.py)
+    selects a ±2-token window from the document, entirely in Catalyst
+    (regexp_extract_all → slice → array_join — tokenization identical to
+    the index tokenizer).  The match set is tiny, so it broadcasts to the
+    documents scan; the window math never touches Python."""
+    from functools import reduce
+
+    from .index.phrase import phrase_matches
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RX}', 0)")
+    outs = []
+    for qid, ph in PHRASE_QUERIES:
+        m = phrase_matches(s, ph)
+        plen = len(ph.split())
+        start1 = F.greatest(F.lit(1), F.col("first_pos") - 1)  # 1-based
+        end1 = F.col("first_pos") + F.lit(plen + SNIPPET_PAD)
+        snip = F.array_join(F.slice(toks, start1, end1 - start1 + 1), " ")
+        outs.append(
+            docs.join(F.broadcast(m.select("doc_id", "first_pos")), "doc_id")
+            .select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                snip.alias("snippet"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def sql_ft_snippets() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RX}') AS arr
+  FROM documents
+)"""
+    selects = []
+    for qid, ph in PHRASE_QUERIES:
+        ts = ph.split()
+        joins = "".join(
+            f" JOIN toks t{j} ON t0.doc_id = t{j}.doc_id AND t{j}.ord = t0.ord + {j}"
+            for j in range(1, len(ts))
+        )
+        conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
+        plen = len(ts)
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id, array_to_string(list_slice("
+            f"a.arr, greatest(1, m.first_pos - 1), m.first_pos + {plen + SNIPPET_PAD}"
+            f"), ' ') AS snippet FROM ("
+            f"SELECT t0.doc_id, (min(t0.ord) - 1)::BIGINT AS first_pos "
+            f"FROM toks t0{joins} WHERE {conds} GROUP BY 1"
+            f") m JOIN tokarr a ON m.doc_id = a.doc_id"
+        )
+    return base + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_ft_live_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingestion gate: the documents table is split into 3
     parquet files and drained ONE FILE PER MICRO-BATCH through the live
@@ -3284,6 +3351,7 @@ QUERIES = {
     "ft_bm25_faceted": q_ft_bm25_faceted,
     "ft_phrase_topk": q_ft_phrase_topk,
     "ft_phrase_positions": q_ft_phrase_positions,
+    "ft_snippets": q_ft_snippets,
     "dedup_retained": q_dedup_retained,
     "multimodal_features": q_multimodal_features,
     # round-2: operator-pinning additions
@@ -3388,6 +3456,7 @@ ORACLES = {
     "ft_bm25_faceted": sql_ft_bm25_faceted(),
     "ft_phrase_topk": sql_ft_phrase_topk(),
     "ft_phrase_positions": sql_ft_phrase_positions(),
+    "ft_snippets": sql_ft_snippets(),
     "dedup_retained": sql_dedup_retained(),
     "multimodal_features": sql_multimodal_features(),
     "ft_bm25_topk_distributed": sql_ft_bm25_topk(),
