@@ -166,16 +166,16 @@ def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
 
 
-def _ft_sql_base(where: str = "") -> str:
+def _ft_sql_base(where: str = "", src: str = "documents", prelude: str = "") -> str:
     qvals = ", ".join(
         f"({qid}, '{term}')"
         for qid, qtext in FT_QUERIES
         for term in sorted(set(qtext.split()))
     )
     return f"""
-WITH toks AS (
+WITH {prelude}toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term
-  FROM documents {where}
+  FROM {src} {where}
 ),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
@@ -207,8 +207,11 @@ def sql_ft_doc_stats() -> str:
     )
 
 
-def sql_ft_bm25_topk(base_where: str = "", scores_where: str = "") -> str:
-    return _ft_sql_base(base_where) + f"""
+def sql_ft_bm25_topk(
+    base_where: str = "", scores_where: str = "", base_src: str = "documents",
+    base_prelude: str = "",
+) -> str:
+    return _ft_sql_base(base_where, src=base_src, prelude=base_prelude) + f"""
 , scores AS (
   SELECT q.query_id, tf.doc_id,
          sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
@@ -702,6 +705,51 @@ def q_ft_live_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = s.search(qtext, k=FT_K, distributed=True, mode="brute", tie_round=4)
         rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
     return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+UPSERT_MOD = 5  # batch 1 re-ingests doc_id % 5 == 0 with modified text
+
+
+def q_ft_upsert_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-update gate (Lucene update-by-delete-and-add recast on
+    the live index, index/live.py): batch 0 ingests the whole corpus,
+    batch 1 RE-INGESTS doc_id % 5 == 0 with modified text; the fold
+    detects superseded copies from docmeta, physically purges them
+    (index/deletes.py) and merges disjoint survivors — last-writer-wins
+    by micro-batch order.  Oracle: BM25 over the corpus with the LATEST
+    text per doc — the update mechanism must be invisible."""
+    key = "upsert:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
+        from .index.live import apply_batch, resolve_current
+
+        out = tempfile.mkdtemp(prefix="dps_entry_upsertidx_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        updated = docs.filter(F.pmod(F.col("doc_id"), F.lit(UPSERT_MOD)) == 0).select(
+            "doc_id", F.concat(F.col("text"), F.lit(" spark update")).alias("text")
+        )
+        apply_batch(spark, docs, 0, out, cfg, builder=build_oneshot_text)
+        apply_batch(spark, updated, 1, out, cfg, builder=build_oneshot_text)
+        _INDEX_CACHE[key] = resolve_current(out)
+    s = BM25Searcher(spark, _INDEX_CACHE[key])
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = s.search(qtext, k=FT_K, distributed=True, mode="brute", tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_upsert_bm25() -> str:
+    prelude = (
+        "documents2 AS (SELECT doc_id, CASE WHEN doc_id % "
+        f"{UPSERT_MOD} = 0 THEN text || ' spark update' ELSE text END AS text "
+        "FROM documents),\n"
+    )
+    return sql_ft_bm25_topk(base_src="documents2", base_prelude=prelude)
 
 
 def q_ft_bm25_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3347,6 +3395,7 @@ QUERIES = {
     "ft_prefix_topk": q_ft_prefix_topk,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
+    "ft_upsert_bm25": q_ft_upsert_bm25,
     "ft_live_bm25": q_ft_live_bm25,
     "ft_bm25_faceted": q_ft_bm25_faceted,
     "ft_phrase_topk": q_ft_phrase_topk,
@@ -3452,6 +3501,7 @@ ORACLES = {
     "ft_prefix_topk": sql_ft_prefix_topk(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
+    "ft_upsert_bm25": sql_ft_upsert_bm25(),
     "ft_live_bm25": sql_ft_bm25_topk(),
     "ft_bm25_faceted": sql_ft_bm25_faceted(),
     "ft_phrase_topk": sql_ft_phrase_topk(),

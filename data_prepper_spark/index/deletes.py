@@ -193,13 +193,22 @@ def _purge_fn(deleted: np.ndarray, cfg: IndexConfig, avgdl: float):
 
 
 def purge_deletes(
-    spark: SparkSession, src_dir: str, out_dir: str
+    spark: SparkSession, src_dir: str, out_dir: str,
+    extra_deleted: np.ndarray | None = None,
 ) -> dict:
     """Rewrite the index at *src_dir* into *out_dir* with all tombstoned
     docs physically removed and every corpus statistic recomputed.  The
     result is rank-identical to a fresh build over the surviving docs and
-    carries no tombstones.  Returns the new stats dict."""
+    carries no tombstones.  Returns the new stats dict.
+
+    *extra_deleted*: additional doc_ids to drop beyond the on-disk
+    tombstones — the upsert path (index/live.py) passes the set of docs
+    superseded by newer segments here."""
     deleted = read_tombstones(src_dir)
+    if extra_deleted is not None and len(extra_deleted):
+        deleted = np.unique(
+            np.concatenate([deleted, np.asarray(extra_deleted, dtype=np.int64)])
+        )
     stats = pads.dataset(os.path.join(src_dir, "stats")).to_table().to_pylist()[0]
     cfg = IndexConfig.from_dict(stats)
     if "codec" not in stats:

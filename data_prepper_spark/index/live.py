@@ -33,10 +33,12 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from .build import build_oneshot
 from .config import IndexConfig
+from .deletes import delete_docs, purge_deletes, read_tombstones
 from .ledger import Ledger
 from .merge import merge_indexes
 
@@ -145,6 +147,21 @@ def apply_batch(
         )
 
 
+def _doc_id_set(spark: SparkSession, index_dir: str) -> np.ndarray:
+    """Sorted doc_ids of one index segment (from docmeta).  Collected to
+    the driver: supersede sets are bounded by the DELTA sizes (a batch's
+    worth of docs), never the base corpus — the base's set is only ever
+    intersected against newer-delta ids, so at 10^12 docs this step
+    becomes a docmeta anti-join per source; the in-process form keeps the
+    same semantics."""
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "docmeta"))
+        .select("doc_id")
+        .collect()
+    )
+    return np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+
+
 def _fold(
     spark: SparkSession,
     index_dir: str,
@@ -152,6 +169,19 @@ def _fold(
     batch_id: int,
     keep_versions: int = 1,
 ) -> None:
+    """Fold base + pending deltas into a new version, resolving UPDATES
+    and DELETES first (Lucene's update-by-delete-and-add):
+
+      - a doc_id present in more than one source keeps only its NEWEST
+        copy (sources are ordered base → oldest delta → newest delta, so
+        re-ingesting a url replaces the old version — last-writer-wins
+        by micro-batch order);
+      - on-disk tombstones of each source (live_delete_docs) are applied;
+      - older copies + tombstoned docs are physically purged
+        (index/deletes.py purge_deletes — per-slice decode→mask→encode,
+        no shuffle) so the merge inputs are disjoint doc spaces again and
+        merge_indexes' invariant holds.
+    """
     cur = _read_current(index_dir)
     version = cur[0] if cur is not None else -1
     sources = (
@@ -159,28 +189,74 @@ def _fold(
     ) + pending
     if not sources:
         return
-    if len(sources) == 1:
-        v_new = version + 1
-        dest = os.path.join(index_dir, f"v={v_new}")
-        shutil.rmtree(dest, ignore_errors=True)
-        shutil.move(sources[0], dest)
+    v_new = version + 1
+    dest = os.path.join(index_dir, f"v={v_new}")
+    shutil.rmtree(dest, ignore_errors=True)
+    tmp_root = os.path.join(index_dir, "_purge")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    docsets = [_doc_id_set(spark, s) for s in sources]
+    merge_srcs: list[str] = []
+    for i, src in enumerate(sources):
+        newer = (
+            np.unique(np.concatenate(docsets[i + 1 :]))
+            if i + 1 < len(sources)
+            else np.empty(0, dtype=np.int64)
+        )
+        superseded = np.intersect1d(docsets[i], newer, assume_unique=False)
+        tomb = read_tombstones(src)
+        drop = np.unique(np.concatenate([superseded, tomb]))
+        if drop.size == 0:
+            merge_srcs.append(src)
+        elif drop.size < docsets[i].size:
+            dst = os.path.join(tmp_root, f"src{i}")
+            purge_deletes(spark, src, dst, extra_deleted=drop)
+            merge_srcs.append(dst)
+        # else: every doc superseded/deleted — source contributes nothing
+
+    if not merge_srcs:
+        raise ValueError(
+            "fold would produce an empty index (every doc deleted or "
+            "superseded by nothing) — refusing to publish an empty version"
+        )
+    if len(merge_srcs) == 1:
+        src = merge_srcs[0]
+        if src in pending or src.startswith(tmp_root):
+            shutil.move(src, dest)
+        else:
+            shutil.copytree(src, dest)  # base survives unchanged; keep it
     else:
-        v_new = version + 1
-        dest = os.path.join(index_dir, f"v={v_new}")
-        shutil.rmtree(dest, ignore_errors=True)
-        merge_indexes(spark, sources, dest)
-        for d in pending:
-            shutil.rmtree(d, ignore_errors=True)
+        merge_indexes(spark, merge_srcs, dest)
+    for d in pending:
+        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)
     _write_current(index_dir, v_new, batch_id)
     _prune(index_dir, v_new, keep_versions)
 
 
+def live_delete_docs(index_dir: str, doc_ids) -> int:
+    """Delete docs from a live index NOW: tombstones land in the CURRENT
+    version directory, so searchers opened after this call mask them
+    immediately (Lucene refresh semantics — already-open searchers keep
+    their snapshot: BM25Searcher reads tombstones once at open).  The
+    docs are physically purged at the next fold/compaction."""
+    cur = resolve_current(index_dir)
+    return delete_docs(cur, doc_ids)
+
+
 def compact(spark: SparkSession, index_dir: str) -> str:
     """Fold any pending (unmerged) deltas into a new CURRENT version —
-    one N-way merge.  Returns the resulting CURRENT directory."""
+    one N-way merge, resolving upserts and purging tombstones.  Also
+    folds when the current version merely carries tombstones (a
+    delete-only compaction).  Returns the resulting CURRENT directory."""
     cur = _read_current(index_dir)
     pending = _pending_deltas(index_dir)
-    if pending:
+    base_tomb = 0
+    if cur is not None and cur[0] >= 0:
+        base_tomb = read_tombstones(
+            os.path.join(index_dir, f"v={cur[0]}")
+        ).size
+    if pending or base_tomb:
         _fold(spark, index_dir, pending, cur[1] if cur else -1)
     return resolve_current(index_dir)
 

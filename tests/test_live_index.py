@@ -98,3 +98,112 @@ def test_live_deferred_merge_and_compact(spark, tiny_corpus_path, workdir, oracl
         want = oracle_tiny.topk(rq["query_text"], rq["k"])
         got = s.search(rq["query_text"], k=rq["k"], mode="bmw")
         _assert_rank_identical(got, want, rq["query_text"])
+
+
+# ---------------------------------------------------------------- upserts
+
+def _mk_docs(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+
+def _doc_text(i, version="a"):
+    extra = "gamma " * (i % 3) if version == "a" else "delta refresh "
+    return f"alpha beta doc{i:04d} {extra}".strip()
+
+
+UPQ = ["alpha beta", "gamma", "delta refresh", "doc0042"]
+
+
+def test_upsert_last_writer_wins(spark, workdir):
+    """Re-ingesting a doc_id replaces the old version (Lucene
+    update-by-delete-and-add): fold purges superseded copies, and the
+    folded index is rank-identical to a fresh build over the LATEST
+    version of every doc."""
+    from data_prepper_spark.index.build import build_oneshot_text
+
+    out = os.path.join(workdir, "live_upsert")
+    b0 = [(i, _doc_text(i, "a")) for i in range(100)]
+    b1 = [(i, _doc_text(i, "b")) for i in range(30, 50)] + [
+        (i, _doc_text(i, "a")) for i in range(100, 120)
+    ]
+    apply_batch(
+        spark, _mk_docs(spark, b0), 0, out, CFG, builder=build_oneshot_text
+    )
+    apply_batch(
+        spark, _mk_docs(spark, b1), 1, out, CFG, builder=build_oneshot_text
+    )
+    cur = resolve_current(out)
+    s = BM25Searcher(spark, cur)
+    assert s.n_docs == 120
+
+    latest = dict(b0)
+    latest.update(dict(b1))
+    fresh = os.path.join(workdir, "live_upsert_fresh")
+    build_oneshot_text(
+        spark, _mk_docs(spark, sorted(latest.items())), fresh, CFG
+    )
+    sf = BM25Searcher(spark, fresh)
+    for q in UPQ:
+        _assert_rank_identical(
+            s.search(q, k=10, mode="bmw"), sf.search(q, k=10, mode="bmw"), q
+        )
+        _assert_rank_identical(
+            s.search(q, k=10, mode="brute"), sf.search(q, k=10, mode="brute"), q
+        )
+    # updated docs carry the NEW content: "delta refresh" hits exactly 30..49
+    hits = {d for d, _ in s.search("refresh", k=100, mode="brute")}
+    assert hits == set(range(30, 50))
+
+
+def test_upsert_replay_idempotent(spark, workdir):
+    from data_prepper_spark.index.live import _read_current
+    from data_prepper_spark.index.build import build_oneshot_text
+
+    out = os.path.join(workdir, "live_upsert")  # built by previous test
+    before = _read_current(out)
+    apply_batch(
+        spark,
+        _mk_docs(spark, [(1, "should never land")]),
+        1,  # replayed batch id
+        out,
+        CFG,
+        builder=build_oneshot_text,
+    )
+    assert _read_current(out) == before
+
+
+def test_live_delete_then_compact(spark, workdir):
+    """live_delete_docs masks immediately for new searchers; compact()
+    physically purges and the result equals a fresh build over the
+    survivors."""
+    from data_prepper_spark.index.build import build_oneshot_text
+    from data_prepper_spark.index.live import compact, live_delete_docs
+
+    out = os.path.join(workdir, "live_upsert")  # 120 docs, post-upsert
+    dead = [5, 31, 110]
+    n = live_delete_docs(out, dead)
+    assert n == len(dead)
+    s = BM25Searcher(spark, resolve_current(out))
+    assert s.deleted.size == len(dead)
+    assert not ({d for d, _ in s.search("alpha beta", k=200, mode="brute")}
+                & set(dead))
+
+    cur = compact(spark, out)
+    s2 = BM25Searcher(spark, cur)
+    assert s2.deleted.size == 0
+    assert s2.n_docs == 117
+
+    latest = {i: _doc_text(i, "a") for i in range(100)}
+    latest.update({i: _doc_text(i, "b") for i in range(30, 50)})
+    latest.update({i: _doc_text(i, "a") for i in range(100, 120)})
+    for d in dead:
+        latest.pop(d)
+    fresh = os.path.join(workdir, "live_del_fresh")
+    build_oneshot_text(
+        spark, _mk_docs(spark, sorted(latest.items())), fresh, CFG
+    )
+    sf = BM25Searcher(spark, fresh)
+    for q in UPQ:
+        _assert_rank_identical(
+            s2.search(q, k=10, mode="bmw"), sf.search(q, k=10, mode="bmw"), q
+        )
