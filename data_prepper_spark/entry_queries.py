@@ -556,6 +556,82 @@ SELECT query_id, doc_id, score_r FROM ranked WHERE rn <= {FT_K}
     )
 
 
+# proximity reference set: (qid, phrase, slop)
+PROX_QUERIES: list[tuple[int, str, int]] = [
+    (0, "part filter", 2),
+    (1, "merge group", 1),
+    (2, "scan the table", 2),
+    (3, "the join", 1),
+    (4, "customer fast", 3),
+    (5, "data query", 2),
+]
+
+
+def q_ft_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity phrase (phrase-with-slop, index/phrase.py
+    _prox_match_rows): an occurrence is a start position of term 0 from
+    which an ordered chain of the remaining terms fits the window
+    end − start ≤ (m−1) + slop; the kernel takes the greedy
+    earliest-next chain (one searchsorted per term over composite
+    doc×position keys — greedy minimizes the chain end, so the window
+    test is an exact existence check).  tf = valid starts, df = matching
+    docs, BM25-scored like exact phrases."""
+    from .index.phrase import phrase_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, ph, slop in PROX_QUERIES:
+        hits = phrase_topk(s, ph, k=FT_K, tie_round=4, slop=slop)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_proximity_topk() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, ph, slop in PROX_QUERIES:
+        ts = ph.split()
+        m = len(ts)
+        joins = "".join(
+            f" JOIN toks t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.ord > t{j-1}.ord"
+            for j in range(1, m)
+        )
+        conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
+        window = f" AND t{m-1}.ord - t0.ord <= {m - 1 + slop}" if m > 1 else ""
+        ctes.append(
+            f"x{qid} AS (SELECT t0.doc_id, count(DISTINCT t0.ord)::BIGINT AS tfp "
+            f"FROM toks t0{joins} WHERE {conds}{window} GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM x{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM x{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM x{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+xscores AS ({union}),
+xranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM xscores
+)
+SELECT query_id, doc_id, score_r FROM xranked WHERE rn <= {FT_K}
+"""
+    )
+
+
 def q_ft_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-position fidelity gate: ALL matching docs of each phrase
     with occurrence count and the 0-based token position of the FIRST
@@ -3399,6 +3475,7 @@ QUERIES = {
     "ft_live_bm25": q_ft_live_bm25,
     "ft_bm25_faceted": q_ft_bm25_faceted,
     "ft_phrase_topk": q_ft_phrase_topk,
+    "ft_proximity_topk": q_ft_proximity_topk,
     "ft_phrase_positions": q_ft_phrase_positions,
     "ft_snippets": q_ft_snippets,
     "dedup_retained": q_dedup_retained,
@@ -3505,6 +3582,7 @@ ORACLES = {
     "ft_live_bm25": sql_ft_bm25_topk(),
     "ft_bm25_faceted": sql_ft_bm25_faceted(),
     "ft_phrase_topk": sql_ft_phrase_topk(),
+    "ft_proximity_topk": sql_ft_proximity_topk(),
     "ft_phrase_positions": sql_ft_phrase_positions(),
     "ft_snippets": sql_ft_snippets(),
     "dedup_retained": sql_dedup_retained(),

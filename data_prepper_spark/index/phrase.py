@@ -39,16 +39,11 @@ from .codec import decode_docids, decode_uints
 _POS_COLS = ["term_id", "df_slice", "doc_ids", "tfs", "dls", "positions"]
 
 
-def _match_rows(rows: list[dict], term_seq: list[int]):
-    """Adjacency match over one docID-range's slice rows.  Returns
-    parallel lists (doc_ids, tf_phrase, dls, first_pos) — the core shared
-    by the distributed kernel and the driver serving path.
-
-    Fully vectorized: no per-doc Python loop.  Positions are flattened to
-    composite keys (doc_index * stride + position - term_offset) and the
-    phrase match is an m-way ``np.intersect1d`` over those key arrays —
-    a stopword phrase costs sorts over its posting length, not a Python
-    iteration per document."""
+def _gather(rows: list[dict], term_seq: list[int]):
+    """Decode the positional slice rows of one docID range into per-term
+    (docs, tfs, dls, positions) arrays + the docID intersection of all
+    phrase terms.  Returns (T, common, max_pos) or None when any term is
+    absent / the intersection is empty."""
     uniq = set(term_seq)
     acc = {t: {"docs": [], "tf": [], "dl": [], "pos": []} for t in uniq}
     max_pos = 0
@@ -77,7 +72,7 @@ def _match_rows(rows: list[dict], term_seq: list[int]):
     T = {}
     for t in uniq:
         if not acc[t]["docs"]:
-            return [], [], [], []
+            return None
         T[t] = (
             np.concatenate(acc[t]["docs"]),
             np.concatenate(acc[t]["tf"]),
@@ -92,7 +87,24 @@ def _match_rows(rows: list[dict], term_seq: list[int]):
             else np.intersect1d(common, T[t][0], assume_unique=True)
         )
         if common.size == 0:
-            return [], [], [], []
+            return None
+    return T, common, max_pos
+
+
+def _match_rows(rows: list[dict], term_seq: list[int]):
+    """Adjacency match over one docID-range's slice rows.  Returns
+    parallel lists (doc_ids, tf_phrase, dls, first_pos) — the core shared
+    by the distributed kernel and the driver serving path.
+
+    Fully vectorized: no per-doc Python loop.  Positions are flattened to
+    composite keys (doc_index * stride + position - term_offset) and the
+    phrase match is an m-way ``np.intersect1d`` over those key arrays —
+    a stopword phrase costs sorts over its posting length, not a Python
+    iteration per document."""
+    g = _gather(rows, term_seq)
+    if g is None:
+        return [], [], [], []
+    T, common, max_pos = g
     stride = max_pos + len(term_seq) + 2
     keys = None
     for j, t in enumerate(term_seq):
@@ -127,13 +139,75 @@ def _match_rows(rows: list[dict], term_seq: list[int]):
     )
 
 
-def _range_kernel(term_seq: list[int]):
+def _prox_match_rows(rows: list[dict], term_seq: list[int], slop: int):
+    """Ordered proximity match (phrase-with-slop): an occurrence is a
+    start position p0 of term 0 from which an ordered chain p0 < p1 < …
+    < p(m-1) of the remaining terms fits the window
+    ``p(m-1) − p0 ≤ (m−1) + slop``.  The kernel takes the GREEDY chain
+    (earliest next occurrence per step, via one ``searchsorted`` over
+    composite doc×position keys per term — no per-doc Python loop);
+    greedy minimizes the chain end, so the window test is an exact
+    existence check.  tf = number of valid start positions, so slop=0
+    reproduces the exact-adjacency counts bit-for-bit (pinned by
+    tests/test_phrase.py::test_proximity_slop0_equals_exact)."""
+    g = _gather(rows, term_seq)
+    if g is None:
+        return [], [], [], []
+    T, common, max_pos = g
+    m = len(term_seq)
+    stride = max_pos + m + slop + 2
+    keys: dict[int, np.ndarray] = {}
+    for t in set(term_seq):
+        docs, tf, _dl, pos = T[t]
+        loc = np.searchsorted(common, docs)
+        loc_c = np.minimum(loc, common.size - 1)
+        in_common = common[loc_c] == docs
+        di = np.repeat(loc_c, tf)
+        keep = np.repeat(in_common, tf)
+        keys[t] = di[keep] * stride + pos[keep]  # ascending by construction
+    cur = keys[term_seq[0]]
+    start = cur
+    for t in term_seq[1:]:
+        kj = keys[t]
+        idx = np.searchsorted(kj, cur, side="right")
+        ok = idx < kj.size
+        cand = kj[np.minimum(idx, kj.size - 1)]
+        ok &= (cand // stride) == (cur // stride)  # chain stays in-doc
+        cur, start = cand[ok], start[ok]
+        if cur.size == 0:
+            return [], [], [], []
+    ok = (cur % stride) - (start % stride) <= (m - 1) + slop
+    start = start[ok]
+    if start.size == 0:
+        return [], [], [], []
+    di = start // stride
+    ps = start % stride
+    bounds = np.flatnonzero(np.concatenate(([True], di[1:] != di[:-1])))
+    tfp = np.diff(np.append(bounds, di.size))
+    docs_out = common[di[bounds]]
+    first = ps[bounds]
+    d0, _, dl0, _ = T[term_seq[0]]
+    o = np.argsort(d0, kind="stable")
+    dl_out = dl0[o][np.searchsorted(d0[o], docs_out)]
+    return (
+        docs_out.tolist(),
+        tfp.tolist(),
+        dl_out.tolist(),
+        first.tolist(),
+    )
+
+
+def _range_kernel(term_seq: list[int], slop: int = 0):
     """applyInPandas kernel over one docID-range's slices for the phrase
-    terms: decode positions, intersect adjacency, emit matching docs."""
+    terms: decode positions, intersect adjacency (or the greedy proximity
+    chain when slop > 0), emit matching docs."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_d, out_tf, out_dl, out_fp = _match_rows(
-            pdf.to_dict("records"), term_seq
+        rows = pdf.to_dict("records")
+        out_d, out_tf, out_dl, out_fp = (
+            _prox_match_rows(rows, term_seq, slop)
+            if slop > 0
+            else _match_rows(rows, term_seq)
         )
         return pd.DataFrame(
             {"doc_id": out_d, "tf_phrase": out_tf, "dl": out_dl,
@@ -144,11 +218,12 @@ def _range_kernel(term_seq: list[int]):
     return fn
 
 
-def phrase_matches(searcher, phrase_text: str):
-    """Matching docs of an exact phrase as a localCheckpointed DataFrame
-    (doc_id, tf_phrase, dl, first_pos) — first_pos is the 0-based token
-    position of the first occurrence (the highlighting hook).  None when
-    the phrase has no terms."""
+def phrase_matches(searcher, phrase_text: str, slop: int = 0):
+    """Matching docs of an exact phrase (slop=0) or ordered proximity
+    phrase (slop>0, see :func:`_prox_match_rows`) as a localCheckpointed
+    DataFrame (doc_id, tf_phrase, dl, first_pos) — first_pos is the
+    0-based token position of the first occurrence (the highlighting
+    hook).  None when the phrase has no terms."""
     if not searcher.stats.get("positions"):
         raise ValueError(
             "phrase queries need a positional index (IndexConfig.positions=True)"
@@ -168,7 +243,7 @@ def phrase_matches(searcher, phrase_text: str):
         .select("range_id", *_POS_COLS)
     )
     matched = slices.groupBy("range_id").applyInPandas(
-        _range_kernel(term_seq),
+        _range_kernel(term_seq, slop),
         schema="doc_id long, tf_phrase long, dl long, first_pos long",
     )
     if searcher.deleted.size:
@@ -188,9 +263,11 @@ def phrase_topk(
     k: int = 10,
     tie_round: int = 4,
     distributed: bool = True,
+    slop: int = 0,
 ) -> list[tuple[int, float]]:
-    """Top-k (doc_id, bm25_phrase_score) for an exact phrase, global
-    rank by (round(score, tie_round) DESC, doc_id ASC) — the SQL oracle's
+    """Top-k (doc_id, bm25_phrase_score) for an exact phrase (slop=0) or
+    ordered proximity phrase (slop>0), global rank by
+    (round(score, tie_round) DESC, doc_id ASC) — the SQL oracle's
     tie rule.  *searcher* is a BM25Searcher over a positional index.
 
     distributed=True is the scale path (per-range applyInPandas — no
@@ -198,8 +275,8 @@ def phrase_topk(
     serving path: the same adjacency core over a bucket-pruned pyarrow
     read, no Spark job (mirrors BM25Searcher's driver mode)."""
     if not distributed:
-        return _phrase_topk_driver(searcher, phrase_text, k, tie_round)
-    matched = phrase_matches(searcher, phrase_text)
+        return _phrase_topk_driver(searcher, phrase_text, k, tie_round, slop)
+    matched = phrase_matches(searcher, phrase_text, slop)
     if matched is None:
         return []
     df_p = matched.count()
@@ -222,7 +299,7 @@ def phrase_topk(
 
 
 def _phrase_topk_driver(
-    searcher, phrase_text: str, k: int, tie_round: int
+    searcher, phrase_text: str, k: int, tie_round: int, slop: int = 0
 ) -> list[tuple[int, float]]:
     import pyarrow.dataset as pads
 
@@ -245,7 +322,11 @@ def _phrase_topk_driver(
         by_range.setdefault(int(r["range_id"]), []).append(r)
     docs, tfs, dls = [], [], []
     for rr in by_range.values():
-        d, tf, dl, _fp = _match_rows(rr, term_seq)
+        d, tf, dl, _fp = (
+            _prox_match_rows(rr, term_seq, slop)
+            if slop > 0
+            else _match_rows(rr, term_seq)
+        )
         docs.extend(d)
         tfs.extend(tf)
         dls.extend(dl)

@@ -134,3 +134,108 @@ def test_phrase_requires_positional_index(spark):
     s = BM25Searcher(spark, d)
     with pytest.raises(ValueError, match="positional"):
         phrase_topk(s, "quick brown")
+
+
+# ------------------------------------------------------- proximity (slop)
+
+def _prox_oracle(docs, phrase, slop, k1=1.2, b=0.75):
+    """Independent proximity oracle: FULL chain enumeration (not greedy)
+    — a start counts iff ANY ordered chain fits the window."""
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    ts = phrase.split()
+    m = len(ts)
+    matches = {}
+    for d, seq in toks.items():
+        pos = {}
+        for i, t in enumerate(seq):
+            pos.setdefault(t, []).append(i)
+        c = 0
+        for start in pos.get(ts[0], []):
+            frontier = {start}
+            for t in ts[1:]:
+                nxt = set()
+                for q in frontier:
+                    for p in pos.get(t, []):
+                        if q < p <= start + (m - 1) + slop:
+                            nxt.add(p)
+                frontier = nxt
+                if not frontier:
+                    break
+            if frontier:
+                c += 1
+        if c:
+            matches[d] = c
+    if not matches:
+        return []
+    idf = math.log(1 + (n - len(matches) + 0.5) / (len(matches) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in matches.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+PROX_CASES = [
+    ("quick fox", 1), ("quick fox", 2), ("the dog", 2), ("quick quick", 1),
+    ("quick brown fox", 0), ("quick brown fox", 3), ("brown and fox", 4),
+    ("lazy cat", 3),
+]
+
+
+def test_proximity_matches_brute_oracle(spark, pos_index):
+    s = BM25Searcher(spark, pos_index)
+    for ph, slop in PROX_CASES:
+        want = _prox_oracle(DOCS, ph, slop)
+        got = phrase_topk(s, ph, k=10, slop=slop, distributed=False)
+        assert [d for d, _ in got] == [d for d, _ in want], (ph, slop)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (ph, slop)
+
+
+def test_proximity_driver_equals_distributed(spark, pos_index):
+    s = BM25Searcher(spark, pos_index)
+    for ph, slop in [("quick fox", 2), ("the dog", 2), ("quick quick", 1)]:
+        a = phrase_topk(s, ph, k=10, slop=slop, distributed=True)
+        b = phrase_topk(s, ph, k=10, slop=slop, distributed=False)
+        assert [d for d, _ in a] == [d for d, _ in b], (ph, slop)
+        assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(a, b)), ph
+
+
+def test_proximity_slop0_equals_exact(spark, pos_index):
+    """The greedy proximity kernel at slop=0 reproduces the exact
+    adjacency kernel's matches bit-for-bit (count of valid starts ==
+    adjacency occurrence count)."""
+    import pyarrow.dataset as pads
+
+    from data_prepper_spark.hashing import pmod, xxh64_signed
+    from data_prepper_spark.index.phrase import (
+        _match_rows,
+        _prox_match_rows,
+    )
+
+    s = BM25Searcher(spark, pos_index)
+    for ph in ["quick brown", "quick brown fox", "42 42", "quick quick",
+               "the quick brown fox"]:
+        terms = tokenize(ph)
+        ids = sorted({xxh64_signed(t) for t in terms})
+        buckets = sorted({pmod(i, s.cfg.n_buckets) for i in ids})
+        term_seq = [xxh64_signed(t) for t in terms]
+        flt = pads.field("term_bucket").isin(buckets) & pads.field(
+            "term_id"
+        ).isin(ids)
+        rows = s._postings.to_table(
+            columns=["range_id", "term_id", "df_slice", "doc_ids", "tfs",
+                     "dls", "positions"],
+            filter=flt,
+        ).to_pylist()
+        by_range = {}
+        for r in rows:
+            by_range.setdefault(int(r["range_id"]), []).append(r)
+        for rid, rr in by_range.items():
+            exact = _match_rows(rr, term_seq)
+            prox = _prox_match_rows(rr, term_seq, 0)
+            assert exact == prox, (ph, rid)
