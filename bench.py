@@ -164,6 +164,41 @@ def main():
             extras["serving_p50_ms"] = round(slat[len(slat) // 2] * 1000, 1)
             extras["serving_p95_ms"] = round(slat[int(len(slat) * 0.95) - 1] * 1000, 1)
 
+            # boolean + prefix serving latency at the same 1M-doc index
+            # (driver mode — conjunctive pruning / dictionary expansion)
+            from data_prepper_spark.corpus import (
+                HEAD_TERMS,
+                MID_TERMS,
+                RARE_TERMS,
+            )
+            from data_prepper_spark.index.boolquery import (
+                search_bool,
+                search_prefix,
+            )
+
+            bool_qs = [
+                {"must": [RARE_TERMS[i % 5], HEAD_TERMS[i]],
+                 "should": [MID_TERMS[i % 8]],
+                 "must_not": [MID_TERMS[(i + 3) % 8]]}
+                for i in range(10)
+            ]
+            blat: list[float] = []
+            for _ in range(3):
+                for q in bool_qs:
+                    t0 = time.perf_counter()
+                    search_bool(s1m, k=10, **q)
+                    blat.append(time.perf_counter() - t0)
+            blat.sort()
+            extras["bool_p50_ms"] = round(blat[len(blat) // 2] * 1000, 1)
+            plat: list[float] = []
+            for _ in range(3):
+                for p in ["tok00", "tok01", "zanz", "quix", "spar"]:
+                    t0 = time.perf_counter()
+                    search_prefix(s1m, p, k=10)
+                    plat.append(time.perf_counter() - t0)
+            plat.sort()
+            extras["prefix_p50_ms"] = round(plat[len(plat) // 2] * 1000, 1)
+
         total = round(sum(timings.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         print(

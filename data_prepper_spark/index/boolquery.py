@@ -51,7 +51,14 @@ from pyspark.sql import functions as F
 from ..hashing import xxh64_signed
 from ..textproc import tokenize
 from .deletes import mask_term_slice
-from .scoring import decode_slice, idf_value, score_brute, topk_select
+from .scoring import (
+    TermSlice,
+    decode_slice,
+    decode_slice_lazy,
+    idf_value,
+    score_brute,
+    topk_select,
+)
 
 _SLICE_COLS = [
     "term_id", "range_id", "df_slice", "doc_ids", "tfs", "dls",
@@ -136,6 +143,97 @@ def _range_eval(slices_by_id, must_ids, not_ids, scoring, k1, b, avgdl):
     return score_brute(subs, k1, b, avgdl)
 
 
+def _range_eval_lazy(lz: dict, must_ids, not_ids, scoring, k1, b, avgdl):
+    """Block-lazy conjunctive evaluation of one docID range — the
+    skip-pointer plan:
+
+      1. fully decode only the RAREST must term's docID stream (the
+         smallest slice by construction);
+      2. every other must / must_not slice decodes ONLY the blocks its
+         candidates can live in (LazySlice.covering_blocks → one
+         searchsorted against the stored per-block first docIDs — the
+         on-disk block_firsts array IS the skip list);
+      3. tf/dl streams decode only for the final candidates' blocks.
+
+    Decode cost is ∝ rarest-term df × blocks touched, never the stopword
+    df — the df-independent property a 10^12-doc index needs (same
+    argument as BMW's lazy segment decode, applied to AND queries).
+    Output is bit-identical to the eager `_range_eval` (pinned by
+    tests/test_boolquery.py::test_bool_lazy_equals_eager)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    must = []
+    for i in must_ids:
+        s = lz.get(i)
+        if s is None or s.n == 0:
+            return empty
+        must.append(s)
+    must.sort(key=lambda s: s.n)
+    first = must[0]
+    cand = first.block_docids(np.arange(first.block_firsts.size))
+    for s in must[1:]:
+        ids = s.block_docids(s.covering_blocks(cand))
+        cand = cand[_member(cand, ids)]
+        if cand.size == 0:
+            return empty
+    for i in not_ids:
+        s = lz.get(i)
+        if s is None or s.n == 0:
+            continue
+        ids = s.block_docids(s.covering_blocks(cand))
+        cand = cand[~_member(cand, ids)]
+        if cand.size == 0:
+            return empty
+    subs = []
+    for i in scoring:
+        s = lz.get(i)
+        if s is None or s.n == 0:
+            continue
+        ids, tfs, dls = s.block_values(s.covering_blocks(cand))
+        keep = _member(ids, cand)
+        if not keep.any():
+            continue
+        subs.append(
+            TermSlice(
+                s.term, s.idf, ids[keep], tfs[keep], dls[keep],
+                s.block_firsts, s.block_ubs,
+            )
+        )
+    if not subs:
+        return empty
+    return score_brute(subs, k1, b, avgdl)
+
+
+def _decode_range(rows, labels, idf, legacy, deleted, block_size):
+    """Decode one range's rows: block-lazy when every stream is a tagged
+    varint and no tombstones exist (must-conjunctions then skip decoding
+    the stopword streams), else eager TermSlices.  Returns
+    (slices_by_id, is_lazy)."""
+    lazy_ok = not legacy and deleted.size == 0
+    if lazy_ok:
+        lz = {}
+        for row in rows:
+            s = decode_slice_lazy(
+                row, idf.get(row["term_id"], 0.0), block_size,
+                labels[row["term_id"]],
+            )
+            if s is None:
+                lz = None
+                break
+            lz[int(row["term_id"])] = s
+        if lz is not None:
+            return lz, True
+    out = {}
+    for row in rows:
+        s = decode_slice(
+            row, idf.get(row["term_id"], 0.0), label=labels[row["term_id"]],
+            legacy=legacy,
+        )
+        if deleted.size:
+            s = mask_term_slice(s, deleted)
+        out[int(row["term_id"])] = s
+    return out, False
+
+
 def search_bool(
     searcher,
     must=(),
@@ -179,22 +277,30 @@ def search_bool(
             idf, k, tie_round,
         )
     rows = searcher._pruned_slice_rows(live_ids, buckets)
-    by_range: dict[int, dict] = {}
+    rows_by_range: dict[int, list] = {}
     for r in rows:
-        s = decode_slice(
-            r, idf.get(r["term_id"], 0.0), label=ids[r["term_id"]],
-            legacy=searcher.legacy_codec,
-        )
-        if searcher.deleted.size:
-            s = mask_term_slice(s, searcher.deleted)
-        by_range.setdefault(int(r["range_id"]), {})[int(r["term_id"])] = s
+        rows_by_range.setdefault(int(r["range_id"]), []).append(r)
     cfg = searcher.cfg
     out_ids, out_sc = [], []
-    for slices_by_id in by_range.values():
-        i_r, s_r = _range_eval(
-            slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b,
-            searcher.avgdl,
+    for rr in rows_by_range.values():
+        slices_by_id, is_lazy = _decode_range(
+            rr, ids, idf, searcher.legacy_codec, searcher.deleted,
+            cfg.block_size,
         )
+        if is_lazy and must_ids:
+            i_r, s_r = _range_eval_lazy(
+                slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b,
+                searcher.avgdl,
+            )
+        else:
+            if is_lazy:  # pure-should needs the union — full decode
+                slices_by_id = {
+                    i: s.to_term_slice() for i, s in slices_by_id.items()
+                }
+            i_r, s_r = _range_eval(
+                slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b,
+                searcher.avgdl,
+            )
         out_ids.append(i_r)
         out_sc.append(s_r)
     if not out_ids:
@@ -221,18 +327,22 @@ def _search_bool_distributed(
     deleted = searcher.deleted
 
     def eval_range(pdf: pd.DataFrame) -> pd.DataFrame:
-        slices_by_id = {}
-        for row in pdf.to_dict("records"):
-            s = decode_slice(
-                row, idf.get(row["term_id"], 0.0), label=labels[row["term_id"]],
-                legacy=legacy,
-            )
-            if deleted.size:
-                s = mask_term_slice(s, deleted)
-            slices_by_id[int(row["term_id"])] = s
-        i_r, s_r = _range_eval(
-            slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b, avgdl
+        slices_by_id, is_lazy = _decode_range(
+            pdf.to_dict("records"), labels, idf, legacy, deleted,
+            cfg.block_size,
         )
+        if is_lazy and must_ids:
+            i_r, s_r = _range_eval_lazy(
+                slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b, avgdl
+            )
+        else:
+            if is_lazy:
+                slices_by_id = {
+                    i: s.to_term_slice() for i, s in slices_by_id.items()
+                }
+            i_r, s_r = _range_eval(
+                slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b, avgdl
+            )
         return pd.DataFrame({"doc_id": i_r, "score": s_r})
 
     scored = (

@@ -184,6 +184,80 @@ class LazySlice:
         dls = varint_decode_range(self.dl_b, self._le(), va + a, va + z).astype(np.int64)
         return ids[a:z], tfs, dls
 
+    def covering_blocks(self, cand: np.ndarray) -> np.ndarray:
+        """Sorted unique block indices whose docID span may contain any of
+        the sorted candidate docIDs *cand* — the skip-pointer lookup: a
+        candidate can only live in the block whose first docID is the
+        greatest ≤ it."""
+        blk = np.searchsorted(self.block_firsts, cand, side="right") - 1
+        return np.unique(blk[blk >= 0])
+
+    def _block_runs(self, blocks: np.ndarray):
+        """Sorted block indices → (va, vz) value-range array of their
+        maximal contiguous runs, shape (n_runs, 2)."""
+        bs = self.block_size
+        splits = np.flatnonzero(np.diff(blocks) > 1) + 1
+        starts = np.concatenate(([0], splits))
+        ends = np.concatenate((splits, [blocks.size]))
+        va = blocks[starts] * bs
+        vz = np.minimum((blocks[ends - 1] + 1) * bs, self.n)
+        return np.stack([va, vz], axis=1)
+
+    def _gather_decode(self, stream_b, ends, runs):
+        """Decode many value ranges with ONE varint pass: slice each
+        run's byte range (LEB128 is self-delimiting, so the slices
+        concatenate into a valid stream), decode once, return
+        (values, per-run counts, per-run value starts).  This is what
+        makes candidate-driven decode cheap — per-call vectorized-decoder
+        setup is paid once, not once per skip-list run."""
+        parts = []
+        for va, vz in runs:
+            b0 = 0 if va == 0 else int(ends[va - 1]) + 1
+            parts.append(stream_b[b0 : int(ends[vz - 1]) + 1])
+        counts = (runs[:, 1] - runs[:, 0]).astype(np.int64)
+        vals = varint_decode(np.concatenate(parts).tobytes())
+        starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+        return vals, counts, starts
+
+    def _anchored_ids(self, vals, counts, starts, runs):
+        """Delta stream of many block-aligned runs → absolute docIDs via
+        a segmented cumsum: each run's first delta is discarded in favor
+        of its block's stored absolute first docID (uint64 modular
+        arithmetic — bit-identical to the one-run `_ids_range`)."""
+        anchors = (
+            self.block_firsts[runs[:, 0] // self.block_size].astype(np.uint64)
+            + np.uint64(1 << 63)
+        )
+        d = vals.copy()
+        d[starts] = 0
+        c = np.cumsum(d, dtype=np.uint64)
+        off = anchors - c[starts]
+        abs_u = c + np.repeat(off, counts)
+        return (abs_u - _BIAS).astype(np.int64)
+
+    def block_docids(self, blocks: np.ndarray) -> np.ndarray:
+        """Absolute docIDs of the given sorted block indices only —
+        single gathered decode of exactly those blocks' byte ranges.  The
+        conjunctive-query analog of BMW's segment decode: cost ∝ blocks
+        visited, not df."""
+        if blocks.size == 0:
+            return np.empty(0, dtype=np.int64)
+        runs = self._block_runs(blocks)
+        vals, counts, starts = self._gather_decode(self.doc_b, self._de(), runs)
+        return self._anchored_ids(vals, counts, starts, runs)
+
+    def block_values(self, blocks: np.ndarray):
+        """(doc_ids, tfs, dls) of the given sorted block indices —
+        one gathered decode per stream."""
+        if blocks.size == 0:
+            return (np.empty(0, np.int64),) * 3
+        runs = self._block_runs(blocks)
+        vals, counts, starts = self._gather_decode(self.doc_b, self._de(), runs)
+        ids = self._anchored_ids(vals, counts, starts, runs)
+        tfs, _, _ = self._gather_decode(self.tf_b, self._te(), runs)
+        dls, _, _ = self._gather_decode(self.dl_b, self._le(), runs)
+        return ids, tfs.astype(np.int64), dls.astype(np.int64)
+
     def to_term_slice(self) -> TermSlice:
         """Full eager decode (brute-fallback path)."""
         stream = varint_decode(self.doc_b.tobytes())

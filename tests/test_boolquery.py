@@ -144,3 +144,28 @@ def test_prefix_cap_raises(spark, tiny_index):
     s = BM25Searcher(spark, index_dir)
     with pytest.raises(ValueError):
         expand_prefix(s, "t", max_expansions=2)
+
+
+def test_bool_lazy_equals_eager(spark, tiny_index):
+    """The skip-pointer (block-lazy) conjunctive path returns exactly the
+    eager path's results on every must-clause case."""
+    import data_prepper_spark.index.boolquery as bq
+
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    for must, should, must_not in CASES:
+        if not must:
+            continue
+        lazy = search_bool(s, must=must, should=should, must_not=must_not, k=10)
+        orig = bq.decode_slice_lazy
+        bq.decode_slice_lazy = lambda *a, **k: None  # force eager fallback
+        try:
+            eager = search_bool(
+                s, must=must, should=should, must_not=must_not, k=10
+            )
+        finally:
+            bq.decode_slice_lazy = orig
+        assert [d for d, _ in lazy] == [d for d, _ in eager], must
+        assert all(
+            abs(x - y) < 1e-12 for (_, x), (_, y) in zip(lazy, eager)
+        ), must
