@@ -363,6 +363,121 @@ SELECT query_id, doc_id, score_r FROM pranked WHERE rn <= {FT_K}
 """
 
 
+# fuzzy reference set: (qid, misspelled term, max_edits) — expansions are
+# whatever the term dictionary yields under plain Levenshtein (the oracle
+# recomputes them with DuckDB's levenshtein(), so both sides derive the
+# expansion from the same definition, not a hand-pinned list)
+FUZZY_QUERIES: list[tuple[int, str, int]] = [
+    (0, "jion", 2),    # transposed 'join' (2 substitutions, plain Levenshtein)
+    (1, "merg", 1),    # dropped trailing char
+    (2, "scann", 1),   # doubled char
+    (3, "quer", 2),    # truncation, wider radius
+    (4, "hach", 2),    # mid-word typo, radius 2 pulls multiple terms
+]
+
+# wildcard reference set (Lucene WildcardQuery: * = any run, ? = one char)
+WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (0, "s*"), (1, "?a??"), (2, "*er*"), (3, "s?a?"), (4, "*ream"),
+]
+
+
+def q_ft_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy queries (Lucene FuzzyQuery, transpositions=false): the term
+    expands against the term dictionary under plain unit-cost Levenshtein
+    (vectorized one-DP-over-the-vocabulary; index/boolquery.py
+    levenshtein_leq), then scores as a should-group where each concrete
+    term keeps its own idf.  Distributed serving path + oracle tie rule."""
+    from .index.boolquery import search_fuzzy
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, term, max_edits in FUZZY_QUERIES:
+        hits = search_fuzzy(
+            s, term, k=FT_K, max_edits=max_edits, distributed=True,
+            tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_fuzzy_topk() -> str:
+    fvals = ", ".join(f"({qid}, '{t}', {e})" for qid, t, e in FUZZY_QUERIES)
+    return _ft_sql_base() + f""",
+fq(query_id, qterm, max_edits) AS (VALUES {fvals}),
+fexp AS (
+  SELECT fq.query_id, df.term, df.df FROM fq
+  JOIN df ON levenshtein(df.term, fq.qterm) <= fq.max_edits
+),
+fscores AS (
+  SELECT e.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM fexp e
+  JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+franked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM fscores
+)
+SELECT query_id, doc_id, score_r FROM franked WHERE rn <= {FT_K}
+"""
+
+
+def q_ft_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard queries (Lucene WildcardQuery): the glob expands against
+    the term dictionary (* = any run, ? = one char), then scores as a
+    should-group — SCORING_BOOLEAN_REWRITE, same as prefix/fuzzy."""
+    from .index.boolquery import search_wildcard
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, pattern in WILDCARD_QUERIES:
+        hits = search_wildcard(s, pattern, k=FT_K, distributed=True, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_wildcard_topk() -> str:
+    # glob → SQL LIKE: tokens are [a-z0-9]+ so % / _ carry no escape risk
+    wvals = ", ".join(
+        f"({qid}, '{p.replace('*', '%').replace('?', '_')}')"
+        for qid, p in WILDCARD_QUERIES
+    )
+    return _ft_sql_base() + f""",
+wq(query_id, pat) AS (VALUES {wvals}),
+wexp AS (
+  SELECT wq.query_id, df.term, df.df FROM wq
+  JOIN df ON df.term LIKE wq.pat
+),
+wscores AS (
+  SELECT e.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM wexp e
+  JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+wranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM wscores
+)
+SELECT query_id, doc_id, score_r FROM wranked WHERE rn <= {FT_K}
+"""
+
+
 DEL_MOD, DEL_REM = 7, 3  # deterministic tombstone set: doc_id % 7 == 3
 
 
@@ -3469,6 +3584,8 @@ QUERIES = {
     "ft_merged_bm25": q_ft_merged_bm25,
     "ft_bool_topk": q_ft_bool_topk,
     "ft_prefix_topk": q_ft_prefix_topk,
+    "ft_fuzzy_topk": q_ft_fuzzy_topk,
+    "ft_wildcard_topk": q_ft_wildcard_topk,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_upsert_bm25": q_ft_upsert_bm25,
@@ -3576,6 +3693,8 @@ ORACLES = {
     "ft_merged_bm25": sql_ft_bm25_topk(),
     "ft_bool_topk": sql_ft_bool_topk(),
     "ft_prefix_topk": sql_ft_prefix_topk(),
+    "ft_fuzzy_topk": sql_ft_fuzzy_topk(),
+    "ft_wildcard_topk": sql_ft_wildcard_topk(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_upsert_bm25": sql_ft_upsert_bm25(),

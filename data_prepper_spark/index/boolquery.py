@@ -25,12 +25,15 @@ global TakeOrdered).  A doc's postings for every term live in the same
 docID range, so boolean constraints evaluate completely inside a range —
 the per-range kernel is exact, no cross-range state.
 
-Prefix queries rewrite through the term dictionary (Lucene
-MultiTermQuery): expand the prefix against termdict — a vocabulary scan,
+Prefix, fuzzy, and wildcard queries rewrite through the term dictionary
+(Lucene MultiTermQuery): expand against termdict — a vocabulary scan,
 bounded by |vocab| not corpus size — then score the expansion as a
 should-group where each concrete term keeps its own idf (Lucene's
 SCORING_BOOLEAN_REWRITE).  Expansion is capped like
-BooleanQuery.maxClauseCount.
+BooleanQuery.maxClauseCount.  Fuzzy = plain unit-cost Levenshtein
+(FuzzyQuery with transpositions=false; DuckDB `levenshtein` twin, one
+vectorized DP over the whole candidate vocabulary); wildcard = anchored
+glob (* / ?) matched arrow-side.
 
 Reference anchor: the reference's expression DSL routes (`and`/`or`/
 `not` predicates over fields, data-prepper-expression/.../
@@ -390,6 +393,153 @@ def search_prefix(
     """Prefix top-k: dictionary expansion → scoring-boolean rewrite
     (each expanded term scores with its own idf)."""
     terms = expand_prefix(searcher, prefix, max_expansions)
+    if not terms:
+        return []
+    return search_bool(
+        searcher, should=terms, k=k, distributed=distributed,
+        tie_round=tie_round,
+    )
+
+
+# ------------------------------------------------------------------- fuzzy
+
+def levenshtein_leq(terms: list[str], query: str, max_edits: int) -> np.ndarray:
+    """Boolean mask: plain unit-cost Levenshtein(term, query) <= max_edits,
+    computed for ALL terms in ONE numpy DP (rows = query chars, the column
+    sweep runs over every candidate term simultaneously).  Unit costs and
+    no transpositions — the exact definition DuckDB's ``levenshtein``
+    implements, so the oracle can pin expansions verbatim.  Cost is
+    O(|query| × maxlen × n_terms) vectorized over n_terms; a length
+    prefilter (|len diff| <= max_edits) drops most of the vocabulary
+    before the DP runs."""
+    n = len(terms)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    lens = np.fromiter((len(t) for t in terms), np.int64, n)
+    out = np.zeros(n, dtype=bool)
+    cand = np.flatnonzero(np.abs(lens - len(query)) <= max_edits)
+    if cand.size == 0:
+        return out
+    clens = lens[cand]
+    maxlen = int(clens.max())
+    mat = np.zeros((cand.size, maxlen), dtype=np.uint32)
+    for r, ti in enumerate(cand):
+        t = terms[ti]
+        mat[r, : len(t)] = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    q = np.frombuffer(query.encode("utf-8"), dtype=np.uint8)
+    prev = np.broadcast_to(
+        np.arange(maxlen + 1, dtype=np.int64), (cand.size, maxlen + 1)
+    ).copy()
+    for i in range(1, q.size + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, maxlen + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + (mat[:, j - 1] != q[i - 1]),
+            )
+        prev = cur
+    out[cand] = prev[np.arange(cand.size), clens] <= max_edits
+    return out
+
+
+def expand_fuzzy(
+    searcher,
+    term: str,
+    max_edits: int = 2,
+    prefix_len: int = 0,
+    max_expansions: int = 1024,
+) -> list[str]:
+    """Concrete terms within *max_edits* Levenshtein edits of *term*, from
+    the term dictionary (Lucene FuzzyQuery with transpositions=false —
+    plain Levenshtein, DuckDB-oracle-identical).  *prefix_len* requires
+    that many leading chars to match exactly (Lucene's prefixLength),
+    pruning the scan arrow-side before the DP.  Vocabulary-bounded, never
+    corpus-bounded — at web scale |vocab| grows ~Heaps-law sublinearly and
+    the hive-partitioned termdict scan parallelizes per bucket."""
+    ds = pads.dataset(f"{searcher.index_dir}/termdict", partitioning="hive")
+    col = ds.to_table(columns=["term"])["term"]
+    if prefix_len > 0:
+        col = col.filter(pc.starts_with(col, pattern=term[:prefix_len]))
+    vocab = sorted(set(col.to_pylist()))
+    mask = levenshtein_leq(vocab, term, max_edits)
+    terms = [t for t, m in zip(vocab, mask) if m]
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"fuzzy '{term}'~{max_edits} expands to {len(terms)} terms "
+            f"(> max_expansions={max_expansions})"
+        )
+    return terms
+
+
+def search_fuzzy(
+    searcher,
+    term: str,
+    k: int = 10,
+    max_edits: int = 2,
+    prefix_len: int = 0,
+    distributed: bool = False,
+    tie_round: int | None = None,
+    max_expansions: int = 1024,
+) -> list[tuple[int, float]]:
+    """Fuzzy top-k: Levenshtein dictionary expansion → scoring-boolean
+    rewrite (each expanded term scores with its own idf —
+    SCORING_BOOLEAN_REWRITE, like prefix)."""
+    terms = expand_fuzzy(searcher, term, max_edits, prefix_len, max_expansions)
+    if not terms:
+        return []
+    return search_bool(
+        searcher, should=terms, k=k, distributed=distributed,
+        tie_round=tie_round,
+    )
+
+
+# ---------------------------------------------------------------- wildcard
+
+def glob_to_regex(pattern: str) -> str:
+    """Lucene WildcardQuery glob (* = any run, ? = one char) → anchored
+    RE2 regex for the arrow-side vocabulary match."""
+    import re as _re
+
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(_re.escape(ch))
+    return "^" + "".join(parts) + "$"
+
+
+def expand_wildcard(
+    searcher, pattern: str, max_expansions: int = 1024
+) -> list[str]:
+    """Concrete terms matching the glob *pattern* from the term dictionary
+    (Lucene WildcardQuery).  Same vocabulary-bounded scan as prefix/fuzzy."""
+    ds = pads.dataset(f"{searcher.index_dir}/termdict", partitioning="hive")
+    col = ds.to_table(columns=["term"])["term"]
+    m = pc.match_substring_regex(col, pattern=glob_to_regex(pattern))
+    terms = sorted(set(col.filter(m).to_pylist()))
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"wildcard '{pattern}' expands to {len(terms)} terms "
+            f"(> max_expansions={max_expansions})"
+        )
+    return terms
+
+
+def search_wildcard(
+    searcher,
+    pattern: str,
+    k: int = 10,
+    distributed: bool = False,
+    tie_round: int | None = None,
+    max_expansions: int = 1024,
+) -> list[tuple[int, float]]:
+    """Wildcard top-k: glob dictionary expansion → scoring-boolean
+    rewrite."""
+    terms = expand_wildcard(searcher, pattern, max_expansions)
     if not terms:
         return []
     return search_bool(

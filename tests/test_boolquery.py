@@ -169,3 +169,76 @@ def test_bool_lazy_equals_eager(spark, tiny_index):
         assert all(
             abs(x - y) < 1e-12 for (_, x), (_, y) in zip(lazy, eager)
         ), must
+
+
+# --------------------------------------------------------- fuzzy / wildcard
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook plain Levenshtein for pinning the vectorized DP."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_leq_matches_reference():
+    from data_prepper_spark.index.boolquery import levenshtein_leq
+
+    vocab = [
+        "join", "jion", "junk", "merge", "merges", "scan", "scans",
+        "query", "quer", "q", "", "a", "hash", "batch", "hatch", "table",
+    ]
+    for q in ["jion", "merg", "scann", "quer", "hach", "x", ""]:
+        for e in (0, 1, 2, 3):
+            got = levenshtein_leq(vocab, q, e)
+            want = np.array([_lev_ref(t, q) <= e for t in vocab])
+            assert (got == want).all(), (q, e, list(zip(vocab, got, want)))
+
+
+def test_glob_to_regex():
+    from data_prepper_spark.index.boolquery import glob_to_regex
+    import re
+
+    rx = re.compile(glob_to_regex("s?a*k"))
+    assert rx.match("snack") and rx.match("stak")
+    assert not rx.match("sak") and not rx.match("snacks")
+    # regex metachars in the pattern are literals
+    assert re.compile(glob_to_regex("a.b")).match("a.b")
+    assert not re.compile(glob_to_regex("a.b")).match("axb")
+
+
+def test_fuzzy_and_wildcard_expansion(spark, tiny_index, oracle_tiny):
+    from data_prepper_spark.index.boolquery import (
+        expand_fuzzy,
+        expand_wildcard,
+        search_fuzzy,
+        search_wildcard,
+    )
+
+    index_dir, _, _ = tiny_index
+    oracle = oracle_tiny
+    s = BM25Searcher(spark, index_dir)
+    all_terms = sorted(oracle.postings)
+    for q, e in [(all_terms[0], 1), (all_terms[0][:-1] + "x", 2)]:
+        got = expand_fuzzy(s, q, max_edits=e)
+        want = sorted(t for t in all_terms if _lev_ref(t, q) <= e)
+        assert got == want, (q, e)
+        # scoring-boolean rewrite == should-group oracle over the expansion
+        hits = search_fuzzy(s, q, k=10, max_edits=e)
+        _assert_rank_identical(
+            hits, _bool_oracle(oracle, [], want, []), (q, e)
+        )
+    pat = all_terms[0][0] + "*"
+    got = expand_wildcard(s, pat)
+    want = sorted(t for t in all_terms if t.startswith(all_terms[0][0]))
+    assert got == want
+    hits = search_wildcard(s, pat, k=10)
+    _assert_rank_identical(hits, _bool_oracle(oracle, [], want, []), pat)
+    with pytest.raises(ValueError):
+        expand_fuzzy(s, all_terms[0], max_edits=3, max_expansions=1)
+    with pytest.raises(ValueError):
+        expand_wildcard(s, "*", max_expansions=1)
