@@ -66,7 +66,10 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
         d = tempfile.mkdtemp(prefix="dps_entry_index_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
-        build_oneshot_text(spark, _docs(spark, sf_dir), d, cfg)
+        build_oneshot_text(
+            spark, _docs(spark, sf_dir), d, cfg,
+            field_cols=("lang", "source", "n_chars"),  # docvalues (filtered search)
+        )
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
 
@@ -475,6 +478,77 @@ wranked AS (
   FROM wscores
 )
 SELECT query_id, doc_id, score_r FROM wranked WHERE rn <= {FT_K}
+"""
+
+
+# filtered reference set: (qid, query_text, [(docvalues col, op, value), …])
+# — conjunctive metadata filters over the index's docmeta sidecar
+FILTERED_QUERIES: list[tuple[int, str, list[tuple]]] = [
+    (0, "spark index", [("lang", "==", "en")]),
+    (1, "table scan", [("source", "in", ("src1", "src2", "src3"))]),
+    (2, "the", [("n_chars", ">=", 300)]),                      # stopword + broad filter
+    (3, "merge join", [("lang", "!=", "zh"), ("n_chars", "<", 350)]),
+    (4, "customer value fast", [("lang", "==", "fr"), ("source", "==", "src5")]),
+]
+
+
+def _sql_filter(filters: list[tuple]) -> str:
+    parts = []
+    for col, op, val in filters:
+        if op == "in":
+            vals = ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in val)
+            parts.append(f"d.{col} IN ({vals})")
+        else:
+            sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+            lit = f"'{val}'" if isinstance(val, str) else str(val)
+            parts.append(f"d.{col} {sql_op} {lit}")
+    return " AND ".join(parts)
+
+
+def q_ft_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered BM25 (Lucene docvalues + bool `filter` clause,
+    index/filtered.py): the docmeta sidecar restricts WHICH docs may
+    match; scores stay full-index BM25 (idf/avgdl unchanged by the
+    filter).  Served through the distributed cogroup path — the filtered
+    docmeta scan joins the pruned posting slices per docID range."""
+    from .index.filtered import search_filtered
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, filters in FILTERED_QUERIES:
+        hits = search_filtered(
+            s, qtext, filters, k=FT_K, distributed=True, tie_round=4
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_filtered_topk() -> str:
+    selects = []
+    for qid, qtext, filters in FILTERED_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"JOIN documents d ON d.doc_id = tf.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({terms}) AND {_sql_filter(filters)}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+flt_scores AS ({union}),
+flt_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM flt_scores
+)
+SELECT query_id, doc_id, score_r FROM flt_ranked WHERE rn <= {FT_K}
 """
 
 
@@ -3586,6 +3660,7 @@ QUERIES = {
     "ft_prefix_topk": q_ft_prefix_topk,
     "ft_fuzzy_topk": q_ft_fuzzy_topk,
     "ft_wildcard_topk": q_ft_wildcard_topk,
+    "ft_filtered_topk": q_ft_filtered_topk,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_upsert_bm25": q_ft_upsert_bm25,
@@ -3695,6 +3770,7 @@ ORACLES = {
     "ft_prefix_topk": sql_ft_prefix_topk(),
     "ft_fuzzy_topk": sql_ft_fuzzy_topk(),
     "ft_wildcard_topk": sql_ft_wildcard_topk(),
+    "ft_filtered_topk": sql_ft_filtered_topk(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_upsert_bm25": sql_ft_upsert_bm25(),

@@ -437,11 +437,14 @@ def build_oneshot(
     pages: DataFrame,
     index_dir: str,
     cfg: IndexConfig = IndexConfig(),
+    field_cols: tuple[str, ...] = (),
 ) -> dict:
-    """One-shot (non-resumable) build — the throughput-bench path."""
+    """One-shot (non-resumable) build — the throughput-bench path.
+    *field_cols*: extra pages columns stored as docvalues (filtered
+    search)."""
     return build_oneshot_tokens(
         spark, tokenize_stage(pages, cfg), index_dir, cfg,
-        doc_src=doc_src_from_pages(pages, cfg),
+        doc_src=doc_src_from_pages(pages, cfg, field_cols),
     )
 
 
@@ -452,15 +455,19 @@ def build_oneshot_text(
     cfg: IndexConfig = IndexConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    field_cols: tuple[str, ...] = (),
 ) -> dict:
     """Build over a pre-extracted-text table (id, text) — e.g. the
-    driver's `documents` table; no html extraction, no lang filter."""
+    driver's `documents` table; no html extraction, no lang filter.
+    *field_cols*: extra docs columns stored as docvalues (filtered
+    search)."""
     tokens = tokenize_stage_text(
         docs, id_col=id_col, text_col=text_col, positions=cfg.positions
     )
     doc_src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(id_col).cast("string").alias("url"),
+        *field_cols,
     )
     return build_oneshot_tokens(spark, tokens, index_dir, cfg, doc_src=doc_src)
 
@@ -502,9 +509,12 @@ def build_oneshot_tokens(
 
     dls = tokens.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
     if doc_src is not None:
+        # any doc_src column beyond (doc_id, url) is a docvalues field —
+        # per-doc metadata stored for filtered search (index/filtered.py)
+        extra = [c for c in doc_src.columns if c not in ("doc_id", "url")]
         docmeta = dls.join(doc_src, "doc_id", "left").select(
             "doc_id", F.coalesce("url", F.col("doc_id").cast("string")).alias("url"),
-            "doc_len",
+            "doc_len", *extra,
         )
     else:
         docmeta = dls.select(

@@ -1,0 +1,256 @@
+"""Metadata-filtered BM25 search — Lucene's docvalues + bool `filter`
+clause.
+
+The index's ``docmeta`` dataset is the docvalues store: one row per doc
+(doc_id, url, doc_len[, field columns…]), doc_id-range partitioned and
+sorted, written by the build when ``field_cols`` are requested
+(index/build.py build_oneshot / build_oneshot_text).  A filtered query
+restricts WHICH docs may match; it never changes HOW they score — idf,
+avgdl, and n_docs stay full-index, exactly Lucene's semantics for a
+non-scoring filter clause (the reference pipeline's analog is a
+`drop_events`/route guard ahead of the opensearch sink,
+data-prepper-plugins/opensearch/.../OpenSearchSink.java routing).
+
+Filters are structured conjunctions ``[(column, op, value), …]`` with
+op ∈ {==, !=, <, <=, >, >=, in} — compiled three ways from the one spec:
+a pyarrow dataset expression (driver mode, parquet predicate pushdown),
+a Catalyst Column (distributed mode, PushedFilters into the docmeta
+scan), and ANSI SQL (the DuckDB oracle in entry_queries).
+
+Execution treats the allowlist as a virtual must-clause seeded from
+docvalues instead of a posting list:
+
+- driver mode: docmeta is read with the pushed-down filter (bounded by
+  the FILTER's selectivity, not corpus size), the allowed docIDs are
+  sliced per docID range, and each scoring term block-lazily decodes
+  only the blocks those candidates can live in (the same skip-pointer
+  kernel as boolquery's conjunctions — decode cost ∝ filter selectivity
+  × blocks touched, never the stopword's df);
+- distributed mode: the docmeta scan (Catalyst filter, predicate
+  pushdown) is cogrouped with the pruned posting slices per docID range
+  (``groupBy(range_id).cogroup(...)``) — the allowlist never leaves its
+  range partition, so no node ever holds the global allowed set; global
+  top-k via orderBy/limit under the oracle tie rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+from pyspark.sql import functions as F
+
+from .boolquery import _decode_range, _member
+from .scoring import TermSlice, idf_value, score_brute, topk_select
+
+_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+
+
+def _check_filters(filters) -> None:
+    for f in filters:
+        if len(f) != 3 or f[1] not in _OPS:
+            raise ValueError(f"bad filter {f!r}; ops: {_OPS}")
+
+
+def pa_filter_expr(filters):
+    """[(col, op, val), …] → pyarrow dataset expression (AND of all)."""
+    expr = None
+    for col, op, val in filters:
+        f = pads.field(col)
+        c = (
+            f.isin(list(val)) if op == "in"
+            else f == val if op == "=="
+            else f != val if op == "!="
+            else f < val if op == "<"
+            else f <= val if op == "<="
+            else f > val if op == ">"
+            else f >= val
+        )
+        expr = c if expr is None else expr & c
+    return expr
+
+
+def spark_filter_col(filters):
+    """[(col, op, val), …] → Catalyst Column (AND of all)."""
+    expr = None
+    for col, op, val in filters:
+        f = F.col(col)
+        c = (
+            f.isin(*list(val)) if op == "in"
+            else f == val if op == "=="
+            else f != val if op == "!="
+            else f < val if op == "<"
+            else f <= val if op == "<="
+            else f > val if op == ">"
+            else f >= val
+        )
+        expr = c if expr is None else expr & c
+    return expr
+
+
+def _range_span(range_id: int, range_bits: int) -> tuple[int, int]:
+    """[lo, hi) signed docID span of one range (hi is INCLUSIVE-safe:
+    callers bound with hi_incl = hi - 1 to stay inside int64)."""
+    if range_bits == 0:
+        return -(1 << 63), (1 << 63)
+    shift = 64 - range_bits
+    lo = (range_id - (1 << (range_bits - 1))) << shift
+    return lo, lo + (1 << shift)
+
+
+def _slice_span(allowed: np.ndarray, range_id: int, range_bits: int) -> np.ndarray:
+    lo, hi = _range_span(range_id, range_bits)
+    a = int(np.searchsorted(allowed, lo, side="left"))
+    z = int(np.searchsorted(allowed, hi - 1, side="right"))
+    return allowed[a:z]
+
+
+def _eval_filtered(slices_by_id, is_lazy, cand, scoring, k1, b, avgdl):
+    """Score the allowed candidates of one range over the scoring slices
+    (term-string accumulation order preserved by the caller's *scoring*
+    ordering).  Lazy slices decode only candidate-covering blocks."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    if cand.size == 0:
+        return empty
+    subs = []
+    for i in scoring:
+        s = slices_by_id.get(i)
+        if s is None:
+            continue
+        if is_lazy:
+            if s.n == 0:
+                continue
+            ids_, tfs, dls = s.block_values(s.covering_blocks(cand))
+        else:
+            ids_, tfs, dls = s.doc_ids, s.tfs, s.dls
+            if ids_.size == 0:
+                continue
+        keep = _member(ids_, cand)
+        if not keep.any():
+            continue
+        subs.append(
+            TermSlice(
+                s.term, s.idf, ids_[keep], tfs[keep], dls[keep],
+                s.block_firsts, s.block_ubs,
+            )
+        )
+    if not subs:
+        return empty
+    return score_brute(subs, k1, b, avgdl)
+
+
+def search_filtered(
+    searcher,
+    query_text: str,
+    filters,
+    k: int = 10,
+    distributed: bool = False,
+    tie_round: int | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, score): BM25 over *query_text*, restricted to docs
+    whose docvalues satisfy every filter.  Scores are the UNFILTERED BM25
+    scores of the surviving docs (full-index idf/avgdl — Lucene filter
+    semantics)."""
+    _check_filters(filters)
+    if not filters:
+        return searcher.search(
+            query_text, k=k, mode="brute", distributed=distributed,
+            tie_round=tie_round,
+        )
+    _, ids, buckets = searcher._terms_buckets(query_text)
+    dfs = searcher.term_stats(ids, buckets)
+    ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
+    if not ids:
+        return []
+    idf = {i: idf_value(searcher.n_docs, dfs[i]) for i in ids}
+    scoring = sorted(ids, key=lambda i: ids[i])  # term-string order
+    if distributed:
+        return _search_filtered_distributed(
+            searcher, ids, buckets, scoring, idf, k, tie_round, filters
+        )
+    ds = pads.dataset(f"{searcher.index_dir}/docmeta")
+    tbl = ds.to_table(columns=["doc_id"], filter=pa_filter_expr(filters))
+    allowed = np.sort(tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    if searcher.deleted.size:
+        allowed = allowed[~_member(allowed, searcher.deleted)]
+    if allowed.size == 0:
+        return []
+    rows = searcher._pruned_slice_rows(list(ids), buckets)
+    rows_by_range: dict[int, list] = {}
+    for r in rows:
+        rows_by_range.setdefault(int(r["range_id"]), []).append(r)
+    cfg = searcher.cfg
+    no_tombs = np.empty(0, dtype=np.int64)  # deletions already off `allowed`
+    out_ids, out_sc = [], []
+    for rid, rr in rows_by_range.items():
+        cand = _slice_span(allowed, rid, cfg.range_bits)
+        if cand.size == 0:
+            continue
+        slices_by_id, is_lazy = _decode_range(
+            rr, ids, idf, searcher.legacy_codec, no_tombs, cfg.block_size
+        )
+        i_r, s_r = _eval_filtered(
+            slices_by_id, is_lazy, cand, scoring, cfg.k1, cfg.b,
+            searcher.avgdl,
+        )
+        out_ids.append(i_r)
+        out_sc.append(s_r)
+    if not out_ids:
+        return []
+    da = np.concatenate(out_ids)
+    sc = np.concatenate(out_sc)
+    if da.size == 0:
+        return []
+    if tie_round is not None:
+        order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+        return [(int(da[i]), float(sc[i])) for i in order]
+    ids_k, sc_k = topk_select(da, sc, k)
+    return list(zip(ids_k.tolist(), sc_k.tolist()))
+
+
+def _search_filtered_distributed(
+    searcher, labels, buckets, scoring, idf, k, tie_round, filters
+):
+    """Scale path: pruned posting slices ⟂cogroup⟂ filtered docmeta scan,
+    both grouped by range_id — the allowlist stays inside its docID-range
+    partition; no global allowed set ever materializes on one node."""
+    from .tokenize import range_id_col
+
+    cfg, avgdl, legacy = searcher.cfg, searcher.avgdl, searcher.legacy_codec
+    deleted = searcher.deleted
+    no_tombs = np.empty(0, dtype=np.int64)
+
+    def eval_cog(post_pdf: pd.DataFrame, allow_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty or allow_pdf.empty:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        cand = np.sort(allow_pdf["doc_id"].to_numpy(np.int64))
+        if deleted.size:
+            cand = cand[~_member(cand, deleted)]
+        slices_by_id, is_lazy = _decode_range(
+            post_pdf.to_dict("records"), labels, idf, legacy, no_tombs,
+            cfg.block_size,
+        )
+        i_r, s_r = _eval_filtered(
+            slices_by_id, is_lazy, cand, scoring, cfg.k1, cfg.b, avgdl
+        )
+        return pd.DataFrame({"doc_id": i_r, "score": s_r})
+
+    allow_df = (
+        searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+        .filter(spark_filter_col(filters))
+        .select(range_id_col(cfg).alias("range_id"), "doc_id")
+    )
+    scored = (
+        searcher._pruned_slices(list(labels), buckets)
+        .groupBy("range_id")
+        .cogroup(allow_df.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema="doc_id long, score double")
+    )
+    if tie_round is not None:
+        ordered = scored.orderBy(
+            F.round(F.col("score"), tie_round).desc(), F.asc("doc_id")
+        )
+    else:
+        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    out = ordered.limit(k).collect()
+    return [(int(r["doc_id"]), float(r["score"])) for r in out]

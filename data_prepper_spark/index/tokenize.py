@@ -145,9 +145,14 @@ def tokenize_stage(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
 
 
-def doc_src_from_pages(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(doc_id, url) for docmeta — a column-pruned re-scan of pages."""
-    return with_doc_id(pages, cfg).select("doc_id", "url")
+def doc_src_from_pages(
+    pages: DataFrame, cfg: IndexConfig, field_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, url[, field_cols…]) for docmeta — a column-pruned re-scan
+    of pages.  *field_cols* are extra per-doc metadata columns (lang,
+    warc_ts, …) stored as docvalues for filtered search
+    (index/filtered.py)."""
+    return with_doc_id(pages, cfg).select("doc_id", "url", *field_cols)
 
 
 def tokenize_stage_text(

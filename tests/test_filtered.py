@@ -1,0 +1,164 @@
+"""Metadata-filtered BM25 (docvalues) correctness vs the pure-Python
+oracle — Lucene filter-clause semantics (index/filtered.py)."""
+
+import datetime
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from data_prepper_spark.hashing import xxh64_signed
+from data_prepper_spark.index.filtered import search_filtered
+from data_prepper_spark.index.query import BM25Searcher
+from data_prepper_spark.textproc import tokenize
+
+K1, B = 1.2, 0.75
+
+T0 = datetime.datetime(2025, 1, 1)
+
+
+def _ts(i: int) -> datetime.datetime:
+    return T0 + datetime.timedelta(seconds=i)
+
+
+@pytest.fixture(scope="session")
+def filtered_index(spark, tiny_corpus_path, workdir):
+    from data_prepper_spark.index.build import build_oneshot
+    from data_prepper_spark.index.config import IndexConfig
+
+    index_dir = os.path.join(workdir, "index_filtered")
+    pages = spark.read.parquet(tiny_corpus_path)
+    cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8)
+    build_oneshot(spark, pages, index_dir, cfg, field_cols=("lang", "warc_ts"))
+    return index_dir
+
+
+@pytest.fixture(scope="session")
+def ts_by_doc(tiny_pages_pd):
+    return {
+        xxh64_signed(r.url): r.warc_ts.to_pydatetime()
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+
+
+def _filtered_oracle(oracle, query_text, allowed, k=10):
+    """Plain BM25 (full-index stats) over the allowed docs only."""
+    scores = {}
+    for t in sorted(set(tokenize(query_text))):
+        idf = oracle.idf(t)
+        for d, tf in oracle.postings.get(t, {}).items():
+            if d not in allowed:
+                continue
+            dl = oracle.doc_len[d]
+            denom = tf + K1 * (1.0 - B + B * dl / oracle.avgdl)
+            scores[d] = scores.get(d, 0.0) + idf * tf * (K1 + 1.0) / denom
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def _assert_rank_identical(got, want, ctx):
+    assert [d for d, _ in got] == [d for d, _ in want], ctx
+    g = np.array([s for _, s in got])
+    w = np.array([s for _, s in want])
+    if g.size:
+        np.testing.assert_allclose(g, w, rtol=1e-9, atol=1e-12, err_msg=str(ctx))
+
+
+FILTER_CASES = [
+    ("the data", [("warc_ts", "<", None)], 200),       # None → _ts(cut) at runtime
+    ("spark index", [("warc_ts", ">=", None)], 700),
+    ("the", [("warc_ts", ">=", None), ("warc_ts", "<", None)], (300, 600)),
+    ("web search", [("lang", "==", "en"), ("warc_ts", "<", None)], 50),
+]
+
+
+def _materialize(filters, cuts):
+    cuts = list(cuts) if isinstance(cuts, tuple) else [cuts]
+    out, ci = [], 0
+    for col, op, val in filters:
+        if val is None:
+            out.append((col, op, _ts(cuts[ci])))
+            ci += 1
+        else:
+            out.append((col, op, val))
+    return out
+
+
+def _allowed_set(ts_by_doc, filters):
+    import operator as op_mod
+
+    ops = {"==": op_mod.eq, "!=": op_mod.ne, "<": op_mod.lt,
+           "<=": op_mod.le, ">": op_mod.gt, ">=": op_mod.ge}
+    allowed = set(ts_by_doc)
+    for col, op, val in filters:
+        if col == "lang":
+            continue  # tiny corpus is all-'en'; lang filters are identity
+        allowed = {d for d in allowed if ops[op](ts_by_doc[d], val)}
+    return allowed
+
+
+def test_filtered_driver_matches_oracle(spark, filtered_index, oracle_tiny, ts_by_doc):
+    s = BM25Searcher(spark, filtered_index)
+    for qtext, filters, cuts in FILTER_CASES:
+        flt = _materialize(filters, cuts)
+        allowed = _allowed_set(ts_by_doc, flt)
+        want = _filtered_oracle(oracle_tiny, qtext, allowed)
+        got = search_filtered(s, qtext, flt, k=10)
+        _assert_rank_identical(got, want, (qtext, flt))
+
+
+def test_filtered_distributed_matches_driver(spark, filtered_index):
+    s = BM25Searcher(spark, filtered_index)
+    for qtext, filters, cuts in FILTER_CASES[:3]:
+        flt = _materialize(filters, cuts)
+        drv = search_filtered(s, qtext, flt, k=10)
+        dst = search_filtered(s, qtext, flt, k=10, distributed=True)
+        _assert_rank_identical(dst, drv, (qtext, flt))
+
+
+def test_filtered_lazy_equals_eager(spark, filtered_index):
+    import data_prepper_spark.index.boolquery as bq
+
+    s = BM25Searcher(spark, filtered_index)
+    for qtext, filters, cuts in FILTER_CASES:
+        flt = _materialize(filters, cuts)
+        lazy = search_filtered(s, qtext, flt, k=10)
+        orig = bq.decode_slice_lazy
+        bq.decode_slice_lazy = lambda *a, **k: None  # force eager fallback
+        try:
+            eager = search_filtered(s, qtext, flt, k=10)
+        finally:
+            bq.decode_slice_lazy = orig
+        _assert_rank_identical(lazy, eager, (qtext, flt))
+
+
+def test_filtered_empty_and_edge(spark, filtered_index, oracle_tiny):
+    s = BM25Searcher(spark, filtered_index)
+    # filter nobody passes → empty
+    assert search_filtered(s, "the", [("warc_ts", "<", _ts(0))]) == []
+    # no filters → plain BM25 (brute) delegation
+    got = search_filtered(s, "the data", [])
+    want = oracle_tiny.topk("the data", 10)
+    _assert_rank_identical(got, want, "no-filter delegation")
+    with pytest.raises(ValueError):
+        search_filtered(s, "the", [("warc_ts", "~~", _ts(1))])
+
+
+def test_filtered_respects_tombstones(spark, filtered_index, oracle_tiny,
+                                      ts_by_doc, workdir):
+    from data_prepper_spark.index.deletes import delete_docs
+
+    d = os.path.join(workdir, "index_filtered_tomb")
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.copytree(filtered_index, d)
+    flt = [("warc_ts", "<", _ts(500))]
+    allowed = _allowed_set(ts_by_doc, flt)
+    full = _filtered_oracle(oracle_tiny, "the data", allowed, k=20)
+    deleted = [doc for doc, _ in full[:3]]
+    delete_docs(d, deleted)
+    s = BM25Searcher(spark, d)
+    got = search_filtered(s, "the data", flt, k=10)
+    want = _filtered_oracle(oracle_tiny, "the data", allowed - set(deleted))
+    _assert_rank_identical(got, want, "tombstoned filtered")
+    dst = search_filtered(s, "the data", flt, k=10, distributed=True)
+    _assert_rank_identical(dst, want, "tombstoned filtered distributed")
