@@ -552,6 +552,56 @@ SELECT query_id, doc_id, score_r FROM flt_ranked WHERE rn <= {FT_K}
 """
 
 
+# sort-by-field reference set: (qid, query_text, sort field, ascending, filters)
+SORTED_QUERIES: list[tuple[int, str, str, bool, list[tuple]]] = [
+    (0, "spark index", "n_chars", False, []),
+    (1, "table scan", "n_chars", True, []),
+    (2, "merge join", "n_chars", False, [("lang", "==", "en")]),
+    (3, "the", "n_chars", True, [("source", "in", ("src1", "src2"))]),
+]
+
+
+def q_ft_sorted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-field queries (Lucene Sort(SortField) over docvalues,
+    index/filtered.py): top-k docs matching ANY query term, ordered by a
+    docmeta field then doc_id — no relevance scoring, so the posting
+    decode touches only docID streams.  Distributed cogroup path."""
+    from .index.filtered import search_sorted
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, fieldc, asc, filters in SORTED_QUERIES:
+        hits = search_sorted(
+            s, qtext, fieldc, k=FT_K, ascending=asc, filters=filters,
+            distributed=True,
+        )
+        rows.extend((qid, did, int(v)) for did, v in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, sort_v long")
+
+
+def sql_ft_sorted_topk() -> str:
+    selects = []
+    for qid, qtext, fieldc, asc, filters in SORTED_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        pred = f" AND {_sql_filter(filters)}" if filters else ""
+        direction = "ASC" if asc else "DESC"
+        selects.append(
+            f"SELECT {qid} AS query_id, d.doc_id, d.{fieldc}::BIGINT AS sort_v,\n"
+            f"       row_number() OVER (ORDER BY d.{fieldc} {direction}, d.doc_id) AS rn\n"
+            f"FROM documents d\n"
+            f"WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))"
+            f"{pred}"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, doc_id, sort_v FROM ({s}) WHERE rn <= {FT_K}"
+        for s in selects
+    )
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 DEL_MOD, DEL_REM = 7, 3  # deterministic tombstone set: doc_id % 7 == 3
 
 
@@ -3661,6 +3711,7 @@ QUERIES = {
     "ft_fuzzy_topk": q_ft_fuzzy_topk,
     "ft_wildcard_topk": q_ft_wildcard_topk,
     "ft_filtered_topk": q_ft_filtered_topk,
+    "ft_sorted_topk": q_ft_sorted_topk,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_upsert_bm25": q_ft_upsert_bm25,
@@ -3771,6 +3822,7 @@ ORACLES = {
     "ft_fuzzy_topk": sql_ft_fuzzy_topk(),
     "ft_wildcard_topk": sql_ft_wildcard_topk(),
     "ft_filtered_topk": sql_ft_filtered_topk(),
+    "ft_sorted_topk": sql_ft_sorted_topk(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_upsert_bm25": sql_ft_upsert_bm25(),

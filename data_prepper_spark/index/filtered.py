@@ -208,6 +208,162 @@ def search_filtered(
     return list(zip(ids_k.tolist(), sc_k.tolist()))
 
 
+def _matched_union(slices_by_id, is_lazy) -> np.ndarray:
+    """Sorted union of all slices' docIDs in one range.  Lazy slices
+    decode ONLY the docID stream (tf/dl never touched — field-sorted
+    queries don't score)."""
+    parts = []
+    for s in slices_by_id.values():
+        if is_lazy:
+            if s.n == 0:
+                continue
+            parts.append(s.block_docids(np.arange(s.block_firsts.size)))
+        else:
+            if s.doc_ids.size:
+                parts.append(s.doc_ids)
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def _topk_by_field(doc_ids, values, k, ascending):
+    """Per-range top-k by (field value, doc_id ASC).  *values* must be a
+    numpy array with a total order (ints/floats/bytes)."""
+    if doc_ids.size == 0:
+        return doc_ids, values
+    keys = values if ascending else _neg_order(values)
+    order = np.lexsort((doc_ids, keys))[:k]
+    return doc_ids[order], values[order]
+
+
+def _neg_order(values: np.ndarray) -> np.ndarray:
+    """An array whose ascending order is *values*' descending order
+    (numeric: negate; other dtypes: rank-invert)."""
+    if np.issubdtype(values.dtype, np.number):
+        return -values.astype(np.float64)
+    # strings/objects: invert via dense ranks
+    _, inv = np.unique(values, return_inverse=True)
+    return -inv.astype(np.int64)
+
+
+def search_sorted(
+    searcher,
+    query_text: str,
+    sort_field: str,
+    k: int = 10,
+    ascending: bool = False,
+    filters=(),
+    distributed: bool = False,
+) -> list[tuple[int, object]]:
+    """Top-k (doc_id, field value) of docs matching ANY query term,
+    ordered by a docvalues field then doc_id — Lucene's
+    ``Sort(SortField)`` over the match set (no relevance scoring; the
+    posting decode therefore touches only docID streams, never tf/dl).
+    Optional *filters* restrict the match set first.
+
+    Driver mode reads the (doc_id, field) docvalues columns wholesale —
+    the ms-latency path for sandbox-scale indexes.  Distributed mode
+    cogroups per docID range (field values never leave their range
+    partition) and is the web-scale path."""
+    _check_filters(filters)
+    _, ids, buckets = searcher._terms_buckets(query_text)
+    dfs = searcher.term_stats(ids, buckets)
+    ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
+    if not ids:
+        return []
+    if distributed:
+        return _search_sorted_distributed(
+            searcher, ids, buckets, sort_field, k, ascending, filters
+        )
+    ds = pads.dataset(f"{searcher.index_dir}/docmeta")
+    flt = pa_filter_expr(filters) if filters else None
+    tbl = ds.to_table(columns=["doc_id", sort_field], filter=flt)
+    meta_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    meta_vals = tbl[sort_field].to_numpy(zero_copy_only=False)
+    order = np.argsort(meta_ids)
+    meta_ids, meta_vals = meta_ids[order], meta_vals[order]
+    rows = searcher._pruned_slice_rows(list(ids), buckets)
+    rows_by_range: dict[int, list] = {}
+    for r in rows:
+        rows_by_range.setdefault(int(r["range_id"]), []).append(r)
+    cfg = searcher.cfg
+    no_tombs = np.empty(0, dtype=np.int64)
+    out_ids, out_vals = [], []
+    for rr in rows_by_range.values():
+        slices_by_id, is_lazy = _decode_range(
+            rr, ids, {}, searcher.legacy_codec, no_tombs, cfg.block_size
+        )
+        matched = _matched_union(slices_by_id, is_lazy)
+        if searcher.deleted.size:
+            matched = matched[~_member(matched, searcher.deleted)]
+        keep = _member(matched, meta_ids)  # filter membership
+        matched = matched[keep]
+        if matched.size == 0:
+            continue
+        vals = meta_vals[np.searchsorted(meta_ids, matched)]
+        i_r, v_r = _topk_by_field(matched, vals, k, ascending)
+        out_ids.append(i_r)
+        out_vals.append(v_r)
+    if not out_ids:
+        return []
+    da = np.concatenate(out_ids)
+    va = np.concatenate(out_vals)
+    i_k, v_k = _topk_by_field(da, va, k, ascending)
+    return [(int(d), v.item() if hasattr(v, "item") else v)
+            for d, v in zip(i_k, v_k)]
+
+
+def _search_sorted_distributed(
+    searcher, labels, buckets, sort_field, k, ascending, filters
+):
+    """Scale path: per-range match-union ⟂cogroup⟂ docvalues, per-range
+    top-k by field, global orderBy/limit."""
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+    no_tombs = np.empty(0, dtype=np.int64)
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty or meta_pdf.empty:
+            return pd.DataFrame({"doc_id": [], "sort_v": []})
+        slices_by_id, is_lazy = _decode_range(
+            post_pdf.to_dict("records"), labels, {}, legacy, no_tombs,
+            cfg.block_size,
+        )
+        matched = _matched_union(slices_by_id, is_lazy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        meta_vals = meta_pdf["sort_v"].to_numpy()
+        order = np.argsort(meta_ids)
+        meta_ids, meta_vals = meta_ids[order], meta_vals[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return pd.DataFrame({"doc_id": [], "sort_v": []})
+        vals = meta_vals[np.searchsorted(meta_ids, matched)]
+        i_r, v_r = _topk_by_field(matched, vals, k, ascending)
+        return pd.DataFrame({"doc_id": i_r, "sort_v": v_r})
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id",
+        F.col(sort_field).alias("sort_v"),
+    )
+    sort_t = dict(meta.dtypes)["sort_v"]
+    ranked = (
+        searcher._pruned_slices(list(labels), buckets)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema=f"doc_id long, sort_v {sort_t}")
+    )
+    direction = F.asc("sort_v") if ascending else F.desc("sort_v")
+    out = ranked.orderBy(direction, F.asc("doc_id")).limit(k).collect()
+    return [(int(r["doc_id"]), r["sort_v"]) for r in out]
+
+
 def _search_filtered_distributed(
     searcher, labels, buckets, scoring, idf, k, tie_round, filters
 ):

@@ -162,3 +162,81 @@ def test_filtered_respects_tombstones(spark, filtered_index, oracle_tiny,
     _assert_rank_identical(got, want, "tombstoned filtered")
     dst = search_filtered(s, "the data", flt, k=10, distributed=True)
     _assert_rank_identical(dst, want, "tombstoned filtered distributed")
+
+
+# ------------------------------------------------------------ sort-by-field
+
+def _sorted_oracle(oracle, query_text, ts_by_doc, allowed=None, k=10,
+                   ascending=False):
+    """(field value ASC|DESC, doc_id ASC) over the docs matching any term."""
+    import functools
+
+    matched = set()
+    for t in sorted(set(tokenize(query_text))):
+        matched |= set(oracle.postings.get(t, ()))
+    if allowed is not None:
+        matched &= allowed
+
+    def cmp(a, b):
+        va, vb = ts_by_doc[a], ts_by_doc[b]
+        if va != vb:
+            if ascending:
+                return -1 if va < vb else 1
+            return -1 if va > vb else 1
+        return -1 if a < b else 1
+
+    ranked = sorted(matched, key=functools.cmp_to_key(cmp))
+    return [(d, ts_by_doc[d]) for d in ranked[:k]]
+
+
+def _as_dt(v):
+    """numpy datetime64 / pandas Timestamp → naive python datetime."""
+    import pandas as pd
+
+    return pd.Timestamp(v).to_pydatetime()
+
+
+def test_sorted_driver_matches_oracle(spark, filtered_index, oracle_tiny, ts_by_doc):
+    from data_prepper_spark.index.filtered import search_sorted
+
+    s = BM25Searcher(spark, filtered_index)
+    for qtext in ["the data", "spark index", "web search engine"]:
+        for asc in (False, True):
+            got = search_sorted(s, qtext, "warc_ts", k=10, ascending=asc)
+            want = _sorted_oracle(oracle_tiny, qtext, ts_by_doc, ascending=asc)
+            assert [d for d, _ in got] == [d for d, _ in want], (qtext, asc)
+            assert [_as_dt(v) for _, v in got] == [v for _, v in want], (qtext, asc)
+
+
+def test_sorted_with_filter_and_distributed(spark, filtered_index, oracle_tiny,
+                                            ts_by_doc):
+    from data_prepper_spark.index.filtered import search_sorted
+
+    s = BM25Searcher(spark, filtered_index)
+    flt = [("warc_ts", "<", _ts(600))]
+    allowed = _allowed_set(ts_by_doc, flt)
+    got = search_sorted(s, "the data", "warc_ts", k=10, filters=flt)
+    want = _sorted_oracle(oracle_tiny, "the data", ts_by_doc, allowed=allowed)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    dst = search_sorted(s, "the data", "warc_ts", k=10, filters=flt,
+                        distributed=True)
+    assert [d for d, _ in dst] == [d for d, _ in got]
+
+
+def test_sorted_respects_tombstones(spark, filtered_index, oracle_tiny,
+                                    ts_by_doc, workdir):
+    from data_prepper_spark.index.deletes import delete_docs
+    from data_prepper_spark.index.filtered import search_sorted
+
+    d = os.path.join(workdir, "index_sorted_tomb")
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.copytree(filtered_index, d)
+    full = _sorted_oracle(oracle_tiny, "the data", ts_by_doc, k=5)
+    deleted = [doc for doc, _ in full[:2]]
+    delete_docs(d, deleted)
+    s = BM25Searcher(spark, d)
+    got = search_sorted(s, "the data", "warc_ts", k=5)
+    assert all(doc not in deleted for doc, _ in got)
+    want = [dv for dv in _sorted_oracle(oracle_tiny, "the data", ts_by_doc, k=20)
+            if dv[0] not in deleted][:5]
+    assert [doc for doc, _ in got] == [doc for doc, _ in want]
