@@ -207,10 +207,10 @@ def _range_eval_lazy(lz: dict, must_ids, not_ids, scoring, k1, b, avgdl):
 
 
 def _decode_range(rows, labels, idf, legacy, deleted, block_size):
-    """Decode one range's rows: block-lazy when every stream is a tagged
-    varint and no tombstones exist (must-conjunctions then skip decoding
-    the stopword streams), else eager TermSlices.  Returns
-    (slices_by_id, is_lazy)."""
+    """Decode one range's rows: block-lazy when every stream carries a
+    known tag (varint or pfor) and no tombstones exist (must-conjunctions
+    then skip decoding the stopword streams), else eager TermSlices.
+    Returns (slices_by_id, is_lazy)."""
     lazy_ok = not legacy and deleted.size == 0
     if lazy_ok:
         lz = {}

@@ -401,27 +401,79 @@ def pfor_encode_runs(
     return out.tobytes(), ends
 
 
+def _pfor_decode_block(b_arr: np.ndarray, off: int) -> tuple[np.ndarray, int]:
+    """Decode the one PFor block starting at byte *off* → (values, next_off)."""
+    b = int(b_arr[off])
+    n = int(b_arr[off + 1]) + 1
+    n_exc = int(b_arr[off + 2])
+    off += 3
+    exc_pos = b_arr[off : off + n_exc].astype(np.int64)
+    off += n_exc
+    packed_len = (n * b + 7) // 8
+    vals = _unpack_bits(b_arr[off : off + packed_len], n, b)
+    off += packed_len
+    if n_exc:
+        high, off = _varint_decode_n(b_arr, off, n_exc)
+        vals[exc_pos] |= high << np.uint64(b)
+    return vals, off
+
+
 def pfor_decode(buf: bytes) -> np.ndarray:
     b_arr = np.frombuffer(buf, dtype=np.uint8)
     chunks = []
     off = 0
     while off < b_arr.size:
-        b = int(b_arr[off])
-        n = int(b_arr[off + 1]) + 1
-        n_exc = int(b_arr[off + 2])
-        off += 3
-        exc_pos = b_arr[off : off + n_exc].astype(np.int64)
-        off += n_exc
-        packed_len = (n * b + 7) // 8
-        vals = _unpack_bits(b_arr[off : off + packed_len], n, b)
-        off += packed_len
-        if n_exc:
-            high, off = _varint_decode_n(b_arr, off, n_exc)
-            vals[exc_pos] |= high << np.uint64(b)
+        vals, off = _pfor_decode_block(b_arr, off)
         chunks.append(vals)
     if not chunks:
         return np.empty(0, dtype=np.uint64)
     return np.concatenate(chunks)
+
+
+def pfor_block_index(b_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(byte offset of each 128-value block, cumulative value count) — one
+    header-walk pass, NO value decode.  Each block's exception varints are
+    skipped via a precomputed terminator index (one global byte scan), so
+    the pass costs O(n_blocks), making any value range randomly
+    addressable — PFor values are positional (frame-of-reference +
+    patches, no intra-stream delta chain), which is what lets lazy
+    serving skip whole blocks."""
+    term_pos = np.flatnonzero((b_arr & 0x80) == 0)  # LEB128 value ends
+    offs: list[int] = []
+    counts: list[int] = []
+    off = 0
+    while off < b_arr.size:
+        offs.append(off)
+        b = int(b_arr[off])
+        n = int(b_arr[off + 1]) + 1
+        n_exc = int(b_arr[off + 2])
+        off += 3 + n_exc + (n * b + 7) // 8
+        if n_exc:
+            i = int(np.searchsorted(term_pos, off))
+            off = int(term_pos[i + n_exc - 1]) + 1
+        counts.append(n)
+    return (
+        np.asarray(offs, dtype=np.int64),
+        np.cumsum(np.asarray(counts, dtype=np.int64)),
+    )
+
+
+def pfor_decode_range(
+    b_arr: np.ndarray, offs: np.ndarray, cum: np.ndarray, a: int, z: int
+) -> np.ndarray:
+    """Decode values [a, z) of a PFor stream given its block index —
+    touches only the covering blocks."""
+    if z <= a:
+        return np.empty(0, dtype=np.uint64)
+    b0 = int(np.searchsorted(cum, a, side="right"))
+    b1 = int(np.searchsorted(cum, z, side="left"))
+    chunks = []
+    for i in range(b0, b1 + 1):
+        vals, _ = _pfor_decode_block(b_arr, int(offs[i]))
+        chunks.append(vals)
+    out = np.concatenate(chunks)
+    base = int(cum[b0 - 1]) if b0 else 0
+    return out[a - base : z - base]
 
 
 # --------------------------------------------- tagged posting-stream API

@@ -126,10 +126,10 @@ class BM25Searcher:
         if distributed:
             return self._search_distributed(ids, buckets, idf, k, mode, tie_round)
         rows = self._pruned_slice_rows(list(ids), buckets)
-        # block-lazy scoring (varint tag, non-legacy): decode cost per
-        # query ∝ blocks of scored segments, not df — the df-independent
-        # path a 10^12-doc index needs.  Falls back to eager decode per
-        # row if any stream is pfor-tagged (decode_slice_lazy → None).
+        # block-lazy scoring (tagged varint OR pfor, non-legacy): decode
+        # cost per query ∝ blocks of scored segments, not df — the
+        # df-independent path a 10^12-doc index needs.  Falls back to
+        # eager decode per row on unknown tags (decode_slice_lazy → None).
         # tombstones force the eager path: masking needs materialized
         # docID arrays (block metadata stays valid — masking only removes
         # postings, see deletes.mask_term_slice)

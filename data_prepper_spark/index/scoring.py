@@ -24,16 +24,97 @@ import numpy as np
 
 from .codec import (
     _BIAS,
+    _TAG_PFOR,
     _TAG_VARINT,
     decode_docids,
     decode_uints,
     delta_decode_docids,
+    pfor_block_index,
+    pfor_decode,
+    pfor_decode_range,
     unpack_f32,
     unpack_i64,
     varint_decode,
     varint_decode_range,
     varint_value_ends,
 )
+
+
+class _VarintStream:
+    """Random-access view of one tagged-varint value stream: a one-pass
+    terminator scan (lazy) yields per-value byte offsets, then any value
+    range decodes independently (LEB128 is self-delimiting)."""
+
+    __slots__ = ("b", "_ends")
+
+    def __init__(self, payload: np.ndarray):
+        self.b = payload
+        self._ends = None
+
+    def _e(self):
+        if self._ends is None:
+            self._ends = varint_value_ends(self.b)
+        return self._ends
+
+    def decode_range(self, a: int, z: int) -> np.ndarray:
+        return varint_decode_range(self.b, self._e(), a, z)
+
+    def gather(self, runs: np.ndarray) -> np.ndarray:
+        """Decode many value ranges with ONE varint pass: slice each
+        run's byte range and decode the concatenation (per-call
+        vectorized-decoder setup paid once, not once per skip-list
+        run)."""
+        ends = self._e()
+        parts = []
+        for va, vz in runs:
+            b0 = 0 if va == 0 else int(ends[va - 1]) + 1
+            parts.append(self.b[b0 : int(ends[vz - 1]) + 1])
+        return varint_decode(np.concatenate(parts).tobytes())
+
+    def decode_all(self) -> np.ndarray:
+        return varint_decode(self.b.tobytes())
+
+
+class _PForStream:
+    """Random-access view of one tagged-PFor value stream: a one-pass
+    header walk (lazy, no value decode) indexes the 128-value blocks,
+    then any value range decodes by touching only its covering blocks —
+    PFor values are positional (no intra-stream delta chain)."""
+
+    __slots__ = ("b", "_offs", "_cum")
+
+    def __init__(self, payload: np.ndarray):
+        self.b = payload
+        self._offs = None
+        self._cum = None
+
+    def _idx(self):
+        if self._offs is None:
+            self._offs, self._cum = pfor_block_index(self.b)
+        return self._offs, self._cum
+
+    def decode_range(self, a: int, z: int) -> np.ndarray:
+        offs, cum = self._idx()
+        return pfor_decode_range(self.b, offs, cum, a, z)
+
+    def gather(self, runs: np.ndarray) -> np.ndarray:
+        return np.concatenate(
+            [self.decode_range(int(va), int(vz)) for va, vz in runs]
+        )
+
+    def decode_all(self) -> np.ndarray:
+        return pfor_decode(self.b.tobytes())
+
+
+def _stream_for(raw: np.ndarray):
+    """Tagged payload → stream object, or None for legacy/unknown tags."""
+    if raw.size == 0:
+        return _VarintStream(raw[1:])
+    if raw[0] == _TAG_VARINT:
+        return _VarintStream(raw[1:])
+    if raw[0] == _TAG_PFOR:
+        return _PForStream(raw[1:])
+    return None
 
 
 @dataclass
@@ -83,18 +164,20 @@ def decode_slice(
 
 
 class LazySlice:
-    """Block-lazy posting slice: holds the RAW tagged varint streams and
-    decodes only the value ranges BMW actually scores.
+    """Block-lazy posting slice: holds the RAW tagged streams and decodes
+    only the value ranges BMW actually scores.
 
     Why it exists: eager ``decode_slice`` pays ~10 vectorized passes per
     stream over the FULL posting list of every query term — at 10M docs a
     stopword's slices dominate query latency even though block-max pruning
-    scores only a handful of segments.  Two properties of the on-disk
-    format make lazy reads free of any format change:
+    scores only a handful of segments.  Properties of the on-disk formats
+    make lazy reads free of any format change:
 
     - LEB128 is self-delimiting, so ONE terminator-scan pass
       (:func:`codec.varint_value_ends`) yields per-value byte offsets and
-      any value range decodes independently;
+      any value range decodes independently; PFor values are positional
+      (frame-of-reference + patches) so one header-walk pass
+      (:func:`codec.pfor_block_index`) makes any range block-addressable;
     - ``block_firsts[j]`` stores block *j*'s first docID uncompressed, so
       a block-aligned range re-anchors the delta chain without decoding
       anything before it (the range's first delta is discarded in favor of
@@ -107,47 +190,27 @@ class LazySlice:
     """
 
     __slots__ = (
-        "term", "idf", "n", "block_size", "doc_b", "tf_b", "dl_b",
-        "block_firsts", "block_ubs",
-        "_doc_ends", "_tf_ends", "_dl_ends", "_last_doc",
+        "term", "idf", "n", "block_size", "doc_s", "tf_s", "dl_s",
+        "block_firsts", "block_ubs", "_last_doc",
     )
 
-    def __init__(self, term, idf, n, block_size, doc_b, tf_b, dl_b,
+    def __init__(self, term, idf, n, block_size, doc_s, tf_s, dl_s,
                  block_firsts, block_ubs):
         self.term = term
         self.idf = idf
         self.n = n
         self.block_size = block_size
-        self.doc_b = doc_b          # np.uint8, tag byte stripped
-        self.tf_b = tf_b
-        self.dl_b = dl_b
+        self.doc_s = doc_s          # _VarintStream | _PForStream
+        self.tf_s = tf_s
+        self.dl_s = dl_s
         self.block_firsts = block_firsts
         self.block_ubs = block_ubs
-        self._doc_ends = None
-        self._tf_ends = None
-        self._dl_ends = None
         self._last_doc = None
-
-    # -- lazy per-stream value-end indexes (one cheap pass each) --
-    def _de(self):
-        if self._doc_ends is None:
-            self._doc_ends = varint_value_ends(self.doc_b)
-        return self._doc_ends
-
-    def _te(self):
-        if self._tf_ends is None:
-            self._tf_ends = varint_value_ends(self.tf_b)
-        return self._tf_ends
-
-    def _le(self):
-        if self._dl_ends is None:
-            self._dl_ends = varint_value_ends(self.dl_b)
-        return self._dl_ends
 
     def _ids_range(self, va: int, vz: int) -> np.ndarray:
         """Absolute docIDs for value range [va, vz); va MUST be a block
         start (its stored delta is replaced by block_firsts' absolute)."""
-        vals = varint_decode_range(self.doc_b, self._de(), va, vz)
+        vals = self.doc_s.decode_range(va, vz)
         # biased docID of the block's first posting (exact modular wrap)
         first_u = np.uint64(
             (int(self.block_firsts[va // self.block_size]) + (1 << 63)) & ((1 << 64) - 1)
@@ -180,8 +243,8 @@ class LazySlice:
         z = int(np.searchsorted(ids, hi, side="left"))
         if z <= a:
             return (np.empty(0, np.int64),) * 3
-        tfs = varint_decode_range(self.tf_b, self._te(), va + a, va + z).astype(np.int64)
-        dls = varint_decode_range(self.dl_b, self._le(), va + a, va + z).astype(np.int64)
+        tfs = self.tf_s.decode_range(va + a, va + z).astype(np.int64)
+        dls = self.dl_s.decode_range(va + a, va + z).astype(np.int64)
         return ids[a:z], tfs, dls
 
     def covering_blocks(self, cand: np.ndarray) -> np.ndarray:
@@ -203,19 +266,13 @@ class LazySlice:
         vz = np.minimum((blocks[ends - 1] + 1) * bs, self.n)
         return np.stack([va, vz], axis=1)
 
-    def _gather_decode(self, stream_b, ends, runs):
-        """Decode many value ranges with ONE varint pass: slice each
-        run's byte range (LEB128 is self-delimiting, so the slices
-        concatenate into a valid stream), decode once, return
-        (values, per-run counts, per-run value starts).  This is what
-        makes candidate-driven decode cheap — per-call vectorized-decoder
-        setup is paid once, not once per skip-list run."""
-        parts = []
-        for va, vz in runs:
-            b0 = 0 if va == 0 else int(ends[va - 1]) + 1
-            parts.append(stream_b[b0 : int(ends[vz - 1]) + 1])
+    def _gather_decode(self, stream, runs):
+        """Decode many value ranges via the stream's batched gather —
+        ONE vectorized pass for varint (byte-slice concatenation: LEB128
+        is self-delimiting), covering-blocks-only for PFor.  Returns
+        (values, per-run counts, per-run value starts)."""
         counts = (runs[:, 1] - runs[:, 0]).astype(np.int64)
-        vals = varint_decode(np.concatenate(parts).tobytes())
+        vals = stream.gather(runs)
         starts = np.concatenate(([0], np.cumsum(counts[:-1])))
         return vals, counts, starts
 
@@ -243,7 +300,7 @@ class LazySlice:
         if blocks.size == 0:
             return np.empty(0, dtype=np.int64)
         runs = self._block_runs(blocks)
-        vals, counts, starts = self._gather_decode(self.doc_b, self._de(), runs)
+        vals, counts, starts = self._gather_decode(self.doc_s, runs)
         return self._anchored_ids(vals, counts, starts, runs)
 
     def block_values(self, blocks: np.ndarray):
@@ -252,47 +309,48 @@ class LazySlice:
         if blocks.size == 0:
             return (np.empty(0, np.int64),) * 3
         runs = self._block_runs(blocks)
-        vals, counts, starts = self._gather_decode(self.doc_b, self._de(), runs)
+        vals, counts, starts = self._gather_decode(self.doc_s, runs)
         ids = self._anchored_ids(vals, counts, starts, runs)
-        tfs, _, _ = self._gather_decode(self.tf_b, self._te(), runs)
-        dls, _, _ = self._gather_decode(self.dl_b, self._le(), runs)
+        tfs, _, _ = self._gather_decode(self.tf_s, runs)
+        dls, _, _ = self._gather_decode(self.dl_s, runs)
         return ids, tfs.astype(np.int64), dls.astype(np.int64)
 
     def to_term_slice(self) -> TermSlice:
         """Full eager decode (brute-fallback path)."""
-        stream = varint_decode(self.doc_b.tobytes())
+        stream = self.doc_s.decode_all()
         u = np.cumsum(stream, dtype=np.uint64)
         return TermSlice(
             term=self.term,
             idf=self.idf,
             doc_ids=(u - _BIAS).astype(np.int64),
-            tfs=varint_decode(self.tf_b.tobytes()).astype(np.int64),
-            dls=varint_decode(self.dl_b.tobytes()).astype(np.int64),
+            tfs=self.tf_s.decode_all().astype(np.int64),
+            dls=self.dl_s.decode_all().astype(np.int64),
             block_firsts=self.block_firsts,
             block_ubs=self.block_ubs,
         )
 
 
 def decode_slice_lazy(row, idf: float, block_size: int, label: str) -> LazySlice | None:
-    """LazySlice from a postings row, or None if any stream is not a
-    tagged varint blob (pfor / legacy indexes take the eager path)."""
+    """LazySlice from a postings row, or None if any stream carries an
+    unknown tag (legacy untagged indexes take the eager path).  Both
+    tagged codecs are range-addressable — varint via the terminator-scan
+    value index, PFor via the block header index — and may mix per stream
+    (merged mixed-codec indexes)."""
     get = row.__getitem__ if hasattr(row, "__getitem__") else getattr
-    doc_raw, tf_raw, dl_raw = (
-        np.frombuffer(bytes(get(c)), dtype=np.uint8)
-        for c in ("doc_ids", "tfs", "dls")
-    )
-    if not (doc_raw.size and doc_raw[0] == _TAG_VARINT
-            and tf_raw.size and tf_raw[0] == _TAG_VARINT
-            and dl_raw.size and dl_raw[0] == _TAG_VARINT):
-        return None
+    streams = []
+    for c in ("doc_ids", "tfs", "dls"):
+        s = _stream_for(np.frombuffer(bytes(get(c)), dtype=np.uint8))
+        if s is None:
+            return None
+        streams.append(s)
     return LazySlice(
         term=label,
         idf=idf,
         n=int(get("df_slice")),
         block_size=block_size,
-        doc_b=doc_raw[1:],
-        tf_b=tf_raw[1:],
-        dl_b=dl_raw[1:],
+        doc_s=streams[0],
+        tf_s=streams[1],
+        dl_s=streams[2],
         block_firsts=unpack_i64(bytes(get("block_firsts"))),
         block_ubs=unpack_f32(bytes(get("block_ubs"))),
     )

@@ -242,3 +242,33 @@ def test_fuzzy_and_wildcard_expansion(spark, tiny_index, oracle_tiny):
         expand_fuzzy(s, all_terms[0], max_edits=3, max_expansions=1)
     with pytest.raises(ValueError):
         expand_wildcard(s, "*", max_expansions=1)
+
+
+def test_bool_pfor_index_identity(spark, tiny_corpus_path, workdir, tiny_index):
+    """Boolean/fuzzy serving on a PFor-coded index returns byte-for-byte
+    the varint index's results, through the lazy path AND the forced
+    eager path (the codec is a pure storage concern)."""
+    import data_prepper_spark.index.boolquery as bq
+    from data_prepper_spark.index.build import build_oneshot
+    from data_prepper_spark.index.config import IndexConfig
+
+    idx_pfor = os.path.join(workdir, "index_bool_pfor")
+    if not os.path.exists(os.path.join(idx_pfor, "stats")):
+        pages = spark.read.parquet(tiny_corpus_path)
+        cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8, codec="pfor")
+        build_oneshot(spark, pages, idx_pfor, cfg)
+    s_pfor = BM25Searcher(spark, idx_pfor)
+    s_var = BM25Searcher(spark, tiny_index[0])
+    for must, should, must_not in CASES:
+        want = search_bool(s_var, must=must, should=should, must_not=must_not, k=10)
+        got = search_bool(s_pfor, must=must, should=should, must_not=must_not, k=10)
+        assert got == want, (must, should, must_not)
+        orig = bq.decode_slice_lazy
+        bq.decode_slice_lazy = lambda *a, **k: None
+        try:
+            eager = search_bool(
+                s_pfor, must=must, should=should, must_not=must_not, k=10
+            )
+        finally:
+            bq.decode_slice_lazy = orig
+        assert got == eager, (must, should, must_not)

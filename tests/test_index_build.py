@@ -194,10 +194,16 @@ def test_for_corpus_group_bound():
             assert group <= 2_000_000 * 1.05, (n_docs, cfg.range_bits, group)
 
 
-def test_lazy_bmw_identity():
+import pytest
+
+
+@pytest.mark.parametrize("codec", ["varint", "pfor"])
+def test_lazy_bmw_identity(codec):
     """Block-lazy BMW (decode only scored blocks) must produce EXACTLY the
     eager scorer's (doc_id, score) top-k — same grid, same bounds, same
-    accumulation — including through the MAX_SEG brute fallback."""
+    accumulation — including through the MAX_SEG brute fallback.  Both
+    tagged codecs are range-addressable (varint terminator index / PFor
+    block header index), so both must pass bit-identically."""
     import numpy as np
     import pandas as pd
 
@@ -211,7 +217,7 @@ def test_lazy_bmw_identity():
 
     rng = np.random.default_rng(11)
     k1, b, avgdl, bs = 1.2, 0.75, 120.0, 8
-    vec = encode_slice_fn(avgdl, k1, b, block_size=bs, codec="varint")
+    vec = encode_slice_fn(avgdl, k1, b, block_size=bs, codec=codec)
     n = 60_000
     terms = rng.choice(
         rng.integers(-(2**62), 2**62, size=6, dtype=np.int64), size=n
