@@ -418,16 +418,69 @@ def _pfor_decode_block(b_arr: np.ndarray, off: int) -> tuple[np.ndarray, int]:
     return vals, off
 
 
+def pfor_decode_indexed(
+    b_arr: np.ndarray, offs: np.ndarray, cum: np.ndarray
+) -> np.ndarray:
+    """Full-stream PFor decode, vectorized: full (128-value) blocks of
+    equal width unpack in ONE batched np.unpackbits per width (their
+    packed payload is exactly 16·b bytes — no per-block padding), tail
+    blocks decode individually, and ALL full-block exception varints
+    decode in one gathered LEB128 pass.  Replaces the per-block Python
+    loop that made a stopword's full decode (the BMW MAX_SEG brute
+    fallback) 2 s at 1M docs."""
+    if b_arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    widths = b_arr[offs].astype(np.int64)
+    ns = np.diff(np.concatenate(([np.int64(0)], cum)))
+    n_excs = b_arr[offs + 2].astype(np.int64)
+    starts = np.concatenate(([np.int64(0)], cum[:-1]))
+    packed_off = offs + 3 + n_excs
+    packed_len = (ns * widths + 7) // 8
+    out = np.zeros(int(cum[-1]), dtype=np.uint64)
+    full = np.flatnonzero(ns == _PFOR_BLOCK)
+    for b in np.unique(widths[full]):
+        if b == 0:
+            continue
+        sel = full[widths[full] == b]
+        bufs = np.concatenate(
+            [b_arr[packed_off[i] : packed_off[i] + packed_len[i]] for i in sel]
+        )
+        bits = np.unpackbits(bufs, bitorder="little").reshape(
+            sel.size, _PFOR_BLOCK, int(b)
+        )
+        vals = np.zeros((sel.size, _PFOR_BLOCK), dtype=np.uint64)
+        for j in range(int(b)):
+            vals |= bits[:, :, j].astype(np.uint64) << np.uint64(j)
+        pos = (starts[sel][:, None] + np.arange(_PFOR_BLOCK)[None, :]).ravel()
+        out[pos] = vals.ravel()
+    for i in np.flatnonzero(ns != _PFOR_BLOCK):
+        vals, _ = _pfor_decode_block(b_arr, int(offs[i]))
+        out[int(starts[i]) : int(cum[i])] = vals
+    exc_blocks = np.flatnonzero((n_excs > 0) & (ns == _PFOR_BLOCK))
+    if exc_blocks.size:
+        next_off = np.concatenate((offs[1:], [np.int64(b_arr.size)]))
+        parts, pos_parts, width_rep = [], [], []
+        for i in exc_blocks:
+            lo = int(packed_off[i] + packed_len[i])
+            parts.append(b_arr[lo : int(next_off[i])])
+            epos = b_arr[
+                int(offs[i]) + 3 : int(offs[i]) + 3 + int(n_excs[i])
+            ].astype(np.int64)
+            pos_parts.append(int(starts[i]) + epos)
+            width_rep.append(
+                np.full(int(n_excs[i]), widths[i], dtype=np.uint64)
+            )
+        high = varint_decode(np.concatenate(parts).tobytes())
+        out[np.concatenate(pos_parts)] |= high << np.concatenate(width_rep)
+    return out
+
+
 def pfor_decode(buf: bytes) -> np.ndarray:
     b_arr = np.frombuffer(buf, dtype=np.uint8)
-    chunks = []
-    off = 0
-    while off < b_arr.size:
-        vals, off = _pfor_decode_block(b_arr, off)
-        chunks.append(vals)
-    if not chunks:
+    if b_arr.size == 0:
         return np.empty(0, dtype=np.uint64)
-    return np.concatenate(chunks)
+    offs, cum = pfor_block_index(b_arr)
+    return pfor_decode_indexed(b_arr, offs, cum)
 
 
 def pfor_block_index(b_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -30,7 +30,7 @@ from .codec import (
     decode_uints,
     delta_decode_docids,
     pfor_block_index,
-    pfor_decode,
+    pfor_decode_indexed,
     pfor_decode_range,
     unpack_f32,
     unpack_i64,
@@ -103,7 +103,8 @@ class _PForStream:
         )
 
     def decode_all(self) -> np.ndarray:
-        return pfor_decode(self.b.tobytes())
+        offs, cum = self._idx()
+        return pfor_decode_indexed(self.b, offs, cum)
 
 
 def _stream_for(raw: np.ndarray):
