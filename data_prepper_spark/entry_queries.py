@@ -481,6 +481,84 @@ SELECT query_id, doc_id, score_r FROM wranked WHERE rn <= {FT_K}
 """
 
 
+# boosted reference set: (qid, must, should, must_not, {term: boost})
+BOOSTED_QUERIES: list[tuple[int, list[str], list[str], list[str], dict]] = [
+    (0, ["table"], ["scan", "fast"], [], {"scan": 2.5}),
+    (1, ["data", "query"], [], [], {"data": 0.5}),
+    (2, [], ["merge", "join", "window"], ["batch"], {"merge": 3.0, "join": 0.25}),
+    (3, ["the"], ["customer"], [], {"the": 0.125, "customer": 4.0}),
+]
+
+
+def q_ft_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause boosts (Lucene BoostQuery, `term^boost`): a boost scales
+    that clause's BM25 contribution — folded into the per-term idf before
+    accumulation, so lazy/eager/distributed paths inherit it unchanged."""
+    from .index.boolquery import search_bool
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, must, should, must_not, boosts in BOOSTED_QUERIES:
+        hits = search_bool(
+            s, must=must, should=should, must_not=must_not, k=FT_K,
+            distributed=True, tie_round=4, boosts=boosts,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_boosted_topk() -> str:
+    ctes, selects = [], []
+    for qid, must, should, must_not, boosts in BOOSTED_QUERIES:
+        scoring = sorted(set(must) | set(should))
+        sc_in = ", ".join(f"'{t}'" for t in scoring)
+        if must:
+            m_in = ", ".join(f"'{t}'" for t in must)
+            ctes.append(
+                f"bcand{qid} AS (SELECT doc_id FROM tf WHERE term IN ({m_in}) "
+                f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(must)})"
+            )
+        else:
+            ctes.append(
+                f"bcand{qid} AS (SELECT DISTINCT doc_id FROM tf "
+                f"WHERE term IN ({sc_in}))"
+            )
+        notp = ""
+        if must_not:
+            n_in = ", ".join(f"'{t}'" for t in must_not)
+            notp = (
+                f" AND NOT EXISTS (SELECT 1 FROM tf nx WHERE "
+                f"nx.doc_id = tf.doc_id AND nx.term IN ({n_in}))"
+            )
+        whens = " ".join(
+            f"WHEN tf.term = '{t}' THEN {b}" for t, b in sorted(boosts.items())
+        )
+        boost = f"(CASE {whens} ELSE 1 END)::DOUBLE"
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( {boost} * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({sc_in})\n"
+            f"  AND tf.doc_id IN (SELECT doc_id FROM bcand{qid}){notp}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + ",\n" + ",\n".join(ctes) + f""",
+bq_scores AS ({union}),
+bq_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM bq_scores
+)
+SELECT query_id, doc_id, score_r FROM bq_ranked WHERE rn <= {FT_K}
+"""
+
+
 # filtered reference set: (qid, query_text, [(docvalues col, op, value), …])
 # — conjunctive metadata filters over the index's docmeta sidecar
 FILTERED_QUERIES: list[tuple[int, str, list[tuple]]] = [
@@ -3712,6 +3790,7 @@ QUERIES = {
     "ft_wildcard_topk": q_ft_wildcard_topk,
     "ft_filtered_topk": q_ft_filtered_topk,
     "ft_sorted_topk": q_ft_sorted_topk,
+    "ft_boosted_topk": q_ft_boosted_topk,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_upsert_bm25": q_ft_upsert_bm25,
@@ -3823,6 +3902,7 @@ ORACLES = {
     "ft_wildcard_topk": sql_ft_wildcard_topk(),
     "ft_filtered_topk": sql_ft_filtered_topk(),
     "ft_sorted_topk": sql_ft_sorted_topk(),
+    "ft_boosted_topk": sql_ft_boosted_topk(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_upsert_bm25": sql_ft_upsert_bm25(),

@@ -245,10 +245,17 @@ def search_bool(
     k: int = 10,
     distributed: bool = False,
     tie_round: int | None = None,
+    boosts: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) under Lucene BooleanQuery semantics.
     *searcher* is a BM25Searcher.  ``tie_round`` ranks by
-    (round(score, n) DESC, doc_id ASC) — the SQL oracle's tie rule."""
+    (round(score, n) DESC, doc_id ASC) — the SQL oracle's tie rule.
+
+    ``boosts``: term → multiplier (Lucene's ``term^boost`` BoostQuery).
+    A boost scales that clause's score contribution; it folds into the
+    per-term idf BEFORE accumulation, so every decode/scoring path
+    (lazy, eager, distributed) inherits it with zero extra work and the
+    accumulation order stays the oracle's sorted-term order."""
     must = _norm_terms(must)
     should = [t for t in _norm_terms(should) if t not in must]
     must_not = _norm_terms(must_not)
@@ -273,6 +280,14 @@ def search_bool(
     if not scoring:
         return []
     idf = {i: idf_value(searcher.n_docs, dfs[i]) for i in scoring}
+    if boosts:
+        unknown = set(boosts) - set(must) - set(should)
+        if unknown:
+            raise ValueError(f"boost on non-scoring terms: {sorted(unknown)}")
+        for t, mult in boosts.items():
+            i = xxh64_signed(t)
+            if i in idf:
+                idf[i] *= float(mult)
     live_ids = [i for i in ids if dfs.get(i, 0) > 0]
     if distributed:
         return _search_bool_distributed(

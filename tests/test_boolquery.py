@@ -272,3 +272,46 @@ def test_bool_pfor_index_identity(spark, tiny_corpus_path, workdir, tiny_index):
         finally:
             bq.decode_slice_lazy = orig
         assert got == eager, (must, should, must_not)
+
+
+def test_boost_scales_contributions(spark, tiny_index, oracle_tiny):
+    """term^boost multiplies that clause's BM25 contribution (Lucene
+    BoostQuery); boost=1 is a no-op; boosting a non-scoring term raises."""
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    boosts = {"the": 0.25, "data": 3.0}
+
+    def boosted_oracle(must, should, k=10):
+        scoring = sorted(set(must + should))
+        cand = None
+        for t in must:
+            docs = set(oracle_tiny.postings.get(t, ()))
+            cand = docs if cand is None else cand & docs
+        if cand is None:
+            cand = set()
+            for t in scoring:
+                cand |= set(oracle_tiny.postings.get(t, ()))
+        scores = {}
+        for t in scoring:
+            idf = oracle_tiny.idf(t) * boosts.get(t, 1.0)
+            for d, tf in oracle_tiny.postings.get(t, {}).items():
+                if d not in cand:
+                    continue
+                dl = oracle_tiny.doc_len[d]
+                denom = tf + K1 * (1.0 - B + B * dl / oracle_tiny.avgdl)
+                scores[d] = scores.get(d, 0.0) + idf * tf * (K1 + 1.0) / denom
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    got = search_bool(s, must=["the"], should=["data"], k=10, boosts=boosts)
+    _assert_rank_identical(got, boosted_oracle(["the"], ["data"]), "boosted")
+    # boost=1 everywhere == unboosted
+    plain = search_bool(s, must=["the"], should=["data"], k=10)
+    noop = search_bool(s, must=["the"], should=["data"], k=10,
+                       boosts={"the": 1.0, "data": 1.0})
+    assert plain == noop
+    # distributed path carries the boost identically
+    dst = search_bool(s, must=["the"], should=["data"], k=10,
+                      distributed=True, boosts=boosts)
+    _assert_rank_identical(dst, got, "boosted distributed")
+    with pytest.raises(ValueError):
+        search_bool(s, must=["the"], k=5, boosts={"engine": 2.0})

@@ -239,3 +239,20 @@ def test_proximity_slop0_equals_exact(spark, pos_index):
             exact = _match_rows(rr, term_seq)
             prox = _prox_match_rows(rr, term_seq, 0)
             assert exact == prox, (ph, rid)
+
+
+def test_phrase_on_pfor_index(spark, pos_index):
+    """A positional index built with codec='pfor' serves phrase queries
+    identically: doc/tf/dl streams are pfor-tagged, positions stay raw
+    LEB128 per-doc blobs behind a varint tag, and the tagged decode
+    dispatches per stream."""
+    d = tempfile.mkdtemp(prefix="dps_test_posidx_pfor_")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cfg = IndexConfig(range_bits=2, block_size=4, n_buckets=4,
+                      positions=True, codec="pfor")
+    build_oneshot_text(spark, docs, d, cfg)
+    s_pfor = BM25Searcher(spark, d)
+    s_var = BM25Searcher(spark, pos_index)
+    for ph in ["quick brown", "quick brown fox", "42 42", "lazy cat",
+               "the quick brown fox"]:
+        assert phrase_topk(s_pfor, ph, k=10) == phrase_topk(s_var, ph, k=10), ph
