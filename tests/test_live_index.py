@@ -207,3 +207,40 @@ def test_live_delete_then_compact(spark, workdir):
         _assert_rank_identical(
             s2.search(q, k=10, mode="bmw"), sf.search(q, k=10, mode="bmw"), q
         )
+
+
+def test_live_index_docvalues_filtered(spark, tiny_corpus_path, tiny_pages_pd,
+                                       workdir):
+    """Docvalues flow through the streaming path: a live index whose
+    per-batch builder stores field_cols serves filtered + sorted search
+    after N delta-merge folds (docmeta survives merge's unionByName)."""
+    import datetime
+    import functools
+
+    from data_prepper_spark.hashing import xxh64_signed
+    from data_prepper_spark.index.build import build_oneshot
+    from data_prepper_spark.index.filtered import search_filtered, search_sorted
+
+    out = os.path.join(workdir, "live_index_dv")
+    builder = functools.partial(build_oneshot, field_cols=("lang", "warc_ts"))
+    q = start_stream_index(
+        spark, tiny_corpus_path, out, CFG,
+        checkpoint_dir=os.path.join(workdir, "live_dv_ckpt"),
+        available_now=True, max_files_per_trigger=2, builder=builder,
+    )
+    q.awaitTermination(600)
+    assert not q.isActive
+    s = BM25Searcher(spark, resolve_current(out))
+    cut = datetime.datetime(2025, 1, 1) + datetime.timedelta(seconds=400)
+    flt = [("warc_ts", "<", cut)]
+    got = search_filtered(s, "the data", flt, k=10)
+    allowed = {
+        xxh64_signed(r.url)
+        for r in tiny_pages_pd.itertuples(index=False)
+        if r.warc_ts.to_pydatetime() < cut
+    }
+    assert got and all(d in allowed for d, _ in got)
+    srt = search_sorted(s, "the data", "warc_ts", k=5, filters=flt)
+    assert srt and all(d in allowed for d, _ in srt)
+    vals = [v for _, v in srt]
+    assert vals == sorted(vals, reverse=True)  # newest-first
