@@ -481,6 +481,104 @@ SELECT query_id, doc_id, score_r FROM wranked WHERE rn <= {FT_K}
 """
 
 
+# multi-field reference set: (qid, {field: query text}, {field: boost}) over
+# a fields index with body = text, head = substr(text, 1, 40)
+FIELDS_QUERIES: list[tuple[int, dict, dict]] = [
+    (0, {"body": "spark index"}, {}),
+    (1, {"head": "the data"}, {}),
+    (2, {"body": "merge join", "head": "table"}, {}),
+    (3, {"body": "table scan", "head": "customer"}, {"head": 3.0, "body": 0.5}),
+]
+
+_FIELDS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _fields_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Multi-field index over documents: body = full text, head = the
+    first 40 chars (a derived title-ish field — both sides tokenize the
+    same substring expression)."""
+    key = "fields:" + os.path.abspath(sf_dir)
+    if key not in _FIELDS_INDEX_CACHE:
+        import atexit
+        import shutil
+
+        from .index.build import build_oneshot_fields
+
+        d = tempfile.mkdtemp(prefix="dps_entry_fieldsidx_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
+        build_oneshot_fields(
+            spark, _docs(spark, sf_dir), d, cfg,
+            fields={"body": "text", "head": F.substring("text", 1, 40)},
+        )
+        _FIELDS_INDEX_CACHE[key] = d
+    return _FIELDS_INDEX_CACHE[key]
+
+
+def q_ft_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field search (Lucene per-field term space +
+    MultiFieldQueryParser OR, index/fields.py): terms are namespaced
+    field:token, every clause scores with ITS field's docCount and
+    avgFieldLength, field boosts multiply clause contributions.
+    Distributed per-range path + oracle tie rule."""
+    from .index.fields import search_fields
+
+    idx = _fields_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, fq, boosts in FIELDS_QUERIES:
+        hits = search_fields(
+            s, fq, k=FT_K, distributed=True, tie_round=4, field_boosts=boosts
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_fields_topk() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{f}:{t}', {boosts.get(f, 1.0)})"
+        for qid, fq, boosts in FIELDS_QUERIES
+        for f, qtext in sorted(fq.items())
+        for t in sorted(set(qtext.split()))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, 'body:' || unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'head:' || unnest(regexp_extract_all(lower(substr(text, 1, 40)), '{TOKEN_RX}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+fdl AS (SELECT doc_id, split_part(term, ':', 1) AS fld, count(*)::BIGINT AS dl
+        FROM toks GROUP BY 1, 2),
+fstats AS (SELECT fld, count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+           FROM fdl GROUP BY 1),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term, boost) AS (VALUES {qvals}),
+mf_scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( q.boost::DOUBLE
+              * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * fdl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN fdl ON fdl.doc_id = tf.doc_id AND fdl.fld = split_part(tf.term, ':', 1)
+  JOIN fstats s ON s.fld = fdl.fld
+  GROUP BY 1, 2
+),
+mf_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM mf_scores
+)
+SELECT query_id, doc_id, score_r FROM mf_ranked WHERE rn <= {FT_K}
+"""
+
+
 # boosted reference set: (qid, must, should, must_not, {term: boost})
 BOOSTED_QUERIES: list[tuple[int, list[str], list[str], list[str], dict]] = [
     (0, ["table"], ["scan", "fast"], [], {"scan": 2.5}),
@@ -3791,6 +3889,7 @@ QUERIES = {
     "ft_filtered_topk": q_ft_filtered_topk,
     "ft_sorted_topk": q_ft_sorted_topk,
     "ft_boosted_topk": q_ft_boosted_topk,
+    "ft_fields_topk": q_ft_fields_topk,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_upsert_bm25": q_ft_upsert_bm25,
@@ -3903,6 +4002,7 @@ ORACLES = {
     "ft_filtered_topk": sql_ft_filtered_topk(),
     "ft_sorted_topk": sql_ft_sorted_topk(),
     "ft_boosted_topk": sql_ft_boosted_topk(),
+    "ft_fields_topk": sql_ft_fields_topk(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_upsert_bm25": sql_ft_upsert_bm25(),

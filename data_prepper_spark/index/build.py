@@ -472,12 +472,62 @@ def build_oneshot_text(
     return build_oneshot_tokens(spark, tokens, index_dir, cfg, doc_src=doc_src)
 
 
+def build_oneshot_fields(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+    id_col: str = "doc_id",
+    fields: dict | None = None,
+    field_cols: tuple[str, ...] = (),
+) -> dict:
+    """Multi-field build (Lucene per-field term space): *fields* maps
+    field name → column name or Column expression; terms are namespaced
+    ``field:token`` and each posting's dl is its FIELD length.  Per-field
+    corpus stats (docs-with-field, avg field length — Lucene's docCount
+    and avgFieldLength) land in stats as ``fields_json``; `search_fields`
+    scores each term with ITS field's stats.  The flat stats avgdl (an
+    arbitrary mix) and the avgdl-baked block_ubs are NOT meaningful for a
+    fields index — serve it via index/fields.py search_fields (brute,
+    exact), never plain BMW search()."""
+    import json as _json
+
+    from .tokenize import tokenize_stage_fields
+
+    fields = fields or {"body": "text"}
+    tokens = tokenize_stage_fields(docs, id_col, fields)
+    # per-field stats: one row per (field-prefixed) doc occurrence
+    fstats = {}
+    for fname in sorted(fields):
+        col = fields[fname]
+        col = F.col(col) if isinstance(col, str) else col
+        per_doc = tokenize_stage_text(
+            docs.select(F.col(id_col).alias("doc_id"), col.alias("text"))
+        ).groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        agg = per_doc.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        fstats[fname] = {
+            "n_docs": int(agg["n"]), "avgdl": float(agg["avgdl"] or 0.0)
+        }
+    doc_src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("string").alias("url"),
+        *field_cols,
+    )
+    return build_oneshot_tokens(
+        spark, tokens, index_dir, cfg, doc_src=doc_src,
+        extra_stats={"fields_json": _json.dumps(fstats, sort_keys=True)},
+    )
+
+
 def build_oneshot_tokens(
     spark: SparkSession,
     tokens_df: DataFrame,
     index_dir: str,
     cfg: IndexConfig = IndexConfig(),
     doc_src: DataFrame | None = None,
+    extra_stats: dict | None = None,
 ) -> dict:
     """Tokens are STAGED to parquet once, then every downstream stage
     reads the columnar staging table.
@@ -537,6 +587,7 @@ def build_oneshot_tokens(
         "total_tokens": total_tokens,
         "avgdl": avgdl,
         **cfg.to_dict(),
+        **(extra_stats or {}),
     }
     spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
         p["stats"]

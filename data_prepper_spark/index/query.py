@@ -57,6 +57,12 @@ class BM25Searcher:
         self.cfg = IndexConfig.from_dict(self.stats)
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
+        # multi-field index: per-field (n_docs, avgdl) — Lucene's docCount
+        # and avgFieldLength; empty for single-field indexes
+        import json as _json
+
+        fj = self.stats.get("fields_json")
+        self.field_stats: dict = _json.loads(fj) if fj else {}
         # indexes written before IndexConfig.codec carry raw (untagged)
         # varint streams — detect from stats so they decode correctly
         self.legacy_codec = "codec" not in self.stats

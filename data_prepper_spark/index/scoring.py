@@ -129,6 +129,8 @@ class TermSlice:
     dls: np.ndarray         # int64
     block_firsts: np.ndarray  # int64, doc_ids[::block_size]
     block_ubs: np.ndarray     # float32, per-block max of the tf-normalization
+    avgdl: float | None = None  # per-slice override (multi-field: the term's
+    #                             FIELD avgdl — Lucene's avgFieldLength)
 
 
 def decode_slice(
@@ -437,7 +439,8 @@ def score_brute(
     scores = np.zeros(union.size, dtype=np.float64)
     for s in slices:
         idx = np.searchsorted(union, s.doc_ids)
-        scores[idx] += s.idf * _tf_norm(s.tfs, s.dls, k1, b, avgdl)
+        s_avgdl = avgdl if s.avgdl is None else s.avgdl
+        scores[idx] += s.idf * _tf_norm(s.tfs, s.dls, k1, b, s_avgdl)
     return union, scores
 
 

@@ -155,6 +155,34 @@ def doc_src_from_pages(
     return with_doc_id(pages, cfg).select("doc_id", "url", *field_cols)
 
 
+def tokenize_stage_fields(
+    docs: DataFrame, id_col: str, fields: dict[str, "Column | str"]
+) -> DataFrame:
+    """Multi-field tokens: per field, tokenize that field's text and
+    namespace the term as ``field:token`` (Lucene's per-field term space —
+    the SAME posting machinery then gives per-field postings, df, and
+    positions for free, since term_id = xxhash64 of the namespaced
+    string).  Each posting row's ``dl`` is the FIELD length of its doc,
+    not the whole-document length — BM25's length normalization is
+    per-field, as in Lucene.  *fields* maps field name → column name or
+    Column expression (derived fields like ``substr(text, 1, 40)`` are
+    fine; the SQL oracle mirrors the same expression)."""
+    parts = []
+    for fname in sorted(fields):
+        col = fields[fname]
+        col = F.col(col) if isinstance(col, str) else col
+        toks = tokenize_stage_text(
+            docs.select(F.col(id_col).alias("doc_id"), col.alias("text"))
+        )
+        parts.append(
+            toks.withColumn("term", F.concat(F.lit(fname + ":"), F.col("term")))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def tokenize_stage_text(
     docs: DataFrame,
     id_col: str = "doc_id",
