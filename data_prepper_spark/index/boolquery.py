@@ -206,12 +206,34 @@ def _range_eval_lazy(lz: dict, must_ids, not_ids, scoring, k1, b, avgdl):
     return score_brute(subs, k1, b, avgdl)
 
 
+def _merge_dup_slices(parts: list) -> "TermSlice":
+    """Fold duplicate (term_id, range_id) slices — a MERGED index keeps
+    its sources' slice rows side by side (disjoint doc spaces, interleaved
+    docIDs) — into one docID-sorted TermSlice.  Block metadata is dropped:
+    the merged arrays' consumers (conjunctive/filtered/fields brute
+    scoring) never read it, and the lazy paths never see duplicates (they
+    force this eager fold)."""
+    s0 = parts[0]
+    ids = np.concatenate([s.doc_ids for s in parts])
+    tfs = np.concatenate([s.tfs for s in parts])
+    dls = np.concatenate([s.dls for s in parts])
+    order = np.argsort(ids, kind="stable")
+    return TermSlice(
+        s0.term, s0.idf, ids[order], tfs[order], dls[order],
+        np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32),
+    )
+
+
 def _decode_range(rows, labels, idf, legacy, deleted, block_size):
     """Decode one range's rows: block-lazy when every stream carries a
-    known tag (varint or pfor) and no tombstones exist (must-conjunctions
-    then skip decoding the stopword streams), else eager TermSlices.
+    known tag (varint or pfor), no tombstones exist (must-conjunctions
+    then skip decoding the stopword streams), and no term has duplicate
+    slice rows (merged indexes keep source slices side by side — those
+    fold eagerly into one sorted slice per term), else eager TermSlices.
     Returns (slices_by_id, is_lazy)."""
-    lazy_ok = not legacy and deleted.size == 0
+    tids = [int(r["term_id"]) for r in rows]
+    dup = len(set(tids)) < len(tids)
+    lazy_ok = not legacy and deleted.size == 0 and not dup
     if lazy_ok:
         lz = {}
         for row in rows:
@@ -225,7 +247,7 @@ def _decode_range(rows, labels, idf, legacy, deleted, block_size):
             lz[int(row["term_id"])] = s
         if lz is not None:
             return lz, True
-    out = {}
+    groups: dict[int, list] = {}
     for row in rows:
         s = decode_slice(
             row, idf.get(row["term_id"], 0.0), label=labels[row["term_id"]],
@@ -233,7 +255,11 @@ def _decode_range(rows, labels, idf, legacy, deleted, block_size):
         )
         if deleted.size:
             s = mask_term_slice(s, deleted)
-        out[int(row["term_id"])] = s
+        groups.setdefault(int(row["term_id"]), []).append(s)
+    out = {
+        i: (ss[0] if len(ss) == 1 else _merge_dup_slices(ss))
+        for i, ss in groups.items()
+    }
     return out, False
 
 

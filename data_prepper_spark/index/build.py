@@ -496,7 +496,9 @@ def build_oneshot_fields(
 
     fields = fields or {"body": "text"}
     tokens = tokenize_stage_fields(docs, id_col, fields)
-    # per-field stats: one row per (field-prefixed) doc occurrence
+    # per-field stats, stored as ADDITIVE sums (n_docs, total_tokens) so a
+    # segment merge of disjoint doc spaces can combine them exactly —
+    # avgFieldLength = total_tokens / n_docs is derived at read time
     fstats = {}
     for fname in sorted(fields):
         col = fields[fname]
@@ -505,10 +507,10 @@ def build_oneshot_fields(
             docs.select(F.col(id_col).alias("doc_id"), col.alias("text"))
         ).groupBy("doc_id").agg(F.first("dl").alias("dl"))
         agg = per_doc.agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            F.count("*").alias("n"), F.sum("dl").alias("tot")
         ).collect()[0]
         fstats[fname] = {
-            "n_docs": int(agg["n"]), "avgdl": float(agg["avgdl"] or 0.0)
+            "n_docs": int(agg["n"]), "total_tokens": int(agg["tot"] or 0)
         }
     doc_src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),

@@ -110,6 +110,28 @@ def merge_indexes(
     n_docs = sum(int(s["n_docs"]) for s in stats)
     total_tokens = sum(int(s["total_tokens"]) for s in stats)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    # multi-field sources: per-field stats are stored as ADDITIVE sums
+    # (n_docs, total_tokens), so disjoint-doc-space merge is exact
+    # summation; every source must agree on the field set (all-or-none)
+    import json as _json
+
+    field_sets = [
+        set(_json.loads(s["fields_json"])) if s.get("fields_json") else set()
+        for s in stats
+    ]
+    if any(field_sets) and not all(fs == field_sets[0] for fs in field_sets):
+        raise ValueError(
+            f"merge sources disagree on fields: {sorted(map(sorted, field_sets))}"
+        )
+    merged_fields_json = None
+    if field_sets[0]:
+        acc: dict = {}
+        for s in stats:
+            for f, v in _json.loads(s["fields_json"]).items():
+                a = acc.setdefault(f, {"n_docs": 0, "total_tokens": 0})
+                a["n_docs"] += int(v["n_docs"])
+                a["total_tokens"] += int(v["total_tokens"])
+        merged_fields_json = _json.dumps(acc, sort_keys=True)
 
     p = _paths(out_dir)
     fp = format(
@@ -148,6 +170,7 @@ def merge_indexes(
             "total_tokens": total_tokens,
             "avgdl": avgdl,
             **base.to_dict(),
+            **({"fields_json": merged_fields_json} if merged_fields_json else {}),
         }
         spark.createDataFrame([merged_stats]).coalesce(1).write.mode(
             "overwrite"

@@ -57,12 +57,18 @@ class BM25Searcher:
         self.cfg = IndexConfig.from_dict(self.stats)
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
-        # multi-field index: per-field (n_docs, avgdl) — Lucene's docCount
-        # and avgFieldLength; empty for single-field indexes
+        # multi-field index: per-field stats — Lucene's docCount and
+        # avgFieldLength (derived from the stored additive sums, which is
+        # what lets segment merges combine them exactly); empty for
+        # single-field indexes
         import json as _json
 
         fj = self.stats.get("fields_json")
         self.field_stats: dict = _json.loads(fj) if fj else {}
+        for fs in self.field_stats.values():
+            fs["avgdl"] = (
+                fs["total_tokens"] / fs["n_docs"] if fs["n_docs"] else 0.0
+            )
         # indexes written before IndexConfig.codec carry raw (untagged)
         # varint streams — detect from stats so they decode correctly
         self.legacy_codec = "codec" not in self.stats

@@ -139,3 +139,33 @@ def test_fields_per_field_length_norm(spark, fields_index):
     assert head_only[8] != body_only[8]
     both = dict(search_fields(s, {"body": "data", "head": "data"}, k=10))
     assert abs(both[8] - (body_only[8] + head_only[8])) < 1e-9
+
+
+def test_fields_merge_identity(spark, fields_index):
+    """Two parity-split fields indexes merged == the full fields build:
+    per-field stats (stored as additive sums) combine exactly, and every
+    multi-field query is rank- and score-identical."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.index.merge import merge_indexes
+
+    halves = []
+    for par in (0, 1):
+        d = tempfile.mkdtemp(prefix=f"dps_test_fieldshalf{par}_")
+        docs = spark.createDataFrame(
+            [r for r in DOCS if r[0] % 2 == par], "doc_id long, text string"
+        )
+        build_oneshot_fields(
+            spark, docs, d, IndexConfig(range_bits=2, block_size=4, n_buckets=4),
+            fields={"body": "text", "head": F.substring("text", 1, HEAD_LEN)},
+        )
+        halves.append(d)
+    merged = tempfile.mkdtemp(prefix="dps_test_fieldsmerged_")
+    merge_indexes(spark, halves, merged)
+    s_m = BM25Searcher(spark, merged)
+    s_f = BM25Searcher(spark, fields_index)
+    assert s_m.field_stats == s_f.field_stats
+    for fq, boosts in CASES:
+        got = search_fields(s_m, fq, k=10, field_boosts=boosts)
+        want = search_fields(s_f, fq, k=10, field_boosts=boosts)
+        assert got == want, fq

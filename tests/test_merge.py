@@ -174,3 +174,32 @@ def test_merge_three_way(spark, tiny_corpus_path, workdir, oracle_tiny):
         _assert_rank_identical(
             s.search(qt, k=k, mode="bmw"), oracle_tiny.topk(qt, k), qt
         )
+
+
+def test_merged_bool_and_filtered_not_clobbered(spark, merged_index, tiny_index,
+                                                oracle_tiny):
+    """REGRESSION: a merged index keeps duplicate (term_id, range_id)
+    slice rows side by side; the boolean/filtered decode used to dict by
+    term_id and silently DROP all but the last duplicate.  Boolean,
+    prefix, and fuzzy results on the merged index must equal the oneshot
+    index's exactly."""
+    from data_prepper_spark.index.boolquery import (
+        search_bool,
+        search_fuzzy,
+        search_prefix,
+    )
+
+    s_m = BM25Searcher(spark, merged_index[0])
+    s_f = BM25Searcher(spark, tiny_index[0])
+    cases = [
+        (["the"], ["data", "search"], ["engine"]),
+        (["the", "data"], [], []),
+        ([], ["spark", "index", "web"], ["the"]),
+        ([], ["the", "of"], []),
+    ]
+    for must, should, must_not in cases:
+        a = search_bool(s_m, must=must, should=should, must_not=must_not, k=10)
+        b = search_bool(s_f, must=must, should=should, must_not=must_not, k=10)
+        assert a == b, (must, should, must_not)
+    assert search_prefix(s_m, "th", k=10) == search_prefix(s_f, "th", k=10)
+    assert search_fuzzy(s_m, "tha", k=10) == search_fuzzy(s_f, "tha", k=10)
