@@ -98,6 +98,22 @@ def main():
         cap(pruned),
     ))
 
+    # 2b. filtered search: docvalues scan with predicate pushdown
+    from data_prepper_spark.index.filtered import spark_filter_col
+
+    dv = (
+        spark.read.parquet(f"{idx}/docmeta")
+        .filter(spark_filter_col([("lang", "==", "en"), ("n_chars", ">=", 300)]))
+        .select("doc_id")
+    )
+    sections.append((
+        "Filtered-search docvalues scan (docmeta predicate pushdown)",
+        "The lang/n_chars predicates must appear in PushedFilters (the "
+        "filter's selectivity, not corpus size, bounds the read); "
+        "ReadSchema must be doc_id only.",
+        cap(dv),
+    ))
+
     # 3. broadcast dimension join (tpch_q5ish)
     sections.append((
         "Multi-join pipeline (tpch_q5ish)",
