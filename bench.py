@@ -145,6 +145,7 @@ def main():
                 build_oneshot(
                     spark, spark.read.parquet(s_corpus), s_idx,
                     IndexConfig(range_bits=3, block_size=128, n_buckets=32),
+                    field_cols=("lang", "warc_ts"),  # docvalues: filtered/sorted probes
                 )
                 build_s = time.perf_counter() - t0
                 extras["serving_build_s"] = round(build_s, 1)
@@ -198,6 +199,51 @@ def main():
                     plat.append(time.perf_counter() - t0)
             plat.sort()
             extras["prefix_p50_ms"] = round(plat[len(plat) // 2] * 1000, 1)
+
+            # filtered + sort-by-field probes need docvalues in docmeta
+            # (caches built before field_cols lack them — skip gracefully;
+            # a fresh driver-round build always has them)
+            import pyarrow.parquet as _pq
+
+            dm_cols = _pq.read_schema(
+                os.path.join(
+                    s_idx, "docmeta",
+                    next(f for f in os.listdir(os.path.join(s_idx, "docmeta"))
+                         if f.endswith(".parquet")),
+                )
+            ).names
+            if "warc_ts" in dm_cols:
+                import datetime as _dt
+
+                from data_prepper_spark.index.filtered import (
+                    search_filtered,
+                    search_sorted,
+                )
+
+                t_lo = _dt.datetime(2025, 1, 1)
+                fqs = [
+                    (f"{MID_TERMS[i % 8]} {HEAD_TERMS[i]}",
+                     [("lang", "==", "en"),
+                      ("warc_ts", "<", t_lo + _dt.timedelta(
+                          seconds=(i + 1) * SERVING_DOCS // 12))])
+                    for i in range(10)
+                ]
+                flat: list[float] = []
+                for _ in range(3):
+                    for qt, flt in fqs:
+                        t0 = time.perf_counter()
+                        search_filtered(s1m, qt, flt, k=10)
+                        flat.append(time.perf_counter() - t0)
+                flat.sort()
+                extras["filtered_p50_ms"] = round(flat[len(flat) // 2] * 1000, 1)
+                srt: list[float] = []
+                for _ in range(3):
+                    for qt, flt in fqs[:5]:
+                        t0 = time.perf_counter()
+                        search_sorted(s1m, qt, "warc_ts", k=10, filters=flt)
+                        srt.append(time.perf_counter() - t0)
+                srt.sort()
+                extras["sorted_p50_ms"] = round(srt[len(srt) // 2] * 1000, 1)
 
         total = round(sum(timings.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
