@@ -41,9 +41,27 @@ import pyarrow.dataset as pads
 from pyspark.sql import functions as F
 
 from .boolquery import _decode_range, _member
-from .scoring import TermSlice, idf_value, score_brute, topk_select
+from .scoring import (
+    TermSlice,
+    idf_value,
+    score_bmw_lazy,
+    score_brute,
+    topk_select,
+)
 
 _OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+
+# candidate-block coverage above which the driver path switches from
+# candidate-driven decode to filter-during-WAND (see search_filtered);
+# >1.0 disables the WAND route, <0 forces it.  Default DISABLED: measured
+# at the 1M-doc serving index (mid+head 2-term queries, 8-83% selective
+# time filters, best-of-3 interleaved), candidate-driven decode won at
+# every selectivity (p50 357 ms vs 423 ms) — per-segment decode overhead
+# outweighs score pruning at this blocks-per-range scale.  The route is
+# kept (exact, strategy-identical results, pinned by
+# tests/test_filtered.py::test_filtered_wand_route_identity) because the
+# trade flips when ranges carry far more blocks than segments BMW visits.
+BMW_COVERAGE_THRESHOLD = 1.1
 
 
 def _check_filters(filters) -> None:
@@ -189,6 +207,24 @@ def search_filtered(
         slices_by_id, is_lazy = _decode_range(
             rr, ids, idf, searcher.legacy_codec, no_tombs, cfg.block_size
         )
+        if is_lazy and tie_round is None:
+            # strategy pick per range: a BROAD filter makes candidate-driven
+            # decode degenerate (candidates cover most blocks → full decode);
+            # filter-during-WAND then wins — segments prune on score, only
+            # allowed docs are collected, result stays exact top-k
+            sl = [s for s in slices_by_id.values() if s.n]
+            if sl:
+                big = max(sl, key=lambda s: s.n)
+                cov = big.covering_blocks(cand).size / max(
+                    1, big.block_firsts.size
+                )
+                if cov > BMW_COVERAGE_THRESHOLD:
+                    i_r, s_r = score_bmw_lazy(
+                        sl, cfg.k1, cfg.b, searcher.avgdl, k, allowed=cand
+                    )
+                    out_ids.append(i_r)
+                    out_sc.append(s_r)
+                    continue
         i_r, s_r = _eval_filtered(
             slices_by_id, is_lazy, cand, scoring, cfg.k1, cfg.b,
             searcher.avgdl,

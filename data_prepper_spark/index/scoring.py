@@ -359,13 +359,29 @@ def decode_slice_lazy(row, idf: float, block_size: int, label: str) -> LazySlice
     )
 
 
+def _member_sorted(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Mask over *ids*: membership in the sorted array *sorted_set*."""
+    if sorted_set.size == 0:
+        return np.zeros(ids.shape, dtype=bool)
+    loc = np.clip(np.searchsorted(sorted_set, ids), 0, sorted_set.size - 1)
+    return sorted_set[loc] == ids
+
+
 def score_bmw_lazy(
-    slices: list[LazySlice], k1: float, b: float, avgdl: float, k: int
+    slices: list[LazySlice], k1: float, b: float, avgdl: float, k: int,
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max top-k over one docID range, block-lazy decode.  Identical
     output to :func:`score_bmw` on the same slices (same segment grid,
     same upper bounds, same exact scoring — only the decode strategy
-    differs); pinned by tests/test_index_build.py::test_lazy_bmw_identity."""
+    differs); pinned by tests/test_index_build.py::test_lazy_bmw_identity.
+
+    ``allowed`` (sorted docIDs) is Lucene's filter-during-WAND: only
+    allowed docs are scored/collected, segments still prune on the
+    UNFILTERED upper bounds (still valid upper bounds for any allowed
+    doc, so the top-k stays exact) — the right strategy for a BROAD
+    filter, where candidate-driven decode degenerates to a full decode
+    but score pruning still skips most segments."""
     slices = [s for s in slices if s.n]
     if not slices:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -392,12 +408,30 @@ def score_bmw_lazy(
         if n_got >= k and seg_ub[si] < theta:
             break
         if n_seen >= MAX_SEG:
-            ids, sc = score_brute([s.to_term_slice() for s in slices], k1, b, avgdl)
+            full = [s.to_term_slice() for s in slices]
+            if allowed is not None:
+                masked = []
+                for s in full:
+                    keep = _member_sorted(s.doc_ids, allowed)
+                    if keep.any():
+                        masked.append(
+                            TermSlice(
+                                s.term, s.idf, s.doc_ids[keep], s.tfs[keep],
+                                s.dls[keep], s.block_firsts, s.block_ubs,
+                            )
+                        )
+                full = masked
+            if not full:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            ids, sc = score_brute(full, k1, b, avgdl)
             return topk_select(ids, sc, k)
         lo, hi = bounds[si], seg_end[si]
         sub = []
         for s in slices:
             ids, tfs, dls = s.segment_values(int(lo), int(hi))
+            if allowed is not None and ids.size:
+                keep = _member_sorted(ids, allowed)
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
             if ids.size:
                 sub.append(
                     TermSlice(s.term, s.idf, ids, tfs, dls, s.block_firsts, s.block_ubs)

@@ -240,3 +240,27 @@ def test_sorted_respects_tombstones(spark, filtered_index, oracle_tiny,
     want = [dv for dv in _sorted_oracle(oracle_tiny, "the data", ts_by_doc, k=20)
             if dv[0] not in deleted][:5]
     assert [doc for doc, _ in got] == [doc for doc, _ in want]
+
+
+def test_filtered_wand_route_identity(spark, filtered_index, oracle_tiny,
+                                      ts_by_doc):
+    """The filter-during-WAND driver strategy (disabled by default — see
+    BMW_COVERAGE_THRESHOLD) returns exactly the candidate-driven path's
+    results when forced, including through the MAX_SEG brute fallback."""
+    import data_prepper_spark.index.filtered as fl
+
+    s = BM25Searcher(spark, filtered_index)
+    orig = fl.BMW_COVERAGE_THRESHOLD
+    try:
+        for qtext, filters, cuts in FILTER_CASES:
+            flt = _materialize(filters, cuts)
+            fl.BMW_COVERAGE_THRESHOLD = 2.0   # candidate-driven
+            cand_path = search_filtered(s, qtext, flt, k=10)
+            fl.BMW_COVERAGE_THRESHOLD = -1.0  # force WAND route
+            wand_path = search_filtered(s, qtext, flt, k=10)
+            _assert_rank_identical(wand_path, cand_path, (qtext, flt))
+            allowed = _allowed_set(ts_by_doc, flt)
+            want = _filtered_oracle(oracle_tiny, qtext, allowed)
+            _assert_rank_identical(wand_path, want, (qtext, flt, "oracle"))
+    finally:
+        fl.BMW_COVERAGE_THRESHOLD = orig
