@@ -345,8 +345,15 @@ def search_sorted(
     da = np.concatenate(out_ids)
     va = np.concatenate(out_vals)
     i_k, v_k = _topk_by_field(da, va, k, ascending)
-    return [(int(d), v.item() if hasattr(v, "item") else v)
-            for d, v in zip(i_k, v_k)]
+
+    def _py(v):
+        # np.datetime64[ns].item() is an int of nanoseconds — normalize all
+        # datetime64 units to python datetime (the distributed path's type)
+        if isinstance(v, np.datetime64):
+            return pd.Timestamp(v).to_pydatetime()
+        return v.item() if hasattr(v, "item") else v
+
+    return [(int(d), _py(v)) for d, v in zip(i_k, v_k)]
 
 
 def _search_sorted_distributed(

@@ -81,6 +81,40 @@ def cmd_build(args) -> None:
     spark.stop()
 
 
+def _parse_bool_query(q: str):
+    """Lucene classic mini-syntax: `+term` must, `-term` must_not, bare
+    should; `term^2.5` sets a clause boost."""
+    must, should, must_not, boosts = [], [], [], {}
+    for tok in q.split():
+        dest = should
+        if tok.startswith("+"):
+            dest, tok = must, tok[1:]
+        elif tok.startswith("-"):
+            dest, tok = must_not, tok[1:]
+        if "^" in tok:
+            tok, _, b = tok.partition("^")
+            boosts[tok] = float(b)
+        dest.append(tok)
+    return must, should, must_not, boosts
+
+
+def _parse_filter(spec: str):
+    """`col:op:value` → filter triple; value coerced int → float → ISO
+    datetime → string."""
+    col, op, raw = spec.split(":", 2)
+    for conv in (int, float):
+        try:
+            return (col, op, conv(raw))
+        except ValueError:
+            pass
+    try:
+        import datetime as _dt
+
+        return (col, op, _dt.datetime.fromisoformat(raw))
+    except ValueError:
+        return (col, op, raw)
+
+
 def cmd_query(args) -> None:
     from data_prepper_spark.index.query import BM25Searcher
 
@@ -88,13 +122,60 @@ def cmd_query(args) -> None:
 
     spark = _spark("dps-bm25-query")
     s = BM25Searcher(spark, resolve_current(args.index_dir))
-    queries = [args.q] if args.q else [l.strip() for l in open(args.qfile) if l.strip()]
+    mode = "phrase" if args.phrase else args.mode
+    filters = [_parse_filter(f) for f in (args.filter or [])]
+    queries = [args.q] if args.q else (
+        [l.strip() for l in open(args.qfile) if l.strip()] if args.qfile else [""]
+    )
     for q in queries:
         t0 = time.perf_counter()
-        if args.phrase:
+        if mode == "phrase":
             from data_prepper_spark.index.phrase import phrase_topk
 
             hits = phrase_topk(s, q, k=args.k, distributed=args.distributed)
+        elif mode == "bool":
+            from data_prepper_spark.index.boolquery import search_bool
+
+            must, should, must_not, boosts = _parse_bool_query(q)
+            hits = search_bool(
+                s, must=must, should=should, must_not=must_not, k=args.k,
+                distributed=args.distributed, boosts=boosts or None,
+            )
+        elif mode == "fuzzy":
+            from data_prepper_spark.index.boolquery import search_fuzzy
+
+            hits = search_fuzzy(
+                s, q, k=args.k, max_edits=args.max_edits,
+                prefix_len=args.prefix_len, distributed=args.distributed,
+            )
+        elif mode == "wildcard":
+            from data_prepper_spark.index.boolquery import search_wildcard
+
+            hits = search_wildcard(s, q, k=args.k, distributed=args.distributed)
+        elif mode == "prefix":
+            from data_prepper_spark.index.boolquery import search_prefix
+
+            hits = search_prefix(s, q, k=args.k, distributed=args.distributed)
+        elif mode == "fields":
+            from data_prepper_spark.index.fields import search_fields
+
+            fq = dict(kv.split("=", 1) for kv in args.fq)
+            hits = search_fields(s, fq, k=args.k, distributed=args.distributed)
+        elif mode == "sorted":
+            from data_prepper_spark.index.filtered import search_sorted
+
+            hits = search_sorted(
+                s, q, args.sort_field, k=args.k, ascending=args.asc,
+                filters=filters, distributed=args.distributed,
+            )
+            hits = [(d, v if isinstance(v, (int, float)) else str(v))
+                    for d, v in hits]
+        elif filters:
+            from data_prepper_spark.index.filtered import search_filtered
+
+            hits = search_filtered(
+                s, q, filters, k=args.k, distributed=args.distributed
+            )
         else:
             hits = s.search(q, k=args.k, distributed=args.distributed)
         ms = (time.perf_counter() - t0) * 1000
@@ -102,7 +183,8 @@ def cmd_query(args) -> None:
         print(json.dumps({
             "query": q, "ms": round(ms, 1),
             "hits": [
-                {"rank": i + 1, "doc_id": d, "url": urls.get(d, ""), "score": round(sc, 4)}
+                {"rank": i + 1, "doc_id": d, "url": urls.get(d, ""),
+                 "score": round(sc, 4) if isinstance(sc, float) else sc}
                 for i, (d, sc) in enumerate(hits)
             ],
         }))
@@ -207,9 +289,25 @@ def main() -> None:
     pq.add_argument("--qfile")
     pq.add_argument("--k", type=int, default=10)
     pq.add_argument("--distributed", action="store_true")
+    pq.add_argument("--mode", default="bm25",
+                    choices=["bm25", "phrase", "bool", "fuzzy", "wildcard",
+                             "prefix", "fields", "sorted"],
+                    help="bool uses Lucene classic syntax (+must -not "
+                         "term^boost); fuzzy/wildcard/prefix expand against "
+                         "the term dictionary")
     pq.add_argument("--phrase", action="store_true",
-                    help="exact phrase query (needs a positional index: "
+                    help="alias for --mode phrase (needs a positional index: "
                          "build with --positions)")
+    pq.add_argument("--filter", action="append", metavar="COL:OP:VALUE",
+                    help="docvalues filter (repeatable, ANDed); needs an "
+                         "index built with field_cols; with --mode bm25 "
+                         "runs a filtered BM25 search")
+    pq.add_argument("--max-edits", type=int, default=2)
+    pq.add_argument("--prefix-len", type=int, default=0)
+    pq.add_argument("--fq", action="append", metavar="FIELD=QUERY",
+                    help="per-field query for --mode fields (repeatable)")
+    pq.add_argument("--sort-field", help="docvalues column for --mode sorted")
+    pq.add_argument("--asc", action="store_true")
     pq.set_defaults(fn=cmd_query)
 
     pn = sub.add_parser("bench")
