@@ -495,7 +495,7 @@ def build_oneshot_fields(
     from .tokenize import tokenize_stage_fields
 
     fields = fields or {"body": "text"}
-    tokens = tokenize_stage_fields(docs, id_col, fields)
+    tokens = tokenize_stage_fields(docs, id_col, fields, positions=cfg.positions)
     # per-field stats, stored as ADDITIVE sums (n_docs, total_tokens) so a
     # segment merge of disjoint doc spaces can combine them exactly —
     # avgFieldLength = total_tokens / n_docs is derived at read time

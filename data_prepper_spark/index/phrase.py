@@ -218,17 +218,23 @@ def _range_kernel(term_seq: list[int], slop: int = 0):
     return fn
 
 
-def phrase_matches(searcher, phrase_text: str, slop: int = 0):
+def phrase_matches(searcher, phrase_text: str, slop: int = 0,
+                   field: str | None = None):
     """Matching docs of an exact phrase (slop=0) or ordered proximity
     phrase (slop>0, see :func:`_prox_match_rows`) as a localCheckpointed
     DataFrame (doc_id, tf_phrase, dl, first_pos) — first_pos is the
     0-based token position of the first occurrence (the highlighting
-    hook).  None when the phrase has no terms."""
+    hook).  None when the phrase has no terms.
+
+    ``field`` scopes the phrase to one field of a multi-field index
+    (terms become field:token; positions are field-local by
+    construction, so adjacency is within-field — Lucene's
+    field-qualified PhraseQuery)."""
     if not searcher.stats.get("positions"):
         raise ValueError(
             "phrase queries need a positional index (IndexConfig.positions=True)"
         )
-    terms = tokenize(phrase_text)
+    terms = _phrase_terms(searcher, phrase_text, field)
     if not terms:
         return None
     ids = {xxh64_signed(t): t for t in set(terms)}
@@ -257,6 +263,27 @@ def phrase_matches(searcher, phrase_text: str, slop: int = 0):
     return matched.localCheckpoint()  # consumers run 2 passes (df count + rank)
 
 
+def _phrase_terms(searcher, phrase_text: str, field: str | None):
+    """Tokenize, optionally namespacing into one field of a fields index."""
+    terms = tokenize(phrase_text)
+    if field is None:
+        return terms
+    if field not in searcher.field_stats:
+        raise ValueError(
+            f"unknown field {field!r}; index has {sorted(searcher.field_stats)}"
+        )
+    return [f"{field}:{t}" for t in terms]
+
+
+def _phrase_corpus_stats(searcher, field: str | None):
+    """(n_docs, avgdl) for phrase idf/length-norm — the FIELD's stats for
+    a field-scoped phrase (posting dls are field lengths there)."""
+    if field is None:
+        return searcher.n_docs, searcher.avgdl
+    fs = searcher.field_stats[field]
+    return fs["n_docs"], fs["avgdl"]
+
+
 def phrase_topk(
     searcher,
     phrase_text: str,
@@ -264,6 +291,7 @@ def phrase_topk(
     tie_round: int = 4,
     distributed: bool = True,
     slop: int = 0,
+    field: str | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, bm25_phrase_score) for an exact phrase (slop=0) or
     ordered proximity phrase (slop>0), global rank by
@@ -275,14 +303,15 @@ def phrase_topk(
     serving path: the same adjacency core over a bucket-pruned pyarrow
     read, no Spark job (mirrors BM25Searcher's driver mode)."""
     if not distributed:
-        return _phrase_topk_driver(searcher, phrase_text, k, tie_round, slop)
-    matched = phrase_matches(searcher, phrase_text, slop)
+        return _phrase_topk_driver(searcher, phrase_text, k, tie_round, slop, field)
+    matched = phrase_matches(searcher, phrase_text, slop, field)
     if matched is None:
         return []
     df_p = matched.count()
     if df_p == 0:
         return []
-    n, avgdl, k1, b = searcher.n_docs, searcher.avgdl, searcher.cfg.k1, searcher.cfg.b
+    n, avgdl = _phrase_corpus_stats(searcher, field)
+    k1, b = searcher.cfg.k1, searcher.cfg.b
     idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
     score = (
         F.lit(idf)
@@ -299,7 +328,8 @@ def phrase_topk(
 
 
 def _phrase_topk_driver(
-    searcher, phrase_text: str, k: int, tie_round: int, slop: int = 0
+    searcher, phrase_text: str, k: int, tie_round: int, slop: int = 0,
+    field: str | None = None,
 ) -> list[tuple[int, float]]:
     import pyarrow.dataset as pads
 
@@ -307,7 +337,7 @@ def _phrase_topk_driver(
         raise ValueError(
             "phrase queries need a positional index (IndexConfig.positions=True)"
         )
-    terms = tokenize(phrase_text)
+    terms = _phrase_terms(searcher, phrase_text, field)
     if not terms:
         return []
     ids = sorted({xxh64_signed(t) for t in terms})
@@ -340,7 +370,8 @@ def _phrase_topk_driver(
     if not docs:
         return []
     df_p = len(docs)
-    n, avgdl, k1, b = searcher.n_docs, searcher.avgdl, searcher.cfg.k1, searcher.cfg.b
+    n, avgdl = _phrase_corpus_stats(searcher, field)
+    k1, b = searcher.cfg.k1, searcher.cfg.b
     idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
     da = np.asarray(docs, dtype=np.int64)
     ta = np.asarray(tfs, dtype=np.float64)

@@ -156,7 +156,10 @@ def doc_src_from_pages(
 
 
 def tokenize_stage_fields(
-    docs: DataFrame, id_col: str, fields: dict[str, "Column | str"]
+    docs: DataFrame,
+    id_col: str,
+    fields: dict[str, "Column | str"],
+    positions: bool = False,
 ) -> DataFrame:
     """Multi-field tokens: per field, tokenize that field's text and
     namespace the term as ``field:token`` (Lucene's per-field term space —
@@ -172,7 +175,8 @@ def tokenize_stage_fields(
         col = fields[fname]
         col = F.col(col) if isinstance(col, str) else col
         toks = tokenize_stage_text(
-            docs.select(F.col(id_col).alias("doc_id"), col.alias("text"))
+            docs.select(F.col(id_col).alias("doc_id"), col.alias("text")),
+            positions=positions,
         )
         parts.append(
             toks.withColumn("term", F.concat(F.lit(fname + ":"), F.col("term")))

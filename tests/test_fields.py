@@ -169,3 +169,58 @@ def test_fields_merge_identity(spark, fields_index):
         got = search_fields(s_m, fq, k=10, field_boosts=boosts)
         want = search_fields(s_f, fq, k=10, field_boosts=boosts)
         assert got == want, fq
+
+
+def test_fields_phrase_scoped(spark):
+    """Field-scoped phrase queries on a positional fields index: the
+    phrase must match within ONE field (field-local positions), scored
+    with that field's docCount/avgFieldLength — Lucene's field-qualified
+    PhraseQuery."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.index.phrase import phrase_topk
+
+    d = tempfile.mkdtemp(prefix="dps_test_fieldsphrase_")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cfg = IndexConfig(range_bits=2, block_size=4, n_buckets=4, positions=True)
+    build_oneshot_fields(
+        spark, docs, d, cfg,
+        fields={"body": "text", "head": F.substring("text", 1, HEAD_LEN)},
+    )
+    s = BM25Searcher(spark, d)
+    oracle = _Oracle()
+
+    def phrase_oracle(field, phrase, k=10):
+        terms = tokenize(phrase)
+        matches = {}
+        for doc, text in DOCS:
+            toks = tokenize(_fields_of(text)[field])
+            tfp = sum(
+                1 for i in range(len(toks) - len(terms) + 1)
+                if toks[i : i + len(terms)] == terms
+            )
+            if tfp:
+                matches[doc] = (tfp, len(toks))
+        if not matches:
+            return []
+        n_f, avgdl_f = oracle.fstats[field]
+        idf = math.log(1 + (n_f - len(matches) + 0.5) / (len(matches) + 0.5))
+        scores = {
+            doc: idf * tfp * (K1 + 1) / (tfp + K1 * (1 - B + B * dl / avgdl_f))
+            for doc, (tfp, dl) in matches.items()
+        }
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for field, phrase in [
+        ("body", "quick brown"), ("head", "the quick"), ("body", "spark index"),
+        ("head", "spark index"),  # not inside any head
+        ("body", "the quick brown fox"),
+    ]:
+        want = phrase_oracle(field, phrase)
+        for dist in (False, True):
+            got = phrase_topk(s, phrase, k=10, field=field, distributed=dist)
+            assert [x for x, _ in got] == [x for x, _ in want], (field, phrase, dist)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-6, (field, phrase, dist)
+    with pytest.raises(ValueError):
+        phrase_topk(s, "quick brown", field="title")
