@@ -209,6 +209,66 @@ def cmd_bench(args) -> None:
     spark.stop()
 
 
+def cmd_stats(args) -> None:
+    """Inspect an index directory — no Spark session needed."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from data_prepper_spark.index.live import resolve_current
+
+    d = resolve_current(args.index_dir)
+    stats = pads.dataset(os.path.join(d, "stats")).to_table().to_pylist()[0]
+
+    def du(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    comp = {
+        name: du(os.path.join(d, name))
+        for name in ("postings", "termstats", "termdict", "docmeta")
+        if os.path.isdir(os.path.join(d, name))
+    }
+    # postings may nest as bgroup=G/term_bucket=B (resumable build) or
+    # term_bucket=B directly — collect bucket dirs at either depth
+    bdirs = []
+    for root, dirs, _files in os.walk(os.path.join(d, "postings")):
+        bdirs.extend(
+            os.path.join(root, n) for n in dirs if n.startswith("term_bucket=")
+        )
+    bsizes = [du(b) for b in bdirs]
+    tomb = os.path.join(d, "tombstones")
+    n_deleted = 0
+    if os.path.isdir(tomb):
+        t = pads.dataset(tomb).to_table()
+        n_deleted = t.num_rows
+    versions = sorted(
+        n for n in os.listdir(args.index_dir) if n.startswith("v=")
+    ) if os.path.isdir(args.index_dir) else []
+    out = {
+        "index_dir": d,
+        "n_docs": int(stats["n_docs"]),
+        "total_tokens": int(stats["total_tokens"]),
+        "avgdl": round(float(stats["avgdl"]), 2),
+        "codec": stats.get("codec"),
+        "positions": bool(stats.get("positions")),
+        "fields": sorted(__import__("json").loads(stats["fields_json"]))
+        if stats.get("fields_json") else None,
+        "n_buckets": int(stats.get("n_buckets", 0)),
+        "range_bits": int(stats.get("range_bits", 0)),
+        "block_size": int(stats.get("block_size", 0)),
+        "bytes": comp,
+        "bytes_per_doc": round(sum(comp.values()) / max(1, int(stats["n_docs"])), 1),
+        "bucket_skew": round(max(bsizes) / (sum(bsizes) / len(bsizes)), 2)
+        if bsizes else None,
+        "deleted_docs": n_deleted,
+        "live_versions": versions or None,
+    }
+    print(json.dumps(out))
+
+
 def cmd_publish(args) -> None:
     from data_prepper_spark.tables import publish_index
 
@@ -338,6 +398,10 @@ def main() -> None:
     ps.add_argument("--b", type=float, default=0.75)
     ps.add_argument("--codec", choices=["varint", "pfor"], default="varint")
     ps.set_defaults(fn=cmd_stream)
+
+    pt = sub.add_parser("stats", help="inspect an index (sizes, skew, config)")
+    pt.add_argument("--index-dir", required=True)
+    pt.set_defaults(fn=cmd_stats)
 
     pm = sub.add_parser("merge")
     pm.add_argument("--src", nargs="+", required=True,
