@@ -481,6 +481,26 @@ SELECT query_id, doc_id, score_r FROM wranked WHERE rn <= {FT_K}
 """
 
 
+def q_ft_merged_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean queries answered from the MERGED index (duplicate
+    (term_id, range_id) slice rows — the hardest decode shape: every
+    source's slice must fold into the conjunction, see
+    boolquery._merge_dup_slices).  Oracle: the same full-corpus boolean
+    SQL as ft_bool_topk — the merge must be invisible to BooleanQuery."""
+    from .index.boolquery import search_bool
+
+    idx = _merged_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, must, should, must_not in BOOL_QUERIES:
+        hits = search_bool(
+            s, must=must, should=should, must_not=must_not, k=FT_K,
+            distributed=True, tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
 # multi-field reference set: (qid, {field: query text}, {field: boost}) over
 # a fields index with body = text, head = substr(text, 1, 40)
 FIELDS_QUERIES: list[tuple[int, dict, dict]] = [
@@ -3890,6 +3910,7 @@ QUERIES = {
     "ft_sorted_topk": q_ft_sorted_topk,
     "ft_boosted_topk": q_ft_boosted_topk,
     "ft_fields_topk": q_ft_fields_topk,
+    "ft_merged_bool": q_ft_merged_bool,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_upsert_bm25": q_ft_upsert_bm25,
@@ -4003,6 +4024,7 @@ ORACLES = {
     "ft_sorted_topk": sql_ft_sorted_topk(),
     "ft_boosted_topk": sql_ft_boosted_topk(),
     "ft_fields_topk": sql_ft_fields_topk(),
+    "ft_merged_bool": sql_ft_bool_topk(),  # merge must be invisible
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_upsert_bm25": sql_ft_upsert_bm25(),
