@@ -501,6 +501,111 @@ def q_ft_merged_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
 
 
+# term-range reference set: (qid, lower, upper, include_lower, include_upper)
+TERMRANGE_QUERIES: list[tuple[int, str, str, bool, bool]] = [
+    (0, "a", "d", True, False),
+    (1, "q", "t", True, False),
+    (2, "line", "query", False, True),
+    (3, "s", "sz", True, False),
+]
+
+
+def q_ft_termrange_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-range queries (Lucene TermRangeQuery): the lexicographic
+    term range expands against the dictionary, then scores as a
+    should-group (SCORING_BOOLEAN_REWRITE)."""
+    from .index.boolquery import search_term_range
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, lo, hi, il, iu in TERMRANGE_QUERIES:
+        hits = search_term_range(
+            s, lo, hi, k=FT_K, include_lower=il, include_upper=iu,
+            distributed=True, tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_termrange_topk() -> str:
+    selects = []
+    for qid, lo, hi, il, iu in TERMRANGE_QUERIES:
+        lop = ">=" if il else ">"
+        hip = "<=" if iu else "<"
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term {lop} '{lo}' AND tf.term {hip} '{hi}'\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+tr_scores AS ({union}),
+tr_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM tr_scores
+)
+SELECT query_id, doc_id, score_r FROM tr_ranked WHERE rn <= {FT_K}
+"""
+
+
+def q_ft_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep paging (Lucene searchAfter / OpenSearch search_after): page 1
+    is the regular top-10; page 2 is the next 10 strictly after page 1's
+    last (rounded score, doc_id) cursor — no deep window, page N costs
+    page 1.  Oracle: ranks 11-20 of the same scoring."""
+    from .index.boolquery import search_bool
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        should = sorted(set(qtext.split()))
+        p1 = search_bool(s, should=should, k=FT_K, distributed=True, tie_round=4)
+        if len(p1) < FT_K:
+            continue  # no second page
+        cursor = (round(p1[-1][1], 4), p1[-1][0])
+        p2 = search_bool(
+            s, should=should, k=FT_K, distributed=True, tie_round=4,
+            after=cursor,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in p2)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_search_after() -> str:
+    return _ft_sql_base() + f""",
+sa_scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+sa_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY query_id) AS n_matches
+  FROM sa_scores
+)
+SELECT query_id, doc_id, score_r FROM sa_ranked
+WHERE rn BETWEEN {FT_K} + 1 AND 2 * {FT_K} AND n_matches >= {FT_K}
+"""
+
+
 # multi-field reference set: (qid, {field: query text}, {field: boost}) over
 # a fields index with body = text, head = substr(text, 1, 40)
 FIELDS_QUERIES: list[tuple[int, dict, dict]] = [
@@ -596,6 +701,83 @@ mf_ranked AS (
   FROM mf_scores
 )
 SELECT query_id, doc_id, score_r FROM mf_ranked WHERE rn <= {FT_K}
+"""
+
+
+# dis-max reference set: (qid, {field: query}, tie_breaker)
+DISMAX_QUERIES: list[tuple[int, dict, float]] = [
+    (0, {"body": "spark index", "head": "spark index"}, 0.0),
+    (1, {"body": "the data", "head": "table"}, 0.3),
+    (2, {"body": "merge join window", "head": "merge"}, 0.5),
+]
+
+
+def q_ft_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fields multi-field search (Lucene DisjunctionMaxQuery /
+    OpenSearch multi_match best_fields, index/fields.py): score = best
+    field's subquery score + tie_breaker × the rest."""
+    from .index.fields import search_dismax
+
+    idx = _fields_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, fq, tie in DISMAX_QUERIES:
+        hits = search_dismax(
+            s, fq, k=FT_K, tie_breaker=tie, distributed=True, tie_round=4
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_dismax_topk() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{f}:{t}')"
+        for qid, fq, _tie in DISMAX_QUERIES
+        for f, qtext in sorted(fq.items())
+        for t in sorted(set(qtext.split()))
+    )
+    tievals = ", ".join(f"({qid}, {tie})" for qid, _fq, tie in DISMAX_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, 'body:' || unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'head:' || unnest(regexp_extract_all(lower(substr(text, 1, 40)), '{TOKEN_RX}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+fdl AS (SELECT doc_id, split_part(term, ':', 1) AS fld, count(*)::BIGINT AS dl
+        FROM toks GROUP BY 1, 2),
+fstats AS (SELECT fld, count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+           FROM fdl GROUP BY 1),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {qvals}),
+ties(query_id, tie) AS (VALUES {tievals}),
+dm_field AS (
+  SELECT q.query_id, tf.doc_id, fdl.fld,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * fdl.dl / s.avgdl)) ) AS fscore
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN fdl ON fdl.doc_id = tf.doc_id AND fdl.fld = split_part(tf.term, ':', 1)
+  JOIN fstats s ON s.fld = fdl.fld
+  GROUP BY 1, 2, 3
+),
+dm_scores AS (
+  SELECT f.query_id, f.doc_id,
+         max(f.fscore) + t.tie::DOUBLE * (sum(f.fscore) - max(f.fscore)) AS score
+  FROM dm_field f JOIN ties t USING (query_id)
+  GROUP BY f.query_id, f.doc_id, t.tie
+),
+dm_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM dm_scores
+)
+SELECT query_id, doc_id, score_r FROM dm_ranked WHERE rn <= {FT_K}
 """
 
 
@@ -3911,6 +4093,9 @@ QUERIES = {
     "ft_boosted_topk": q_ft_boosted_topk,
     "ft_fields_topk": q_ft_fields_topk,
     "ft_merged_bool": q_ft_merged_bool,
+    "ft_termrange_topk": q_ft_termrange_topk,
+    "ft_search_after": q_ft_search_after,
+    "ft_dismax_topk": q_ft_dismax_topk,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_upsert_bm25": q_ft_upsert_bm25,
@@ -4025,6 +4210,9 @@ ORACLES = {
     "ft_boosted_topk": sql_ft_boosted_topk(),
     "ft_fields_topk": sql_ft_fields_topk(),
     "ft_merged_bool": sql_ft_bool_topk(),  # merge must be invisible
+    "ft_termrange_topk": sql_ft_termrange_topk(),
+    "ft_search_after": sql_ft_search_after(),
+    "ft_dismax_topk": sql_ft_dismax_topk(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_upsert_bm25": sql_ft_upsert_bm25(),

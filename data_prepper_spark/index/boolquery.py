@@ -272,6 +272,7 @@ def search_bool(
     distributed: bool = False,
     tie_round: int | None = None,
     boosts: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) under Lucene BooleanQuery semantics.
     *searcher* is a BM25Searcher.  ``tie_round`` ranks by
@@ -281,7 +282,17 @@ def search_bool(
     A boost scales that clause's score contribution; it folds into the
     per-term idf BEFORE accumulation, so every decode/scoring path
     (lazy, eager, distributed) inherits it with zero extra work and the
-    accumulation order stays the oracle's sorted-term order."""
+    accumulation order stays the oracle's sorted-term order.
+
+    ``after``: deep-paging cursor (Lucene searchAfter / OpenSearch
+    search_after) — the (rounded score, doc_id) of the previous page's
+    last hit; only docs strictly after it in (round(score, tie_round)
+    DESC, doc_id ASC) order are returned.  Requires ``tie_round`` (the
+    cursor is defined on ROUNDED scores so it is stable across
+    serving modes and against the SQL oracle).  Rank-stable paging with
+    no deep window: page N costs the same as page 1."""
+    if after is not None and tie_round is None:
+        raise ValueError("after= requires tie_round (cursor on rounded scores)")
     must = _norm_terms(must)
     should = [t for t in _norm_terms(should) if t not in must]
     must_not = _norm_terms(must_not)
@@ -318,7 +329,7 @@ def search_bool(
     if distributed:
         return _search_bool_distributed(
             searcher, ids, live_ids, buckets, must_ids, not_ids, scoring,
-            idf, k, tie_round,
+            idf, k, tie_round, after,
         )
     rows = searcher._pruned_slice_rows(live_ids, buckets)
     rows_by_range: dict[int, list] = {}
@@ -354,7 +365,14 @@ def search_bool(
     if da.size == 0:
         return []
     if tie_round is not None:
-        order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+        r = np.round(sc, tie_round)
+        if after is not None:
+            a_s, a_d = after
+            keep = (r < a_s) | ((r == a_s) & (da > a_d))
+            da, sc, r = da[keep], sc[keep], r[keep]
+            if da.size == 0:
+                return []
+        order = np.lexsort((da, -r))[:k]
         return [(int(da[i]), float(sc[i])) for i in order]
     ids_k, sc_k = topk_select(da, sc, k)
     return list(zip(ids_k.tolist(), sc_k.tolist()))
@@ -362,7 +380,7 @@ def search_bool(
 
 def _search_bool_distributed(
     searcher, labels, live_ids, buckets, must_ids, not_ids, scoring, idf,
-    k, tie_round,
+    k, tie_round, after=None,
 ):
     """Per-docID-range applyInPandas boolean evaluation + global
     TakeOrdered — the scale path (a range holds every term's postings for
@@ -395,9 +413,14 @@ def _search_bool_distributed(
         .applyInPandas(eval_range, schema="doc_id long, score double")
     )
     if tie_round is not None:
-        ordered = scored.orderBy(
-            F.round(F.col("score"), tie_round).desc(), F.asc("doc_id")
-        )
+        r = F.round(F.col("score"), tie_round)
+        if after is not None:
+            a_s, a_d = after
+            scored = scored.filter(
+                (r < F.lit(a_s))
+                | ((r == F.lit(a_s)) & (F.col("doc_id") > F.lit(int(a_d))))
+            )
+        ordered = scored.orderBy(r.desc(), F.asc("doc_id"))
     else:
         ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
     out = ordered.limit(k).collect()
@@ -527,6 +550,61 @@ def search_fuzzy(
     rewrite (each expanded term scores with its own idf —
     SCORING_BOOLEAN_REWRITE, like prefix)."""
     terms = expand_fuzzy(searcher, term, max_edits, prefix_len, max_expansions)
+    if not terms:
+        return []
+    return search_bool(
+        searcher, should=terms, k=k, distributed=distributed,
+        tie_round=tie_round,
+    )
+
+
+# -------------------------------------------------------------- term range
+
+def expand_term_range(
+    searcher,
+    lower: str | None,
+    upper: str | None,
+    include_lower: bool = True,
+    include_upper: bool = False,
+    max_expansions: int = 1024,
+) -> list[str]:
+    """Concrete terms in the lexicographic range [lower, upper) (bounds
+    inclusive/exclusive per flags; None = open end) from the term
+    dictionary — Lucene TermRangeQuery.  Same vocabulary-bounded scan as
+    prefix/fuzzy/wildcard."""
+    ds = pads.dataset(f"{searcher.index_dir}/termdict", partitioning="hive")
+    col = ds.to_table(columns=["term"])["term"]
+    m = None
+    if lower is not None:
+        c = pc.greater_equal(col, lower) if include_lower else pc.greater(col, lower)
+        m = c
+    if upper is not None:
+        c = pc.less_equal(col, upper) if include_upper else pc.less(col, upper)
+        m = c if m is None else pc.and_(m, c)
+    terms = sorted(set((col.filter(m) if m is not None else col).to_pylist()))
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"range [{lower!r},{upper!r}] expands to {len(terms)} terms "
+            f"(> max_expansions={max_expansions})"
+        )
+    return terms
+
+
+def search_term_range(
+    searcher,
+    lower: str | None,
+    upper: str | None,
+    k: int = 10,
+    include_lower: bool = True,
+    include_upper: bool = False,
+    distributed: bool = False,
+    tie_round: int | None = None,
+    max_expansions: int = 1024,
+) -> list[tuple[int, float]]:
+    """Term-range top-k: dictionary expansion → scoring-boolean rewrite."""
+    terms = expand_term_range(
+        searcher, lower, upper, include_lower, include_upper, max_expansions
+    )
     if not terms:
         return []
     return search_bool(

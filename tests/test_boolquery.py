@@ -315,3 +315,48 @@ def test_boost_scales_contributions(spark, tiny_index, oracle_tiny):
     _assert_rank_identical(dst, got, "boosted distributed")
     with pytest.raises(ValueError):
         search_bool(s, must=["the"], k=5, boosts={"engine": 2.0})
+
+
+def test_term_range_expansion_and_search(spark, tiny_index, oracle_tiny):
+    from data_prepper_spark.index.boolquery import (
+        expand_term_range,
+        search_term_range,
+    )
+
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    vocab = sorted(oracle_tiny.postings)
+    lo, hi = vocab[3], vocab[9]
+    got = expand_term_range(s, lo, hi)
+    assert got == [t for t in vocab if lo <= t < hi]
+    assert expand_term_range(s, lo, hi, include_lower=False,
+                             include_upper=True) == \
+        [t for t in vocab if lo < t <= hi]
+    assert expand_term_range(s, None, vocab[2]) == vocab[:2]
+    assert expand_term_range(s, vocab[-2], None) == vocab[-2:]
+    exp = [t for t in vocab if lo <= t < hi]
+    want = _bool_oracle(oracle_tiny, [], exp, [])
+    _assert_rank_identical(search_term_range(s, lo, hi, k=10), want, (lo, hi))
+    with pytest.raises(ValueError):
+        expand_term_range(s, None, None, max_expansions=3)
+
+
+def test_search_after_pagination(spark, tiny_index, oracle_tiny):
+    """search_after pages concatenate to exactly the one-shot top-k, with
+    no overlap, in both serving modes (cursor on rounded scores)."""
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    full = search_bool(s, should=["the", "data", "spark"], k=15, tie_round=6)
+    p1 = search_bool(s, should=["the", "data", "spark"], k=5, tie_round=6)
+    cur = (round(p1[-1][1], 6), p1[-1][0])
+    p2 = search_bool(s, should=["the", "data", "spark"], k=5, tie_round=6,
+                     after=cur)
+    cur2 = (round(p2[-1][1], 6), p2[-1][0])
+    p3 = search_bool(s, should=["the", "data", "spark"], k=5, tie_round=6,
+                     after=cur2)
+    assert p1 + p2 + p3 == full
+    d2 = search_bool(s, should=["the", "data", "spark"], k=5, tie_round=6,
+                     after=cur, distributed=True)
+    assert [d for d, _ in d2] == [d for d, _ in p2]
+    with pytest.raises(ValueError):
+        search_bool(s, should=["the"], k=5, after=(1.0, 0))  # needs tie_round

@@ -224,3 +224,41 @@ def test_fields_phrase_scoped(spark):
                 assert abs(gs - ws) < 1e-6, (field, phrase, dist)
     with pytest.raises(ValueError):
         phrase_topk(s, "quick brown", field="title")
+
+
+def test_dismax_matches_oracle(spark, fields_index):
+    """DisjunctionMaxQuery: best field + tie_breaker × rest; tie=1.0
+    degenerates to the summing search_fields."""
+    from data_prepper_spark.index.fields import search_dismax
+
+    s = BM25Searcher(spark, fields_index)
+    oracle = _Oracle()
+
+    def dismax_oracle(fq, tie, k=10):
+        per_doc = {}
+        for f in sorted(fq):
+            fs = dict(oracle.topk({f: fq[f]}, k=10**9))
+            for d, sc in fs.items():
+                per_doc.setdefault(d, {})[f] = sc
+        scores = {
+            d: max(v.values()) + tie * (sum(v.values()) - max(v.values()))
+            for d, v in per_doc.items()
+        }
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for fq in [{"body": "spark index", "head": "spark"},
+               {"body": "the data", "head": "the quick"}]:
+        for tie in (0.0, 0.3):
+            want = dismax_oracle(fq, tie)
+            got = search_dismax(s, fq, k=10, tie_breaker=tie)
+            assert [d for d, _ in got] == [d for d, _ in want], (fq, tie)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9, (fq, tie)
+        # tie=1.0 == summing semantics
+        summed = search_fields(s, fq, k=10)
+        dm1 = search_dismax(s, fq, k=10, tie_breaker=1.0)
+        assert [d for d, _ in dm1] == [d for d, _ in summed]
+        assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(dm1, summed))
+        dst = search_dismax(s, fq, k=10, tie_breaker=0.3, distributed=True)
+        drv = search_dismax(s, fq, k=10, tie_breaker=0.3)
+        assert [d for d, _ in dst] == [d for d, _ in drv]
