@@ -704,6 +704,136 @@ SELECT query_id, doc_id, score_r FROM mf_ranked WHERE rn <= {FT_K}
 """
 
 
+# regexp reference set (Lucene RegexpQuery — anchored RE2)
+REGEXP_QUERIES: list[tuple[int, str]] = [
+    (0, "s.*n"),            # scan (and any s…n term)
+    (1, "(merge|join)s?"),
+    (2, "[bh]a[st].*"),
+    (3, "qu.+"),
+]
+
+# aggregation reference sets over the match set (OpenSearch aggs)
+AGG_TERMS_QUERIES: list[tuple[int, str, str]] = [
+    (0, "spark index", "lang"),
+    (1, "merge join", "source"),
+    (2, "the", "lang"),
+]
+AGG_HIST_QUERIES: list[tuple[int, str, int]] = [
+    (0, "spark index", 50),
+    (1, "table scan", 100),
+    (2, "the", 25),
+]
+
+
+def q_ft_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp queries (Lucene RegexpQuery, anchored): dictionary
+    expansion with an RE2 full-match, then the scoring-boolean rewrite."""
+    from .index.boolquery import search_regexp
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, pat in REGEXP_QUERIES:
+        hits = search_regexp(s, pat, k=FT_K, distributed=True, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_regexp_topk() -> str:
+    rvals = ", ".join(f"({qid}, '^({p})$')" for qid, p in REGEXP_QUERIES)
+    return _ft_sql_base() + f""",
+rq(query_id, pat) AS (VALUES {rvals}),
+rexp AS (
+  SELECT rq.query_id, df.term, df.df FROM rq
+  JOIN df ON regexp_matches(df.term, rq.pat)
+),
+rscores AS (
+  SELECT e.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM rexp e
+  JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+rranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM rscores
+)
+SELECT query_id, doc_id, score_r FROM rranked WHERE rn <= {FT_K}
+"""
+
+
+def q_ft_agg_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms aggregation over the match set (OpenSearch aggs:terms,
+    index/filtered.py match_agg_terms): distinct docvalues of docs
+    matching ANY query term, with counts.  Distributed cogroup path —
+    only (value, count) partials cross the shuffle."""
+    from .index.filtered import match_agg_terms
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, fieldc in AGG_TERMS_QUERIES:
+        for v, n in match_agg_terms(s, qtext, fieldc, distributed=True):
+            rows.append((qid, str(v), n))
+    return spark.createDataFrame(rows, "query_id int, bucket string, n long")
+
+
+def sql_ft_agg_terms() -> str:
+    selects = []
+    for qid, qtext, fieldc in AGG_TERMS_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, d.{fieldc}::VARCHAR AS bucket,\n"
+            f"       count(*)::BIGINT AS n\n"
+            f"FROM documents d\n"
+            f"WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram aggregation over the match set (OpenSearch
+    aggs:histogram): counts per fixed-width n_chars bucket."""
+    from .index.filtered import match_agg_histogram
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, width in AGG_HIST_QUERIES:
+        for b, n in match_agg_histogram(s, qtext, "n_chars", width,
+                                        distributed=True):
+            rows.append((qid, float(b), n))
+    return spark.createDataFrame(rows, "query_id int, bucket double, n long")
+
+
+def sql_ft_agg_histogram() -> str:
+    selects = []
+    for qid, qtext, width in AGG_HIST_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id,\n"
+            f"       floor(d.n_chars::DOUBLE / {width}) * {width} AS bucket,\n"
+            f"       count(*)::BIGINT AS n\n"
+            f"FROM documents d\n"
+            f"WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 # dis-max reference set: (qid, {field: query}, tie_breaker)
 DISMAX_QUERIES: list[tuple[int, dict, float]] = [
     (0, {"body": "spark index", "head": "spark index"}, 0.0),
@@ -4096,6 +4226,9 @@ QUERIES = {
     "ft_termrange_topk": q_ft_termrange_topk,
     "ft_search_after": q_ft_search_after,
     "ft_dismax_topk": q_ft_dismax_topk,
+    "ft_regexp_topk": q_ft_regexp_topk,
+    "ft_agg_terms": q_ft_agg_terms,
+    "ft_agg_histogram": q_ft_agg_histogram,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_upsert_bm25": q_ft_upsert_bm25,
@@ -4213,6 +4346,9 @@ ORACLES = {
     "ft_termrange_topk": sql_ft_termrange_topk(),
     "ft_search_after": sql_ft_search_after(),
     "ft_dismax_topk": sql_ft_dismax_topk(),
+    "ft_regexp_topk": sql_ft_regexp_topk(),
+    "ft_agg_terms": sql_ft_agg_terms(),
+    "ft_agg_histogram": sql_ft_agg_histogram(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_upsert_bm25": sql_ft_upsert_bm25(),

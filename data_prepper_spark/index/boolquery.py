@@ -648,6 +648,43 @@ def expand_wildcard(
     return terms
 
 
+def expand_regexp(
+    searcher, pattern: str, max_expansions: int = 1024
+) -> list[str]:
+    """Concrete terms fully matching the RE2 *pattern* (Lucene
+    RegexpQuery — anchored, like Lucene's): vocabulary scan, then the
+    scoring-boolean rewrite via :func:`search_regexp`."""
+    ds = pads.dataset(f"{searcher.index_dir}/termdict", partitioning="hive")
+    col = ds.to_table(columns=["term"])["term"]
+    m = pc.match_substring_regex(col, pattern=f"^(?:{pattern})$")
+    terms = sorted(set(col.filter(m).to_pylist()))
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"regexp '{pattern}' expands to {len(terms)} terms "
+            f"(> max_expansions={max_expansions})"
+        )
+    return terms
+
+
+def search_regexp(
+    searcher,
+    pattern: str,
+    k: int = 10,
+    distributed: bool = False,
+    tie_round: int | None = None,
+    max_expansions: int = 1024,
+) -> list[tuple[int, float]]:
+    """Regexp top-k: anchored-regex dictionary expansion → scoring-boolean
+    rewrite."""
+    terms = expand_regexp(searcher, pattern, max_expansions)
+    if not terms:
+        return []
+    return search_bool(
+        searcher, should=terms, k=k, distributed=distributed,
+        tie_round=tie_round,
+    )
+
+
 def search_wildcard(
     searcher,
     pattern: str,

@@ -356,6 +356,146 @@ def search_sorted(
     return [(int(d), _py(v)) for d, v in zip(i_k, v_k)]
 
 
+def _matched_with_values(searcher, ids, buckets, filters, value_field):
+    """Driver-mode shared core for match-set aggregations: sorted matched
+    docIDs of the OR query (docID streams only) joined to one docvalues
+    column, filters applied.  Returns the matched docs' values array."""
+    ds = pads.dataset(f"{searcher.index_dir}/docmeta")
+    flt = pa_filter_expr(filters) if filters else None
+    tbl = ds.to_table(columns=["doc_id", value_field], filter=flt)
+    meta_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    meta_vals = tbl[value_field].to_numpy(zero_copy_only=False)
+    order = np.argsort(meta_ids)
+    meta_ids, meta_vals = meta_ids[order], meta_vals[order]
+    rows = searcher._pruned_slice_rows(list(ids), buckets)
+    rows_by_range: dict[int, list] = {}
+    for r in rows:
+        rows_by_range.setdefault(int(r["range_id"]), []).append(r)
+    no_tombs = np.empty(0, dtype=np.int64)
+    out = []
+    for rr in rows_by_range.values():
+        slices_by_id, is_lazy = _decode_range(
+            rr, ids, {}, searcher.legacy_codec, no_tombs,
+            searcher.cfg.block_size,
+        )
+        matched = _matched_union(slices_by_id, is_lazy)
+        if searcher.deleted.size:
+            matched = matched[~_member(matched, searcher.deleted)]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size:
+            out.append(meta_vals[np.searchsorted(meta_ids, matched)])
+    if not out:
+        return np.empty(0, dtype=meta_vals.dtype)
+    return np.concatenate(out)
+
+
+def match_agg_terms(
+    searcher, query_text: str, field: str, filters=(), distributed: bool = False
+) -> list[tuple[object, int]]:
+    """Terms aggregation over the match set (OpenSearch `aggs: {terms}`):
+    distinct values of a docvalues field among docs matching ANY query
+    term, with counts, sorted by value.  Distributed mode cogroups per
+    docID range and partial-counts before the global combine (map-side
+    combine shape — only (value, count) pairs cross the shuffle)."""
+    _check_filters(filters)
+    _, ids, buckets = searcher._terms_buckets(query_text)
+    dfs = searcher.term_stats(ids, buckets)
+    ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
+    if not ids:
+        return []
+    if distributed:
+        return _agg_distributed(
+            searcher, ids, buckets, field, filters,
+            lambda v: v,  # identity bucketing
+        )
+    vals = _matched_with_values(searcher, ids, buckets, filters, field)
+    uniq, counts = np.unique(vals, return_counts=True)
+    return [(u.item() if hasattr(u, "item") else u, int(c))
+            for u, c in zip(uniq, counts)]
+
+
+def match_agg_histogram(
+    searcher, query_text: str, field: str, width: float, filters=(),
+    distributed: bool = False,
+) -> list[tuple[float, int]]:
+    """Histogram aggregation over the match set (OpenSearch `aggs:
+    {histogram}`): counts per fixed-width bucket of a numeric docvalues
+    field; bucket label = floor(value / width) · width."""
+    _check_filters(filters)
+    _, ids, buckets = searcher._terms_buckets(query_text)
+    dfs = searcher.term_stats(ids, buckets)
+    ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
+    if not ids:
+        return []
+
+    def bucketer(v):
+        return np.floor(v.astype(np.float64) / width) * width
+
+    if distributed:
+        return _agg_distributed(searcher, ids, buckets, field, filters, bucketer)
+    vals = _matched_with_values(searcher, ids, buckets, filters, field)
+    if vals.size == 0:
+        return []
+    b = bucketer(vals)
+    uniq, counts = np.unique(b, return_counts=True)
+    return [(float(u), int(c)) for u, c in zip(uniq, counts)]
+
+
+def _agg_distributed(searcher, labels, buckets, field, filters, bucketer):
+    """Scale path for aggregations: per-range match ∩ docvalues →
+    per-range partial counts → global groupBy(bucket).sum."""
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+    no_tombs = np.empty(0, dtype=np.int64)
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty or meta_pdf.empty:
+            return pd.DataFrame({"bucket": [], "n": []})
+        slices_by_id, is_lazy = _decode_range(
+            post_pdf.to_dict("records"), labels, {}, legacy, no_tombs,
+            cfg.block_size,
+        )
+        matched = _matched_union(slices_by_id, is_lazy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        meta_vals = meta_pdf["v"].to_numpy()
+        order = np.argsort(meta_ids)
+        meta_ids, meta_vals = meta_ids[order], meta_vals[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return pd.DataFrame({"bucket": [], "n": []})
+        b = bucketer(meta_vals[np.searchsorted(meta_ids, matched)])
+        uniq, counts = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": uniq, "n": counts.astype(np.int64)})
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id", F.col(field).alias("v")
+    )
+    v_t = dict(meta.dtypes)["v"]
+    bucket_t = v_t if v_t in ("string",) else "double"
+    agg = (
+        searcher._pruned_slices(list(labels), buckets)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema=f"bucket {bucket_t}, n long")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("bucket")
+        .collect()
+    )
+    out = []
+    for r in agg:
+        v = r["bucket"]
+        out.append((float(v) if isinstance(v, float) else v, int(r["n"])))
+    return out
+
+
 def _search_sorted_distributed(
     searcher, labels, buckets, sort_field, k, ascending, filters
 ):

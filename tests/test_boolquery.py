@@ -360,3 +360,22 @@ def test_search_after_pagination(spark, tiny_index, oracle_tiny):
     assert [d for d, _ in d2] == [d for d, _ in p2]
     with pytest.raises(ValueError):
         search_bool(s, should=["the"], k=5, after=(1.0, 0))  # needs tie_round
+
+
+def test_regexp_expansion_and_search(spark, tiny_index, oracle_tiny):
+    import re
+
+    from data_prepper_spark.index.boolquery import (
+        expand_regexp,
+        search_regexp,
+    )
+
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    vocab = sorted(oracle_tiny.postings)
+    for pat in ["th.*", "d(ata|og)", "[ws].*k?", "tok0[01].*"]:
+        want = sorted(t for t in vocab if re.fullmatch(pat, t))
+        assert expand_regexp(s, pat) == want, pat
+    exp = sorted(t for t in vocab if re.fullmatch("th.*", t))
+    want = _bool_oracle(oracle_tiny, [], exp, [])
+    _assert_rank_identical(search_regexp(s, "th.*", k=10), want, "th.*")

@@ -264,3 +264,31 @@ def test_filtered_wand_route_identity(spark, filtered_index, oracle_tiny,
             _assert_rank_identical(wand_path, want, (qtext, flt, "oracle"))
     finally:
         fl.BMW_COVERAGE_THRESHOLD = orig
+
+
+def test_match_aggs(spark, filtered_index, oracle_tiny, ts_by_doc):
+    """Terms + histogram aggregations over the match set: driver ==
+    distributed == a set-arithmetic oracle; filters compose."""
+    from data_prepper_spark.index.filtered import (
+        match_agg_histogram,
+        match_agg_terms,
+    )
+
+    s = BM25Searcher(spark, filtered_index)
+    matched = set()
+    for t in ("data", "the"):
+        matched |= set(oracle_tiny.postings.get(t, ()))
+    # terms agg on lang: all-'en' corpus → one bucket with the match count
+    got = match_agg_terms(s, "the data", "lang")
+    assert got == [("en", len(matched))]
+    assert match_agg_terms(s, "the data", "lang", distributed=True) == got
+    # histogram on warc_ts epoch seconds is awkward — bucket by a filter
+    # instead: count under two disjoint time filters must partition
+    flt_lo = [("warc_ts", "<", _ts(500))]
+    flt_hi = [("warc_ts", ">=", _ts(500))]
+    lo = match_agg_terms(s, "the data", "lang", filters=flt_lo)
+    hi = match_agg_terms(s, "the data", "lang", filters=flt_hi)
+    assert lo[0][1] + hi[0][1] == len(matched)
+    dlo = match_agg_terms(s, "the data", "lang", filters=flt_lo,
+                          distributed=True)
+    assert dlo == lo
