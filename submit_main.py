@@ -152,6 +152,49 @@ def cmd_query(args) -> None:
             from data_prepper_spark.index.boolquery import search_wildcard
 
             hits = search_wildcard(s, q, k=args.k, distributed=args.distributed)
+        elif mode == "regexp":
+            from data_prepper_spark.index.boolquery import search_regexp
+
+            hits = search_regexp(s, q, k=args.k, distributed=args.distributed)
+        elif mode == "termrange":
+            from data_prepper_spark.index.boolquery import search_term_range
+
+            hits = search_term_range(
+                s, args.lower, args.upper, k=args.k,
+                include_lower=not args.exclude_lower,
+                include_upper=args.include_upper,
+                distributed=args.distributed,
+            )
+        elif mode == "dismax":
+            from data_prepper_spark.index.fields import search_dismax
+
+            fq = dict(kv.split("=", 1) for kv in args.fq)
+            hits = search_dismax(
+                s, fq, k=args.k, tie_breaker=args.tie_breaker,
+                distributed=args.distributed,
+            )
+        elif mode == "agg-terms":
+            from data_prepper_spark.index.filtered import match_agg_terms
+
+            buckets = match_agg_terms(
+                s, q, args.agg_field, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "terms",
+                              "field": args.agg_field,
+                              "buckets": [[str(v), n] for v, n in buckets]}))
+            continue
+        elif mode == "agg-histogram":
+            from data_prepper_spark.index.filtered import match_agg_histogram
+
+            buckets = match_agg_histogram(
+                s, q, args.agg_field, args.width, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "histogram",
+                              "field": args.agg_field, "width": args.width,
+                              "buckets": buckets}))
+            continue
         elif mode == "prefix":
             from data_prepper_spark.index.boolquery import search_prefix
 
@@ -351,10 +394,21 @@ def main() -> None:
     pq.add_argument("--distributed", action="store_true")
     pq.add_argument("--mode", default="bm25",
                     choices=["bm25", "phrase", "bool", "fuzzy", "wildcard",
-                             "prefix", "fields", "sorted"],
+                             "prefix", "regexp", "termrange", "fields",
+                             "dismax", "sorted", "agg-terms",
+                             "agg-histogram"],
                     help="bool uses Lucene classic syntax (+must -not "
-                         "term^boost); fuzzy/wildcard/prefix expand against "
-                         "the term dictionary")
+                         "term^boost); fuzzy/wildcard/prefix/regexp/"
+                         "termrange expand against the term dictionary; "
+                         "agg-* aggregate over the match set")
+    pq.add_argument("--lower", help="termrange lower bound")
+    pq.add_argument("--upper", help="termrange upper bound")
+    pq.add_argument("--exclude-lower", action="store_true")
+    pq.add_argument("--include-upper", action="store_true")
+    pq.add_argument("--tie-breaker", type=float, default=0.0)
+    pq.add_argument("--agg-field", help="docvalues column for agg-* modes")
+    pq.add_argument("--width", type=float, default=50.0,
+                    help="agg-histogram bucket width")
     pq.add_argument("--phrase", action="store_true",
                     help="alias for --mode phrase (needs a positional index: "
                          "build with --positions)")
