@@ -834,6 +834,67 @@ def sql_ft_agg_histogram() -> str:
 """
 
 
+# function_score reference set: (qid, query, spec, SQL factor expression)
+FNSCORE_QUERIES: list[tuple[int, str, dict, str]] = [
+    (0, "spark index",
+     {"field_value_factor": {"factor": 0.1, "modifier": "log1p"}},
+     "ln(1 + 0.1 * d.n_chars)"),
+    (1, "table scan",
+     {"field_value_factor": {"factor": 1.0, "modifier": "sqrt"}},
+     "sqrt(d.n_chars::DOUBLE)"),
+    (2, "the",
+     {"exp_decay": {"origin": 300, "scale": 100}},
+     "exp(ln(0.5) * abs(d.n_chars - 300)::DOUBLE / 100)"),
+]
+
+
+def q_ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score (OpenSearch): BM25 × docvalues factor —
+    field_value_factor modifiers and exponential decay (the
+    relevance-times-freshness ranking; index/filtered.py
+    search_function_score).  Distributed cogroup path."""
+    from .index.filtered import search_function_score
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, spec, _sql in FNSCORE_QUERIES:
+        hits = search_function_score(
+            s, qtext, "n_chars", spec, k=FT_K, distributed=True, tie_round=4
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_function_score() -> str:
+    selects = []
+    for qid, qtext, _spec, factor_sql in FNSCORE_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) )\n"
+            f"  * any_value({factor_sql}) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"JOIN documents d ON d.doc_id = tf.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({terms})\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+fs_scores AS ({union}),
+fs_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM fs_scores
+)
+SELECT query_id, doc_id, score_r FROM fs_ranked WHERE rn <= {FT_K}
+"""
+
+
 # dis-max reference set: (qid, {field: query}, tie_breaker)
 DISMAX_QUERIES: list[tuple[int, dict, float]] = [
     (0, {"body": "spark index", "head": "spark index"}, 0.0),
@@ -4229,6 +4290,7 @@ QUERIES = {
     "ft_regexp_topk": q_ft_regexp_topk,
     "ft_agg_terms": q_ft_agg_terms,
     "ft_agg_histogram": q_ft_agg_histogram,
+    "ft_function_score": q_ft_function_score,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_upsert_bm25": q_ft_upsert_bm25,
@@ -4349,6 +4411,7 @@ ORACLES = {
     "ft_regexp_topk": sql_ft_regexp_topk(),
     "ft_agg_terms": sql_ft_agg_terms(),
     "ft_agg_histogram": sql_ft_agg_histogram(),
+    "ft_function_score": sql_ft_function_score(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_upsert_bm25": sql_ft_upsert_bm25(),

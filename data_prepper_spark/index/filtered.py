@@ -356,6 +356,180 @@ def search_sorted(
     return [(int(d), _py(v)) for d, v in zip(i_k, v_k)]
 
 
+def _factor_fn(spec: dict):
+    """Compile a function_score factor spec → vectorized numpy fn over a
+    docvalues array.  Shapes (OpenSearch function_score):
+
+    - ``{"field_value_factor": {"factor": f, "modifier": m}}`` with
+      modifier ∈ {none, log1p, sqrt}: value → modifier(f · value);
+    - ``{"exp_decay": {"origin": o, "scale" : s}}``: exp(ln(0.5) ·
+      |value − origin| / scale) — 1.0 at the origin, 0.5 at one scale
+      away (datetime origins/scales work via int64-ns arithmetic).
+    """
+    if "field_value_factor" in spec:
+        p = spec["field_value_factor"]
+        f = float(p.get("factor", 1.0))
+        mod = p.get("modifier", "none")
+        if mod == "log1p":
+            return lambda v: np.log1p(f * v.astype(np.float64))
+        if mod == "sqrt":
+            return lambda v: np.sqrt(f * v.astype(np.float64))
+        if mod == "none":
+            return lambda v: f * v.astype(np.float64)
+        raise ValueError(f"unknown modifier {mod!r}")
+    if "exp_decay" in spec:
+        p = spec["exp_decay"]
+        origin, scale = p["origin"], p["scale"]
+        if hasattr(origin, "timestamp"):  # datetime origin → ns arithmetic
+            o_ns = int(origin.timestamp() * 1e9)
+            s_ns = float(scale.total_seconds() * 1e9)
+
+            def fn(v):
+                ns = v.astype("datetime64[ns]").astype(np.int64)
+                return np.exp(
+                    np.log(0.5) * np.abs(ns - o_ns).astype(np.float64) / s_ns
+                )
+
+            return fn
+        o, sc = float(origin), float(scale)
+        return lambda v: np.exp(
+            np.log(0.5) * np.abs(v.astype(np.float64) - o) / sc
+        )
+    raise ValueError(f"unknown function_score spec {sorted(spec)}")
+
+
+def search_function_score(
+    searcher,
+    query_text: str,
+    field: str,
+    spec: dict,
+    k: int = 10,
+    filters=(),
+    distributed: bool = False,
+    tie_round: int | None = None,
+) -> list[tuple[int, float]]:
+    """function_score (OpenSearch): final score = BM25 × factor(field
+    docvalue) — field_value_factor modifiers or exponential recency
+    decay.  The classic relevance-times-freshness ranking; the factor
+    multiplies AFTER the full BM25 sum, so term accumulation order stays
+    the oracle's.  Distributed mode cogroups the scored match set with
+    docvalues per docID range (the factor never sees another range)."""
+    _check_filters(filters)
+    fn = _factor_fn(spec)
+    _, ids, buckets = searcher._terms_buckets(query_text)
+    dfs = searcher.term_stats(ids, buckets)
+    ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
+    if not ids:
+        return []
+    idf = {i: idf_value(searcher.n_docs, dfs[i]) for i in ids}
+    scoring = sorted(ids, key=lambda i: ids[i])
+    cfg = searcher.cfg
+    if distributed:
+        return _function_score_distributed(
+            searcher, ids, buckets, scoring, idf, fn, field, filters, k,
+            tie_round,
+        )
+    ds = pads.dataset(f"{searcher.index_dir}/docmeta")
+    flt = pa_filter_expr(filters) if filters else None
+    tbl = ds.to_table(columns=["doc_id", field], filter=flt)
+    meta_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    meta_vals = tbl[field].to_numpy(zero_copy_only=False)
+    order = np.argsort(meta_ids)
+    meta_ids, meta_vals = meta_ids[order], meta_vals[order]
+    rows = searcher._pruned_slice_rows(list(ids), buckets)
+    rows_by_range: dict[int, list] = {}
+    for r in rows:
+        rows_by_range.setdefault(int(r["range_id"]), []).append(r)
+    out_ids, out_sc = [], []
+    for rr in rows_by_range.values():
+        slices_by_id, is_lazy = _decode_range(
+            rr, ids, idf, searcher.legacy_codec, searcher.deleted,
+            cfg.block_size,
+        )
+        if is_lazy:
+            slices_by_id = {
+                i: s.to_term_slice() for i, s in slices_by_id.items() if s.n
+            }
+        subs = [s for s in slices_by_id.values() if s.doc_ids.size]
+        if not subs:
+            continue
+        i_r, s_r = score_brute(subs, cfg.k1, cfg.b, searcher.avgdl)
+        keep = _member(i_r, meta_ids)  # filters drop non-members
+        i_r, s_r = i_r[keep], s_r[keep]
+        if i_r.size == 0:
+            continue
+        s_r = s_r * fn(meta_vals[np.searchsorted(meta_ids, i_r)])
+        out_ids.append(i_r)
+        out_sc.append(s_r)
+    if not out_ids:
+        return []
+    da = np.concatenate(out_ids)
+    sc = np.concatenate(out_sc)
+    if tie_round is not None:
+        order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+        return [(int(da[i]), float(sc[i])) for i in order]
+    ids_k, sc_k = topk_select(da, sc, k)
+    return list(zip(ids_k.tolist(), sc_k.tolist()))
+
+
+def _function_score_distributed(
+    searcher, labels, buckets, scoring, idf, fn, field, filters, k, tie_round
+):
+    from .tokenize import range_id_col
+
+    cfg, avgdl, legacy = searcher.cfg, searcher.avgdl, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty or meta_pdf.empty:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        slices_by_id, is_lazy = _decode_range(
+            post_pdf.to_dict("records"), labels, idf, legacy, deleted,
+            cfg.block_size,
+        )
+        if is_lazy:
+            slices_by_id = {
+                i: s.to_term_slice() for i, s in slices_by_id.items() if s.n
+            }
+        subs = [s for s in slices_by_id.values() if s.doc_ids.size]
+        if not subs:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        i_r, s_r = score_brute(subs, cfg.k1, cfg.b, avgdl)
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        meta_vals = meta_pdf["v"].to_numpy()
+        order = np.argsort(meta_ids)
+        meta_ids, meta_vals = meta_ids[order], meta_vals[order]
+        keep = _member(i_r, meta_ids)
+        i_r, s_r = i_r[keep], s_r[keep]
+        if i_r.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        s_r = s_r * fn(meta_vals[np.searchsorted(meta_ids, i_r)])
+        return pd.DataFrame({"doc_id": i_r, "score": s_r})
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id", F.col(field).alias("v")
+    )
+    scored = (
+        searcher._pruned_slices(list(labels), buckets)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema="doc_id long, score double")
+    )
+    if tie_round is not None:
+        ordered = scored.orderBy(
+            F.round(F.col("score"), tie_round).desc(), F.asc("doc_id")
+        )
+    else:
+        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in ordered.limit(k).collect()
+    ]
+
+
 def _matched_with_values(searcher, ids, buckets, filters, value_field):
     """Driver-mode shared core for match-set aggregations: sorted matched
     docIDs of the OR query (docID streams only) joined to one docvalues

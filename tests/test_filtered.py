@@ -292,3 +292,39 @@ def test_match_aggs(spark, filtered_index, oracle_tiny, ts_by_doc):
     dlo = match_agg_terms(s, "the data", "lang", filters=flt_lo,
                           distributed=True)
     assert dlo == lo
+
+
+def test_function_score(spark, filtered_index, oracle_tiny, ts_by_doc):
+    """function_score: BM25 × factor — numeric modifiers and a DATETIME
+    exponential recency decay (1.0 at origin, 0.5 one scale away),
+    driver == distributed == python oracle."""
+    from data_prepper_spark.index.filtered import search_function_score
+
+    s = BM25Searcher(spark, filtered_index)
+    origin = _ts(999)
+    scale = datetime.timedelta(seconds=200)
+    spec = {"exp_decay": {"origin": origin, "scale": scale}}
+
+    import math as _math
+
+    def oracle_fn(qtext, k=10):
+        base = dict(oracle_tiny.topk(qtext, 10**9))
+        scores = {
+            d: sc * _math.exp(
+                _math.log(0.5)
+                * abs((ts_by_doc[d] - origin).total_seconds()) / 200.0
+            )
+            for d, sc in base.items()
+        }
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for qtext in ["the data", "spark index"]:
+        want = oracle_fn(qtext)
+        got = search_function_score(s, qtext, "warc_ts", spec, k=10)
+        _assert_rank_identical(got, want, qtext)
+        dst = search_function_score(s, qtext, "warc_ts", spec, k=10,
+                                    distributed=True)
+        assert [d for d, _ in dst] == [d for d, _ in got]
+    # newest docs outrank older equal-relevance docs under decay
+    with pytest.raises(ValueError):
+        search_function_score(s, "the", "warc_ts", {"nope": {}})
