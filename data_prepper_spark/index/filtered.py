@@ -262,6 +262,27 @@ def _matched_union(slices_by_id, is_lazy) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
+# match-union consumers never score — tf/dl byte columns are dead weight,
+# so their reads prune to the docID stream only (~1/3 the slice bytes)
+_UNION_COLS = ["term_id", "range_id", "df_slice", "doc_ids"]
+
+
+def _union_docids_rows(rows, legacy) -> np.ndarray:
+    """Sorted union of the docIDs of slice rows read with _UNION_COLS
+    (docID stream decoded directly — no TermSlice, no tf/dl)."""
+    from .codec import decode_docids, delta_decode_docids
+
+    parts = []
+    for r in rows:
+        buf = bytes(r["doc_ids"])
+        d = delta_decode_docids(buf) if legacy else decode_docids(buf)
+        if d.size:
+            parts.append(d)
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
 def _topk_by_field(doc_ids, values, k, ascending):
     """Per-range top-k by (field value, doc_id ASC).  *values* must be a
     numpy array with a total order (ints/floats/bytes)."""
@@ -318,18 +339,13 @@ def search_sorted(
     meta_vals = tbl[sort_field].to_numpy(zero_copy_only=False)
     order = np.argsort(meta_ids)
     meta_ids, meta_vals = meta_ids[order], meta_vals[order]
-    rows = searcher._pruned_slice_rows(list(ids), buckets)
+    rows = searcher._pruned_slice_rows(list(ids), buckets, columns=_UNION_COLS)
     rows_by_range: dict[int, list] = {}
     for r in rows:
         rows_by_range.setdefault(int(r["range_id"]), []).append(r)
-    cfg = searcher.cfg
-    no_tombs = np.empty(0, dtype=np.int64)
     out_ids, out_vals = [], []
     for rr in rows_by_range.values():
-        slices_by_id, is_lazy = _decode_range(
-            rr, ids, {}, searcher.legacy_codec, no_tombs, cfg.block_size
-        )
-        matched = _matched_union(slices_by_id, is_lazy)
+        matched = _union_docids_rows(rr, searcher.legacy_codec)
         if searcher.deleted.size:
             matched = matched[~_member(matched, searcher.deleted)]
         keep = _member(matched, meta_ids)  # filter membership
@@ -541,18 +557,13 @@ def _matched_with_values(searcher, ids, buckets, filters, value_field):
     meta_vals = tbl[value_field].to_numpy(zero_copy_only=False)
     order = np.argsort(meta_ids)
     meta_ids, meta_vals = meta_ids[order], meta_vals[order]
-    rows = searcher._pruned_slice_rows(list(ids), buckets)
+    rows = searcher._pruned_slice_rows(list(ids), buckets, columns=_UNION_COLS)
     rows_by_range: dict[int, list] = {}
     for r in rows:
         rows_by_range.setdefault(int(r["range_id"]), []).append(r)
-    no_tombs = np.empty(0, dtype=np.int64)
     out = []
     for rr in rows_by_range.values():
-        slices_by_id, is_lazy = _decode_range(
-            rr, ids, {}, searcher.legacy_codec, no_tombs,
-            searcher.cfg.block_size,
-        )
-        matched = _matched_union(slices_by_id, is_lazy)
+        matched = _union_docids_rows(rr, searcher.legacy_codec)
         if searcher.deleted.size:
             matched = matched[~_member(matched, searcher.deleted)]
         matched = matched[_member(matched, meta_ids)]
@@ -627,11 +638,7 @@ def _agg_distributed(searcher, labels, buckets, field, filters, bucketer):
     def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
         if post_pdf.empty or meta_pdf.empty:
             return pd.DataFrame({"bucket": [], "n": []})
-        slices_by_id, is_lazy = _decode_range(
-            post_pdf.to_dict("records"), labels, {}, legacy, no_tombs,
-            cfg.block_size,
-        )
-        matched = _matched_union(slices_by_id, is_lazy)
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
         if deleted.size:
             matched = matched[~_member(matched, deleted)]
         meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
@@ -654,7 +661,7 @@ def _agg_distributed(searcher, labels, buckets, field, filters, bucketer):
     v_t = dict(meta.dtypes)["v"]
     bucket_t = v_t if v_t in ("string",) else "double"
     agg = (
-        searcher._pruned_slices(list(labels), buckets)
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
         .groupBy("range_id")
         .cogroup(meta.groupBy("range_id"))
         .applyInPandas(eval_cog, schema=f"bucket {bucket_t}, n long")
@@ -684,11 +691,7 @@ def _search_sorted_distributed(
     def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
         if post_pdf.empty or meta_pdf.empty:
             return pd.DataFrame({"doc_id": [], "sort_v": []})
-        slices_by_id, is_lazy = _decode_range(
-            post_pdf.to_dict("records"), labels, {}, legacy, no_tombs,
-            cfg.block_size,
-        )
-        matched = _matched_union(slices_by_id, is_lazy)
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
         if deleted.size:
             matched = matched[~_member(matched, deleted)]
         meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
@@ -711,7 +714,7 @@ def _search_sorted_distributed(
     )
     sort_t = dict(meta.dtypes)["sort_v"]
     ranked = (
-        searcher._pruned_slices(list(labels), buckets)
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
         .groupBy("range_id")
         .cogroup(meta.groupBy("range_id"))
         .applyInPandas(eval_cog, schema=f"doc_id long, sort_v {sort_t}")

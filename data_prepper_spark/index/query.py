@@ -102,16 +102,22 @@ class BM25Searcher:
         tbl = self._termstats.to_table(columns=["term_id", "df"], filter=flt)
         return dict(zip(tbl["term_id"].to_pylist(), tbl["df"].to_pylist()))
 
-    def _pruned_slice_rows(self, ids: list[int], buckets: list[int]) -> list[dict]:
+    def _pruned_slice_rows(
+        self, ids: list[int], buckets: list[int], columns: list[str] | None = None
+    ) -> list[dict]:
         flt = pads.field("term_bucket").isin(buckets) & pads.field("term_id").isin(ids)
-        return self._postings.to_table(columns=_SLICE_COLS, filter=flt).to_pylist()
+        return self._postings.to_table(
+            columns=columns or _SLICE_COLS, filter=flt
+        ).to_pylist()
 
-    def _pruned_slices(self, ids: list[int], buckets: list[int]) -> DataFrame:
+    def _pruned_slices(
+        self, ids: list[int], buckets: list[int], columns: list[str] | None = None
+    ) -> DataFrame:
         """Spark-side pruned scan (distributed mode)."""
         return (
             self.spark.read.parquet(f"{self.index_dir}/postings")
             .filter(F.col("term_bucket").isin(buckets) & F.col("term_id").isin(ids))
-            .select(*_SLICE_COLS)
+            .select(*(columns or _SLICE_COLS))
         )
 
     # ---------------------------------------------------------------- search
