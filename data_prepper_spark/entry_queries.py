@@ -834,6 +834,67 @@ def sql_ft_agg_histogram() -> str:
 """
 
 
+# more_like_this reference set: (qid, like text, max_query_terms)
+MLT_QUERIES: list[tuple[int, str, int]] = [
+    (0, "spark index merge spark index table", 3),
+    (1, "the the the data query fast slow window agg", 4),
+    (2, "customer value join hash hash hash scan", 2),
+]
+
+
+def q_ft_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this (Lucene MoreLikeThis over an artificial document):
+    like-text terms rank by tf_in_like × idf (rounded, term-ASC ties),
+    top max_query_terms become an unboosted should-group."""
+    from .index.boolquery import search_more_like_this
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, like, mqt in MLT_QUERIES:
+        hits = search_more_like_this(
+            s, like, k=FT_K, max_query_terms=mqt, distributed=True,
+            tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_more_like_this() -> str:
+    selects = []
+    for qid, like, mqt in MLT_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN (\n"
+            f"  SELECT lt.term FROM (\n"
+            f"    SELECT term, count(*)::BIGINT AS ltf FROM (\n"
+            f"      SELECT unnest(regexp_extract_all(lower('{like}'), '{TOKEN_RX}')) AS term\n"
+            f"    ) GROUP BY 1\n"
+            f"  ) lt JOIN df USING (term) CROSS JOIN stats st\n"
+            f"  ORDER BY round(lt.ltf * ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)), 6) DESC,\n"
+            f"           lt.term ASC\n"
+            f"  LIMIT {mqt}\n"
+            f")\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+mlt_scores AS ({union}),
+mlt_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM mlt_scores
+)
+SELECT query_id, doc_id, score_r FROM mlt_ranked WHERE rn <= {FT_K}
+"""
+
+
 # function_score reference set: (qid, query, spec, SQL factor expression)
 FNSCORE_QUERIES: list[tuple[int, str, dict, str]] = [
     (0, "spark index",
@@ -4291,6 +4352,7 @@ QUERIES = {
     "ft_agg_terms": q_ft_agg_terms,
     "ft_agg_histogram": q_ft_agg_histogram,
     "ft_function_score": q_ft_function_score,
+    "ft_more_like_this": q_ft_more_like_this,
     "ft_delete_bm25": q_ft_delete_bm25,
     "ft_purged_bm25": q_ft_purged_bm25,
     "ft_upsert_bm25": q_ft_upsert_bm25,
@@ -4412,6 +4474,7 @@ ORACLES = {
     "ft_agg_terms": sql_ft_agg_terms(),
     "ft_agg_histogram": sql_ft_agg_histogram(),
     "ft_function_score": sql_ft_function_score(),
+    "ft_more_like_this": sql_ft_more_like_this(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
     "ft_purged_bm25": sql_ft_purged_bm25(),
     "ft_upsert_bm25": sql_ft_upsert_bm25(),

@@ -558,6 +558,69 @@ def search_fuzzy(
     )
 
 
+# ----------------------------------------------------------- more_like_this
+
+def mlt_select_terms(
+    searcher,
+    like_text: str,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+) -> list[str]:
+    """Lucene MoreLikeThis term selection over an artificial document
+    (OpenSearch `more_like_this` with a `like` text): candidate terms are
+    the like-text's tokens passing the tf/df floors, ranked by
+    tf_in_like × idf (rounded to 6 dp, then term ASC — a deterministic
+    tie rule the SQL oracle reproduces), truncated to *max_query_terms*.
+    A doc_id variant would need a forward index / stored term vectors,
+    which this engine deliberately does not keep — pass the document's
+    text instead."""
+    toks = tokenize(like_text)
+    if not toks:
+        return []
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    terms = sorted(t for t, c in tf.items() if c >= min_term_freq)
+    ids = {xxh64_signed(t): t for t in terms}
+    from ..hashing import pmod
+
+    buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in ids})
+    dfs = searcher.term_stats(ids, buckets)
+    cand = []
+    for i, t in ids.items():
+        df = dfs.get(i, 0)
+        if df < max(1, min_doc_freq):
+            continue
+        w = round(tf[t] * idf_value(searcher.n_docs, df), 6)
+        cand.append((-w, t))
+    cand.sort()
+    return [t for _w, t in cand[:max_query_terms]]
+
+
+def search_more_like_this(
+    searcher,
+    like_text: str,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    distributed: bool = False,
+    tie_round: int | None = None,
+) -> list[tuple[int, float]]:
+    """more_like_this top-k: MLT term selection → unboosted should-group
+    BM25 (each selected term keeps its own idf)."""
+    terms = mlt_select_terms(
+        searcher, like_text, max_query_terms, min_term_freq, min_doc_freq
+    )
+    if not terms:
+        return []
+    return search_bool(
+        searcher, should=terms, k=k, distributed=distributed,
+        tie_round=tie_round,
+    )
+
+
 # -------------------------------------------------------------- term range
 
 def expand_term_range(

@@ -379,3 +379,30 @@ def test_regexp_expansion_and_search(spark, tiny_index, oracle_tiny):
     exp = sorted(t for t in vocab if re.fullmatch("th.*", t))
     want = _bool_oracle(oracle_tiny, [], exp, [])
     _assert_rank_identical(search_regexp(s, "th.*", k=10), want, "th.*")
+
+
+def test_more_like_this_selection(spark, tiny_index, oracle_tiny):
+    """MLT term selection: tf_in_like × idf ranking with floors, then the
+    should-group rewrite matches the plain boolean oracle."""
+    from data_prepper_spark.index.boolquery import (
+        mlt_select_terms,
+        search_more_like_this,
+    )
+
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    like = "the the data search spark spark spark absentzz"
+    tf = {"the": 2, "data": 1, "search": 1, "spark": 3, "absentzz": 1}
+    w = {
+        t: round(c * oracle_tiny.idf(t), 6)
+        for t, c in tf.items() if oracle_tiny.postings.get(t)
+    }
+    want_rank = sorted(w, key=lambda t: (-w[t], t))
+    assert mlt_select_terms(s, like, max_query_terms=2) == want_rank[:2]
+    assert mlt_select_terms(s, like, max_query_terms=10) == want_rank
+    # min_term_freq floor drops singletons
+    got = mlt_select_terms(s, like, max_query_terms=10, min_term_freq=2)
+    assert set(got) == {t for t in w if tf[t] >= 2}
+    sel = want_rank[:3]
+    hits = search_more_like_this(s, like, k=10, max_query_terms=3)
+    _assert_rank_identical(hits, _bool_oracle(oracle_tiny, [], sel, []), "mlt")
