@@ -164,7 +164,11 @@ def _prox_match_rows(rows: list[dict], term_seq: list[int], slop: int):
         in_common = common[loc_c] == docs
         di = np.repeat(loc_c, tf)
         keep = np.repeat(in_common, tf)
-        keys[t] = di[keep] * stride + pos[keep]  # ascending by construction
+        # sort: the greedy chain's searchsorted needs ascending keys, and a
+        # MERGED index concatenates duplicate slices with interleaved
+        # docIDs (single-source slices are already ascending — the sort is
+        # then a cheap no-op pass)
+        keys[t] = np.sort(di[keep] * stride + pos[keep])
     cur = keys[term_seq[0]]
     start = cur
     for t in term_seq[1:]:

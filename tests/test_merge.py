@@ -154,6 +154,14 @@ def test_merge_positional_phrase_identity(spark, workdir):
         a, b = phrase_topk(sf, ph, k=10), phrase_topk(sm, ph, k=10)
         assert [d for d, _ in a] == [d for d, _ in b], ph
         assert all(abs(x - y) < 1e-9 for (_, x), (_, y) in zip(a, b)), ph
+    # proximity (slop>0) exercises the greedy searchsorted kernel, which
+    # needs per-term position keys SORTED — merged indexes concatenate
+    # duplicate slices with interleaved docIDs (regression guard)
+    for ph, slop in [("alpha gamma", 1), ("alpha doc", 2), ("beta doc", 3)]:
+        a = phrase_topk(sf, ph, k=10, slop=slop)
+        b = phrase_topk(sm, ph, k=10, slop=slop)
+        assert [d for d, _ in a] == [d for d, _ in b], (ph, slop)
+        assert all(abs(x - y) < 1e-9 for (_, x), (_, y) in zip(a, b)), (ph, slop)
 
 
 def test_merge_three_way(spark, tiny_corpus_path, workdir, oracle_tiny):
