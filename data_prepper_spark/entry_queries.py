@@ -4514,6 +4514,36 @@ ORACLES = {
     "select_entries": sql_select_entries(),
 }
 
+# The driver's correctness harness checks exactly the FIRST 50 entries of
+# queries().  Rounds 1-3 covered 58 distinct keys; rotate the never-checked
+# entries (the whole ft_* Lucene query family among them) into the window
+# this round.  Keys not listed keep their relative order after the window.
+# Rotate again next round until every entry has a driver CORRECTNESS row.
+_DRIVER_WINDOW_R4 = [
+    "semdedup", "hybrid_rrf",
+    "ft_merged_bm25", "ft_bool_topk", "ft_prefix_topk", "ft_fuzzy_topk",
+    "ft_wildcard_topk", "ft_filtered_topk", "ft_sorted_topk",
+    "ft_boosted_topk", "ft_fields_topk", "ft_merged_bool",
+    "ft_termrange_topk", "ft_search_after", "ft_dismax_topk",
+    "ft_regexp_topk", "ft_agg_terms", "ft_agg_histogram",
+    "ft_function_score", "ft_more_like_this", "ft_delete_bm25",
+    "ft_purged_bm25", "ft_upsert_bm25", "ft_live_bm25", "ft_bm25_faceted",
+    "ft_phrase_topk", "ft_proximity_topk", "ft_phrase_positions",
+    "ft_snippets", "dedup_retained", "ft_bm25_topk_distributed",
+    "simhash_pairs", "service_map", "csv_processor", "geoip",
+    "dlq_quarantine", "kv_options", "csv_header_event",
+    "expression_envvar", "grok_syslog", "text_repetition",
+    "decontam_8gram", "stratified_sample", "expression_functions",
+    "pipeline_e2e", "dedup_clusters", "ft_resume_termstats",
+    "stateful_conclude", "list_to_map", "translate_regex",
+]
+assert len(_DRIVER_WINDOW_R4) == 50 and set(_DRIVER_WINDOW_R4) <= set(QUERIES)
+QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW_R4}, **QUERIES}
+ORACLES = {
+    **{k: ORACLES[k] for k in _DRIVER_WINDOW_R4 if k in ORACLES},
+    **ORACLES,
+}
+
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The flagship: build the inverted index over `documents`, answer the
