@@ -148,15 +148,39 @@ def apply_batch(
 
 
 def _doc_id_set(spark: SparkSession, index_dir: str) -> np.ndarray:
-    """Sorted doc_ids of one index segment (from docmeta).  Collected to
-    the driver: supersede sets are bounded by the DELTA sizes (a batch's
-    worth of docs), never the base corpus — the base's set is only ever
-    intersected against newer-delta ids, so at 10^12 docs this step
-    becomes a docmeta anti-join per source; the in-process form keeps the
-    same semantics."""
+    """Sorted doc_ids of one DELTA segment (from docmeta).  Collected to
+    the driver: delta docsets are bounded by a micro-batch's worth of
+    docs.  The BASE index's docmeta is never collected — see
+    :func:`_superseded_in_base`."""
     rows = (
         spark.read.parquet(os.path.join(index_dir, "docmeta"))
         .select("doc_id")
+        .collect()
+    )
+    return np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+
+
+def _superseded_in_base(
+    spark: SparkSession, base_dir: str, newer: np.ndarray
+) -> np.ndarray:
+    """doc_ids of the BASE index that reappear in *newer* (the union of
+    all pending-delta docsets), computed Spark-side: the base docmeta is
+    scanned distributed and semi-joined against the broadcast delta-id
+    set, so only the intersection — bounded by |newer|, a few
+    micro-batches of ids — ever reaches the driver.  At 10^12 base docs
+    the old collect-the-base approach would ship ~TBs of int64 to the
+    driver; this ships at most the upsert set."""
+    from pyspark.sql import functions as F
+
+    if newer.size == 0:
+        return np.empty(0, dtype=np.int64)
+    newer_df = spark.createDataFrame(
+        [(int(x),) for x in newer], "doc_id long"
+    )
+    rows = (
+        spark.read.parquet(os.path.join(base_dir, "docmeta"))
+        .select("doc_id")
+        .join(F.broadcast(newer_df), "doc_id", "semi")
         .collect()
     )
     return np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
@@ -195,20 +219,34 @@ def _fold(
     tmp_root = os.path.join(index_dir, "_purge")
     shutil.rmtree(tmp_root, ignore_errors=True)
 
-    docsets = [_doc_id_set(spark, s) for s in sources]
+    has_base = version >= 0
+    # only DELTA docsets are collected (micro-batch bounded); the base's
+    # superseded set is computed Spark-side (_superseded_in_base)
+    delta_sets = [_doc_id_set(spark, s) for s in pending]
     merge_srcs: list[str] = []
     for i, src in enumerate(sources):
+        d = i - 1 if has_base else i  # index into delta_sets (-1 = base)
+        newer_sets = delta_sets[d + 1 :]
         newer = (
-            np.unique(np.concatenate(docsets[i + 1 :]))
-            if i + 1 < len(sources)
+            np.unique(np.concatenate(newer_sets))
+            if newer_sets
             else np.empty(0, dtype=np.int64)
         )
-        superseded = np.intersect1d(docsets[i], newer, assume_unique=False)
+        if has_base and i == 0:
+            superseded = _superseded_in_base(spark, src, newer)
+            src_n = (
+                spark.read.parquet(os.path.join(src, "docmeta")).count()
+            )
+        else:
+            superseded = np.intersect1d(
+                delta_sets[d], newer, assume_unique=False
+            )
+            src_n = delta_sets[d].size
         tomb = read_tombstones(src)
         drop = np.unique(np.concatenate([superseded, tomb]))
         if drop.size == 0:
             merge_srcs.append(src)
-        elif drop.size < docsets[i].size:
+        elif drop.size < src_n:
             dst = os.path.join(tmp_root, f"src{i}")
             purge_deletes(spark, src, dst, extra_deleted=drop)
             merge_srcs.append(dst)

@@ -244,3 +244,39 @@ def test_live_index_docvalues_filtered(spark, tiny_corpus_path, tiny_pages_pd,
     assert srt and all(d in allowed for d, _ in srt)
     vals = [v for _, v in srt]
     assert vals == sorted(vals, reverse=True)  # newest-first
+
+
+def test_fold_never_collects_base_docmeta(spark, workdir, monkeypatch):
+    """Scale invariant of the upsert/merge path: _fold must never collect
+    the BASE index's docmeta to the driver (at 10^12 docs that is ~TBs of
+    int64).  Only batch-bounded DELTA docsets may be collected; the
+    base's superseded set is computed Spark-side (semi-join against the
+    broadcast delta-id set) in _superseded_in_base."""
+    from data_prepper_spark.index import live
+    from data_prepper_spark.index.build import build_oneshot_text
+
+    out = os.path.join(workdir, "live_no_base_collect")
+    real = live._doc_id_set
+
+    def guarded(sp, index_dir):
+        assert "v=" not in os.path.basename(
+            index_dir.rstrip("/")
+        ), f"_doc_id_set collected a BASE version dir: {index_dir}"
+        assert "_delta" in index_dir, (
+            f"_doc_id_set called on a non-delta dir: {index_dir}"
+        )
+        return real(sp, index_dir)
+
+    monkeypatch.setattr(live, "_doc_id_set", guarded)
+    b0 = [(i, _doc_text(i, "a")) for i in range(60)]
+    b1 = [(i, _doc_text(i, "b")) for i in range(20, 40)]
+    apply_batch(
+        spark, _mk_docs(spark, b0), 0, out, CFG, builder=build_oneshot_text
+    )
+    apply_batch(  # upsert fold: base v=0 + delta batch=1
+        spark, _mk_docs(spark, b1), 1, out, CFG, builder=build_oneshot_text
+    )
+    s = BM25Searcher(spark, resolve_current(out))
+    assert s.n_docs == 60
+    hits = {d for d, _ in s.search("refresh", k=100, mode="brute")}
+    assert hits == set(range(20, 40))
