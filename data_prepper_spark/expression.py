@@ -379,7 +379,13 @@ def _ipv6_halves(ip_col: Column) -> tuple[Column, Column, Column]:
 
     hi = pack(F.get(gv, 0), F.get(gv, 1), F.get(gv, 2), F.get(gv, 3))
     lo = pack(F.get(gv, 4), F.get(gv, 5), F.get(gv, 6), F.get(gv, 7))
-    valid = F.size(groups) == 8
+    # 8 groups AND every group is real hex: a syntactically 8-group but
+    # non-hex address must be INVALID (predicate false), not NULL — under
+    # negation/CASE a NULL would diverge from the reference's
+    # false-for-invalid behavior.
+    valid = (F.size(groups) == 8) & F.forall(
+        groups, lambda g: g.rlike("^[0-9a-f]{1,4}$")
+    )
     bias = F.lit(_SIGN_BIT)
     return valid, hi.bitwiseXOR(bias), lo.bitwiseXOR(bias)
 
@@ -423,7 +429,9 @@ def _cidr_contains(ip_col: Column, cidrs: list[str]) -> Column:
             le_hi = (bhi < F.lit(hi_h)) | ((bhi == F.lit(hi_h)) & (blo <= F.lit(hi_l)))
             v6c = v6c | (ge_lo & le_hi)
         cond = cond | (is_v6 & valid & v6c)
-    return cond
+    # malformed addresses (NULL arithmetic anywhere) are NOT contained —
+    # false, never NULL (reference: false-for-invalid)
+    return F.coalesce(cond, F.lit(False))
 
 
 def compile_expression(text: str) -> Column:

@@ -486,11 +486,15 @@ def levenshtein_leq(terms: list[str], query: str, max_edits: int) -> np.ndarray:
         return out
     clens = lens[cand]
     maxlen = int(clens.max())
+    # code points, not UTF-8 bytes: len() counts characters, so a
+    # non-ASCII term/query under byte decomposition would compute
+    # byte-level distance (diverging from DuckDB's character-level
+    # levenshtein) or overflow the len()-sized row
     mat = np.zeros((cand.size, maxlen), dtype=np.uint32)
     for r, ti in enumerate(cand):
         t = terms[ti]
-        mat[r, : len(t)] = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-    q = np.frombuffer(query.encode("utf-8"), dtype=np.uint8)
+        mat[r, : len(t)] = np.fromiter(map(ord, t), np.uint32, len(t))
+    q = np.fromiter(map(ord, query), np.uint32, len(query))
     prev = np.broadcast_to(
         np.arange(maxlen + 1, dtype=np.int64), (cand.size, maxlen + 1)
     ).copy()

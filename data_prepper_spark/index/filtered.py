@@ -295,10 +295,13 @@ def _topk_by_field(doc_ids, values, k, ascending):
 
 def _neg_order(values: np.ndarray) -> np.ndarray:
     """An array whose ascending order is *values*' descending order
-    (numeric: negate; other dtypes: rank-invert)."""
-    if np.issubdtype(values.dtype, np.number):
-        return -values.astype(np.float64)
-    # strings/objects: invert via dense ranks
+    (floats: negate; everything else: rank-invert).  Integers go through
+    rank inversion too — negating via a float64 cast loses exactness
+    above 2^53 (e.g. ns-epoch longs) and could mis-rank near-equal
+    values vs the distributed path, which sorts exact values in Spark."""
+    if np.issubdtype(values.dtype, np.floating):
+        return -values
+    # ints / strings / datetimes / objects: invert via dense ranks
     _, inv = np.unique(values, return_inverse=True)
     return -inv.astype(np.int64)
 
@@ -617,7 +620,10 @@ def match_agg_histogram(
         return np.floor(v.astype(np.float64) / width) * width
 
     if distributed:
-        return _agg_distributed(searcher, ids, buckets, field, filters, bucketer)
+        return _agg_distributed(
+            searcher, ids, buckets, field, filters, bucketer,
+            bucket_type="double",  # floor(v/width)*width is always float
+        )
     vals = _matched_with_values(searcher, ids, buckets, filters, field)
     if vals.size == 0:
         return []
@@ -626,9 +632,16 @@ def match_agg_histogram(
     return [(float(u), int(c)) for u, c in zip(uniq, counts)]
 
 
-def _agg_distributed(searcher, labels, buckets, field, filters, bucketer):
+def _agg_distributed(
+    searcher, labels, buckets, field, filters, bucketer, bucket_type=None
+):
     """Scale path for aggregations: per-range match ∩ docvalues →
-    per-range partial counts → global groupBy(bucket).sum."""
+    per-range partial counts → global groupBy(bucket).sum.
+
+    *bucket_type* overrides the output bucket column type (histogram
+    passes "double"); when None, string and integral field types are
+    preserved exactly — forcing int64 terms buckets through double would
+    lose exactness above 2^53 while driver mode returns exact ints."""
     from .tokenize import range_id_col
 
     cfg, legacy = searcher.cfg, searcher.legacy_codec
@@ -659,7 +672,14 @@ def _agg_distributed(searcher, labels, buckets, field, filters, bucketer):
         range_id_col(cfg).alias("range_id"), "doc_id", F.col(field).alias("v")
     )
     v_t = dict(meta.dtypes)["v"]
-    bucket_t = v_t if v_t in ("string",) else "double"
+    if bucket_type is not None:
+        bucket_t = bucket_type
+    elif v_t == "string":
+        bucket_t = "string"
+    elif v_t in ("bigint", "int", "smallint", "tinyint"):
+        bucket_t = "bigint"
+    else:
+        bucket_t = "double"
     agg = (
         searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
         .groupBy("range_id")

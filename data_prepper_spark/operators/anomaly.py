@@ -73,7 +73,7 @@ def anomaly_rcf(
     threshold: float = 5.0,
     seed: int = 42,
     tiebreak_col: str | None = None,
-    max_events_per_key: int | None = 100_000,
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """`random_cut_forest` mode (RandomCutForestMode.java:32-53), backed
     by the self-contained RRCF in :mod:`.rcf` (public Guha et al. 2016
@@ -96,7 +96,9 @@ def anomaly_rcf(
     recent `max_events_per_key` events (the live window — the reference's
     sample_size bounds retained STATE the same way); earlier rows pass
     through with score 0 / grade 0, exactly like warm-up rows.  Bounded
-    per-task wall time, deterministic output.  None disables the cap."""
+    per-task wall time, deterministic output.  OFF by default (None) —
+    the cap changes output for rows it skips, so it is strictly opt-in;
+    set it explicitly on corpora with skewed identification keys."""
     import zlib
 
     import numpy as np
