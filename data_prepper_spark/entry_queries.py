@@ -4076,6 +4076,39 @@ def sql_codec_csv() -> str:
     )
 
 
+def q_codec_csv_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv OUTPUT codec round-trip (CsvOutputCodec.java:27): Spark's
+    distributed csv writer (header per part, quoted strings) → read_csv
+    — values survive the write→read cycle including a quoted delimiter
+    inside a field."""
+    from .sources import codecs
+
+    d = tempfile.mkdtemp(prefix="dps_csvout_")
+    sub = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 400)
+        .select(
+            "event_id",
+            F.concat(F.col("event_type"), F.lit(",x")).alias("event_type"),
+            "user_id",
+        )
+    )
+    codecs.write_csv(sub, d + "/csv", header=True)
+    back = codecs.read_csv(spark, d + "/csv", header=True)
+    return back.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+
+
+def sql_codec_csv_out() -> str:
+    return (
+        "SELECT event_id, event_type || ',x' AS event_type, user_id "
+        "FROM events WHERE event_id < 400"
+    )
+
+
 def q_anomaly_rcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """random_cut_forest anomaly mode (self-contained RRCF, operators/
     rcf.py).  NO SQL oracle by design: the score is a function of the
@@ -4387,6 +4420,7 @@ QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
     "codec_json_array": q_codec_json_array,
     "codec_csv": q_codec_csv,
+    "codec_csv_out": q_codec_csv_out,
     # round-3: pytest-only components now oracle-pinned
     "dedup_clusters": q_dedup_clusters,
     "ft_resume_termstats": q_ft_resume_termstats,
@@ -4507,6 +4541,7 @@ ORACLES = {
     "pipeline_e2e": sql_pipeline_e2e(),
     "codec_json_array": sql_codec_json_array(),
     "codec_csv": sql_codec_csv(),
+    "codec_csv_out": sql_codec_csv_out(),
     "dedup_clusters": sql_dedup_clusters(),
     "ft_resume_termstats": sql_ft_term_df(),
     "stateful_conclude": sql_stateful_conclude(),

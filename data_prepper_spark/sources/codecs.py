@@ -114,6 +114,30 @@ def write_ndjson(
     w.json(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    delimiter: str = ",",
+    quote: str = '"',
+    compression: str | None = None,
+) -> None:
+    """csv out (csv-processor CsvOutputCodec.java:27): header row per
+    file part, configurable delimiter/quote, optional compression —
+    Spark's distributed csv writer, one file per partition (the sink's
+    threshold-split analog)."""
+    w = (
+        df.write.mode(mode)
+        .option("header", header)
+        .option("sep", delimiter)
+        .option("quote", quote)
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
