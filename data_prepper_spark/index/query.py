@@ -80,6 +80,24 @@ class BM25Searcher:
         # dataset only lists files — reads stay pruned per query
         self._postings = pads.dataset(f"{index_dir}/postings", partitioning="hive")
         self._termstats = pads.dataset(f"{index_dir}/termstats", partitioning="hive")
+        # hot-posting cache (driver serving mode): term_id → its full
+        # posting rows, LRU-evicted on a byte budget.  Queries share
+        # terms heavily (head terms especially), and a searcher is a
+        # SNAPSHOT of the index (stats/tombstones read once at open), so
+        # caching rows — and, via the attached stream objects, their
+        # decode memos — is exactly Lucene's hot-posting/OS-page-cache
+        # behavior with no staleness surface.  DPS_POSTING_CACHE_MB=0
+        # disables.
+        import os as _os
+
+        self.posting_cache_bytes = int(
+            float(_os.environ.get("DPS_POSTING_CACHE_MB", "512")) * 1e6
+        )
+        from collections import OrderedDict as _OD
+
+        self._rows_cache: dict[int, tuple[list[dict], int]] = _OD()
+        self._rows_cache_bytes = 0
+        self._df_cache: dict[int, int] = {}
 
     # -------------------------------------------------------------- helpers
     def _terms_buckets(self, query_text: str) -> tuple[list[str], dict[int, str], list[int]]:
@@ -93,22 +111,77 @@ class BM25Searcher:
 
     def term_stats(self, ids: dict[int, str], buckets: list[int]) -> dict[int, int]:
         """df per query term_id, from the bucket-pruned termstats
-        partitions (pyarrow direct read — partition pruning, no Spark job)."""
+        partitions (pyarrow direct read — partition pruning, no Spark
+        job).  Memoized per searcher: the index is a snapshot, so a
+        term's df never changes under an open searcher."""
         if not ids:
             return {}
-        flt = pads.field("term_bucket").isin(buckets) & pads.field("term_id").isin(
-            list(ids)
-        )
-        tbl = self._termstats.to_table(columns=["term_id", "df"], filter=flt)
-        return dict(zip(tbl["term_id"].to_pylist(), tbl["df"].to_pylist()))
+        missing = [i for i in ids if i not in self._df_cache]
+        if missing:
+            from ..hashing import pmod as _pmod
 
-    def _pruned_slice_rows(
-        self, ids: list[int], buckets: list[int], columns: list[str] | None = None
-    ) -> list[dict]:
+            mb = sorted({_pmod(i, self.cfg.n_buckets) for i in missing})
+            flt = pads.field("term_bucket").isin(mb) & pads.field(
+                "term_id"
+            ).isin(missing)
+            tbl = self._termstats.to_table(columns=["term_id", "df"], filter=flt)
+            got = dict(zip(tbl["term_id"].to_pylist(), tbl["df"].to_pylist()))
+            for i in missing:
+                self._df_cache[i] = got.get(i, 0)
+        return {i: self._df_cache[i] for i in ids if self._df_cache[i] > 0}
+
+    def _read_slice_rows(self, ids, buckets, columns) -> list[dict]:
         flt = pads.field("term_bucket").isin(buckets) & pads.field("term_id").isin(ids)
         return self._postings.to_table(
             columns=columns or _SLICE_COLS, filter=flt
         ).to_pylist()
+
+    def _pruned_slice_rows(
+        self, ids: list[int], buckets: list[int], columns: list[str] | None = None
+    ) -> list[dict]:
+        """Posting rows for *ids*, bucket-pruned, through the hot-posting
+        cache.  Narrow-column requests (match-union paths read docID
+        streams only) are served from cache when the term is already hot
+        (full rows are a superset) but never populate it — caching a
+        narrow row would poison later scoring reads."""
+        if self.posting_cache_bytes <= 0:
+            return self._read_slice_rows(ids, buckets, columns)
+        out: list[dict] = []
+        missing: list[int] = []
+        for i in ids:
+            ent = self._rows_cache.get(i)
+            if ent is not None:
+                self._rows_cache.move_to_end(i)
+                out.extend(ent[0])
+            else:
+                missing.append(i)
+        if not missing:
+            return out
+        mb = sorted({pmod(i, self.cfg.n_buckets) for i in missing})
+        if columns is not None:
+            return out + self._read_slice_rows(missing, mb, columns)
+        rows = self._read_slice_rows(missing, mb, None)
+        by_term: dict[int, list[dict]] = {i: [] for i in missing}
+        for r in rows:
+            by_term.setdefault(int(r["term_id"]), []).append(r)
+        for i, rr in by_term.items():
+            # budget = raw payload + decoded-memo worst case (3 int64
+            # streams = 24 B/posting, materialized only on dense access)
+            nb = 512 + sum(
+                len(r["doc_ids"]) + len(r["tfs"]) + len(r["dls"])
+                + len(r["block_firsts"]) + len(r["block_ubs"])
+                + 24 * int(r["df_slice"])
+                for r in rr
+            )
+            self._rows_cache[i] = (rr, nb)
+            self._rows_cache_bytes += nb
+        while (
+            self._rows_cache_bytes > self.posting_cache_bytes
+            and self._rows_cache
+        ):
+            _, (_, nb) = self._rows_cache.popitem(last=False)
+            self._rows_cache_bytes -= nb
+        return out + rows
 
     def _pruned_slices(
         self, ids: list[int], buckets: list[int], columns: list[str] | None = None

@@ -45,11 +45,12 @@ class _VarintStream:
     terminator scan (lazy) yields per-value byte offsets, then any value
     range decodes independently (LEB128 is self-delimiting)."""
 
-    __slots__ = ("b", "_ends")
+    __slots__ = ("b", "_ends", "_all")
 
     def __init__(self, payload: np.ndarray):
         self.b = payload
         self._ends = None
+        self._all = None
 
     def _e(self):
         if self._ends is None:
@@ -57,6 +58,8 @@ class _VarintStream:
         return self._ends
 
     def decode_range(self, a: int, z: int) -> np.ndarray:
+        if self._all is not None:
+            return self._all[a:z]
         return varint_decode_range(self.b, self._e(), a, z)
 
     def gather(self, runs: np.ndarray) -> np.ndarray:
@@ -64,6 +67,10 @@ class _VarintStream:
         run's byte range and decode the concatenation (per-call
         vectorized-decoder setup paid once, not once per skip-list
         run)."""
+        if self._all is not None:
+            return np.concatenate(
+                [self._all[int(va) : int(vz)] for va, vz in runs]
+            )
         ends = self._e()
         parts = []
         for va, vz in runs:
@@ -72,7 +79,12 @@ class _VarintStream:
         return varint_decode(np.concatenate(parts).tobytes())
 
     def decode_all(self) -> np.ndarray:
-        return varint_decode(self.b.tobytes())
+        """Full decode, memoized: posting-row caching (BM25Searcher)
+        keeps stream objects alive across queries, so a hot term's stream
+        decodes at most once per searcher."""
+        if self._all is None:
+            self._all = varint_decode(self.b.tobytes())
+        return self._all
 
 
 class _PForStream:
@@ -81,12 +93,13 @@ class _PForStream:
     then any value range decodes by touching only its covering blocks —
     PFor values are positional (no intra-stream delta chain)."""
 
-    __slots__ = ("b", "_offs", "_cum")
+    __slots__ = ("b", "_offs", "_cum", "_all")
 
     def __init__(self, payload: np.ndarray):
         self.b = payload
         self._offs = None
         self._cum = None
+        self._all = None
 
     def _idx(self):
         if self._offs is None:
@@ -94,6 +107,8 @@ class _PForStream:
         return self._offs, self._cum
 
     def decode_range(self, a: int, z: int) -> np.ndarray:
+        if self._all is not None:
+            return self._all[a:z]
         offs, cum = self._idx()
         return pfor_decode_range(self.b, offs, cum, a, z)
 
@@ -103,8 +118,11 @@ class _PForStream:
         )
 
     def decode_all(self) -> np.ndarray:
-        offs, cum = self._idx()
-        return pfor_decode_indexed(self.b, offs, cum)
+        """Full decode, memoized (see _VarintStream.decode_all)."""
+        if self._all is None:
+            offs, cum = self._idx()
+            self._all = pfor_decode_indexed(self.b, offs, cum)
+        return self._all
 
 
 def _stream_for(raw: np.ndarray):
@@ -273,9 +291,26 @@ class LazySlice:
         """Decode many value ranges via the stream's batched gather —
         ONE vectorized pass for varint (byte-slice concatenation: LEB128
         is self-delimiting), covering-blocks-only for PFor.  Returns
-        (values, per-run counts, per-run value starts)."""
+        (values, per-run counts, per-run value starts).
+
+        DENSE gathers (≥ half the stream — e.g. a stopword slice whose
+        covering blocks are effectively all of them) go through the
+        stream's memoized decode_all instead: same values, and with
+        posting-row caching a hot term's stream decodes once per searcher
+        lifetime rather than once per query."""
         counts = (runs[:, 1] - runs[:, 0]).astype(np.int64)
-        vals = stream.gather(runs)
+        total = int(counts.sum())
+        if 2 * total >= self.n:
+            full = stream.decode_all()
+            vals = (
+                full
+                if runs.shape[0] == 1 and total == self.n
+                else np.concatenate(
+                    [full[int(va) : int(vz)] for va, vz in runs]
+                )
+            )
+        else:
+            vals = stream.gather(runs)
         starts = np.concatenate(([0], np.cumsum(counts[:-1])))
         return vals, counts, starts
 
@@ -339,6 +374,19 @@ def decode_slice_lazy(row, idf: float, block_size: int, label: str) -> LazySlice
     tagged codecs are range-addressable — varint via the terminator-scan
     value index, PFor via the block header index — and may mix per stream
     (merged mixed-codec indexes)."""
+    # stream objects (and their decode memos) attach to the row dict, so
+    # a cached posting row (BM25Searcher._pruned_slice_rows) re-serves
+    # later queries without re-indexing or re-decoding; the LazySlice
+    # itself is rebuilt per query because idf may carry a query boost
+    if isinstance(row, dict):
+        hit = row.get("_lazy_streams")
+        if hit is not None:
+            doc_s, tf_s, dl_s, n, bf, ub = hit
+            return LazySlice(
+                term=label, idf=idf, n=n, block_size=block_size,
+                doc_s=doc_s, tf_s=tf_s, dl_s=dl_s,
+                block_firsts=bf, block_ubs=ub,
+            )
     get = row.__getitem__ if hasattr(row, "__getitem__") else getattr
     streams = []
     for c in ("doc_ids", "tfs", "dls"):
@@ -346,16 +394,21 @@ def decode_slice_lazy(row, idf: float, block_size: int, label: str) -> LazySlice
         if s is None:
             return None
         streams.append(s)
+    n = int(get("df_slice"))
+    bf = unpack_i64(bytes(get("block_firsts")))
+    ub = unpack_f32(bytes(get("block_ubs")))
+    if isinstance(row, dict):
+        row["_lazy_streams"] = (streams[0], streams[1], streams[2], n, bf, ub)
     return LazySlice(
         term=label,
         idf=idf,
-        n=int(get("df_slice")),
+        n=n,
         block_size=block_size,
         doc_s=streams[0],
         tf_s=streams[1],
         dl_s=streams[2],
-        block_firsts=unpack_i64(bytes(get("block_firsts"))),
-        block_ubs=unpack_f32(bytes(get("block_ubs"))),
+        block_firsts=bf,
+        block_ubs=ub,
     )
 
 

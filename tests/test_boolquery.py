@@ -406,3 +406,26 @@ def test_more_like_this_selection(spark, tiny_index, oracle_tiny):
     sel = want_rank[:3]
     hits = search_more_like_this(s, like, k=10, max_query_terms=3)
     _assert_rank_identical(hits, _bool_oracle(oracle_tiny, [], sel, []), "mlt")
+
+
+def test_posting_cache_identity(spark, tiny_index, monkeypatch):
+    """The hot-posting cache (BM25Searcher._rows_cache + stream decode
+    memos) must be invisible: repeated queries on a cached searcher
+    return exactly what an uncached searcher returns, for BM25 and for
+    boolean queries, cold and warm."""
+    index_dir, _, _ = tiny_index
+    monkeypatch.setenv("DPS_POSTING_CACHE_MB", "0")
+    s_off = BM25Searcher(spark, index_dir)
+    assert s_off.posting_cache_bytes == 0
+    monkeypatch.setenv("DPS_POSTING_CACHE_MB", "64")
+    s_on = BM25Searcher(spark, index_dir)
+    for q in ["the data", "spark index engine", "zanzibar"]:
+        ref = s_off.search(q, k=10)
+        assert s_on.search(q, k=10) == ref  # cold
+        assert s_on.search(q, k=10) == ref  # warm (rows + memos hit)
+    for must, should, must_not in CASES:
+        ref = search_bool(s_off, must=must, should=should, must_not=must_not, k=10)
+        got1 = search_bool(s_on, must=must, should=should, must_not=must_not, k=10)
+        got2 = search_bool(s_on, must=must, should=should, must_not=must_not, k=10)
+        assert got1 == ref and got2 == ref, (must, should, must_not)
+    assert s_on._rows_cache  # the cache actually engaged
