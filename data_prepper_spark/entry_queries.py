@@ -2440,6 +2440,105 @@ FROM events
 """
 
 
+_OTEL_BASE_NS = 1_700_000_000_000_000_000
+
+
+def _otel_fixture_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic OTLP span fixture: events → real
+    ExportTraceServiceRequest protobuf bytes (pure-python encoder) →
+    DISTRIBUTED decode via operators/otel.py mapInPandas.  Trace = 4
+    consecutive event_ids (pos 0 = root/SERVER, others CLIENT children
+    of the root); every span column is a pure function of event_id so
+    the DuckDB oracle recomputes it relationally."""
+    from .operators import otel
+
+    eids = [
+        r["event_id"]
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 800)
+        .select("event_id")
+        .collect()
+    ]
+    reqs: dict[int, dict[str, list[bytes]]] = {}
+    for eid in sorted(int(e) for e in eids):
+        tn, pos = divmod(eid, 4)
+        start = _OTEL_BASE_NS + eid * 1_000_000
+        sp = otel.encode_span(
+            tn.to_bytes(16, "big"),
+            (eid + 1).to_bytes(8, "big"),
+            b"" if pos == 0 else (tn * 4 + 1).to_bytes(8, "big"),
+            f"op-{eid % 7}",
+            2 if pos == 0 else 3,
+            start,
+            start + (eid % 97 + 1) * 1000,
+            status_code=eid % 3,
+        )
+        reqs.setdefault(tn % 8, {}).setdefault(f"svc-{eid % 5}", []).append(sp)
+    payloads = [
+        (otel.encode_trace_request(by_svc),) for _, by_svc in sorted(reqs.items())
+    ]
+    df = spark.createDataFrame(payloads, "payload binary")
+    return otel.otel_trace_decode(df.repartition(4))
+
+
+def q_otel_spans_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP trace ingest: protobuf request bytes → span rows
+    (otel_trace source + OTelProtoCodec.parseSpan,
+    OTelProtoCodec.java:261-291; traceGroup rule :379-381)."""
+    return _otel_fixture_spans(spark, sf_dir)
+
+
+def sql_otel_spans_decode() -> str:
+    return """
+SELECT lpad(lower(to_hex(event_id // 4)), 32, '0')      AS trace_id,
+       lpad(lower(to_hex(event_id + 1)), 16, '0')       AS span_id,
+       CASE WHEN event_id % 4 = 0 THEN ''
+            ELSE lpad(lower(to_hex((event_id // 4) * 4 + 1)), 16, '0')
+       END                                              AS parent_span_id,
+       ''                                               AS trace_state,
+       'op-' || (event_id % 7)                          AS name,
+       CASE WHEN event_id % 4 = 0 THEN 'SPAN_KIND_SERVER'
+            ELSE 'SPAN_KIND_CLIENT' END                 AS kind,
+       'svc-' || (event_id % 5)                         AS service_name,
+       1700000000000000000 + event_id * 1000000         AS start_time_unix_nano,
+       1700000000000000000 + event_id * 1000000
+         + (event_id % 97 + 1) * 1000                   AS end_time_unix_nano,
+       (event_id % 97 + 1) * 1000                       AS duration_nanos,
+       CASE WHEN event_id % 4 = 0 THEN 'op-' || (event_id % 7)
+            ELSE NULL END                               AS trace_group,
+       (event_id % 3)::INT                              AS status_code
+FROM events WHERE event_id < 800
+"""
+
+
+def q_otel_service_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trace analytics: OTLP protobuf decode → service_map
+    edges (ServiceMapStatefulProcessor shape) — the reference's flagship
+    otel_trace → service_map pipeline on Spark."""
+    from .operators.aggregate import service_map
+
+    spans = _otel_fixture_spans(spark, sf_dir)
+    return service_map(
+        spans,
+        trace_col="trace_id",
+        span_col="span_id",
+        parent_col="parent_span_id",
+        service_col="service_name",
+        kind_col="kind",
+    )
+
+
+def sql_otel_service_map() -> str:
+    return """
+SELECT DISTINCT 'svc-' || (p.event_id % 5) AS "serviceName",
+       'SPAN_KIND_CLIENT'                  AS kind,
+       'svc-' || (c.event_id % 5)          AS destination
+FROM events c JOIN events p ON p.event_id = (c.event_id // 4) * 4
+WHERE c.event_id < 800 AND p.event_id < 800 AND c.event_id % 4 <> 0
+  AND (p.event_id % 5) <> (c.event_id % 5)
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (the tail_sampler wait_period / streaming
     session_window shape) in batch: one row per (user, session)."""
@@ -4421,6 +4520,8 @@ QUERIES = {
     "codec_json_array": q_codec_json_array,
     "codec_csv": q_codec_csv,
     "codec_csv_out": q_codec_csv_out,
+    "otel_spans_decode": q_otel_spans_decode,
+    "otel_service_map": q_otel_service_map,
     # round-3: pytest-only components now oracle-pinned
     "dedup_clusters": q_dedup_clusters,
     "ft_resume_termstats": q_ft_resume_termstats,
@@ -4542,6 +4643,8 @@ ORACLES = {
     "codec_json_array": sql_codec_json_array(),
     "codec_csv": sql_codec_csv(),
     "codec_csv_out": sql_codec_csv_out(),
+    "otel_spans_decode": sql_otel_spans_decode(),
+    "otel_service_map": sql_otel_service_map(),
     "dedup_clusters": sql_dedup_clusters(),
     "ft_resume_termstats": sql_ft_term_df(),
     "stateful_conclude": sql_stateful_conclude(),

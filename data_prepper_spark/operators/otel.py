@@ -1,0 +1,270 @@
+"""OTLP trace decode — ExportTraceServiceRequest bytes → span rows.
+
+The reference's flagship trace-analytics entry point: its otel_trace
+source receives OTLP protobuf over gRPC and OTelProtoCodec parses each
+request into JacksonSpans (otel-proto-common/.../OTelProtoCodec.java:
+261-291 parseSpan, 379-381 getTraceGroup).  No protobuf library exists
+in this container, so this module carries a minimal PURE-PYTHON decoder
+for the fixed, public OTLP trace wire format (opentelemetry-proto
+trace/v1 + common/v1 — varint / length-delimited / fixed64 walking; the
+schema is frozen by the OTLP spec, which is what makes a hand-rolled
+walker safe).  Spark-side, decode runs as `mapInPandas` over a binary
+payload column: one Arrow batch in, the concatenated span rows of its
+requests out — the per-message Python loop is inherent to protobuf
+(the reference's Java codec walks messages one-by-one too).
+
+Field semantics mirror parseSpan exactly:
+  - trace_id / span_id / parent_span_id: lowercase-hex strings
+    (convertByteStringToString = Hex.encodeHexString);
+  - kind: the enum NAME (SpanKind.name() — "SPAN_KIND_SERVER", ...);
+  - service_name: resource attribute "service.name";
+  - trace_group: root spans (empty parent) get their own name, others
+    NULL (OTelProtoCodec.java:379-381) — trace_group_fill
+    (operators/enrich.py) then propagates the root name trace-wide;
+  - duration_nanos = end - start;
+  - start/end stay as unix NANOS (int64, lossless); the reference
+    renders ISO-8601 strings at sink time.
+  - status_code: Status.code enum value (getSpanStatusAttributes).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+SPAN_KIND_NAMES = [
+    "SPAN_KIND_UNSPECIFIED", "SPAN_KIND_INTERNAL", "SPAN_KIND_SERVER",
+    "SPAN_KIND_CLIENT", "SPAN_KIND_PRODUCER", "SPAN_KIND_CONSUMER",
+]
+
+SPAN_SCHEMA = (
+    "trace_id string, span_id string, parent_span_id string, "
+    "trace_state string, name string, kind string, service_name string, "
+    "start_time_unix_nano long, end_time_unix_nano long, "
+    "duration_nanos long, trace_group string, status_code int"
+)
+
+
+# ------------------------------------------------------- wire primitives
+
+def _rd_varint(b: bytes, i: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        x = b[i]
+        v |= (x & 0x7F) << shift
+        i += 1
+        if not (x & 0x80):
+            return v, i
+        shift += 7
+
+
+def _fields(b: bytes) -> Iterator[tuple[int, int, object]]:
+    """Walk one message's (field_no, wire_type, value) triples.
+    wire 0 → int, wire 1 → 8 raw bytes, wire 2 → bytes, wire 5 → 4 raw
+    bytes.  Unknown fields are yielded too (callers skip them) — forward
+    compatibility, the same rule protobuf itself follows."""
+    i, n = 0, len(b)
+    while i < n:
+        tag, i = _rd_varint(b, i)
+        fno, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _rd_varint(b, i)
+        elif wt == 1:
+            v, i = b[i : i + 8], i + 8
+        elif wt == 2:
+            ln, i = _rd_varint(b, i)
+            v, i = b[i : i + ln], i + ln
+        elif wt == 5:
+            v, i = b[i : i + 4], i + 4
+        else:  # groups (3/4) — not used by OTLP
+            raise ValueError(f"unsupported wire type {wt}")
+        if i > n:  # truncated length-delimited/fixed field
+            raise ValueError("truncated protobuf payload")
+        yield fno, wt, v
+
+
+def _anyvalue(b: bytes):
+    """common/v1 AnyValue → python scalar (string/bool/int/double);
+    nested array/kvlist values are skipped (the reference JSON-encodes
+    them — out of scope for the span columns we emit)."""
+    for fno, wt, v in _fields(b):
+        if fno == 1:
+            return v.decode("utf-8")
+        if fno == 2:
+            return bool(v)
+        if fno == 3:
+            return v if v < (1 << 63) else v - (1 << 64)  # sint as 2c
+        if fno == 4:
+            return struct.unpack("<d", v)[0]
+    return None
+
+
+def _attrs(kvs: list[bytes]) -> dict:
+    out = {}
+    for kv in kvs:
+        key, val = None, None
+        for fno, wt, v in _fields(kv):
+            if fno == 1:
+                key = v.decode("utf-8")
+            elif fno == 2:
+                val = _anyvalue(v)
+        if key is not None:
+            out[key] = val
+    return out
+
+
+def _u64(v) -> int:
+    """fixed64 bytes OR varint int → signed-int64-safe python int."""
+    x = struct.unpack("<Q", v)[0] if isinstance(v, (bytes, bytearray)) else v
+    return x if x < (1 << 63) else x - (1 << 64)
+
+
+def _decode_span(b: bytes, service_name: str | None) -> dict:
+    tid = sid = pid = b""
+    state = ""
+    name = ""
+    kind = 0
+    start = end = 0
+    status_code = 0
+    for fno, wt, v in _fields(b):
+        if fno == 1:
+            tid = v
+        elif fno == 2:
+            sid = v
+        elif fno == 3:
+            state = v.decode("utf-8")
+        elif fno == 4:
+            pid = v
+        elif fno == 5:
+            name = v.decode("utf-8")
+        elif fno == 6:
+            kind = v
+        elif fno == 7:
+            start = _u64(v)
+        elif fno == 8:
+            end = _u64(v)
+        elif fno == 15:
+            for f2, _, v2 in _fields(v):
+                if f2 == 3:
+                    status_code = v2
+    return {
+        "trace_id": tid.hex(),
+        "span_id": sid.hex(),
+        "parent_span_id": pid.hex(),
+        "trace_state": state,
+        "name": name,
+        "kind": SPAN_KIND_NAMES[kind] if kind < 6 else str(kind),
+        "service_name": service_name,
+        "start_time_unix_nano": start,
+        "end_time_unix_nano": end,
+        "duration_nanos": end - start,
+        # root spans carry their own name; children NULL until
+        # trace_group_fill propagates (OTelProtoCodec.java:379-381)
+        "trace_group": name if len(pid) == 0 else None,
+        "status_code": int(status_code),
+    }
+
+
+def decode_trace_request(payload: bytes) -> list[dict]:
+    """One ExportTraceServiceRequest → span row dicts (the pure-python
+    core; OTelProtoCodec.parseExportTraceServiceRequest analog)."""
+    rows: list[dict] = []
+    for fno, wt, rs in _fields(payload):          # resource_spans = 1
+        if fno != 1:
+            continue
+        service = None
+        scope_spans: list[bytes] = []
+        for f2, _, v2 in _fields(rs):
+            if f2 == 1:                            # resource
+                kvs = [v3 for f3, _, v3 in _fields(v2) if f3 == 1]
+                service = _attrs(kvs).get("service.name")
+            elif f2 == 2:                          # scope_spans
+                scope_spans.append(v2)
+        for ss in scope_spans:
+            for f3, _, v3 in _fields(ss):
+                if f3 == 2:                        # spans
+                    rows.append(_decode_span(v3, service))
+    return rows
+
+
+def otel_trace_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """OTLP trace requests (binary column) → one row per span, schema
+    :data:`SPAN_SCHEMA` — the otel_trace source's decode stage as a
+    distributed mapInPandas (payload partitioning is preserved; a
+    request's spans never cross a task boundary, matching the
+    reference's per-request parse)."""
+    cols = [f.strip().split(" ")[0] for f in SPAN_SCHEMA.split(",")]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for payload in pdf[payload_col]:
+                rows.extend(decode_trace_request(bytes(payload)))
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: [] for c in cols})
+            )
+
+    return df.mapInPandas(decode, schema=SPAN_SCHEMA)
+
+
+# ------------------------------------------------- fixture/test ENCODER
+
+def _wr_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        x = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(x | 0x80)
+        else:
+            out.append(x)
+            return bytes(out)
+
+
+def _fld(fno: int, wt: int, payload: bytes) -> bytes:
+    head = _wr_varint((fno << 3) | wt)
+    if wt == 2:
+        return head + _wr_varint(len(payload)) + payload
+    return head + payload
+
+
+def _kv_str(key: str, val: str) -> bytes:
+    av = _fld(1, 2, val.encode())
+    return _fld(1, 2, key.encode()) + _fld(2, 2, av)
+
+
+def encode_span(
+    trace_id: bytes, span_id: bytes, parent_span_id: bytes, name: str,
+    kind: int, start_ns: int, end_ns: int, status_code: int = 0,
+) -> bytes:
+    b = _fld(1, 2, trace_id) + _fld(2, 2, span_id)
+    if parent_span_id:
+        b += _fld(4, 2, parent_span_id)
+    b += _fld(5, 2, name.encode())
+    b += _fld(6, 0, _wr_varint(kind))
+    b += _fld(7, 1, struct.pack("<Q", start_ns))
+    b += _fld(8, 1, struct.pack("<Q", end_ns))
+    if status_code:
+        b += _fld(15, 2, _fld(3, 0, _wr_varint(status_code)))
+    return b
+
+
+def encode_trace_request(spans_by_service: dict[str, list[bytes]]) -> bytes:
+    """{service_name: [encoded spans]} → ExportTraceServiceRequest bytes
+    (one ResourceSpans per service, one ScopeSpans each) — deterministic
+    fixture generator for tests and oracle entries."""
+    req = b""
+    for service in sorted(spans_by_service):
+        resource = _fld(1, 2, _kv_str("service.name", service))
+        scope = b"".join(
+            _fld(2, 2, sp) for sp in spans_by_service[service]
+        )
+        rs = _fld(1, 2, resource) + _fld(2, 2, scope)
+        req += _fld(1, 2, rs)
+    return req

@@ -1,0 +1,99 @@
+"""OTLP trace decode (operators/otel.py) — wire-format round-trip,
+reference field semantics (OTelProtoCodec.java:261-291,379-381), and the
+mapInPandas distributed path."""
+
+import struct
+
+import pytest
+
+from data_prepper_spark.operators import otel
+
+
+def _mk_span(eid, tn, pos):
+    start = 1_700_000_000_000_000_000 + eid * 1_000_000
+    return otel.encode_span(
+        tn.to_bytes(16, "big"), (eid + 1).to_bytes(8, "big"),
+        b"" if pos == 0 else (tn * 4 + 1).to_bytes(8, "big"),
+        f"op-{eid % 7}", 2 if pos == 0 else 3,
+        start, start + 5000, status_code=eid % 3,
+    )
+
+
+def test_roundtrip_fields():
+    req = otel.encode_trace_request(
+        {"svc-a": [_mk_span(0, 0, 0)], "svc-b": [_mk_span(1, 0, 1)]}
+    )
+    rows = otel.decode_trace_request(req)
+    assert len(rows) == 2
+    root = next(r for r in rows if r["parent_span_id"] == "")
+    child = next(r for r in rows if r["parent_span_id"] != "")
+    assert root["kind"] == "SPAN_KIND_SERVER"
+    assert child["kind"] == "SPAN_KIND_CLIENT"
+    # traceGroup: root keeps its name, child NULL (OTelProtoCodec:379)
+    assert root["trace_group"] == root["name"]
+    assert child["trace_group"] is None
+    assert child["parent_span_id"] == root["span_id"]
+    assert root["service_name"] == "svc-a"
+    assert child["service_name"] == "svc-b"
+    assert root["duration_nanos"] == 5000
+    assert child["status_code"] == 1
+    assert len(root["trace_id"]) == 32 and len(root["span_id"]) == 16
+
+
+def test_unknown_fields_skipped():
+    """Forward compat: unknown span fields (here #20, a varint and a
+    length-delimited blob) must be skipped, like protobuf itself."""
+    sp = _mk_span(2, 0, 2)
+    extra = otel._fld(20, 0, otel._wr_varint(99)) + otel._fld(21, 2, b"blob")
+    req = otel.encode_trace_request({"svc": [sp + extra]})
+    rows = otel.decode_trace_request(req)
+    assert len(rows) == 1 and rows[0]["name"] == "op-2"
+
+
+def test_anyvalue_scalars():
+    enc_int = otel._fld(3, 0, otel._wr_varint(42))
+    assert otel._anyvalue(enc_int) == 42
+    enc_dbl = otel._fld(4, 1, struct.pack("<d", 2.5))
+    assert otel._anyvalue(enc_dbl) == 2.5
+    enc_bool = otel._fld(2, 0, otel._wr_varint(1))
+    assert otel._anyvalue(enc_bool) is True
+
+
+def test_spark_decode_distributed(spark):
+    reqs = []
+    for t in range(6):
+        spans = [_mk_span(t * 4 + p, t, p) for p in range(4)]
+        reqs.append((otel.encode_trace_request({f"svc-{t % 3}": spans}),))
+    df = spark.createDataFrame(reqs, "payload binary").repartition(3)
+    out = otel.otel_trace_decode(df)
+    rows = out.collect()
+    assert len(rows) == 24
+    assert {r["kind"] for r in rows} == {"SPAN_KIND_SERVER", "SPAN_KIND_CLIENT"}
+    roots = [r for r in rows if r["parent_span_id"] == ""]
+    assert len(roots) == 6 and all(r["trace_group"] == r["name"] for r in roots)
+
+
+def test_service_map_composition(spark):
+    """decode → service_map end-to-end: cross-service parent→child edges."""
+    from data_prepper_spark.operators.aggregate import service_map
+
+    spans = [_mk_span(p, 0, p) for p in range(3)]
+    req = otel.encode_trace_request({"svc-root": [spans[0]],
+                                     "svc-leaf": spans[1:]})
+    df = spark.createDataFrame([(req,)], "payload binary")
+    edges = service_map(
+        otel.otel_trace_decode(df),
+        trace_col="trace_id", span_col="span_id",
+        parent_col="parent_span_id", service_col="service_name",
+        kind_col="kind",
+    ).collect()
+    assert len(edges) == 1
+    assert (edges[0]["serviceName"], edges[0]["destination"]) == (
+        "svc-root", "svc-leaf",
+    )
+
+
+def test_truncated_payload_raises():
+    req = otel.encode_trace_request({"svc": [_mk_span(0, 0, 0)]})
+    with pytest.raises((IndexError, ValueError)):
+        otel.decode_trace_request(req[: len(req) // 2])
