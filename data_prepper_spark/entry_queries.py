@@ -2539,6 +2539,91 @@ WHERE c.event_id < 800 AND p.event_id < 800 AND c.event_id % 4 <> 0
 """
 
 
+def q_otel_metrics_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """otel_metrics processor (OTelMetricsRawProcessor.java:56-92):
+    ExportMetricsServiceRequest protobuf bytes → one row per data point
+    (gauge / sum / histogram), decoded distributed via mapInPandas.
+    Array columns are stringified for the oracle compare."""
+    from .operators import otel
+
+    eids = sorted(
+        int(r["event_id"])
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 600)
+        .select("event_id")
+        .collect()
+    )
+    reqs: dict[int, dict[str, list[bytes]]] = {}
+    for eid in eids:
+        base = _OTEL_BASE_NS + eid * 1_000_000
+        name = f"metric-{eid % 4}"
+        if eid % 3 == 0:
+            m = otel.encode_metric(
+                name, "ms", "GAUGE",
+                [otel.encode_number_point(base, base + 1_000_000, eid * 0.5)],
+            )
+        elif eid % 3 == 1:
+            m = otel.encode_metric(
+                name, "ms", "SUM",
+                [otel.encode_number_point(base, base + 1_000_000, eid, as_int=True)],
+                monotonic=eid % 2 == 0, temporality=1 + eid % 2,
+            )
+        else:
+            m = otel.encode_metric(
+                name, "ms", "HISTOGRAM",
+                [otel.encode_hist_point(
+                    base, base + 1_000_000, eid + 3,
+                    [eid % 5, eid % 7, 3], [1.0, 10.0],
+                )],
+                temporality=1 + eid % 2,
+            )
+        reqs.setdefault(eid % 6, {}).setdefault(f"svc-{eid % 5}", []).append(m)
+    payloads = [
+        (otel.encode_metrics_request(d),) for _, d in sorted(reqs.items())
+    ]
+    out = otel.otel_metrics_decode(
+        spark.createDataFrame(payloads, "payload binary").repartition(3)
+    )
+    return out.select(
+        "name", "description", "unit", "kind", "service_name",
+        "start_time_unix_nano", "time_unix_nano", "value", "is_monotonic",
+        "aggregation_temporality",
+        F.when(
+            F.col("bucket_counts").isNotNull(),
+            F.concat_ws(",", F.col("bucket_counts").cast("array<string>")),
+        ).alias("bucket_counts"),
+        F.when(
+            F.col("explicit_bounds").isNotNull(),
+            F.concat_ws(",", F.col("explicit_bounds").cast("array<string>")),
+        ).alias("explicit_bounds"),
+    )
+
+
+def sql_otel_metrics_decode() -> str:
+    return """
+SELECT 'metric-' || (event_id % 4) AS name,
+       ''   AS description,
+       'ms' AS unit,
+       CASE event_id % 3 WHEN 0 THEN 'GAUGE' WHEN 1 THEN 'SUM'
+            ELSE 'HISTOGRAM' END AS kind,
+       'svc-' || (event_id % 5) AS service_name,
+       1700000000000000000 + event_id * 1000000 AS start_time_unix_nano,
+       1700000000000000000 + event_id * 1000000 + 1000000 AS time_unix_nano,
+       (CASE event_id % 3 WHEN 0 THEN event_id * 0.5
+             WHEN 1 THEN event_id ELSE event_id + 3 END)::DOUBLE AS value,
+       CASE WHEN event_id % 3 = 1 THEN event_id % 2 = 0 ELSE NULL END
+           AS is_monotonic,
+       (CASE WHEN event_id % 3 = 0 THEN NULL
+             ELSE 1 + event_id % 2 END)::INT AS aggregation_temporality,
+       CASE WHEN event_id % 3 = 2
+            THEN (event_id % 5) || ',' || (event_id % 7) || ',3'
+            ELSE NULL END AS bucket_counts,
+       CASE WHEN event_id % 3 = 2 THEN '1.0,10.0' ELSE NULL END
+           AS explicit_bounds
+FROM events WHERE event_id < 600
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (the tail_sampler wait_period / streaming
     session_window shape) in batch: one row per (user, session)."""
@@ -4522,6 +4607,7 @@ QUERIES = {
     "codec_csv_out": q_codec_csv_out,
     "otel_spans_decode": q_otel_spans_decode,
     "otel_service_map": q_otel_service_map,
+    "otel_metrics_decode": q_otel_metrics_decode,
     # round-3: pytest-only components now oracle-pinned
     "dedup_clusters": q_dedup_clusters,
     "ft_resume_termstats": q_ft_resume_termstats,
@@ -4645,6 +4731,7 @@ ORACLES = {
     "codec_csv_out": sql_codec_csv_out(),
     "otel_spans_decode": sql_otel_spans_decode(),
     "otel_service_map": sql_otel_service_map(),
+    "otel_metrics_decode": sql_otel_metrics_decode(),
     "dedup_clusters": sql_dedup_clusters(),
     "ft_resume_termstats": sql_ft_term_df(),
     "stateful_conclude": sql_stateful_conclude(),

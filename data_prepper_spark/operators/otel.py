@@ -213,6 +213,147 @@ def otel_trace_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(decode, schema=SPAN_SCHEMA)
 
 
+# ------------------------------------------------------- metrics decode
+
+METRIC_SCHEMA = (
+    "name string, description string, unit string, kind string, "
+    "service_name string, start_time_unix_nano long, time_unix_nano long, "
+    "value double, is_monotonic boolean, aggregation_temporality int, "
+    "bucket_counts array<long>, explicit_bounds array<double>"
+)
+
+_AGG_TEMPORALITY = 2  # field in Sum/Histogram
+_IS_MONOTONIC = 3
+
+
+def _number_point(b: bytes) -> dict:
+    start = t = 0
+    val = None
+    for fno, wt, v in _fields(b):
+        if fno == 2:
+            start = _u64(v)
+        elif fno == 3:
+            t = _u64(v)
+        elif fno == 4:
+            val = struct.unpack("<d", v)[0]
+        elif fno == 6:
+            val = float(struct.unpack("<q", v)[0])
+    return {"start_time_unix_nano": start, "time_unix_nano": t,
+            "value": val, "bucket_counts": None, "explicit_bounds": None}
+
+
+def _histogram_point(b: bytes) -> dict:
+    start = t = 0
+    total = None
+    counts: list[int] = []
+    bounds: list[float] = []
+    for fno, wt, v in _fields(b):
+        if fno == 2:
+            start = _u64(v)
+        elif fno == 3:
+            t = _u64(v)
+        elif fno == 4:  # count (fixed64)
+            total = float(_u64(v))
+        elif fno == 6:  # bucket_counts: packed fixed64
+            counts.extend(
+                struct.unpack(f"<{len(v) // 8}Q", bytes(v))
+            )
+        elif fno == 7:  # explicit_bounds: packed double
+            bounds.extend(
+                struct.unpack(f"<{len(v) // 8}d", bytes(v))
+            )
+    return {"start_time_unix_nano": start, "time_unix_nano": t,
+            "value": total, "bucket_counts": [int(c) for c in counts],
+            "explicit_bounds": list(bounds)}
+
+
+def _decode_metric(b: bytes, service_name: str | None) -> list[dict]:
+    name = desc = unit = ""
+    rows: list[dict] = []
+    kind = None
+    monotonic = None
+    temporality = None
+    points: list[dict] = []
+    for fno, wt, v in _fields(b):
+        if fno == 1:
+            name = v.decode("utf-8")
+        elif fno == 2:
+            desc = v.decode("utf-8")
+        elif fno == 3:
+            unit = v.decode("utf-8")
+        elif fno in (5, 7, 9):  # gauge / sum / histogram
+            kind = {5: "GAUGE", 7: "SUM", 9: "HISTOGRAM"}[fno]
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:
+                    points.append(
+                        _histogram_point(v2) if fno == 9 else _number_point(v2)
+                    )
+                elif f2 == _AGG_TEMPORALITY and fno in (7, 9):
+                    temporality = int(v2)
+                elif f2 == _IS_MONOTONIC and fno == 7:
+                    monotonic = bool(v2)
+    # proto3 scalar defaults: an absent field means false/0, not unknown
+    if kind == "SUM" and monotonic is None:
+        monotonic = False
+    if kind in ("SUM", "HISTOGRAM") and temporality is None:
+        temporality = 0
+    for p in points:
+        rows.append({
+            "name": name, "description": desc, "unit": unit, "kind": kind,
+            "service_name": service_name, "is_monotonic": monotonic,
+            "aggregation_temporality": temporality, **p,
+        })
+    return rows
+
+
+def decode_metrics_request(payload: bytes) -> list[dict]:
+    """One ExportMetricsServiceRequest → metric-point row dicts
+    (OTelMetricsRawProcessor.java:56-92 mapGauge/mapSum/mapHistogram
+    analog — gauge, sum, and histogram points; summary/exponential
+    histogram are out of scope like the repo's other protocol edges)."""
+    rows: list[dict] = []
+    for fno, wt, rm in _fields(payload):          # resource_metrics = 1
+        if fno != 1:
+            continue
+        service = None
+        scopes: list[bytes] = []
+        for f2, _, v2 in _fields(rm):
+            if f2 == 1:
+                kvs = [v3 for f3, _, v3 in _fields(v2) if f3 == 1]
+                service = _attrs(kvs).get("service.name")
+            elif f2 == 2:                          # scope_metrics
+                scopes.append(v2)
+        for sm in scopes:
+            for f3, _, v3 in _fields(sm):
+                if f3 == 2:                        # metrics
+                    rows.extend(_decode_metric(v3, service))
+    return rows
+
+
+def otel_metrics_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """OTLP metrics requests (binary column) → one row per data point,
+    schema :data:`METRIC_SCHEMA` — the otel_metrics processor as a
+    distributed mapInPandas."""
+    cols = [
+        "name", "description", "unit", "kind", "service_name",
+        "start_time_unix_nano", "time_unix_nano", "value", "is_monotonic",
+        "aggregation_temporality", "bucket_counts", "explicit_bounds",
+    ]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for payload in pdf[payload_col]:
+                rows.extend(decode_metrics_request(bytes(payload)))
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: [] for c in cols})
+            )
+
+    return df.mapInPandas(decode, schema=METRIC_SCHEMA)
+
+
 # ------------------------------------------------- fixture/test ENCODER
 
 def _wr_varint(v: int) -> bytes:
@@ -253,6 +394,59 @@ def encode_span(
     if status_code:
         b += _fld(15, 2, _fld(3, 0, _wr_varint(status_code)))
     return b
+
+
+def encode_number_point(
+    start_ns: int, t_ns: int, value: float | int, as_int: bool = False
+) -> bytes:
+    b = _fld(2, 1, struct.pack("<Q", start_ns)) + _fld(3, 1, struct.pack("<Q", t_ns))
+    if as_int:
+        b += _fld(6, 1, struct.pack("<q", int(value)))
+    else:
+        b += _fld(4, 1, struct.pack("<d", float(value)))
+    return b
+
+
+def encode_hist_point(
+    start_ns: int, t_ns: int, count: int,
+    bucket_counts: list[int], bounds: list[float],
+) -> bytes:
+    b = _fld(2, 1, struct.pack("<Q", start_ns)) + _fld(3, 1, struct.pack("<Q", t_ns))
+    b += _fld(4, 1, struct.pack("<Q", count))
+    b += _fld(6, 2, struct.pack(f"<{len(bucket_counts)}Q", *bucket_counts))
+    b += _fld(7, 2, struct.pack(f"<{len(bounds)}d", *bounds))
+    return b
+
+
+def encode_metric(
+    name: str, unit: str, kind: str, points: list[bytes],
+    description: str = "", monotonic: bool = False, temporality: int = 2,
+) -> bytes:
+    b = _fld(1, 2, name.encode()) + _fld(2, 2, description.encode())
+    b += _fld(3, 2, unit.encode())
+    inner = b"".join(_fld(1, 2, p) for p in points)
+    if kind == "GAUGE":
+        b += _fld(5, 2, inner)
+    elif kind == "SUM":
+        inner += _fld(2, 0, _wr_varint(temporality))
+        inner += _fld(3, 0, _wr_varint(1 if monotonic else 0))
+        b += _fld(7, 2, inner)
+    elif kind == "HISTOGRAM":
+        inner += _fld(2, 0, _wr_varint(temporality))
+        b += _fld(9, 2, inner)
+    else:
+        raise ValueError(kind)
+    return b
+
+
+def encode_metrics_request(metrics_by_service: dict[str, list[bytes]]) -> bytes:
+    req = b""
+    for service in sorted(metrics_by_service):
+        resource = _fld(1, 2, _kv_str("service.name", service))
+        scope = b"".join(_fld(2, 2, m) for m in metrics_by_service[service])
+        rm = _fld(1, 2, resource) + _fld(2, 2, scope)
+        req += _fld(1, 2, rm)
+    return req
 
 
 def encode_trace_request(spans_by_service: dict[str, list[bytes]]) -> bytes:

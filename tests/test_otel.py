@@ -97,3 +97,47 @@ def test_truncated_payload_raises():
     req = otel.encode_trace_request({"svc": [_mk_span(0, 0, 0)]})
     with pytest.raises((IndexError, ValueError)):
         otel.decode_trace_request(req[: len(req) // 2])
+
+
+def test_metrics_roundtrip():
+    g = otel.encode_metric(
+        "cpu", "1", "GAUGE", [otel.encode_number_point(10, 20, 0.75)]
+    )
+    s = otel.encode_metric(
+        "reqs", "1", "SUM", [otel.encode_number_point(10, 20, 42, as_int=True)],
+        monotonic=True, temporality=2,
+    )
+    h = otel.encode_metric(
+        "lat", "ms", "HISTOGRAM",
+        [otel.encode_hist_point(10, 20, 7, [2, 4, 1], [1.0, 5.0])],
+        temporality=1,
+    )
+    rows = otel.decode_metrics_request(
+        otel.encode_metrics_request({"svc": [g, s, h]})
+    )
+    by_kind = {r["kind"]: r for r in rows}
+    assert by_kind["GAUGE"]["value"] == 0.75
+    assert by_kind["GAUGE"]["is_monotonic"] is None
+    assert by_kind["SUM"]["value"] == 42.0
+    assert by_kind["SUM"]["is_monotonic"] is True
+    assert by_kind["SUM"]["aggregation_temporality"] == 2
+    assert by_kind["HISTOGRAM"]["value"] == 7.0
+    assert by_kind["HISTOGRAM"]["bucket_counts"] == [2, 4, 1]
+    assert by_kind["HISTOGRAM"]["explicit_bounds"] == [1.0, 5.0]
+    assert all(r["service_name"] == "svc" for r in rows)
+
+
+def test_metrics_spark_decode(spark):
+    reqs = [
+        (otel.encode_metrics_request({
+            f"svc-{i}": [otel.encode_metric(
+                "m", "1", "GAUGE",
+                [otel.encode_number_point(i, i + 1, i * 1.5)],
+            )]
+        }),)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(reqs, "payload binary").repartition(2)
+    rows = otel.otel_metrics_decode(df).collect()
+    assert len(rows) == 4
+    assert sorted(r["value"] for r in rows) == [0.0, 1.5, 3.0, 4.5]
