@@ -299,9 +299,55 @@ def compact(spark: SparkSession, index_dir: str) -> str:
     return resolve_current(index_dir)
 
 
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector jar is on the JVM
+    classpath (not bundled in this container — gate, like
+    tables.iceberg_available)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:  # Py4JError / Connect (no _jvm) / missing class
+        return False
+
+
+def kafka_page_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source for the live index (the reference's kafka source,
+    kafka-plugins/.../KafkaSource.java:88-120: consumer group per
+    pipeline, JSON/plaintext deserialization): messages are JSON pages,
+    value → from_json(schema).  Requires the spark-sql-kafka package —
+    raises a clear error when absent (start_stream_index's file-stream
+    path is the in-container fallback)."""
+    from pyspark.sql import functions as F
+
+    if not kafka_available(spark):
+        raise NotImplementedError(
+            "kafka source requires org.apache.spark:spark-sql-kafka-0-10 "
+            "on the Spark classpath (--packages); not present in this "
+            "container — use a file stream (source_path) instead"
+        )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("page")
+    ).select("page.*")
+
+
 def start_stream_index(
     spark: SparkSession,
-    source_path: str,
+    source_path: str | None,
     index_dir: str,
     cfg: IndexConfig = IndexConfig(),
     checkpoint_dir: str | None = None,
@@ -310,18 +356,25 @@ def start_stream_index(
     max_files_per_trigger: int | None = None,
     builder=build_oneshot,
     merge_every: int = 1,
+    kafka_servers: str | None = None,
+    kafka_topic: str | None = None,
 ):
-    """Start the live-index stream over a parquet directory of pages.
+    """Start the live-index stream over a parquet directory of pages —
+    or, when *kafka_servers*/*kafka_topic* are given (and the connector
+    jar is present), over a Kafka topic of JSON pages.
 
     available_now=True drains the existing files and stops (the test /
     backfill mode); False tails the directory continuously.  *builder*
     swaps the per-batch build (build_oneshot for the pages shape,
     build_oneshot_text for (doc_id, text) tables — pass the matching
     *schema*).  Returns the StreamingQuery."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_path)
+    if kafka_servers is not None:
+        stream = kafka_page_stream(spark, kafka_servers, kafka_topic, schema)
+    else:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(source_path)
     writer = stream.writeStream.foreachBatch(
         lambda df, bid: apply_batch(
             spark, df, bid, index_dir, cfg,

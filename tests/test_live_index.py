@@ -280,3 +280,21 @@ def test_fold_never_collects_base_docmeta(spark, workdir, monkeypatch):
     assert s.n_docs == 60
     hits = {d for d, _ in s.search("refresh", k=100, mode="brute")}
     assert hits == set(range(20, 40))
+
+
+def test_kafka_source_gate(spark):
+    """Kafka source surface (KafkaSource.java:88-120 analog): skips when
+    the spark-sql-kafka connector jar is absent (this container), raises
+    a clear NotImplementedError through the gate, and builds the plan
+    when present."""
+    from data_prepper_spark.index.live import kafka_available, kafka_page_stream
+
+    schema = "url string, text string"
+    if not kafka_available(spark):
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+            kafka_page_stream(spark, "localhost:9092", "pages", schema)
+        _pytest.skip("spark-sql-kafka connector not on classpath")
+    df = kafka_page_stream(spark, "localhost:9092", "pages", schema)
+    assert set(df.columns) == {"url", "text"}
