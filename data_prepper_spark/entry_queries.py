@@ -3792,6 +3792,74 @@ FROM events
 """
 
 
+_GEOIP_FIXTURE_NETS = [
+    ("16.0.0.0/4", {"country": {"iso_code": "US", "names": {"en": "United States"}},
+                    "city": {"names": {"en": "Ashburn"}},
+                    "location": {"latitude": 39.0, "longitude": -77.5,
+                                 "time_zone": "America/New_York"}}),
+    ("64.0.0.0/3", {"country": {"iso_code": "DE", "names": {"en": "Germany"}},
+                    "city": {"names": {"en": "Frankfurt"}},
+                    "location": {"latitude": 50.1, "longitude": 8.7,
+                                 "time_zone": "Europe/Berlin"}}),
+    ("128.0.0.0/2", {"country": {"iso_code": "JP", "names": {"en": "Japan"}},
+                     "location": {"latitude": 35.7, "longitude": 139.7,
+                                  "time_zone": "Asia/Tokyo"}}),
+]
+
+
+def q_geoip_mmdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip REAL mode: a valid .mmdb fixture database (pure-python
+    writer, sources/mmdb.py) resolved per-IP through the pure-python
+    MMDB reader inside mapInPandas — the GeoIPProcessor.java:71-92 path
+    with the file format decoded from its public spec instead of the
+    geoip2 library."""
+    import tempfile as _tf
+
+    from .operators.enrich import geoip
+    from .sources.mmdb import build_mmdb
+
+    db = build_mmdb(_GEOIP_FIXTURE_NETS)
+    path = os.path.join(_tf.mkdtemp(prefix="dps_mmdb_"), "fixture.mmdb")
+    with open(path, "wb") as f:
+        f.write(db)
+    ev = _t(spark, sf_dir, "events")
+    ip = F.format_string(
+        "%d.%d.0.9",
+        (F.col("event_id") % 256).cast("int"),
+        (F.col("user_id") % 256).cast("int"),
+    )
+    out = geoip(ev.withColumn("ip", ip), "ip", mmdb_path=path)
+    return out.select(
+        "event_id",
+        F.col("geo.country_iso_code").alias("country_iso_code"),
+        F.col("geo.city_name").alias("city_name"),
+        F.col("geo.latitude").alias("latitude"),
+        F.col("geo.time_zone").alias("time_zone"),
+    )
+
+
+def sql_geoip_mmdb() -> str:
+    return """
+SELECT event_id,
+       CASE WHEN event_id % 256 BETWEEN 16 AND 31 THEN 'US'
+            WHEN event_id % 256 BETWEEN 64 AND 95 THEN 'DE'
+            WHEN event_id % 256 BETWEEN 128 AND 191 THEN 'JP'
+            ELSE NULL END AS country_iso_code,
+       CASE WHEN event_id % 256 BETWEEN 16 AND 31 THEN 'Ashburn'
+            WHEN event_id % 256 BETWEEN 64 AND 95 THEN 'Frankfurt'
+            ELSE NULL END AS city_name,
+       (CASE WHEN event_id % 256 BETWEEN 16 AND 31 THEN 39.0
+             WHEN event_id % 256 BETWEEN 64 AND 95 THEN 50.1
+             WHEN event_id % 256 BETWEEN 128 AND 191 THEN 35.7
+             ELSE NULL END)::DOUBLE AS latitude,
+       CASE WHEN event_id % 256 BETWEEN 16 AND 31 THEN 'America/New_York'
+            WHEN event_id % 256 BETWEEN 64 AND 95 THEN 'Europe/Berlin'
+            WHEN event_id % 256 BETWEEN 128 AND 191 THEN 'Asia/Tokyo'
+            ELSE NULL END AS time_zone
+FROM events
+"""
+
+
 def q_dlq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quarantine split (S3DlqWriter analog): per-row disposition — 'ok'
     for clean rows, comma-joined failure tags otherwise."""
@@ -4608,6 +4676,7 @@ QUERIES = {
     "otel_spans_decode": q_otel_spans_decode,
     "otel_service_map": q_otel_service_map,
     "otel_metrics_decode": q_otel_metrics_decode,
+    "geoip_mmdb": q_geoip_mmdb,
     # round-3: pytest-only components now oracle-pinned
     "dedup_clusters": q_dedup_clusters,
     "ft_resume_termstats": q_ft_resume_termstats,
@@ -4732,6 +4801,7 @@ ORACLES = {
     "otel_spans_decode": sql_otel_spans_decode(),
     "otel_service_map": sql_otel_service_map(),
     "otel_metrics_decode": sql_otel_metrics_decode(),
+    "geoip_mmdb": sql_geoip_mmdb(),
     "dedup_clusters": sql_dedup_clusters(),
     "ft_resume_termstats": sql_ft_term_df(),
     "stateful_conclude": sql_stateful_conclude(),

@@ -59,20 +59,79 @@ def geoip(
 ) -> DataFrame:
     """`geoip` (GeoIPProcessor.java:34,71-92) — MaxMind lookup.
 
-    Real mode needs the geoip2 library + an .mmdb file (absent in this
-    container): the production wiring is `SparkFiles.get(mmdb)` broadcast
-    + a pandas UDF holding one open Reader per executor.  Offline mode
-    (mmdb_path=None) attaches a deterministic RFC-1918/class-based fake
-    so pipelines are testable end-to-end."""
+    Real mode (mmdb_path=...): the db bytes ship in the task closure
+    (GeoLite2-City is ~60 MB — broadcast-sized, the reference holds one
+    open Reader per worker the same way) and every batch resolves
+    through the pure-python MMDB reader (sources/mmdb.py — the file
+    format is public; no geoip2 dependency), Arrow-batched via
+    mapInPandas.  Emits a `target` struct with the processor's standard
+    fields: country_iso_code, country_name, city_name, latitude,
+    longitude, time_zone (NULLs for unresolved IPs).
+
+    Offline mode (mmdb_path=None) attaches a deterministic
+    RFC-1918/class-based fake so pipelines are testable end-to-end
+    without any database file."""
     if mmdb_path is not None:
-        try:
-            import geoip2.database  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "geoip real mode requires the geoip2 package (absent); "
-                "use mmdb_path=None for the deterministic offline stub"
-            ) from e
-        raise NotImplementedError("mmdb wiring pending library availability")
+        from typing import Iterator
+
+        import pandas as pd
+        from pyspark.sql.types import (
+            DoubleType, StringType, StructField, StructType,
+        )
+
+        from ..sources.mmdb import MMDBReader
+
+        with open(mmdb_path, "rb") as f:
+            db_bytes = f.read()
+        geo_fields = [
+            StructField("country_iso_code", StringType()),
+            StructField("country_name", StringType()),
+            StructField("city_name", StringType()),
+            StructField("latitude", DoubleType()),
+            StructField("longitude", DoubleType()),
+            StructField("time_zone", StringType()),
+        ]
+        # fresh StructType — .add() would mutate the frame's cached schema
+        out_schema = StructType(
+            list(df.schema.fields)
+            + [StructField(target, StructType(geo_fields))]
+        )
+
+        def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            reader = MMDBReader(db_bytes)  # one reader per task
+            cache: dict[str, tuple] = {}
+
+            def one(ip):
+                if ip is None:
+                    return (None,) * 6
+                hit = cache.get(ip)
+                if hit is None:
+                    try:
+                        rec = reader.lookup(ip) or {}
+                    except ValueError:
+                        rec = {}
+                    loc = rec.get("location", {})
+                    hit = (
+                        rec.get("country", {}).get("iso_code"),
+                        rec.get("country", {}).get("names", {}).get("en"),
+                        rec.get("city", {}).get("names", {}).get("en"),
+                        loc.get("latitude"),
+                        loc.get("longitude"),
+                        loc.get("time_zone"),
+                    )
+                    cache[ip] = hit
+                return hit
+
+            names = [f.name for f in geo_fields]
+            for pdf in batches:
+                geo = pd.DataFrame(
+                    [one(ip) for ip in pdf[source]], columns=names,
+                    index=pdf.index,
+                )
+                pdf[target] = geo.apply(lambda r: tuple(r), axis=1)
+                yield pdf
+
+        return df.mapInPandas(enrich, schema=out_schema)
     ip = F.col(source)
     first = F.split(ip, r"\.").getItem(0).cast("int")
     country = (

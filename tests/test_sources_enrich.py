@@ -84,7 +84,9 @@ def test_geoip_stub(spark):
     assert out["10.1.2.3"]["country"] == "private"
     assert out["8.8.8.8"]["country"] == "US"
     assert out["200.1.1.1"]["country"] == "other"
-    with pytest.raises(NotImplementedError):
+    # real mode is implemented (pure-python mmdb reader) — a missing db
+    # file fails fast at plan time
+    with pytest.raises(FileNotFoundError):
         geoip(df, "ip", mmdb_path="/nonexistent.mmdb")
 
 
@@ -167,3 +169,66 @@ device_parsers:
     second = byname["OtherTool"]
     assert second["name"] == "OtherTool" and second["version"] == "7"
     assert second["os"]["name"] == "Other" and second["device"]["name"] == "Other"
+
+
+# ------------------------------------------------------------ mmdb geoip
+
+def test_mmdb_roundtrip_and_types():
+    """Fixture writer → pure-python reader: tree walk, nested maps,
+    doubles, negative ints, booleans, arrays, metadata."""
+    from data_prepper_spark.sources.mmdb import MMDBReader, build_mmdb
+
+    nets = [
+        ("10.0.0.0/8", {"country": {"iso_code": "XX"},
+                        "flags": {"anycast": True, "offset": -5},
+                        "tags": ["a", "b"]}),
+        ("52.0.0.0/8", {"location": {"latitude": 39.0, "longitude": -77.5}}),
+        ("52.0.0.0/8".replace("52", "53"), {"country": {"iso_code": "YY"}}),
+    ]
+    r = MMDBReader(build_mmdb(nets))
+    assert r.meta["ip_version"] == 4 and r.record_size == 24
+    rec = r.lookup("10.200.1.1")
+    assert rec["country"]["iso_code"] == "XX"
+    assert rec["flags"]["anycast"] is True and rec["flags"]["offset"] == -5
+    assert rec["tags"] == ["a", "b"]
+    assert r.lookup("52.1.2.3")["location"]["longitude"] == -77.5
+    assert r.lookup("53.0.0.1")["country"]["iso_code"] == "YY"
+    assert r.lookup("99.0.0.1") is None
+    assert r.lookup("::1") is None  # v6 addr against a v4 tree
+
+
+def test_mmdb_rejects_overlap_and_garbage():
+    import pytest as _pytest
+
+    from data_prepper_spark.sources.mmdb import MMDBReader, build_mmdb
+
+    with _pytest.raises(ValueError):
+        build_mmdb([("10.0.0.0/8", {}), ("10.0.0.0/16", {})])
+    with _pytest.raises(ValueError):
+        MMDBReader(b"not a database")
+
+
+def test_geoip_mmdb_mode(spark, tmp_path):
+    """Real geoip mode end-to-end in Spark: mapInPandas over a fixture
+    .mmdb, struct fields populated / NULL for unresolved."""
+    from data_prepper_spark.operators.enrich import geoip
+    from data_prepper_spark.sources.mmdb import build_mmdb
+
+    db = build_mmdb([
+        ("20.0.0.0/8", {"country": {"iso_code": "US", "names": {"en": "United States"}},
+                        "city": {"names": {"en": "Boston"}},
+                        "location": {"latitude": 42.4, "longitude": -71.1,
+                                     "time_zone": "America/New_York"}}),
+    ])
+    p = tmp_path / "fix.mmdb"
+    p.write_bytes(db)
+    df = spark.createDataFrame(
+        [("20.1.2.3",), ("99.9.9.9",), (None,)], "ip string"
+    )
+    rows = {r["ip"]: r["geo"] for r in geoip(df, "ip", mmdb_path=str(p)).collect()}
+    hit = rows["20.1.2.3"]
+    assert hit["country_iso_code"] == "US" and hit["city_name"] == "Boston"
+    assert abs(hit["latitude"] - 42.4) < 1e-9
+    assert hit["time_zone"] == "America/New_York"
+    miss = rows["99.9.9.9"]
+    assert miss["country_iso_code"] is None and miss["latitude"] is None
