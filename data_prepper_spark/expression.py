@@ -383,8 +383,10 @@ def _ipv6_halves(ip_col: Column) -> tuple[Column, Column, Column]:
     # non-hex address must be INVALID (predicate false), not NULL — under
     # negation/CASE a NULL would diverge from the reference's
     # false-for-invalid behavior.
+    # case-insensitive: the embedded-IPv4 tail groups come from
+    # F.conv(.., 10, 16), which emits UPPERCASE hex
     valid = (F.size(groups) == 8) & F.forall(
-        groups, lambda g: g.rlike("^[0-9a-f]{1,4}$")
+        groups, lambda g: g.rlike("^[0-9a-fA-F]{1,4}$")
     )
     bias = F.lit(_SIGN_BIT)
     return valid, hi.bitwiseXOR(bias), lo.bitwiseXOR(bias)
