@@ -1,0 +1,158 @@
+"""Segmented-build scaling probe — the bounded-working-set ingest path.
+
+Round 3 measured the ONESHOT 10M-doc build at 2→8 cores efficiency
+0.721 (vs 0.839 at 4M), with per-stage evidence pointing at this VM's
+working-set/page-fault ceiling rather than plan structure (BENCH.md).
+This probe runs the same 10M corpus through the engine's REAL
+large-corpus ingest shape instead: K sequential segment builds (each a
+disjoint hash-slice of the docs, each with a ~K×-smaller working set)
+followed by one N-way segment merge (index/merge.py — rank-identity
+already pinned by tests/test_merge.py and ft_merged_*).  Total
+wall-clock per level = Σ segment builds + merge.
+
+If the segmented pipeline clears ≥0.8 at 10M, the north-rule gate is
+met at the decade by the path a 10^12-doc deployment uses anyway
+(micro-batch/segment ingest + tiered merge, exactly live.py's
+merge_every); and oneshot-vs-segmented at the SAME corpus is the
+"identical job profile at two working-set sizes" experiment that
+isolates the VM ceiling.
+
+Usage:
+  python tools/bench_scaling_segmented.py --corpus /tmp/wt10m \
+      --segments 3 --levels 2,8 --reps 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+from data_prepper_spark.envtune import apply_malloc_tuning
+apply_malloc_tuning()
+from pyspark.sql import SparkSession, functions as F
+from data_prepper_spark.index.build import build_oneshot
+from data_prepper_spark.index.config import IndexConfig
+from data_prepper_spark.index.merge import merge_indexes
+from data_prepper_spark.index.query import BM25Searcher
+from data_prepper_spark.corpus import reference_queries
+
+cpus = {cpus}
+K = {segments}
+spark = (
+    SparkSession.builder.master(f"local[{{cpus}}]")
+    .appName(f"seg_scaling_{{cpus}}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", str(cpus))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.driver.memory", "12g")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet({corpus!r})
+n_docs = pages.count()  # warm the scan / JVM before timing
+seg_docs = n_docs // K
+t0 = time.perf_counter()
+seg_times = []
+seg_dirs = []
+for j in range(K):
+    # disjoint doc spaces by url-hash slice (merge_indexes' invariant)
+    part = pages.filter(F.pmod(F.xxhash64("url"), F.lit(K)) == j)
+    d = os.path.join({workdir!r}, f"seg{{cpus}}_{{j}}")
+    ts = time.perf_counter()
+    build_oneshot(spark, part, d, IndexConfig.for_corpus(seg_docs, block_size=128))
+    seg_times.append(round(time.perf_counter() - ts, 1))
+    seg_dirs.append(d)
+tm = time.perf_counter()
+dest = os.path.join({workdir!r}, f"merged_{{cpus}}")
+merge_indexes(spark, seg_dirs, dest)
+merge_s = time.perf_counter() - tm
+total_s = time.perf_counter() - t0
+s = BM25Searcher(spark, dest)
+qs = [q["query_text"] for q in reference_queries()][:20]
+tq = time.perf_counter()
+for q in qs:
+    s.search(q, k=10)
+query_s = time.perf_counter() - tq
+# the merged index must hold exactly the docs a oneshot build would
+# (build filters to cfg.lang — the slices partition that same set)
+n_indexed = pages.filter(F.col("lang") == "en").count()
+assert s.n_docs == n_indexed, (s.n_docs, n_indexed)
+print("RESULT " + json.dumps({{"cpus": cpus, "n_docs": n_docs,
+      "segments": K, "seg_build_s": seg_times,
+      "merge_s": round(merge_s, 1), "total_s": round(total_s, 1),
+      "docs_per_sec": round(n_docs / total_s, 1),
+      "query_s": round(query_s, 3)}}))
+spark.stop()
+"""
+
+
+def run_level(cpus, corpus, workdir, segments, timeout):
+    code = _CHILD.format(
+        repo=REPO, cpus=cpus, corpus=corpus, workdir=workdir,
+        segments=segments,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=timeout,
+    )
+    try:
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        raise RuntimeError(
+            f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        )
+    finally:
+        for name in os.listdir(workdir):
+            shutil.rmtree(os.path.join(workdir, name), ignore_errors=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--segments", type=int, default=3)
+    ap.add_argument("--levels", type=str, default="2,8")
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--level-timeout", type=int, default=7200)
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+    work = tempfile.mkdtemp(prefix="dps_seg_scaling_")
+    try:
+        best: dict[int, dict] = {}
+        for rep in range(args.reps):
+            for c in levels:  # interleaved: host drift hits levels alike
+                r = run_level(c, args.corpus, work, args.segments,
+                              args.level_timeout)
+                print(f"LEVEL rep={rep} " + json.dumps(r), flush=True)
+                if c not in best or r["total_s"] < best[c]["total_s"]:
+                    best[c] = r
+        small, big = best[levels[0]], best[levels[1]]
+        ratio = big["cpus"] / small["cpus"]
+        eff = round((small["total_s"] / big["total_s"]) / ratio, 3)
+        print(json.dumps({
+            "docs": small["n_docs"], "segments": args.segments,
+            "levels": [best[c] for c in levels],
+            "N": small["cpus"], "4N": big["cpus"],
+            "segmented_scaling_efficiency": eff,
+            "meets_0.8": eff >= 0.8,
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
