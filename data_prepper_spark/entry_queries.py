@@ -48,6 +48,14 @@ FT_K = 10
 
 _INDEX_CACHE: dict[str, str] = {}
 
+# deterministic synthetic timestamp for tables that lack one:
+# 2025-06-01 00:00:00 UTC + (doc_id % 96) hours → four yyyy.MM.dd periods
+_SYNTH_EPOCH = 1748736000
+
+
+def _synth_ts(doc_id_col):
+    return F.timestamp_seconds(_SYNTH_EPOCH + (doc_id_col % 96) * 3600)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -66,9 +74,13 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
         d = tempfile.mkdtemp(prefix="dps_entry_index_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
+        docs = _docs(spark, sf_dir).withColumn(
+            "warc_ts", _synth_ts(F.col("doc_id"))
+        )
         build_oneshot_text(
-            spark, _docs(spark, sf_dir), d, cfg,
-            field_cols=("lang", "source", "n_chars"),  # docvalues (filtered search)
+            spark, docs, d, cfg,
+            # docvalues (filtered search + date_histogram)
+            field_cols=("lang", "source", "n_chars", "warc_ts"),
         )
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
@@ -823,6 +835,54 @@ def sql_ft_agg_histogram() -> str:
         selects.append(
             f"SELECT {qid} AS query_id,\n"
             f"       floor(d.n_chars::DOUBLE / {width}) * {width} AS bucket,\n"
+            f"       count(*)::BIGINT AS n\n"
+            f"FROM documents d\n"
+            f"WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+# date_histogram reference set: (qid, query, interval, strftime fmt)
+AGG_DATEHIST_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "data query", "day", "%Y-%m-%d"),
+    (1, "the", "hour", "%Y-%m-%dT%H"),
+    (2, "merge join window", "month", "%Y-%m"),
+]
+
+
+def q_ft_agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-histogram aggregation over the match set (OpenSearch
+    aggs:date_histogram — the log/trace UI's time buckets,
+    index/filtered.py match_agg_date_histogram) on the synthetic warc_ts
+    docvalue; calendar truncation at hour/day/month.  Distributed
+    cogroup path — only (bucket, count) partials cross the shuffle."""
+    from .index.filtered import match_agg_date_histogram
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, interval, _fmt in AGG_DATEHIST_QUERIES:
+        for b, n in match_agg_date_histogram(
+            s, qtext, "warc_ts", interval, distributed=True
+        ):
+            rows.append((qid, b, n))
+    return spark.createDataFrame(rows, "query_id int, bucket string, n long")
+
+
+def sql_ft_agg_date_histogram() -> str:
+    selects = []
+    for qid, qtext, interval, fmt in AGG_DATEHIST_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        ts = (
+            "TIMESTAMP '2025-06-01 00:00:00' + (d.doc_id % 96) * INTERVAL 1 HOUR"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id,\n"
+            f"       strftime(date_trunc('{interval}', {ts}), '{fmt}') AS bucket,\n"
             f"       count(*)::BIGINT AS n\n"
             f"FROM documents d\n"
             f"WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))\n"
@@ -4361,6 +4421,101 @@ def sql_codec_csv_out() -> str:
     )
 
 
+def _family_root(spark: SparkSession, sf_dir: str) -> str:
+    """Cached time-partitioned index family (index/family.py): documents
+    get a deterministic warc_ts (doc_id % 96 hours from 2025-06-01 →
+    four yyyy.MM.dd periods), one segment per period."""
+    key = "family:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
+        from .index.family import build_family
+
+        d = tempfile.mkdtemp(prefix="dps_entry_family_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        docs = _docs(spark, sf_dir).withColumn(
+            "warc_ts", _synth_ts(F.col("doc_id"))
+        )
+        cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
+        build_family(spark, docs, d, cfg, ts_col="warc_ts", pattern="yyyy.MM.dd")
+        _INDEX_CACHE[key] = d
+    return _INDEX_CACHE[key]
+
+
+def q_ft_family_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-period search over a time-partitioned index family — the
+    opensearch sink's dynamic index pattern (%{yyyy.MM.dd},
+    OpenSearchSink.java:144-150) + OpenSearch cross-index search with
+    dfs_query_then_fetch global stats.  The range [2025.06.02, 2025.06.03]
+    covers exactly the docs with doc_id % 96 in [24, 72) — rank-identical
+    to one index built over just those docs."""
+    from .index.family import FamilySearcher
+
+    root = _family_root(spark, sf_dir)
+    fs = FamilySearcher(spark, root)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = fs.search(qtext, k=None, start="2025.06.02", end="2025.06.03")
+        ranked = sorted(
+            ((did, round(sc, 4)) for did, sc in hits),
+            key=lambda h: (-h[1], h[0]),
+        )[:FT_K]
+        rows.extend((qid, did, sc) for did, sc in ranked)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_family_bm25() -> str:
+    return sql_ft_bm25_topk(
+        base_where="WHERE (doc_id % 96) >= 24 AND (doc_id % 96) < 72"
+    )
+
+
+def q_codec_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avro codec round-trip (AvroInputCodec.java:38 /
+    AvroOutputCodec.java:34): distributed write of an Avro Object
+    Container File per partition (pure-python encoder, deflate codec) →
+    distributed binaryFile+mapInPandas decode — values survive the
+    write→read cycle including nulls, doubles, and an array column."""
+    from .sources import codecs
+
+    d = tempfile.mkdtemp(prefix="dps_avro_")
+    sub = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 400)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 7 == 0, F.lit(None))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            "user_id",
+            F.round(F.col("value"), 4).alias("value"),
+            F.array(F.col("event_type"), F.lit("x")).alias("tags"),
+        )
+    )
+    from .sources.avro_codec import write_avro
+
+    write_avro(sub, d + "/avro", codec="deflate")
+    back = codecs.read_avro(spark, d + "/avro")
+    return back.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "value",
+        F.array_join("tags", "|").alias("tags"),
+    )
+
+
+def sql_codec_avro() -> str:
+    return (
+        "SELECT event_id, "
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type, "
+        "user_id, ROUND(value, 4)::DOUBLE AS value, "
+        "event_type || '|x' AS tags "
+        "FROM events WHERE event_id < 400"
+    )
+
+
 def q_anomaly_rcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """random_cut_forest anomaly mode (self-contained RRCF, operators/
     rcf.py).  NO SQL oracle by design: the score is a function of the
@@ -4636,6 +4791,7 @@ QUERIES = {
     "ft_regexp_topk": q_ft_regexp_topk,
     "ft_agg_terms": q_ft_agg_terms,
     "ft_agg_histogram": q_ft_agg_histogram,
+    "ft_agg_date_histogram": q_ft_agg_date_histogram,
     "ft_function_score": q_ft_function_score,
     "ft_more_like_this": q_ft_more_like_this,
     "ft_delete_bm25": q_ft_delete_bm25,
@@ -4673,6 +4829,8 @@ QUERIES = {
     "codec_json_array": q_codec_json_array,
     "codec_csv": q_codec_csv,
     "codec_csv_out": q_codec_csv_out,
+    "codec_avro": q_codec_avro,
+    "ft_family_bm25": q_ft_family_bm25,
     "otel_spans_decode": q_otel_spans_decode,
     "otel_service_map": q_otel_service_map,
     "otel_metrics_decode": q_otel_metrics_decode,
@@ -4763,6 +4921,7 @@ ORACLES = {
     "ft_regexp_topk": sql_ft_regexp_topk(),
     "ft_agg_terms": sql_ft_agg_terms(),
     "ft_agg_histogram": sql_ft_agg_histogram(),
+    "ft_agg_date_histogram": sql_ft_agg_date_histogram(),
     "ft_function_score": sql_ft_function_score(),
     "ft_more_like_this": sql_ft_more_like_this(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
@@ -4798,6 +4957,8 @@ ORACLES = {
     "codec_json_array": sql_codec_json_array(),
     "codec_csv": sql_codec_csv(),
     "codec_csv_out": sql_codec_csv_out(),
+    "codec_avro": sql_codec_avro(),
+    "ft_family_bm25": sql_ft_family_bm25(),
     "otel_spans_decode": sql_otel_spans_decode(),
     "otel_service_map": sql_otel_service_map(),
     "otel_metrics_decode": sql_otel_metrics_decode(),

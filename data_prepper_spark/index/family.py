@@ -1,0 +1,165 @@
+"""Time-partitioned index families — dynamic index patterns.
+
+Data Prepper's opensearch sink routes each event to an index named by a
+date pattern (``my-index-%{yyyy.MM.dd}``, reference:
+opensearch/.../OpenSearchSink.java:144-150 + IndexConfiguration's
+pattern parsing); OpenSearch then serves cross-index searches over the
+matching names.  The analog here:
+
+  build_family   one STAGING pass routes pages to hive partitions by
+                 period (a single scan of the input — the sink's
+                 per-event routing), then one index segment is built per
+                 period from its pruned partition.  root/family.json is
+                 the manifest; root/p=<period>/ are ordinary index
+                 segments (searchable alone, mergeable by
+                 index/merge.merge_indexes).
+  FamilySearcher cross-period search over a lexicographic period range
+                 (date patterns like yyyy.MM.dd sort lexicographically).
+                 Scoring uses FAMILY-GLOBAL stats — per-term df, N and
+                 avgdl summed across the covered segments from their
+                 ADDITIVE stored stats — i.e. Lucene/OpenSearch
+                 dfs_query_then_fetch: identical ranks to one big index
+                 over the covered docs.  Per-segment scoring runs brute
+                 (exact): the stored block_ubs are baked with each
+                 segment's OWN avgdl (index/merge.py recompute_ubs_fn),
+                 so BMW pruning under the global avgdl would be unsound.
+
+Scale shape: staging is one shuffle-free partitioned write; per-period
+builds read only their partition (partition pruning); a query touches
+only the covered periods' term_bucket dirs — retention drops a period
+by deleting one directory, the operational win dynamic indexes exist
+for.  Doc ids must be globally unique across periods (same invariant as
+merge_indexes) — true for any url/corpus-derived id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import build_oneshot_text
+from .config import IndexConfig
+from .query import BM25Searcher
+from .scoring import idf_value
+
+MANIFEST = "family.json"
+
+
+def build_family(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    cfg: IndexConfig = IndexConfig(),
+    ts_col: str = "warc_ts",
+    pattern: str = "yyyy.MM.dd",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    field_cols: tuple[str, ...] = (),
+    mode: str = "text",
+) -> dict:
+    """Route *docs* into per-period index segments by
+    date_format(ts_col, pattern).  mode="text": a pre-extracted (id,
+    text) table via build_oneshot_text; mode="pages": the webtext pages
+    shape (url, warc_ts, html, text, lang) via the full build_oneshot
+    extract path.  Returns the manifest dict."""
+    from .build import build_oneshot
+
+    staged = os.path.join(root, "_staged")
+    (
+        docs.withColumn("_period", F.date_format(F.col(ts_col), pattern))
+        .write.mode("overwrite")
+        .partitionBy("_period")
+        .parquet(staged)
+    )
+    periods = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(staged)
+        if d.startswith("_period=")
+    )
+    for p in periods:
+        part = spark.read.parquet(os.path.join(staged, f"_period={p}"))
+        if mode == "pages":
+            build_oneshot(
+                spark, part, os.path.join(root, f"p={p}"), cfg,
+                field_cols=field_cols,
+            )
+        else:
+            build_oneshot_text(
+                spark, part, os.path.join(root, f"p={p}"), cfg,
+                id_col=id_col, text_col=text_col, field_cols=field_cols,
+            )
+    manifest = {"pattern": pattern, "ts_col": ts_col, "periods": periods}
+    with open(os.path.join(root, MANIFEST), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+class FamilySearcher:
+    """Cross-period search with family-global BM25 stats."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        with open(os.path.join(root, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.periods: list[str] = sorted(self.manifest["periods"])
+        self._searchers: dict[str, BM25Searcher] = {}
+
+    def _searcher(self, period: str) -> BM25Searcher:
+        s = self._searchers.get(period)
+        if s is None:
+            s = BM25Searcher(self.spark, os.path.join(self.root, f"p={period}"))
+            self._searchers[period] = s
+        return s
+
+    def covered(self, start: str | None = None, end: str | None = None) -> list[str]:
+        return [
+            p for p in self.periods
+            if (start is None or p >= start) and (end is None or p <= end)
+        ]
+
+    def search(
+        self,
+        query_text: str,
+        k: int | None = 10,
+        start: str | None = None,
+        end: str | None = None,
+        periods: list[str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score) over the covered periods, rank-identical
+        to a single index over the same docs (global stats).  k=None
+        returns every match (callers applying a rounded tie rule)."""
+        sel = periods if periods is not None else self.covered(start, end)
+        opened = [self._searcher(p) for p in sel]
+        if not opened:
+            return []
+        n_docs = sum(s.n_docs for s in opened)
+        total_tokens = sum(int(s.stats["total_tokens"]) for s in opened)
+        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        # per-term global df: sum each segment's pruned termstats read
+        _, ids, _ = opened[0]._terms_buckets(query_text)
+        gdf: dict[int, int] = {}
+        per_seg_df = []
+        for s in opened:
+            _, s_ids, s_buckets = s._terms_buckets(query_text)
+            dfs = s.term_stats(s_ids, s_buckets)
+            per_seg_df.append((s, s_ids, s_buckets, dfs))
+            for i, d in dfs.items():
+                gdf[i] = gdf.get(i, 0) + d
+        idf = {i: idf_value(n_docs, d) for i, d in gdf.items() if d > 0}
+        if not idf:
+            return []
+        hits: list[tuple[int, float]] = []
+        for s, s_ids, s_buckets, dfs in per_seg_df:
+            present = {i: t for i, t in s_ids.items() if dfs.get(i, 0) > 0}
+            if not present:
+                continue
+            # brute + global avgdl: stored block_ubs are segment-avgdl
+            # baked, so BMW pruning would be unsound here (see module doc)
+            hits.extend(
+                s._score_pruned(present, s_buckets, idf, None, "brute", avgdl)
+            )
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits if k is None else hits[:k]

@@ -632,6 +632,48 @@ def match_agg_histogram(
     return [(float(u), int(c)) for u, c in zip(uniq, counts)]
 
 
+_DATE_UNITS = {
+    "minute": "m", "hour": "h", "day": "D", "month": "M", "year": "Y",
+}
+
+
+def match_agg_date_histogram(
+    searcher, query_text: str, field: str, interval: str = "day",
+    filters=(), distributed: bool = False,
+) -> list[tuple[str, int]]:
+    """Date-histogram aggregation over the match set (OpenSearch `aggs:
+    {date_histogram}` — the trace/log UI's time buckets): counts per
+    calendar bucket of a timestamp docvalues field.  Bucket labels are
+    ISO strings at the interval's resolution ("2025-06-01",
+    "2025-06-01T13", "2025-06", "2025") — numpy datetime64 truncation,
+    never .item() on ns values (returns int ns).  Distributed mode
+    reuses the per-range cogroup partial-count shape (only (bucket,
+    count) pairs cross the shuffle)."""
+    unit = _DATE_UNITS[interval]
+    _check_filters(filters)
+    _, ids, buckets = searcher._terms_buckets(query_text)
+    dfs = searcher.term_stats(ids, buckets)
+    ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
+    if not ids:
+        return []
+
+    def bucketer(v):
+        dt = np.asarray(v).astype(f"datetime64[{unit}]")
+        return np.datetime_as_string(dt)
+
+    if distributed:
+        return _agg_distributed(
+            searcher, ids, buckets, field, filters, bucketer,
+            bucket_type="string",
+        )
+    vals = _matched_with_values(searcher, ids, buckets, filters, field)
+    if vals.size == 0:
+        return []
+    b = bucketer(vals)
+    uniq, counts = np.unique(b, return_counts=True)
+    return [(str(u), int(c)) for u, c in zip(uniq, counts)]
+
+
 def _agg_distributed(
     searcher, labels, buckets, field, filters, bucketer, bucket_type=None
 ):

@@ -345,6 +345,40 @@ def kafka_page_stream(
     ).select("page.*")
 
 
+def socket_page_stream(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    schema: str,
+) -> DataFrame:
+    """Socket source for the live index — the push-ingest shape of the
+    reference's HTTP source (http-source/.../HTTPSource.java:43: a
+    listening endpoint receives batches of JSON events).  Spark's
+    built-in TextSocket source (no extra jar) reads ndjson lines from
+    host:port; each line is one page decoded via from_json(schema).
+    Continuous micro-batch only (no availableNow) — callers poll the
+    sink and stop(), as with any push source.  Corrupt lines yield
+    all-NULL structs (PERMISSIVE from_json) and are dropped, the HTTP
+    source's 400-reject analog."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    page = raw.select(F.from_json(F.col("value"), schema).alias("page")).select(
+        "page.*"
+    )
+    any_set = reduce(
+        lambda a, b: a | b, (F.col(c).isNotNull() for c in page.columns)
+    )
+    return page.filter(any_set)
+
+
 def start_stream_index(
     spark: SparkSession,
     source_path: str | None,
@@ -358,10 +392,14 @@ def start_stream_index(
     merge_every: int = 1,
     kafka_servers: str | None = None,
     kafka_topic: str | None = None,
+    socket_host: str | None = None,
+    socket_port: int | None = None,
 ):
     """Start the live-index stream over a parquet directory of pages —
     or, when *kafka_servers*/*kafka_topic* are given (and the connector
-    jar is present), over a Kafka topic of JSON pages.
+    jar is present), over a Kafka topic of JSON pages — or, when
+    *socket_host*/*socket_port* are given, over a TCP socket of ndjson
+    pages (the HTTP push-source analog; continuous trigger only).
 
     available_now=True drains the existing files and stops (the test /
     backfill mode); False tails the directory continuously.  *builder*
@@ -370,6 +408,9 @@ def start_stream_index(
     *schema*).  Returns the StreamingQuery."""
     if kafka_servers is not None:
         stream = kafka_page_stream(spark, kafka_servers, kafka_topic, schema)
+    elif socket_host is not None:
+        stream = socket_page_stream(spark, socket_host, socket_port, schema)
+        available_now = False  # socket source has no availableNow drain
     else:
         reader = spark.readStream.schema(schema)
         if max_files_per_trigger is not None:

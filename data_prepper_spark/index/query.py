@@ -216,6 +216,27 @@ class BM25Searcher:
         idf = {i: idf_value(self.n_docs, dfs[i]) for i in ids}
         if distributed:
             return self._search_distributed(ids, buckets, idf, k, mode, tie_round)
+        return self._score_pruned(ids, buckets, idf, k, mode, self.avgdl)
+
+    def _score_pruned(
+        self,
+        ids: dict[int, str],
+        buckets: list[int],
+        idf: dict[int, float],
+        k: int | None,
+        mode: str,
+        avgdl: float,
+    ) -> list[tuple[int, float]]:
+        """Driver-mode scoring core with EXTERNALLY supplied idf/avgdl —
+        `search` passes this segment's own stats; a FamilySearcher
+        (index/family.py) passes family-global stats (dfs/N/avgdl summed
+        across period segments — Lucene's dfs_query_then_fetch).  With a
+        non-native avgdl the stored block_ubs are invalid (they are
+        avgdl-baked, see index/merge.py recompute_ubs_fn), so callers
+        overriding avgdl MUST use mode="brute"; k=None returns every
+        match (exact cross-segment rounding-tie merges)."""
+        if k is None:
+            mode = "brute"
         rows = self._pruned_slice_rows(list(ids), buckets)
         # block-lazy scoring (tagged varint OR pfor, non-legacy): decode
         # cost per query ∝ blocks of scored segments, not df — the
@@ -250,20 +271,23 @@ class BM25Searcher:
         ids_all, sc_all = [], []
         for rid, slices in by_range.items():
             if mode == "bmw" and lazy_by_range.get(rid, False):
-                ids, sc = score_bmw_lazy(slices, self.cfg.k1, self.cfg.b, self.avgdl, k)
+                ids, sc = score_bmw_lazy(slices, self.cfg.k1, self.cfg.b, avgdl, k)
             elif mode == "bmw":
                 slices = [
                     s.to_term_slice() if not isinstance(s, TermSlice) else s
                     for s in slices
                 ]
-                ids, sc = score_bmw(slices, self.cfg.k1, self.cfg.b, self.avgdl, k)
+                ids, sc = score_bmw(slices, self.cfg.k1, self.cfg.b, avgdl, k)
             else:
-                ids, sc = score_brute(slices, self.cfg.k1, self.cfg.b, self.avgdl)
+                ids, sc = score_brute(slices, self.cfg.k1, self.cfg.b, avgdl)
             ids_all.append(ids)
             sc_all.append(sc)
         if not ids_all:
             return []
-        ids, sc = topk_select(np.concatenate(ids_all), np.concatenate(sc_all), k)
+        ids = np.concatenate(ids_all)
+        sc = np.concatenate(sc_all)
+        if k is not None:
+            ids, sc = topk_select(ids, sc, k)
         return list(zip(ids.tolist(), sc.tolist()))
 
     def _search_distributed(

@@ -7,11 +7,14 @@ semantics where Spark's defaults differ.
 """
 
 from .codecs import (  # noqa: F401
+    read_avro,
     read_csv,
     read_json_array,
     read_ndjson,
     read_newline,
     read_parquet,
+    write_avro,
+    write_csv,
     write_ndjson,
     write_parquet,
 )

@@ -8,8 +8,9 @@
 | ndjson (NdjsonOutputCodec.java:22) | read_ndjson / write_ndjson |
 | csv in/out (CsvInputCodec.java:37) | read_csv |
 | parquet (ParquetInputCodec.java:36) | read_parquet / write_parquet |
-| avro (AvroInputCodec.java:38) | spark.read.format("avro") where the
-  spark-avro package is on the classpath (gated) |
+| avro (AvroInputCodec.java:38, AvroOutputCodec.java:34) | read_avro /
+  write_avro — spark-avro when the package is on the classpath, else a
+  pure-python container-format codec (avro_codec.py) |
 | compression auto-detect (S3ObjectWorker.java:89-96) | built into
   Spark's readers (.gz etc. by extension) |
 """
@@ -88,15 +89,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """avro codec — requires the spark-avro package on the classpath
-    (not bundled in this container); raises a clear error otherwise."""
+    """avro codec (AvroInputCodec.java:38): spark-avro when the package
+    is on the classpath (fastest, splittable); otherwise the pure-python
+    container-format decoder (sources/avro_codec.py) over a binaryFile
+    scan — one task per file, no jar dependency."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException: Failed to find data source
-        raise NotImplementedError(
-            "avro requires the org.apache.spark:spark-avro package on the "
-            "Spark classpath (--packages); not present in this container"
-        ) from e
+    except Exception:  # AnalysisException: Failed to find data source
+        from . import avro_codec
+
+        return avro_codec.read_avro_py(spark, path)
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "null") -> None:
+    """avro output codec (AvroOutputCodec.java:34): schema derived from
+    the frame exactly as the reference derives it from the event map
+    (AvroOutputCodec.java:86 — every field a nullable union); one
+    container file per partition."""
+    from . import avro_codec
+
+    avro_codec.write_avro(df, path, codec=codec)
 
 
 def write_ndjson(

