@@ -58,12 +58,17 @@ def build_family(
     text_col: str = "text",
     field_cols: tuple[str, ...] = (),
     mode: str = "text",
+    parallelism: int = 1,
 ) -> dict:
     """Route *docs* into per-period index segments by
     date_format(ts_col, pattern).  mode="text": a pre-extracted (id,
     text) table via build_oneshot_text; mode="pages": the webtext pages
     shape (url, warc_ts, html, text, lang) via the full build_oneshot
-    extract path.  Returns the manifest dict."""
+    extract path.  *parallelism* > 1 submits that many per-period builds
+    concurrently from driver threads (Spark FIFO-schedules the jobs) —
+    with hundreds of periods the driver loop, not the cluster, is
+    otherwise the latency floor; builds are independent (disjoint
+    output dirs).  Returns the manifest dict."""
     from .build import build_oneshot
 
     staged = os.path.join(root, "_staged")
@@ -78,7 +83,8 @@ def build_family(
         for d in os.listdir(staged)
         if d.startswith("_period=")
     )
-    for p in periods:
+
+    def _build(p: str) -> None:
         part = spark.read.parquet(os.path.join(staged, f"_period={p}"))
         if mode == "pages":
             build_oneshot(
@@ -90,6 +96,15 @@ def build_family(
                 spark, part, os.path.join(root, f"p={p}"), cfg,
                 id_col=id_col, text_col=text_col, field_cols=field_cols,
             )
+
+    if parallelism > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            list(pool.map(_build, periods))  # re-raises worker errors
+    else:
+        for p in periods:
+            _build(p)
     manifest = {"pattern": pattern, "ts_col": ts_col, "periods": periods}
     with open(os.path.join(root, MANIFEST), "w") as f:
         json.dump(manifest, f, sort_keys=True)
@@ -97,20 +112,41 @@ def build_family(
 
 
 class FamilySearcher:
-    """Cross-period search with family-global BM25 stats."""
+    """Cross-period search with family-global BM25 stats.
+
+    Works over both batch-built families (root/family.json manifest) and
+    LIVE families (live.start_stream_family: each period dir is a live
+    index with its own CURRENT pointer — no manifest; periods are
+    discovered by listing).  Periods and per-period versions are
+    resolved ONCE at open (searcher-open snapshot semantics, as with
+    BM25Searcher on a single live index): reopen to see newer commits."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        with open(os.path.join(root, MANIFEST)) as f:
-            self.manifest = json.load(f)
-        self.periods: list[str] = sorted(self.manifest["periods"])
+        mpath = os.path.join(root, MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                self.manifest = json.load(f)
+            self.periods: list[str] = sorted(self.manifest["periods"])
+        else:  # live family — discover periods from the directory layout
+            self.manifest = None
+            self.periods = sorted(
+                d.split("=", 1)[1]
+                for d in os.listdir(root)
+                if d.startswith("p=")
+            )
         self._searchers: dict[str, BM25Searcher] = {}
 
     def _searcher(self, period: str) -> BM25Searcher:
         s = self._searchers.get(period)
         if s is None:
-            s = BM25Searcher(self.spark, os.path.join(self.root, f"p={period}"))
+            from .live import resolve_current
+
+            s = BM25Searcher(
+                self.spark,
+                resolve_current(os.path.join(self.root, f"p={period}")),
+            )
             self._searchers[period] = s
         return s
 
@@ -139,7 +175,6 @@ class FamilySearcher:
         total_tokens = sum(int(s.stats["total_tokens"]) for s in opened)
         avgdl = (total_tokens / n_docs) if n_docs else 0.0
         # per-term global df: sum each segment's pruned termstats read
-        _, ids, _ = opened[0]._terms_buckets(query_text)
         gdf: dict[int, int] = {}
         per_seg_df = []
         for s in opened:

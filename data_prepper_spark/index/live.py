@@ -299,6 +299,101 @@ def compact(spark: SparkSession, index_dir: str) -> str:
     return resolve_current(index_dir)
 
 
+def apply_batch_family(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    cfg: IndexConfig,
+    ts_col: str = "warc_ts",
+    pattern: str = "yyyy.MM.dd",
+    keep_versions: int = 1,
+    builder=build_oneshot,
+    merge_every: int = 1,
+) -> None:
+    """Index one micro-batch into a time-partitioned index FAMILY — the
+    streaming form of the opensearch sink's dynamic index pattern
+    (OpenSearchSink.java:144-150 routes each event to the index named by
+    its `%{yyyy.MM.dd}` timestamp; here each period dir under *root* is
+    its own live index).  Each period keeps its own CURRENT watermark,
+    so a crash that committed period A but not period B of the same
+    batch replays B only (apply_batch's idempotence, applied per
+    period).  The period set of a batch is deterministic in the data, so
+    replays recompute exactly the committed set.  Most batches touch one
+    or two periods (event time is roughly monotonic); late data lands in
+    its own older period — the out-of-order story the pattern exists for."""
+    from pyspark.sql import functions as F
+
+    period = F.date_format(F.col(ts_col), pattern)
+    # no persist: batches touch 1-2 periods (event time ~monotonic), so
+    # re-scanning the micro-batch per period is one or two extra bounded
+    # file reads — cheaper than caching wide html rows (GC-bound here)
+    periods = sorted(
+        r[0]
+        for r in batch_df.select(period.alias("_p")).distinct().collect()
+        if r[0] is not None
+    )
+    for p in periods:
+        apply_batch(
+            spark,
+            batch_df.filter(period == p),
+            batch_id,
+            os.path.join(root, f"p={p}"),
+            cfg,
+            keep_versions=keep_versions,
+            builder=builder,
+            merge_every=merge_every,
+        )
+
+
+def compact_family(spark: SparkSession, root: str) -> list[str]:
+    """Fold pending deltas of every period of a live family (see
+    :func:`compact`); returns the periods compacted."""
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("p="):
+            compact(spark, os.path.join(root, name))
+            out.append(name.split("=", 1)[1])
+    return out
+
+
+def start_stream_family(
+    spark: SparkSession,
+    source_path: str | None,
+    root: str,
+    cfg: IndexConfig = IndexConfig(),
+    checkpoint_dir: str | None = None,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    ts_col: str = "warc_ts",
+    pattern: str = "yyyy.MM.dd",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    builder=build_oneshot,
+    merge_every: int = 1,
+):
+    """Streaming ingest into a time-partitioned index family: the
+    foreachBatch counterpart of family.build_family, routing each
+    micro-batch's rows to their period's live index.  Query with
+    family.FamilySearcher (it resolves each period's CURRENT version)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: apply_batch_family(
+            spark, df, bid, root, cfg,
+            ts_col=ts_col, pattern=pattern,
+            builder=builder, merge_every=merge_every,
+        )
+    ).option(
+        "checkpointLocation",
+        checkpoint_dir or os.path.join(root, "_checkpoint"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def kafka_available(spark: SparkSession) -> bool:
     """True iff the spark-sql-kafka connector jar is on the JVM
     classpath (not bundled in this container — gate, like
@@ -343,6 +438,49 @@ def kafka_page_stream(
     return raw.select(
         F.from_json(F.col("value").cast("string"), schema).alias("page")
     ).select("page.*")
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_col: str | None = None,
+    streaming_checkpoint: str | None = None,
+):
+    """Kafka sink (the reference's kafka sink, kafka-plugins/.../sink/
+    KafkaSink.java: each event serialized to JSON onto a topic).  Rows
+    become JSON messages (`to_json(struct(*))`); *key_col* optionally
+    supplies the partition key (the reference's partition_key).  Works on
+    both batch frames (`.write`) and streams (`.writeStream`, requires
+    *streaming_checkpoint*; returns the StreamingQuery).  Gated on the
+    spark-sql-kafka package like :func:`kafka_page_stream`."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if not kafka_available(spark):
+        raise NotImplementedError(
+            "kafka sink requires org.apache.spark:spark-sql-kafka-0-10 "
+            "on the Spark classpath (--packages); not present in this "
+            "container — use write_ndjson/write_parquet sinks instead"
+        )
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    out = df.select(*cols)
+    if df.isStreaming:
+        return (
+            out.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .option("checkpointLocation", streaming_checkpoint)
+            .start()
+        )
+    (
+        out.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )
 
 
 def socket_page_stream(

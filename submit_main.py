@@ -342,7 +342,11 @@ def cmd_merge(args) -> None:
 
 def cmd_stream(args) -> None:
     from data_prepper_spark.index.config import IndexConfig
-    from data_prepper_spark.index.live import resolve_current, start_stream_index
+    from data_prepper_spark.index.live import (
+        resolve_current,
+        start_stream_family,
+        start_stream_index,
+    )
 
     spark = _spark("dps-live-index")
     cfg = IndexConfig(
@@ -350,6 +354,27 @@ def cmd_stream(args) -> None:
         range_bits=args.range_bits, block_size=args.block_size,
         n_buckets=args.buckets, codec=args.codec,
     )
+    if args.family_pattern:
+        q = start_stream_family(
+            spark, args.input, args.index_dir, cfg,
+            checkpoint_dir=args.checkpoint,
+            ts_col=args.ts_col, pattern=args.family_pattern,
+            available_now=not args.follow,
+            max_files_per_trigger=args.max_files_per_trigger,
+            merge_every=args.merge_every,
+        )
+        q.awaitTermination()
+        from data_prepper_spark.index.live import compact_family
+
+        if args.merge_every > 1:
+            compact_family(spark, args.index_dir)
+        periods = sorted(
+            d.split("=", 1)[1] for d in os.listdir(args.index_dir)
+            if d.startswith("p=")
+        )
+        print(json.dumps({"live_family": args.index_dir, "periods": periods}))
+        spark.stop()
+        return
     q = start_stream_index(
         spark, args.input, args.index_dir, cfg,
         checkpoint_dir=args.checkpoint,
@@ -489,6 +514,11 @@ def main() -> None:
     ps.add_argument("--k1", type=float, default=1.2)
     ps.add_argument("--b", type=float, default=0.75)
     ps.add_argument("--codec", choices=["varint", "pfor"], default="varint")
+    ps.add_argument("--family-pattern", default=None,
+                    help="route each batch to per-period live indexes by "
+                         "date_format(ts-col, PATTERN) — the opensearch "
+                         "sink's dynamic index pattern, streamed")
+    ps.add_argument("--ts-col", default="warc_ts")
     ps.set_defaults(fn=cmd_stream)
 
     pt = sub.add_parser("stats", help="inspect an index (sizes, skew, config)")

@@ -27,9 +27,11 @@ PATTERN = "mm"  # minute-of-hour: the tiny corpus spans ~17 minutes
 def family_root(spark, tiny_corpus_path, workdir):
     root = os.path.join(workdir, "index_family")
     pages = spark.read.parquet(tiny_corpus_path)
+    # parallelism=2 exercises the concurrent per-period build path; the
+    # rank-identity tests below prove it equals the sequential result
     manifest = build_family(
         spark, pages, root, CFG, ts_col="warc_ts", pattern=PATTERN,
-        mode="pages",
+        mode="pages", parallelism=2,
     )
     return root, manifest
 
@@ -93,6 +95,72 @@ def test_range_selection_matches_subset_build(
         assert np.allclose(
             [s for _, s in got], [s for _, s in want], rtol=1e-9
         ), q
+
+
+@pytest.fixture(scope="module")
+def live_family_root(spark, tiny_corpus_path, workdir):
+    """Streamed family: same corpus, ingested via start_stream_family
+    (one file per micro-batch), each period a live index."""
+    from data_prepper_spark.index.live import start_stream_family
+
+    root = os.path.join(workdir, "live_family")
+    q = start_stream_family(
+        spark, tiny_corpus_path, root, CFG,
+        checkpoint_dir=os.path.join(workdir, "live_family_ckpt"),
+        ts_col="warc_ts", pattern=PATTERN,
+        available_now=True, max_files_per_trigger=2,
+    )
+    q.awaitTermination(600)
+    assert not q.isActive
+    return root
+
+
+def test_live_family_rank_identical_to_single_index(
+    spark, live_family_root, family_root, tiny_index
+):
+    """Streaming ingest into a family (per-period live indexes, no
+    manifest) must be invisible to queries: ranks equal both the
+    batch-built family and one index over the whole corpus."""
+    index_dir, _, _ = tiny_index
+    _, manifest = family_root
+    fs = FamilySearcher(spark, live_family_root)
+    assert fs.manifest is None  # discovered from layout, not manifest
+    assert fs.periods == sorted(manifest["periods"])
+    single = BM25Searcher(spark, index_dir)
+    for q in [q["query_text"] for q in reference_queries()][:10]:
+        want = single.search(q, k=10, mode="brute")
+        got = fs.search(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert np.allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-9
+        ), q
+
+
+def test_live_family_upsert_replaces_not_duplicates(
+    spark, live_family_root, tiny_corpus_path
+):
+    """Re-ingesting docs in a later batch must upsert (one copy per
+    doc_id per period), and a replayed batch_id must be a no-op —
+    apply_batch's idempotence applied per period."""
+    from data_prepper_spark.index.live import apply_batch_family
+
+    fs = FamilySearcher(spark, live_family_root)
+    n_before = sum(fs._searcher(p).n_docs for p in fs.periods)
+    sub = spark.read.parquet(tiny_corpus_path).limit(40)
+    # a batch_id far beyond any committed watermark → real upsert
+    apply_batch_family(
+        spark, sub, 10_000, live_family_root, CFG, ts_col="warc_ts",
+        pattern=PATTERN,
+    )
+    fs2 = FamilySearcher(spark, live_family_root)  # reopen: new snapshot
+    assert sum(fs2._searcher(p).n_docs for p in fs2.periods) == n_before
+    # replay of the same batch_id: every period skips (watermarks advanced)
+    apply_batch_family(
+        spark, sub, 10_000, live_family_root, CFG, ts_col="warc_ts",
+        pattern=PATTERN,
+    )
+    fs3 = FamilySearcher(spark, live_family_root)
+    assert sum(fs3._searcher(p).n_docs for p in fs3.periods) == n_before
 
 
 def test_retention_drop_is_directory_delete(spark, family_root):

@@ -367,3 +367,41 @@ def test_function_score(spark, filtered_index, oracle_tiny, ts_by_doc):
     # newest docs outrank older equal-relevance docs under decay
     with pytest.raises(ValueError):
         search_function_score(s, "the", "warc_ts", {"nope": {}})
+
+
+def test_docvalues_cache_identity(spark, filtered_index, monkeypatch):
+    """The per-searcher docvalues cache must be invisible to results:
+    filtered/sorted/agg/function_score answers are identical with the
+    cache active (default budget) and with it forced over budget
+    (per-query pushdown scans)."""
+    from data_prepper_spark.index.filtered import (
+        _DV_CACHE_MB_ENV,
+        _DV_DISABLED,
+        match_agg_terms,
+        search_filtered,
+        search_function_score,
+        search_sorted,
+    )
+
+    flt = [("warc_ts", "<", _ts(900)), ("lang", "==", "en")]
+
+    def run_all(s):
+        return (
+            search_filtered(s, "the data", flt, k=10),
+            search_sorted(s, "spark index", "warc_ts", k=10, filters=flt),
+            match_agg_terms(s, "the data", "lang", filters=[]),
+            search_function_score(s, "spark index", "warc_ts",
+                                  {"exp_decay": {"origin": _ts(999),
+                                   "scale": datetime.timedelta(seconds=200)}},
+                                  k=10, filters=flt),
+        )
+
+    s_on = BM25Searcher(spark, filtered_index)
+    got_on = run_all(s_on)
+    assert getattr(s_on, "_dv_cache", None) not in (None, _DV_DISABLED)
+
+    monkeypatch.setenv(_DV_CACHE_MB_ENV, "0")
+    s_off = BM25Searcher(spark, filtered_index)
+    got_off = run_all(s_off)
+    assert getattr(s_off, "_dv_cache", None) is _DV_DISABLED
+    assert got_on == got_off

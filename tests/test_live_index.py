@@ -359,3 +359,17 @@ def test_socket_page_stream_end_to_end(spark, workdir):
         stop_evt.set()
         q.stop()
     assert {d for d, _ in hits} == {d["doc_id"] for d in docs}
+
+
+def test_kafka_sink_gate(spark):
+    """Kafka sink surface (kafka-plugins sink analog): raises a clear
+    NotImplementedError when the connector jar is absent; with the jar,
+    rows serialize to (key, value-JSON) messages."""
+    from data_prepper_spark.index.live import kafka_available, kafka_sink
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    if not kafka_available(spark):
+        with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+            kafka_sink(df, "localhost:9092", "events", key_col="id")
+        pytest.skip("spark-sql-kafka connector not on classpath")
+    kafka_sink(df, "localhost:9092", "events", key_col="id")
