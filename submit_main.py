@@ -409,6 +409,7 @@ def cmd_family_build(args) -> None:
     manifest = build_family(
         spark, pages, args.index_dir, cfg,
         ts_col=args.ts_col, pattern=args.pattern, mode="pages",
+        parallelism=args.parallelism,
     )
     print(json.dumps({
         "family": args.index_dir, "periods": manifest["periods"],
@@ -538,6 +539,8 @@ def main() -> None:
     pfb.add_argument("--index-dir", required=True)
     pfb.add_argument("--ts-col", default="warc_ts")
     pfb.add_argument("--pattern", default="yyyy.MM.dd")
+    pfb.add_argument("--parallelism", type=int, default=4,
+                     help="concurrent per-period builds (driver threads)")
     pfb.add_argument("--buckets", type=int, default=256)
     pfb.add_argument("--range-bits", type=int, default=8)
     pfb.add_argument("--block-size", type=int, default=128)
