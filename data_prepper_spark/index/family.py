@@ -111,6 +111,34 @@ def build_family(
     return manifest
 
 
+def drop_period(root: str, period: str) -> bool:
+    """Retention: drop one period from a family — delete its segment
+    directory and (for batch-built families) remove it from the
+    manifest.  The operational win dynamic indexes exist for: retention
+    is one directory delete, never a rewrite.  Searchers opened before
+    the drop keep their snapshot (immutability); new FamilySearchers no
+    longer see the period.  Returns False if the period wasn't present."""
+    import shutil
+
+    seg = os.path.join(root, f"p={period}")
+    present = os.path.isdir(seg)
+    shutil.rmtree(seg, ignore_errors=True)
+    mpath = os.path.join(root, MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+        if period in manifest["periods"]:
+            manifest["periods"] = [
+                p for p in manifest["periods"] if p != period
+            ]
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, sort_keys=True)
+            os.replace(tmp, mpath)  # atomic, like live.py's CURRENT swap
+            present = True
+    return present
+
+
 class FamilySearcher:
     """Cross-period search with family-global BM25 stats.
 

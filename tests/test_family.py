@@ -164,16 +164,25 @@ def test_live_family_upsert_replaces_not_duplicates(
 
 
 def test_retention_drop_is_directory_delete(spark, family_root):
-    """Dropping a period = removing its segment + manifest edit; queries
-    over the remaining range never touch the dropped dir."""
+    """Dropping a period = removing its segment + manifest edit
+    (family.drop_period); queries over the remaining range never touch
+    the dropped dir.  Runs last in the module: it mutates the fixture."""
+    from data_prepper_spark.index.family import drop_period
+
     root, manifest = family_root
     fs = FamilySearcher(spark, root)
     keep = manifest["periods"][1:]
     got = fs.search("the", k=5, periods=keep)
     assert len(got) > 0
-    dropped = manifest["periods"][0]
-    assert dropped not in fs._searchers or True  # explicit periods only
     # k=None returns every match, callers re-rank with their tie rule
     all_hits = fs.search("the", k=None, periods=keep)
     assert len(all_hits) >= len(got)
     assert sorted(all_hits, key=lambda h: (-h[1], h[0]))[:5] == got
+
+    dropped = manifest["periods"][0]
+    assert drop_period(root, dropped) is True
+    assert not os.path.isdir(os.path.join(root, f"p={dropped}"))
+    fs2 = FamilySearcher(spark, root)  # reopen: manifest no longer lists it
+    assert fs2.periods == keep
+    assert fs2.search("the", k=5) == got  # full range ≡ explicit keep
+    assert drop_period(root, dropped) is False  # idempotent
