@@ -2684,6 +2684,64 @@ FROM events WHERE event_id < 600
 """
 
 
+def q_otel_logs_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """otel_logs source decode stage (OTelLogsSource.java:49 +
+    OTelProtoCodec log parsing): ExportLogsServiceRequest protobuf bytes
+    → one row per LogRecord via mapInPandas — completes the OTLP triple
+    (traces r4, metrics r4, logs).  String bodies pass through; non-
+    string bodies are JSON-encoded; attributes flatten to a sorted-key
+    JSON object string."""
+    from .operators import otel
+
+    sev_txt = ["DEBUG", "INFO", "WARN", "ERROR"]
+    eids = sorted(
+        int(r["event_id"])
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 600)
+        .select("event_id")
+        .collect()
+    )
+    reqs: dict[int, dict[str, list[bytes]]] = {}
+    for eid in eids:
+        t = _OTEL_BASE_NS + eid * 1_000_000
+        body = f"log line {eid}" if eid % 2 == 0 else eid
+        rec = otel.encode_log_record(
+            t, (eid % 24) + 1, sev_txt[eid % 4], body,
+            trace_id=bytes.fromhex(format(eid, "032x")),
+            span_id=bytes.fromhex(format(eid, "016x")),
+            observed_ns=t + 500_000,
+            attrs={"k0": f"v{eid % 3}", "level": sev_txt[eid % 4]},
+        )
+        reqs.setdefault(eid % 6, {}).setdefault(f"svc-{eid % 5}", []).append(rec)
+    payloads = [
+        (otel.encode_logs_request(d),) for _, d in sorted(reqs.items())
+    ]
+    return otel.otel_logs_decode(
+        spark.createDataFrame(payloads, "payload binary").repartition(3)
+    )
+
+
+def sql_otel_logs_decode() -> str:
+    return """
+SELECT 1700000000000000000 + event_id * 1000000 AS time_unix_nano,
+       1700000000000000000 + event_id * 1000000 + 500000
+           AS observed_time_unix_nano,
+       ((event_id % 24) + 1)::INT AS severity_number,
+       CASE event_id % 4 WHEN 0 THEN 'DEBUG' WHEN 1 THEN 'INFO'
+            WHEN 2 THEN 'WARN' ELSE 'ERROR' END AS severity_text,
+       CASE WHEN event_id % 2 = 0 THEN 'log line ' || event_id
+            ELSE event_id::VARCHAR END AS body,
+       'svc-' || (event_id % 5) AS service_name,
+       format('{:032x}', event_id) AS trace_id,
+       format('{:016x}', event_id) AS span_id,
+       '{"k0": "v' || (event_id % 3) || '", "level": "'
+           || (CASE event_id % 4 WHEN 0 THEN 'DEBUG' WHEN 1 THEN 'INFO'
+                    WHEN 2 THEN 'WARN' ELSE 'ERROR' END)
+           || '"}' AS attributes_json
+FROM events WHERE event_id < 600
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (the tail_sampler wait_period / streaming
     session_window shape) in batch: one row per (user, session)."""
@@ -4834,6 +4892,7 @@ QUERIES = {
     "otel_spans_decode": q_otel_spans_decode,
     "otel_service_map": q_otel_service_map,
     "otel_metrics_decode": q_otel_metrics_decode,
+    "otel_logs_decode": q_otel_logs_decode,
     "geoip_mmdb": q_geoip_mmdb,
     # round-3: pytest-only components now oracle-pinned
     "dedup_clusters": q_dedup_clusters,
@@ -4962,6 +5021,7 @@ ORACLES = {
     "otel_spans_decode": sql_otel_spans_decode(),
     "otel_service_map": sql_otel_service_map(),
     "otel_metrics_decode": sql_otel_metrics_decode(),
+    "otel_logs_decode": sql_otel_logs_decode(),
     "geoip_mmdb": sql_geoip_mmdb(),
     "dedup_clusters": sql_dedup_clusters(),
     "ft_resume_termstats": sql_ft_term_df(),

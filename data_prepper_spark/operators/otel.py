@@ -354,6 +354,109 @@ def otel_metrics_decode(df: DataFrame, payload_col: str = "payload") -> DataFram
     return df.mapInPandas(decode, schema=METRIC_SCHEMA)
 
 
+# ---------------------------------------------------------- logs decode
+
+LOG_SCHEMA = (
+    "time_unix_nano long, observed_time_unix_nano long, "
+    "severity_number int, severity_text string, body string, "
+    "service_name string, trace_id string, span_id string, "
+    "attributes_json string"
+)
+
+
+def _decode_log_record(b: bytes, service_name: str | None) -> dict:
+    """logs/v1 LogRecord → row dict (OTelProtoCodec log parsing /
+    otel-logs-source's Log event shape).  Non-string bodies are
+    JSON-encoded (the reference Jackson-serializes non-string bodies);
+    attributes flatten to a sorted-key JSON object string."""
+    import json
+
+    t = obs = 0
+    sev_no = 0
+    sev_txt = ""
+    body = None
+    tid = sid = b""
+    kvs: list[bytes] = []
+    for fno, wt, v in _fields(b):
+        if fno == 1:
+            t = _u64(v)
+        elif fno == 2:
+            sev_no = int(v)
+        elif fno == 3:
+            sev_txt = v.decode("utf-8")
+        elif fno == 5:
+            body = _anyvalue(v)
+        elif fno == 6:
+            kvs.append(v)
+        elif fno == 9:
+            tid = v
+        elif fno == 10:
+            sid = v
+        elif fno == 11:
+            obs = _u64(v)
+    if body is not None and not isinstance(body, str):
+        body = json.dumps(body)
+    return {
+        "time_unix_nano": t,
+        "observed_time_unix_nano": obs,
+        "severity_number": sev_no,
+        "severity_text": sev_txt,
+        "body": body,
+        "service_name": service_name,
+        "trace_id": tid.hex(),
+        "span_id": sid.hex(),
+        "attributes_json": json.dumps(_attrs(kvs), sort_keys=True),
+    }
+
+
+def decode_logs_request(payload: bytes) -> list[dict]:
+    """One ExportLogsServiceRequest → log-record row dicts (the third
+    OTLP source, otel-logs-source/.../OTelLogsSource.java:49; wire shape
+    resource_logs=1 { resource=1, scope_logs=2 { log_records=2 } })."""
+    rows: list[dict] = []
+    for fno, wt, rl in _fields(payload):          # resource_logs = 1
+        if fno != 1:
+            continue
+        service = None
+        scopes: list[bytes] = []
+        for f2, _, v2 in _fields(rl):
+            if f2 == 1:
+                kvs = [v3 for f3, _, v3 in _fields(v2) if f3 == 1]
+                service = _attrs(kvs).get("service.name")
+            elif f2 == 2:                          # scope_logs
+                scopes.append(v2)
+        for sl in scopes:
+            for f3, _, v3 in _fields(sl):
+                if f3 == 2:                        # log_records
+                    rows.append(_decode_log_record(v3, service))
+    return rows
+
+
+def otel_logs_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """OTLP logs requests (binary column) → one row per log record,
+    schema :data:`LOG_SCHEMA` — the otel_logs source's decode stage as a
+    distributed mapInPandas (completes the OTLP triple with
+    otel_trace_decode / otel_metrics_decode)."""
+    cols = [
+        "time_unix_nano", "observed_time_unix_nano", "severity_number",
+        "severity_text", "body", "service_name", "trace_id", "span_id",
+        "attributes_json",
+    ]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for payload in pdf[payload_col]:
+                rows.extend(decode_logs_request(bytes(payload)))
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: [] for c in cols})
+            )
+
+    return df.mapInPandas(decode, schema=LOG_SCHEMA)
+
+
 # ------------------------------------------------- fixture/test ENCODER
 
 def _wr_varint(v: int) -> bytes:
@@ -446,6 +549,49 @@ def encode_metrics_request(metrics_by_service: dict[str, list[bytes]]) -> bytes:
         scope = b"".join(_fld(2, 2, m) for m in metrics_by_service[service])
         rm = _fld(1, 2, resource) + _fld(2, 2, scope)
         req += _fld(1, 2, rm)
+    return req
+
+
+def encode_log_record(
+    time_ns: int, severity_number: int, severity_text: str, body,
+    trace_id: bytes = b"", span_id: bytes = b"",
+    observed_ns: int = 0, attrs: dict[str, str] | None = None,
+) -> bytes:
+    import struct as _s
+
+    b = _fld(1, 1, _s.pack("<Q", time_ns))
+    if severity_number:
+        b += _fld(2, 0, _wr_varint(severity_number))
+    if severity_text:
+        b += _fld(3, 2, severity_text.encode())
+    if body is not None:
+        if isinstance(body, str):
+            av = _fld(1, 2, body.encode())
+        elif isinstance(body, bool):
+            av = _fld(2, 0, _wr_varint(1 if body else 0))
+        elif isinstance(body, int):
+            av = _fld(3, 0, _wr_varint(body & ((1 << 64) - 1)))
+        else:
+            av = _fld(4, 1, _s.pack("<d", float(body)))
+        b += _fld(5, 2, av)
+    for k in sorted(attrs or {}):
+        b += _fld(6, 2, _kv_str(k, attrs[k]))
+    if trace_id:
+        b += _fld(9, 2, trace_id)
+    if span_id:
+        b += _fld(10, 2, span_id)
+    if observed_ns:
+        b += _fld(11, 1, _s.pack("<Q", observed_ns))
+    return b
+
+
+def encode_logs_request(logs_by_service: dict[str, list[bytes]]) -> bytes:
+    req = b""
+    for service in sorted(logs_by_service):
+        resource = _fld(1, 2, _kv_str("service.name", service))
+        scope = b"".join(_fld(2, 2, lr) for lr in logs_by_service[service])
+        rl = _fld(1, 2, resource) + _fld(2, 2, scope)
+        req += _fld(1, 2, rl)
     return req
 
 

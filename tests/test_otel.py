@@ -141,3 +141,46 @@ def test_metrics_spark_decode(spark):
     rows = otel.otel_metrics_decode(df).collect()
     assert len(rows) == 4
     assert sorted(r["value"] for r in rows) == [0.0, 1.5, 3.0, 4.5]
+
+
+def test_logs_roundtrip():
+    """encode_log_record → decode_logs_request: every field survives;
+    string bodies pass through, non-string bodies JSON-encode; absent
+    optional fields take proto3 defaults (0 / empty)."""
+    rec1 = otel.encode_log_record(
+        1_700_000_000_000_000_000, 9, "INFO", "hello world",
+        trace_id=bytes.fromhex("00" * 15 + "2a"),
+        span_id=bytes.fromhex("00" * 7 + "2a"),
+        observed_ns=1_700_000_000_000_500_000,
+        attrs={"b": "2", "a": "1"},
+    )
+    rec2 = otel.encode_log_record(5, 0, "", 42)          # int body, bare
+    rec3 = otel.encode_log_record(6, 17, "ERROR", 2.5)   # double body
+    req = otel.encode_logs_request({"web": [rec1, rec2], "db": [rec3]})
+    rows = otel.decode_logs_request(req)
+    assert len(rows) == 3
+    by_body = {r["body"]: r for r in rows}
+    r1 = by_body["hello world"]
+    assert r1["service_name"] == "web"
+    assert r1["severity_number"] == 9 and r1["severity_text"] == "INFO"
+    assert r1["trace_id"].endswith("2a") and len(r1["trace_id"]) == 32
+    assert r1["observed_time_unix_nano"] == 1_700_000_000_000_500_000
+    assert r1["attributes_json"] == '{"a": "1", "b": "2"}'
+    r2 = by_body["42"]  # non-string body JSON-encoded
+    assert r2["severity_number"] == 0 and r2["trace_id"] == ""
+    assert r2["attributes_json"] == "{}"
+    assert by_body["2.5"]["service_name"] == "db"
+
+
+def test_logs_spark_decode(spark):
+    reqs = [
+        (otel.encode_logs_request({
+            f"svc-{i}": [otel.encode_log_record(i, 1 + i, "INFO", f"line {i}")]
+        }),)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(reqs, "payload binary").repartition(2)
+    rows = otel.otel_logs_decode(df).collect()
+    assert len(rows) == 4
+    assert sorted(r["body"] for r in rows) == [f"line {i}" for i in range(4)]
+    assert sorted(r["severity_number"] for r in rows) == [1, 2, 3, 4]
