@@ -4529,6 +4529,63 @@ def sql_ft_family_bm25() -> str:
     )
 
 
+def q_ft_live_family_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a time-partitioned index FAMILY
+    (index/live.py start_stream_family — the opensearch sink's dynamic
+    index pattern %{yyyy.MM.dd} as it actually operates: events stream
+    into their period's index): documents drain one file per micro-batch,
+    each batch's rows routed to per-period LIVE indexes; the reference
+    queries are then answered over a period RANGE with family-global
+    stats.  Oracle: plain SQL over the same doc subset — streaming +
+    period routing must both be invisible to queries (rank-identical to
+    ft_family_bm25's batch-built family)."""
+    from .index.family import FamilySearcher
+    from .index.live import start_stream_family
+
+    key = "livefamily:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
+        src = tempfile.mkdtemp(prefix="dps_entry_lfsrc_")
+        root = tempfile.mkdtemp(prefix="dps_entry_lfidx_")
+        for d in (src, root):
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text", _synth_ts(F.col("doc_id")).alias("warc_ts"))
+            .repartition(3)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
+        q = start_stream_family(
+            spark, src, root, cfg,
+            schema="doc_id long, text string, warc_ts timestamp",
+            ts_col="warc_ts", pattern="yyyy.MM.dd",
+            available_now=True, max_files_per_trigger=1,
+            builder=build_oneshot_text,
+        )
+        q.awaitTermination(600)
+        _INDEX_CACHE[key] = root
+    fs = FamilySearcher(spark, _INDEX_CACHE[key])
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = fs.search(qtext, k=None, start="2025.06.02", end="2025.06.03")
+        ranked = sorted(
+            ((did, round(sc, 4)) for did, sc in hits),
+            key=lambda h: (-h[1], h[0]),
+        )[:FT_K]
+        rows.extend((qid, did, sc) for did, sc in ranked)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_live_family_bm25() -> str:
+    return sql_ft_bm25_topk(
+        base_where="WHERE (doc_id % 96) >= 24 AND (doc_id % 96) < 72"
+    )
+
+
 def q_codec_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """avro codec round-trip (AvroInputCodec.java:38 /
     AvroOutputCodec.java:34): distributed write of an Avro Object
@@ -4889,6 +4946,7 @@ QUERIES = {
     "codec_csv_out": q_codec_csv_out,
     "codec_avro": q_codec_avro,
     "ft_family_bm25": q_ft_family_bm25,
+    "ft_live_family_bm25": q_ft_live_family_bm25,
     "otel_spans_decode": q_otel_spans_decode,
     "otel_service_map": q_otel_service_map,
     "otel_metrics_decode": q_otel_metrics_decode,
@@ -5018,6 +5076,7 @@ ORACLES = {
     "codec_csv_out": sql_codec_csv_out(),
     "codec_avro": sql_codec_avro(),
     "ft_family_bm25": sql_ft_family_bm25(),
+    "ft_live_family_bm25": sql_ft_live_family_bm25(),
     "otel_spans_decode": sql_otel_spans_decode(),
     "otel_service_map": sql_otel_service_map(),
     "otel_metrics_decode": sql_otel_metrics_decode(),
