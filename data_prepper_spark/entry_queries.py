@@ -2684,6 +2684,157 @@ FROM events WHERE event_id < 600
 """
 
 
+def q_otel_metrics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL FIVE OTLP metric families (OTelMetricsRawProcessor.java:
+    230-238 mapGauge/mapSum/mapHistogram/mapExponentialHistogram/
+    mapSummary): gauge, sum, histogram, exponential_histogram (bucket
+    bounds materialized from scale/offset, base = 2^(2^-scale) —
+    JacksonExponentialHistogram semantics) and summary (quantile→value
+    list, JacksonSummary).  scale=0 keeps the materialized bounds exact
+    powers of two, so the oracle can state them as literals."""
+    from .operators import otel
+
+    eids = sorted(
+        int(r["event_id"])
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 600)
+        .select("event_id")
+        .collect()
+    )
+    reqs: dict[int, dict[str, list[bytes]]] = {}
+    for eid in eids:
+        base = _OTEL_BASE_NS + eid * 1_000_000
+        name = f"metric-{eid % 4}"
+        k = eid % 5
+        if k == 0:
+            m = otel.encode_metric(
+                name, "ms", "GAUGE",
+                [otel.encode_number_point(base, base + 1_000_000, eid * 0.5)],
+            )
+        elif k == 1:
+            m = otel.encode_metric(
+                name, "ms", "SUM",
+                [otel.encode_number_point(base, base + 1_000_000, eid, as_int=True)],
+                monotonic=eid % 2 == 0, temporality=1 + eid % 2,
+            )
+        elif k == 2:
+            m = otel.encode_metric(
+                name, "ms", "HISTOGRAM",
+                [otel.encode_hist_point(
+                    base, base + 1_000_000, eid + 3,
+                    [eid % 5, eid % 7, 3], [1.0, 10.0],
+                )],
+                temporality=1 + eid % 2,
+            )
+        elif k == 3:
+            m = otel.encode_metric(
+                name, "ms", "EXPONENTIAL_HISTOGRAM",
+                [otel.encode_exp_hist_point(
+                    base, base + 1_000_000, eid + 5,
+                    scale=0, zero_count=eid % 3,
+                    pos_offset=(eid % 3) - 1,
+                    pos_counts=[eid % 4 + 1, 2, eid % 6],
+                    neg_offset=0, neg_counts=[eid % 2 + 1],
+                    sum_val=eid * 1.5,
+                )],
+                temporality=2,
+            )
+        else:
+            m = otel.encode_metric(
+                name, "s", "SUMMARY",
+                [otel.encode_summary_point(
+                    base, base + 1_000_000, eid + 10, eid * 0.25,
+                    [(0.5, eid * 0.5), (0.99, eid * 2.0)],
+                )],
+            )
+        reqs.setdefault(eid % 6, {}).setdefault(f"svc-{eid % 5}", []).append(m)
+    payloads = [
+        (otel.encode_metrics_request(d),) for _, d in sorted(reqs.items())
+    ]
+    out = otel.otel_metrics_decode(
+        spark.createDataFrame(payloads, "payload binary").repartition(3)
+    )
+    qstr = F.transform(
+        "quantiles",
+        lambda q: F.concat(
+            q["quantile"].cast("string"), F.lit(":"), q["value"].cast("string")
+        ),
+    )
+    return out.select(
+        "name", "unit", "kind", "service_name",
+        "start_time_unix_nano", "time_unix_nano", "value", "is_monotonic",
+        "aggregation_temporality",
+        F.when(
+            F.col("bucket_counts").isNotNull(),
+            F.concat_ws(",", F.col("bucket_counts").cast("array<string>")),
+        ).alias("bucket_counts"),
+        F.when(
+            F.col("explicit_bounds").isNotNull(),
+            F.concat_ws(",", F.col("explicit_bounds").cast("array<string>")),
+        ).alias("explicit_bounds"),
+        F.round("sum", 4).alias("sum_val"),
+        "scale", "zero_count", "positive_offset", "negative_offset",
+        F.when(
+            F.col("negative_bucket_counts").isNotNull(),
+            F.concat_ws(
+                ",", F.col("negative_bucket_counts").cast("array<string>")
+            ),
+        ).alias("negative_bucket_counts"),
+        F.when(F.col("quantiles").isNotNull(), F.concat_ws(",", qstr))
+        .alias("quantiles"),
+    )
+
+
+def sql_otel_metrics_full() -> str:
+    return """
+SELECT 'metric-' || (event_id % 4) AS name,
+       CASE WHEN event_id % 5 = 4 THEN 's' ELSE 'ms' END AS unit,
+       CASE event_id % 5 WHEN 0 THEN 'GAUGE' WHEN 1 THEN 'SUM'
+            WHEN 2 THEN 'HISTOGRAM' WHEN 3 THEN 'EXPONENTIAL_HISTOGRAM'
+            ELSE 'SUMMARY' END AS kind,
+       'svc-' || (event_id % 5) AS service_name,
+       1700000000000000000 + event_id * 1000000 AS start_time_unix_nano,
+       1700000000000000000 + event_id * 1000000 + 1000000 AS time_unix_nano,
+       (CASE event_id % 5 WHEN 0 THEN event_id * 0.5
+             WHEN 1 THEN event_id WHEN 2 THEN event_id + 3
+             WHEN 3 THEN event_id + 5 ELSE event_id + 10 END)::DOUBLE
+           AS value,
+       CASE WHEN event_id % 5 = 1 THEN event_id % 2 = 0 ELSE NULL END
+           AS is_monotonic,
+       (CASE WHEN event_id % 5 IN (1, 2) THEN 1 + event_id % 2
+             WHEN event_id % 5 = 3 THEN 2 ELSE NULL END)::INT
+           AS aggregation_temporality,
+       CASE WHEN event_id % 5 = 2
+            THEN (event_id % 5) || ',' || (event_id % 7) || ',3'
+            WHEN event_id % 5 = 3
+            THEN (event_id % 4 + 1) || ',2,' || (event_id % 6)
+            ELSE NULL END AS bucket_counts,
+       CASE WHEN event_id % 5 = 2 THEN '1.0,10.0'
+            WHEN event_id % 5 = 3 THEN
+                 CASE event_id % 3 WHEN 0 THEN '0.5,1.0,2.0,4.0'
+                      WHEN 1 THEN '1.0,2.0,4.0,8.0'
+                      ELSE '2.0,4.0,8.0,16.0' END
+            ELSE NULL END AS explicit_bounds,
+       ROUND(CASE WHEN event_id % 5 = 3 THEN event_id * 1.5
+                  WHEN event_id % 5 = 4 THEN event_id * 0.25
+                  ELSE NULL END::DOUBLE, 4) AS sum_val,
+       (CASE WHEN event_id % 5 = 3 THEN 0 ELSE NULL END)::INT AS scale,
+       (CASE WHEN event_id % 5 = 3 THEN event_id % 3 ELSE NULL END)::BIGINT
+           AS zero_count,
+       (CASE WHEN event_id % 5 = 3 THEN event_id % 3 - 1 ELSE NULL END)::INT
+           AS positive_offset,
+       (CASE WHEN event_id % 5 = 3 THEN 0 ELSE NULL END)::INT
+           AS negative_offset,
+       CASE WHEN event_id % 5 = 3 THEN (event_id % 2 + 1)::VARCHAR
+            ELSE NULL END AS negative_bucket_counts,
+       CASE WHEN event_id % 5 = 4
+            THEN '0.5:' || (event_id * 0.5)::DOUBLE::VARCHAR ||
+                 ',0.99:' || (event_id * 2.0)::DOUBLE::VARCHAR
+            ELSE NULL END AS quantiles
+FROM events WHERE event_id < 600
+"""
+
+
 def q_otel_logs_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """otel_logs source decode stage (OTelLogsSource.java:49 +
     OTelProtoCodec log parsing): ExportLogsServiceRequest protobuf bytes
@@ -4950,6 +5101,7 @@ QUERIES = {
     "otel_spans_decode": q_otel_spans_decode,
     "otel_service_map": q_otel_service_map,
     "otel_metrics_decode": q_otel_metrics_decode,
+    "otel_metrics_full": q_otel_metrics_full,
     "otel_logs_decode": q_otel_logs_decode,
     "geoip_mmdb": q_geoip_mmdb,
     # round-3: pytest-only components now oracle-pinned
@@ -5080,6 +5232,7 @@ ORACLES = {
     "otel_spans_decode": sql_otel_spans_decode(),
     "otel_service_map": sql_otel_service_map(),
     "otel_metrics_decode": sql_otel_metrics_decode(),
+    "otel_metrics_full": sql_otel_metrics_full(),
     "otel_logs_decode": sql_otel_logs_decode(),
     "geoip_mmdb": sql_geoip_mmdb(),
     "dedup_clusters": sql_dedup_clusters(),
@@ -5090,32 +5243,36 @@ ORACLES = {
 }
 
 # The driver's correctness harness checks exactly the FIRST 50 entries of
-# queries().  Rounds 1-3 covered 58 distinct keys; rotate the never-checked
-# entries (the whole ft_* Lucene query family among them) into the window
-# this round.  Keys not listed keep their relative order after the window.
-# Rotate again next round until every entry has a driver CORRECTNESS row.
-_DRIVER_WINDOW_R4 = [
-    "semdedup", "hybrid_rrf",
-    "ft_merged_bm25", "ft_bool_topk", "ft_prefix_topk", "ft_fuzzy_topk",
-    "ft_wildcard_topk", "ft_filtered_topk", "ft_sorted_topk",
-    "ft_boosted_topk", "ft_fields_topk", "ft_merged_bool",
-    "ft_termrange_topk", "ft_search_after", "ft_dismax_topk",
-    "ft_regexp_topk", "ft_agg_terms", "ft_agg_histogram",
-    "ft_function_score", "ft_more_like_this", "ft_delete_bm25",
-    "ft_purged_bm25", "ft_upsert_bm25", "ft_live_bm25", "ft_bm25_faceted",
-    "ft_phrase_topk", "ft_proximity_topk", "ft_phrase_positions",
-    "ft_snippets", "dedup_retained", "ft_bm25_topk_distributed",
-    "simhash_pairs", "service_map", "csv_processor", "geoip",
-    "dlq_quarantine", "kv_options", "csv_header_event",
-    "expression_envvar", "grok_syslog", "text_repetition",
-    "decontam_8gram", "stratified_sample", "expression_functions",
-    "pipeline_e2e", "dedup_clusters", "ft_resume_termstats",
-    "stateful_conclude", "list_to_map", "translate_regex",
+# queries().  Rounds 1-4 drove 108 distinct keys; this round's window takes
+# the 17 entries that have never had a driver CORRECTNESS row (the family /
+# OTLP / codec / geoip_mmdb additions of round 4), then pads with the
+# stalest entries (r1/r2-only first, then the oldest r3-only keys) so the
+# re-check pressure stays on whatever has gone longest unverified.  After
+# this round every one of the queries() entries has had a driver row.
+_DRIVER_WINDOW_R5 = [
+    # -- never driver-checked (17) --
+    "ft_family_bm25", "ft_live_family_bm25", "ft_agg_date_histogram",
+    "codec_newline", "codec_json_array", "codec_csv", "codec_csv_out",
+    "codec_avro", "codec_ndjson_roundtrip", "codec_compressed",
+    "otel_spans_decode", "otel_service_map", "otel_metrics_decode",
+    "otel_logs_decode", "geoip_mmdb", "select_entries", "anomaly_rcf",
+    # -- stalest: r1/r2-only (8) --
+    "multimodal_features", "multimodal_meta", "dedup_minhash_lsh",
+    "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_langid",
+    "text_fingerprint",
+    # -- stalest r3-only (25), operators touched this round first --
+    "user_agent", "user_agent_uap",
+    "ft_token_counts", "ft_term_df", "ft_postings_roundtrip",
+    "ft_doc_stats", "ft_bm25_topk", "drop_events", "add_entries",
+    "mutate_chain", "convert_entry_type", "translate", "string_chain",
+    "key_value", "parse_json", "parse_json_pointer", "date_locale",
+    "list_to_map_flatten", "obfuscate_patterns", "grok_clf", "date_iso",
+    "obfuscate", "agg_count_window", "agg_histogram", "otel_metrics_full",
 ]
-assert len(_DRIVER_WINDOW_R4) == 50 and set(_DRIVER_WINDOW_R4) <= set(QUERIES)
-QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW_R4}, **QUERIES}
+assert len(_DRIVER_WINDOW_R5) == 50 and set(_DRIVER_WINDOW_R5) <= set(QUERIES)
+QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW_R5}, **QUERIES}
 ORACLES = {
-    **{k: ORACLES[k] for k in _DRIVER_WINDOW_R4 if k in ORACLES},
+    **{k: ORACLES[k] for k in _DRIVER_WINDOW_R5 if k in ORACLES},
     **ORACLES,
 }
 

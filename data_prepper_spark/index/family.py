@@ -73,7 +73,12 @@ def build_family(
 
     staged = os.path.join(root, "_staged")
     (
+        # NULL-ts rows are dropped, matching the streaming path
+        # (apply_batch_family filters them the same way) — otherwise a
+        # '_period=__HIVE_DEFAULT_PARTITION__' staging dir becomes a bogus
+        # 'p=__HIVE_DEFAULT_PARTITION__' segment that unbounded search hits.
         docs.withColumn("_period", F.date_format(F.col(ts_col), pattern))
+        .where(F.col("_period").isNotNull())
         .write.mode("overwrite")
         .partitionBy("_period")
         .parquet(staged)

@@ -165,7 +165,15 @@ class _DocValues:
                     return pa.scalar(v)
 
             if op == "in":
-                m = pc.is_in(arr, value_set=pa.array(list(val)).cast(arr.type))
+                # same fallback contract as _scalar: a value-set type the
+                # pushdown-scan path accepted must not raise from the
+                # cached path — pc.is_in auto-casts an uncast array.
+                try:
+                    vset = pa.array(list(val)).cast(arr.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError):
+                    vset = pa.array(list(val))
+                m = pc.is_in(arr, value_set=vset)
             elif op == "==":
                 m = pc.equal(arr, _scalar(val))
             elif op == "!=":

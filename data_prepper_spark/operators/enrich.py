@@ -122,13 +122,15 @@ def geoip(
                     cache[ip] = hit
                 return hit
 
-            names = [f.name for f in geo_fields]
             for pdf in batches:
-                geo = pd.DataFrame(
-                    [one(ip) for ip in pdf[source]], columns=names,
-                    index=pdf.index,
+                # assign the tuple list directly: preserves None (no
+                # NaN coercion through a mixed-dtype frame) and works on
+                # empty batches, where DataFrame.apply would return a
+                # DataFrame and the column assignment would raise.
+                pdf[target] = pd.Series(
+                    [one(ip) for ip in pdf[source]],
+                    index=pdf.index, dtype=object,
                 )
-                pdf[target] = geo.apply(lambda r: tuple(r), axis=1)
                 yield pdf
 
         return df.mapInPandas(enrich, schema=out_schema)

@@ -219,11 +219,40 @@ METRIC_SCHEMA = (
     "name string, description string, unit string, kind string, "
     "service_name string, start_time_unix_nano long, time_unix_nano long, "
     "value double, is_monotonic boolean, aggregation_temporality int, "
-    "bucket_counts array<long>, explicit_bounds array<double>"
+    "bucket_counts array<long>, explicit_bounds array<double>, "
+    "sum double, scale int, zero_count long, positive_offset int, "
+    "negative_offset int, negative_bucket_counts array<long>, "
+    "quantiles array<struct<quantile:double,value:double>>"
 )
 
-_AGG_TEMPORALITY = 2  # field in Sum/Histogram
+_METRIC_COLS = [f.strip().split(" ")[0] for f in METRIC_SCHEMA.split(", ")]
+
+_AGG_TEMPORALITY = 2  # field in Sum/Histogram/ExponentialHistogram
 _IS_MONOTONIC = 3
+
+# every point decoder returns the FULL key set (None = not applicable for
+# that metric kind) so the Arrow batch always carries typed nulls, never
+# NaN-coerced columns
+_POINT_DEFAULTS = {
+    "start_time_unix_nano": 0, "time_unix_nano": 0, "value": None,
+    "bucket_counts": None, "explicit_bounds": None, "sum": None,
+    "scale": None, "zero_count": None, "positive_offset": None,
+    "negative_offset": None, "negative_bucket_counts": None,
+    "quantiles": None,
+}
+
+
+def _zz(u: int) -> int:
+    """zigzag-decode a varint (sint32/sint64 wire form)."""
+    return (u >> 1) ^ -(u & 1)
+
+
+def _packed_varints(b: bytes) -> list[int]:
+    out, i = [], 0
+    while i < len(b):
+        v, i = _rd_varint(b, i)
+        out.append(v)
+    return out
 
 
 def _number_point(b: bytes) -> dict:
@@ -238,13 +267,13 @@ def _number_point(b: bytes) -> dict:
             val = struct.unpack("<d", v)[0]
         elif fno == 6:
             val = float(struct.unpack("<q", v)[0])
-    return {"start_time_unix_nano": start, "time_unix_nano": t,
-            "value": val, "bucket_counts": None, "explicit_bounds": None}
+    return {**_POINT_DEFAULTS, "start_time_unix_nano": start,
+            "time_unix_nano": t, "value": val}
 
 
 def _histogram_point(b: bytes) -> dict:
     start = t = 0
-    total = None
+    total = hsum = None
     counts: list[int] = []
     bounds: list[float] = []
     for fno, wt, v in _fields(b):
@@ -254,6 +283,8 @@ def _histogram_point(b: bytes) -> dict:
             t = _u64(v)
         elif fno == 4:  # count (fixed64)
             total = float(_u64(v))
+        elif fno == 5:  # sum (double) — JacksonHistogram.sum
+            hsum = struct.unpack("<d", v)[0]
         elif fno == 6:  # bucket_counts: packed fixed64
             counts.extend(
                 struct.unpack(f"<{len(v) // 8}Q", bytes(v))
@@ -262,9 +293,94 @@ def _histogram_point(b: bytes) -> dict:
             bounds.extend(
                 struct.unpack(f"<{len(v) // 8}d", bytes(v))
             )
-    return {"start_time_unix_nano": start, "time_unix_nano": t,
-            "value": total, "bucket_counts": [int(c) for c in counts],
+    return {**_POINT_DEFAULTS, "start_time_unix_nano": start,
+            "time_unix_nano": t, "value": total, "sum": hsum,
+            "bucket_counts": [int(c) for c in counts],
             "explicit_bounds": list(bounds)}
+
+
+def _exp_buckets(b: bytes) -> tuple[int, list[int]]:
+    """ExponentialHistogramDataPoint.Buckets → (offset, counts).
+    offset is sint32 (zigzag varint); counts are packed uint64 VARINTS
+    (unlike Histogram's fixed64 bucket_counts)."""
+    offset, counts = 0, []
+    for fno, wt, v in _fields(b):
+        if fno == 1:
+            offset = _zz(int(v))
+        elif fno == 2:
+            counts = _packed_varints(bytes(v)) if wt == 2 else counts + [int(v)]
+    return offset, counts
+
+
+def _exp_histogram_point(b: bytes) -> dict:
+    """metrics/v1 ExponentialHistogramDataPoint → row, with the bucket
+    boundaries MATERIALIZED the way the reference does
+    (OTelMetricsRawProcessor.java:230-238 / JacksonExponentialHistogram
+    createExponentialBuckets): base = 2^(2^-scale); positive bucket i at
+    offset o spans (base^(o+i), base^(o+i+1)] — explicit_bounds carries
+    the n+1 boundaries of the n positive buckets, bucket_counts their
+    counts; negative buckets kept raw (offset + counts)."""
+    start = t = 0
+    total = hsum = None
+    scale = 0
+    zero_count = 0
+    pos = (0, [])
+    neg = (0, [])
+    for fno, wt, v in _fields(b):
+        if fno == 2:
+            start = _u64(v)
+        elif fno == 3:
+            t = _u64(v)
+        elif fno == 4:
+            total = float(_u64(v))
+        elif fno == 5:
+            hsum = struct.unpack("<d", v)[0]
+        elif fno == 6:  # scale: sint32
+            scale = _zz(int(v))
+        elif fno == 7:  # zero_count: fixed64
+            zero_count = _u64(v)
+        elif fno == 8:
+            pos = _exp_buckets(v)
+        elif fno == 9:
+            neg = _exp_buckets(v)
+    base = 2.0 ** (2.0 ** -scale)
+    bounds = [base ** (pos[0] + i) for i in range(len(pos[1]) + 1)]
+    return {**_POINT_DEFAULTS, "start_time_unix_nano": start,
+            "time_unix_nano": t, "value": total, "sum": hsum,
+            "scale": scale, "zero_count": int(zero_count),
+            "positive_offset": pos[0],
+            "bucket_counts": [int(c) for c in pos[1]],
+            "explicit_bounds": bounds,
+            "negative_offset": neg[0],
+            "negative_bucket_counts": [int(c) for c in neg[1]]}
+
+
+def _summary_point(b: bytes) -> dict:
+    """metrics/v1 SummaryDataPoint → row (JacksonSummary shape: count,
+    sum, quantile→value list; no temporality/monotonic on Summary)."""
+    start = t = 0
+    total = hsum = None
+    quants: list[dict] = []
+    for fno, wt, v in _fields(b):
+        if fno == 2:
+            start = _u64(v)
+        elif fno == 3:
+            t = _u64(v)
+        elif fno == 4:
+            total = float(_u64(v))
+        elif fno == 5:
+            hsum = struct.unpack("<d", v)[0]
+        elif fno == 6:  # ValueAtQuantile {quantile=1 double, value=2 double}
+            q = val = 0.0
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:
+                    q = struct.unpack("<d", v2)[0]
+                elif f2 == 2:
+                    val = struct.unpack("<d", v2)[0]
+            quants.append({"quantile": q, "value": val})
+    return {**_POINT_DEFAULTS, "start_time_unix_nano": start,
+            "time_unix_nano": t, "value": total, "sum": hsum,
+            "quantiles": quants}
 
 
 def _decode_metric(b: bytes, service_name: str | None) -> list[dict]:
@@ -281,21 +397,24 @@ def _decode_metric(b: bytes, service_name: str | None) -> list[dict]:
             desc = v.decode("utf-8")
         elif fno == 3:
             unit = v.decode("utf-8")
-        elif fno in (5, 7, 9):  # gauge / sum / histogram
-            kind = {5: "GAUGE", 7: "SUM", 9: "HISTOGRAM"}[fno]
+        elif fno in (5, 7, 9, 10, 11):  # the five OTLP metric families
+            kind = {5: "GAUGE", 7: "SUM", 9: "HISTOGRAM",
+                    10: "EXPONENTIAL_HISTOGRAM", 11: "SUMMARY"}[fno]
+            point_of = {5: _number_point, 7: _number_point,
+                        9: _histogram_point, 10: _exp_histogram_point,
+                        11: _summary_point}[fno]
             for f2, _, v2 in _fields(v):
                 if f2 == 1:
-                    points.append(
-                        _histogram_point(v2) if fno == 9 else _number_point(v2)
-                    )
-                elif f2 == _AGG_TEMPORALITY and fno in (7, 9):
+                    points.append(point_of(v2))
+                elif f2 == _AGG_TEMPORALITY and fno in (7, 9, 10):
                     temporality = int(v2)
                 elif f2 == _IS_MONOTONIC and fno == 7:
                     monotonic = bool(v2)
     # proto3 scalar defaults: an absent field means false/0, not unknown
     if kind == "SUM" and monotonic is None:
         monotonic = False
-    if kind in ("SUM", "HISTOGRAM") and temporality is None:
+    if kind in ("SUM", "HISTOGRAM", "EXPONENTIAL_HISTOGRAM") \
+            and temporality is None:
         temporality = 0
     for p in points:
         rows.append({
@@ -307,10 +426,13 @@ def _decode_metric(b: bytes, service_name: str | None) -> list[dict]:
 
 
 def decode_metrics_request(payload: bytes) -> list[dict]:
-    """One ExportMetricsServiceRequest → metric-point row dicts
-    (OTelMetricsRawProcessor.java:56-92 mapGauge/mapSum/mapHistogram
-    analog — gauge, sum, and histogram points; summary/exponential
-    histogram are out of scope like the repo's other protocol edges)."""
+    """One ExportMetricsServiceRequest → metric-point row dicts — all
+    FIVE OTLP metric families (OTelMetricsRawProcessor.java:230-238
+    mapGauge/mapSum/mapHistogram/mapExponentialHistogram/mapSummary):
+    gauge, sum, histogram, exponential_histogram (bucket bounds
+    materialized from scale/offset the way the reference's
+    JacksonExponentialHistogram does), and summary (quantile→value
+    list, JacksonSummary shape)."""
     rows: list[dict] = []
     for fno, wt, rm in _fields(payload):          # resource_metrics = 1
         if fno != 1:
@@ -334,11 +456,7 @@ def otel_metrics_decode(df: DataFrame, payload_col: str = "payload") -> DataFram
     """OTLP metrics requests (binary column) → one row per data point,
     schema :data:`METRIC_SCHEMA` — the otel_metrics processor as a
     distributed mapInPandas."""
-    cols = [
-        "name", "description", "unit", "kind", "service_name",
-        "start_time_unix_nano", "time_unix_nano", "value", "is_monotonic",
-        "aggregation_temporality", "bucket_counts", "explicit_bounds",
-    ]
+    cols = _METRIC_COLS
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -521,6 +639,49 @@ def encode_hist_point(
     return b
 
 
+def _zz_enc(v: int) -> int:
+    """zigzag-encode for sint32/sint64 varints."""
+    return (v << 1) if v >= 0 else ((-v << 1) - 1)
+
+
+def encode_exp_hist_point(
+    start_ns: int, t_ns: int, count: int, scale: int, zero_count: int,
+    pos_offset: int, pos_counts: list[int],
+    neg_offset: int = 0, neg_counts: list[int] | None = None,
+    sum_val: float | None = None,
+) -> bytes:
+    b = _fld(2, 1, struct.pack("<Q", start_ns))
+    b += _fld(3, 1, struct.pack("<Q", t_ns))
+    b += _fld(4, 1, struct.pack("<Q", count))
+    if sum_val is not None:
+        b += _fld(5, 1, struct.pack("<d", sum_val))
+    b += _fld(6, 0, _wr_varint(_zz_enc(scale)))
+    b += _fld(7, 1, struct.pack("<Q", zero_count))
+    pos = _fld(1, 0, _wr_varint(_zz_enc(pos_offset)))
+    pos += _fld(2, 2, b"".join(_wr_varint(c) for c in pos_counts))
+    b += _fld(8, 2, pos)
+    if neg_counts:
+        neg = _fld(1, 0, _wr_varint(_zz_enc(neg_offset)))
+        neg += _fld(2, 2, b"".join(_wr_varint(c) for c in neg_counts))
+        b += _fld(9, 2, neg)
+    return b
+
+
+def encode_summary_point(
+    start_ns: int, t_ns: int, count: int, sum_val: float,
+    quantiles: list[tuple[float, float]],
+) -> bytes:
+    b = _fld(2, 1, struct.pack("<Q", start_ns))
+    b += _fld(3, 1, struct.pack("<Q", t_ns))
+    b += _fld(4, 1, struct.pack("<Q", count))
+    b += _fld(5, 1, struct.pack("<d", sum_val))
+    for q, v in quantiles:
+        b += _fld(6, 2,
+                  _fld(1, 1, struct.pack("<d", q))
+                  + _fld(2, 1, struct.pack("<d", v)))
+    return b
+
+
 def encode_metric(
     name: str, unit: str, kind: str, points: list[bytes],
     description: str = "", monotonic: bool = False, temporality: int = 2,
@@ -537,6 +698,11 @@ def encode_metric(
     elif kind == "HISTOGRAM":
         inner += _fld(2, 0, _wr_varint(temporality))
         b += _fld(9, 2, inner)
+    elif kind == "EXPONENTIAL_HISTOGRAM":
+        inner += _fld(2, 0, _wr_varint(temporality))
+        b += _fld(10, 2, inner)
+    elif kind == "SUMMARY":
+        b += _fld(11, 2, inner)
     else:
         raise ValueError(kind)
     return b

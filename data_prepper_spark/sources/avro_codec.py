@@ -356,9 +356,16 @@ def spark_to_avro_schema(spark_schema, name: str = "event"):
         if isinstance(dt, T.StringType):
             return "string"
         if isinstance(dt, T.ArrayType):
-            return {"type": "array", "items": conv(dt.elementType, field_name)}
+            # Spark ArrayType defaults containsNull=True — mirror that with
+            # a nullable-union item type so a null element encodes instead
+            # of crashing _encode_value at task time.
+            items = conv(dt.elementType, field_name)
+            return {"type": "array",
+                    "items": ["null", items] if dt.containsNull else items}
         if isinstance(dt, T.MapType):
-            return {"type": "map", "values": conv(dt.valueType, field_name)}
+            vals = conv(dt.valueType, field_name)
+            return {"type": "map",
+                    "values": ["null", vals] if dt.valueContainsNull else vals}
         if isinstance(dt, T.StructType):
             return {
                 "type": "record", "name": f"{field_name}_rec",
@@ -438,6 +445,13 @@ def write_avro(df, path: str, codec: str = "null", name: str = "event") -> None:
 
     avro_schema = spark_to_avro_schema(df.schema, name=name)
     cols = [f.name for f in df.schema.fields]
+    # mode='overwrite' contract, same as write_parquet/write_ndjson/write_csv:
+    # clear stale part files so a re-run that produces fewer partitions never
+    # leaves old part-*.avro behind for read_avro_py to silently include.
+    if os.path.isdir(path):
+        for fn in os.listdir(path):
+            if fn.endswith(".avro"):
+                os.remove(os.path.join(path, fn))
     os.makedirs(path, exist_ok=True)
 
     def _clean(v):

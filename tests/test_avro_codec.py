@@ -118,3 +118,40 @@ def test_reader_file_fixture(spark, workdir):
     assert by_id[1]["nested"]["x"] == 3
     assert bytes(by_id[1]["raw"]) == b"\x00\xff"
     assert by_id[0]["attrs"]["b"] == -2
+
+
+def test_overwrite_clears_stale_parts(spark, workdir):
+    """mode='overwrite' contract: a re-run producing fewer partitions must
+    not leave stale part-*.avro behind (ADVICE r4)."""
+    d = os.path.join(workdir, "avro_over")
+    write_avro(spark.range(0, 100).repartition(8), d)
+    assert len([f for f in os.listdir(d) if f.endswith(".avro")]) == 8
+    write_avro(spark.range(0, 10).repartition(2), d)
+    assert len([f for f in os.listdir(d) if f.endswith(".avro")]) == 2
+    assert read_avro_py(spark, d).count() == 10
+
+
+def test_null_array_elements_and_map_values(spark, workdir):
+    """Spark containsNull/valueContainsNull default True — schema derivation
+    must emit nullable-union items so null elements encode (ADVICE r4)."""
+    src = spark.range(0, 20).select(
+        F.col("id"),
+        F.array(
+            F.lit("a"),
+            F.when(F.col("id") % 2 == 0, F.lit(None)).otherwise(F.lit("b")),
+        ).alias("tags"),
+        F.create_map(
+            F.lit("k"),
+            F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(F.col("id")),
+        ).alias("attrs"),
+    ).repartition(2)
+    av = spark_to_avro_schema(src.schema)
+    tags_t = next(f for f in av["fields"] if f["name"] == "tags")["type"][1]
+    assert tags_t["items"] == ["null", "string"]
+    d = os.path.join(workdir, "avro_nulls")
+    write_avro(src, d)
+    got = {r["id"]: r for r in read_avro_py(spark, d).collect()}
+    assert list(got[2]["tags"]) == ["a", None]
+    assert list(got[1]["tags"]) == ["a", "b"]
+    assert got[3]["attrs"]["k"] is None
+    assert got[4]["attrs"]["k"] == 4

@@ -186,3 +186,29 @@ def test_retention_drop_is_directory_delete(spark, family_root):
     assert fs2.periods == keep
     assert fs2.search("the", k=5) == got  # full range ≡ explicit keep
     assert drop_period(root, dropped) is False  # idempotent
+
+
+def test_null_ts_rows_dropped_in_batch_build(spark, tiny_corpus_path, workdir):
+    """Batch build must drop NULL-timestamp docs like the streaming path
+    (apply_batch_family) does — no p=__HIVE_DEFAULT_PARTITION__ segment
+    (ADVICE r4)."""
+    root = os.path.join(workdir, "family_nullts")
+    pages = spark.read.parquet(tiny_corpus_path).limit(40)
+    nulled = pages.withColumn(
+        "warc_ts",
+        F.when(F.col("url").contains("0"), F.lit(None)).otherwise(
+            F.col("warc_ts")
+        ),
+    )
+    manifest = build_family(
+        spark, nulled, root, CFG, ts_col="warc_ts", pattern=PATTERN,
+        mode="pages",
+    )
+    assert "__HIVE_DEFAULT_PARTITION__" not in manifest["periods"]
+    assert not os.path.isdir(os.path.join(root, "p=__HIVE_DEFAULT_PARTITION__"))
+    s = FamilySearcher(spark, root)
+    n_docs = sum(seg.n_docs for seg in s.segments) if hasattr(s, "segments") \
+        else None
+    kept = nulled.where(F.col("warc_ts").isNotNull()).count()
+    if n_docs is not None:
+        assert n_docs == kept

@@ -184,3 +184,77 @@ def test_logs_spark_decode(spark):
     assert len(rows) == 4
     assert sorted(r["body"] for r in rows) == [f"line {i}" for i in range(4)]
     assert sorted(r["severity_number"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_metrics_roundtrip_summary_and_exponential():
+    """The five-family completion (OTelMetricsRawProcessor.java:230-238):
+    exponential_histogram materializes bucket bounds from scale/offset
+    (base = 2^(2^-scale)), summary carries the quantile→value list."""
+    e = otel.encode_metric(
+        "lat2", "ms", "EXPONENTIAL_HISTOGRAM",
+        [otel.encode_exp_hist_point(
+            10, 20, 9, scale=1, zero_count=2, pos_offset=-2,
+            pos_counts=[3, 4, 2], neg_offset=1, neg_counts=[5],
+            sum_val=12.5,
+        )],
+        temporality=1,
+    )
+    m = otel.encode_metric(
+        "rt", "s", "SUMMARY",
+        [otel.encode_summary_point(10, 20, 100, 55.5,
+                                   [(0.5, 1.0), (0.99, 9.0)])],
+    )
+    rows = otel.decode_metrics_request(
+        otel.encode_metrics_request({"svc": [e, m]})
+    )
+    by_kind = {r["kind"]: r for r in rows}
+    eh = by_kind["EXPONENTIAL_HISTOGRAM"]
+    assert eh["value"] == 9.0 and eh["sum"] == 12.5
+    assert eh["scale"] == 1 and eh["zero_count"] == 2
+    assert eh["positive_offset"] == -2
+    assert eh["bucket_counts"] == [3, 4, 2]
+    base = 2.0 ** (2.0 ** -1)  # sqrt(2)
+    assert eh["explicit_bounds"] == pytest.approx(
+        [base ** i for i in range(-2, 2)]
+    )
+    assert eh["negative_offset"] == 1
+    assert eh["negative_bucket_counts"] == [5]
+    assert eh["aggregation_temporality"] == 1
+    su = by_kind["SUMMARY"]
+    assert su["value"] == 100.0 and su["sum"] == 55.5
+    assert su["quantiles"] == [
+        {"quantile": 0.5, "value": 1.0},
+        {"quantile": 0.99, "value": 9.0},
+    ]
+    assert su["aggregation_temporality"] is None
+    assert su["is_monotonic"] is None
+
+
+def test_metrics_spark_decode_all_five_kinds(spark):
+    ms = [
+        otel.encode_metric("g", "1", "GAUGE",
+                           [otel.encode_number_point(1, 2, 0.5)]),
+        otel.encode_metric("s", "1", "SUM",
+                           [otel.encode_number_point(1, 2, 7, as_int=True)]),
+        otel.encode_metric("h", "ms", "HISTOGRAM",
+                           [otel.encode_hist_point(1, 2, 3, [1, 2], [5.0])]),
+        otel.encode_metric("e", "ms", "EXPONENTIAL_HISTOGRAM",
+                           [otel.encode_exp_hist_point(
+                               1, 2, 6, scale=0, zero_count=0,
+                               pos_offset=0, pos_counts=[2, 4])]),
+        otel.encode_metric("q", "s", "SUMMARY",
+                           [otel.encode_summary_point(
+                               1, 2, 10, 5.0, [(0.5, 2.0)])]),
+    ]
+    df = spark.createDataFrame(
+        [(otel.encode_metrics_request({"svc": ms}),)], "payload binary"
+    )
+    got = {r["kind"]: r for r in otel.otel_metrics_decode(df).collect()}
+    assert set(got) == {"GAUGE", "SUM", "HISTOGRAM",
+                        "EXPONENTIAL_HISTOGRAM", "SUMMARY"}
+    assert list(got["EXPONENTIAL_HISTOGRAM"]["explicit_bounds"]) == \
+        [1.0, 2.0, 4.0]
+    assert [q.asDict() for q in got["SUMMARY"]["quantiles"]] == \
+        [{"quantile": 0.5, "value": 2.0}]
+    assert got["HISTOGRAM"]["sum"] is None  # not encoded in this fixture
+    assert got["GAUGE"]["quantiles"] is None
