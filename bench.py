@@ -245,6 +245,48 @@ def main():
                 srt.sort()
                 extras["sorted_p50_ms"] = round(srt[len(srt) // 2] * 1000, 1)
 
+            # cross-period family serving: the SAME 1M docs partitioned
+            # by day (~12 periods), family-global stats.  BMW pruning
+            # stays on via avgdl-rescaled block UBs (index/family.py);
+            # family_brute_p50 measures what the pre-rescale path paid.
+            from data_prepper_spark.index.family import (
+                FamilySearcher,
+                build_family,
+            )
+
+            fam_dir = os.path.join(sdir, "family_day")
+            if not os.path.exists(os.path.join(fam_dir, "family.json")):
+                t0 = time.perf_counter()
+                build_family(
+                    spark, spark.read.parquet(s_corpus), fam_dir,
+                    IndexConfig(range_bits=3, block_size=128, n_buckets=32),
+                    ts_col="warc_ts", pattern="yyyy.MM.dd", mode="pages",
+                    parallelism=8,
+                )
+                extras["family_build_s"] = round(time.perf_counter() - t0, 1)
+            fsr = FamilySearcher(spark, fam_dir)
+            extras["family_periods"] = len(fsr.periods)
+            fam_lat: list[float] = []
+            for _ in range(3):
+                for qtext in qs:
+                    t0 = time.perf_counter()
+                    fsr.search(qtext, k=10)
+                    fam_lat.append(time.perf_counter() - t0)
+            fam_lat.sort()
+            extras["family_p50_ms"] = round(fam_lat[len(fam_lat) // 2] * 1000, 1)
+            extras["family_p95_ms"] = round(
+                fam_lat[int(len(fam_lat) * 0.95) - 1] * 1000, 1
+            )
+            fb_lat: list[float] = []
+            for qtext in qs:
+                t0 = time.perf_counter()
+                fsr.search(qtext, k=10, mode="brute")
+                fb_lat.append(time.perf_counter() - t0)
+            fb_lat.sort()
+            extras["family_brute_p50_ms"] = round(
+                fb_lat[len(fb_lat) // 2] * 1000, 1
+            )
+
         total = round(sum(timings.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         print(

@@ -2430,6 +2430,26 @@ _UA_REAL = [
      ("Firefox Mobile", "121.0", "Android 14", "Generic Smartphone")),
     ("python-requests/2.31.0",
      ("Python Requests", "2.31.0", "Other", "Other")),
+    # --- round-5 vocabulary extensions (families beyond the first 80
+    #     rules: gecko/chromium shells, bots, tools, console/FireOS) ---
+    ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; ClaudeBot/1.0)",
+     ("ClaudeBot", "1.0", "Other", "Spider")),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) MyApp/1.2.3 Chrome/120.0.6099.291 Electron/28.1.0 Safari/537.36",
+     ("Electron", "28.1.0", "Windows 10", "Other")),
+    ("Mozilla/5.0 (Linux; Android 9; KFMAWI) AppleWebKit/537.36 (KHTML, like Gecko) Silk/120.2.1 like Chrome/120.0.6099.145 Safari/537.36",
+     ("Amazon Silk", "120.2.1", "Android 9", "KFMAWI")),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:91.0) Gecko/20100101 Firefox/91.0 SeaMonkey/2.53.18",
+     ("SeaMonkey", "2.53.18", "Linux", "Other")),
+    ("Mozilla/5.0 (Linux; U; Android 12; zh-cn; V2171A Build/SP1A.210812.003) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/87.0.4280.141 Mobile Safari/537.36 QQBrowser/13.4.6123",
+     ("QQ Browser", "13.4", "Android 12", "Other")),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:115.0) Gecko/20100101 Thunderbird/115.6.0",
+     ("Thunderbird", "115.6.0", "Windows 10", "Other")),
+    ("Mozilla/5.0 (Mobile; Nokia_8110_4G; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5",
+     ("Firefox", "48.0", "KaiOS 2.5", "Other")),
+    ("curl/8.4.0",
+     ("curl", "8.4.0", "Other", "Other")),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; Xbox; Xbox Series X) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edge/120.0.0.0",
+     ("Edge", "120.0.0", "Windows 10", "Xbox")),
 ]
 
 
@@ -3761,43 +3781,98 @@ SELECT query_id, rank::INT AS rank, vec_id, cos FROM ranked WHERE rank <= 5
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
+    """REAL metadata-level media decode (trainprep/mediadecode.py):
+    deterministic PNG/JPEG/GIF/WAV container blobs are synthesized per
+    doc_id (real signatures, chunk CRCs, marker segments), then
+    extract_features(fake=False) parses the headers back — dimensions,
+    frame counts, channels/sample-rate, EXIF presence.  The oracle knows
+    the generation arithmetic; the ENGINE must actually parse the
+    containers to reproduce it."""
+    from .trainprep import mediadecode as md
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads, kinds = [], []
+            for i in ids:
+                i = int(i)
+                k = i % 4
+                if k == 0:
+                    payloads.append(md.make_png((i % 640) + 1, (i % 480) + 1))
+                    kinds.append("image")
+                elif k == 1:
+                    payloads.append(
+                        md.make_jpeg((i % 320) + 1, (i % 240) + 1,
+                                     exif=i % 3 == 0)
+                    )
+                    kinds.append("image")
+                elif k == 2:
+                    payloads.append(
+                        md.make_gif((i % 200) + 1, (i % 100) + 1,
+                                    n_frames=(i % 240) + 1)
+                    )
+                    kinds.append("video")
+                else:
+                    payloads.append(
+                        md.make_wav((i % 1000) + 1, channels=(i % 2) + 1,
+                                    sample_rate=8000 + (i % 3) * 100)
+                    )
+                    kinds.append("audio")
+            yield pd.DataFrame({
+                "media_id": ids, "kind": kinds, "payload": payloads,
+                "mime": "application/octet-stream",
+            })
+
+    docs = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen,
+        schema="media_id long, kind string, payload binary, mime string",
     )
     meta = multimodal.attach_metadata(docs)
-    feats = multimodal.extract_features(meta, fake=True, feature_dim=8)
+    feats = multimodal.extract_features(meta, fake=False, feature_dim=8)
     return multimodal.frame_sample_plan(feats, every_n=25).select(
-        "media_id", "kind", "n_bytes", "width", "height", "n_frames",
+        "media_id", "kind", "format", "n_bytes", "width", "height",
+        "n_frames", "channels", "sample_rate", "exif_present",
         F.size("sample_frames").alias("n_sampled"),
     )
 
 
 def sql_multimodal_features() -> str:
-    """SQL twin of the deterministic fake decode: h = big-endian uint of
-    the first 8 payload bytes (documents text is ASCII, so char == byte;
-    HUGEINT math — 255·256^7 overflows BIGINT)."""
-    h_terms = " + ".join(
-        f"(CASE WHEN length(text) >= {i} THEN ascii(substr(text, {i}, 1)) ELSE 0 END)"
-        f"::HUGEINT * {256 ** (8 - i)}::HUGEINT"
-        for i in range(1, 9)
-    )
-    return f"""
-WITH m AS (
-  SELECT doc_id AS media_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
-         length(text)::BIGINT AS n_bytes,
-         ({h_terms}) AS h
-  FROM documents
-)
-SELECT media_id, kind, n_bytes,
-       (CASE WHEN kind = 'image' THEN (h % 640) + 1 ELSE 0 END)::INT AS width,
-       (CASE WHEN kind = 'image' THEN ((h // 65536) % 480) + 1 ELSE 0 END)::INT AS height,
-       (CASE WHEN kind = 'video' THEN (n_bytes % 240) + 1 ELSE 1 END)::INT AS n_frames,
-       ((CASE WHEN kind = 'video' THEN (n_bytes % 240) ELSE 0 END) // 25 + 1)::INT AS n_sampled
-FROM m
+    """SQL twin of the CONTAINER GENERATION arithmetic (the engine side
+    must parse real PNG/JPEG/GIF/WAV headers to match): PNG fixture is
+    45 bytes, JPEG 41 (+20 with EXIF), GIF 14 + 14·frames, WAV
+    44 + frames·channels·2."""
+    return """
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+            WHEN 2 THEN 'video' ELSE 'audio' END AS kind,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+       (CASE doc_id % 4
+            WHEN 0 THEN 45
+            WHEN 1 THEN 41 + CASE WHEN doc_id % 3 = 0 THEN 20 ELSE 0 END
+            WHEN 2 THEN 14 + 14 * (doc_id % 240 + 1)
+            ELSE 44 + (doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2
+        END)::BIGINT AS n_bytes,
+       (CASE doc_id % 4 WHEN 0 THEN doc_id % 640 + 1
+            WHEN 1 THEN doc_id % 320 + 1
+            WHEN 2 THEN doc_id % 200 + 1 ELSE NULL END)::INT AS width,
+       (CASE doc_id % 4 WHEN 0 THEN doc_id % 480 + 1
+            WHEN 1 THEN doc_id % 240 + 1
+            WHEN 2 THEN doc_id % 100 + 1 ELSE NULL END)::INT AS height,
+       (CASE doc_id % 4 WHEN 2 THEN doc_id % 240 + 1
+            WHEN 3 THEN doc_id % 1000 + 1 ELSE 1 END)::INT AS n_frames,
+       (CASE doc_id % 4 WHEN 3 THEN doc_id % 2 + 1 ELSE NULL END)::INT
+           AS channels,
+       (CASE doc_id % 4 WHEN 3 THEN 8000 + (doc_id % 3) * 100
+            ELSE NULL END)::INT AS sample_rate,
+       CASE WHEN doc_id % 4 = 1 THEN doc_id % 3 = 0
+            WHEN doc_id % 4 IN (0, 2, 3) THEN FALSE END AS exif_present,
+       ((CASE doc_id % 4 WHEN 2 THEN doc_id % 240
+             WHEN 3 THEN doc_id % 1000 ELSE 0 END) // 25 + 1)::INT
+           AS n_sampled
+FROM documents
 """
 
 

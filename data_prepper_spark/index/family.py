@@ -19,10 +19,16 @@ matching names.  The analog here:
                  avgdl summed across the covered segments from their
                  ADDITIVE stored stats — i.e. Lucene/OpenSearch
                  dfs_query_then_fetch: identical ranks to one big index
-                 over the covered docs.  Per-segment scoring runs brute
-                 (exact): the stored block_ubs are baked with each
-                 segment's OWN avgdl (index/merge.py recompute_ubs_fn),
-                 so BMW pruning under the global avgdl would be unsound.
+                 over the covered docs.  k-bounded queries keep BMW
+                 pruning per segment: the stored block_ubs are baked
+                 with each segment's OWN avgdl (index/merge.py
+                 recompute_ubs_fn), and inflating them by
+                 max(1, avgdl_global/avgdl_segment) restores a sound
+                 upper bound under the global avgdl (the BM25 tf-norm is
+                 monotone increasing in avgdl with ratio < A_g/A_s), so
+                 a query over hundreds of periods prunes like the
+                 reference's per-shard WAND over `my-index-*`.  k=None
+                 (every match) runs brute, as it must.
 
 Scale shape: staging is one shuffle-free partitioned write; per-period
 builds read only their partition (partition pruning); a query touches
@@ -196,10 +202,25 @@ class FamilySearcher:
         start: str | None = None,
         end: str | None = None,
         periods: list[str] | None = None,
+        mode: str = "bmw",
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score) over the covered periods, rank-identical
         to a single index over the same docs (global stats).  k=None
-        returns every match (callers applying a rounded tie rule)."""
+        returns every match (callers applying a rounded tie rule; always
+        brute — every match must be decoded anyway).
+
+        mode="bmw" (default, k-bounded): per-segment block-max pruning
+        stays EXACT under the family-global avgdl by inflating each
+        segment's stored (segment-avgdl-baked) block upper bounds by
+        max(1, avgdl_global / avgdl_segment) — a true bound because the
+        BM25 tf-normalization is monotone increasing in avgdl and its
+        A_g-vs-A_s ratio is < A_g/A_s for every (tf, dl); see
+        BM25Searcher._score_pruned.  Per-segment top-k suffices for the
+        global top-k: doc spaces are disjoint, and any doc cut by a
+        segment's (score DESC, doc_id ASC) rule is outranked globally by
+        the k docs that cut it.  This is the reference behavior of
+        searching `my-index-*` with per-shard WAND intact
+        (OpenSearchSink.java:144-150 dynamic index patterns)."""
         sel = periods if periods is not None else self.covered(start, end)
         opened = [self._searcher(p) for p in sel]
         if not opened:
@@ -220,14 +241,29 @@ class FamilySearcher:
         if not idf:
             return []
         hits: list[tuple[int, float]] = []
+        theta = float("-inf")  # WAND across segments: running global kth
         for s, s_ids, s_buckets, dfs in per_seg_df:
             present = {i: t for i, t in s_ids.items() if dfs.get(i, 0) > 0}
             if not present:
                 continue
-            # brute + global avgdl: stored block_ubs are segment-avgdl
-            # baked, so BMW pruning would be unsound here (see module doc)
-            hits.extend(
-                s._score_pruned(present, s_buckets, idf, None, "brute", avgdl)
-            )
+            if k is None or mode != "bmw":
+                hits.extend(
+                    s._score_pruned(present, s_buckets, idf, None, "brute",
+                                    avgdl)
+                )
+            else:
+                # 1e-9 relative headroom so float rounding of the
+                # inflation can never eat the (strict) bound margin
+                scale = max(1.0, (avgdl / s.avgdl) * (1.0 + 1e-9)) \
+                    if s.avgdl else 1.0
+                hits.extend(
+                    s._score_pruned(present, s_buckets, idf, k, "bmw",
+                                    avgdl, ub_scale=scale, theta0=theta)
+                )
+                if len(hits) >= k:
+                    theta = max(
+                        theta,
+                        sorted((h[1] for h in hits), reverse=True)[k - 1],
+                    )
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits if k is None else hits[:k]

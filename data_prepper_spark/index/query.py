@@ -226,14 +226,24 @@ class BM25Searcher:
         k: int | None,
         mode: str,
         avgdl: float,
+        ub_scale: float = 1.0,
+        theta0: float = float("-inf"),
     ) -> list[tuple[int, float]]:
         """Driver-mode scoring core with EXTERNALLY supplied idf/avgdl —
         `search` passes this segment's own stats; a FamilySearcher
         (index/family.py) passes family-global stats (dfs/N/avgdl summed
-        across period segments — Lucene's dfs_query_then_fetch).  With a
-        non-native avgdl the stored block_ubs are invalid (they are
-        avgdl-baked, see index/merge.py recompute_ubs_fn), so callers
-        overriding avgdl MUST use mode="brute"; k=None returns every
+        across period segments — Lucene's dfs_query_then_fetch).
+
+        The stored block_ubs are avgdl-baked (index/merge.py
+        recompute_ubs_fn), so a non-native avgdl invalidates them as-is;
+        a caller overriding avgdl must either use mode="brute" or pass
+        ``ub_scale = max(1, avgdl_override / self.avgdl)``: the BM25
+        tf-normalization tf·(k1+1)/(tf + k1·(1−b+b·dl/A)) is monotone
+        increasing in A and its ratio under A_g vs A_s is bounded above
+        by A_g/A_s, so the inflated bound stays a true upper bound and
+        BMW pruning stays exact (per-period family serving keeps WAND
+        this way — the reference searches `my-index-*` with per-shard
+        WAND intact, OpenSearchSink.java:144-150).  k=None returns every
         match (exact cross-segment rounding-tie merges)."""
         if k is None:
             mode = "brute"
@@ -267,21 +277,42 @@ class BM25Searcher:
                 lazy_by_range[rid] = False
             else:
                 lazy_by_range.setdefault(rid, True)
+            if ub_scale != 1.0 and mode == "bmw":
+                # rebind, never mutate: lazy streams cache the stored ub
+                # array across queries (scoring.py decode_slice_lazy).
+                # float64 so the inflation never rounds below the true
+                # bound (callers also add a relative epsilon).
+                s.block_ubs = s.block_ubs.astype(np.float64) * ub_scale
             by_range.setdefault(rid, []).append(s)
         ids_all, sc_all = [], []
+        # WAND across ranges: carry the running k-th-score threshold
+        # between docID ranges (and, via theta0, between the segments of
+        # an index family) — later ranges skip whole block segments the
+        # earlier ranges already beat.  Exact: pruning is strict <.
+        theta = theta0
+        n_collected = 0
         for rid, slices in by_range.items():
             if mode == "bmw" and lazy_by_range.get(rid, False):
-                ids, sc = score_bmw_lazy(slices, self.cfg.k1, self.cfg.b, avgdl, k)
+                ids, sc = score_bmw_lazy(slices, self.cfg.k1, self.cfg.b,
+                                         avgdl, k, theta0=theta)
             elif mode == "bmw":
                 slices = [
                     s.to_term_slice() if not isinstance(s, TermSlice) else s
                     for s in slices
                 ]
-                ids, sc = score_bmw(slices, self.cfg.k1, self.cfg.b, avgdl, k)
+                ids, sc = score_bmw(slices, self.cfg.k1, self.cfg.b, avgdl,
+                                    k, theta0=theta)
             else:
                 ids, sc = score_brute(slices, self.cfg.k1, self.cfg.b, avgdl)
             ids_all.append(ids)
             sc_all.append(sc)
+            if mode == "bmw" and k is not None:
+                n_collected += sc.size
+                if n_collected >= k:
+                    allsc = np.concatenate(sc_all)
+                    theta = max(
+                        theta, -np.partition(-allsc, k - 1)[k - 1]
+                    )
         if not ids_all:
             return []
         ids = np.concatenate(ids_all)

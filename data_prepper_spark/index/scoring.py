@@ -423,6 +423,7 @@ def _member_sorted(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
 def score_bmw_lazy(
     slices: list[LazySlice], k1: float, b: float, avgdl: float, k: int,
     allowed: np.ndarray | None = None,
+    theta0: float = -np.inf,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max top-k over one docID range, block-lazy decode.  Identical
     output to :func:`score_bmw` on the same slices (same segment grid,
@@ -454,11 +455,11 @@ def score_bmw_lazy(
     got_ids: list[np.ndarray] = []
     got_scores: list[np.ndarray] = []
     n_got = 0
-    theta = -np.inf
+    theta = theta0
     seg_end = np.append(bounds[1:], np.iinfo(np.int64).max)
     MAX_SEG = 16  # pruning-convergence guard (see score_bmw)
     for n_seen, si in enumerate(seg_order):
-        if n_got >= k and seg_ub[si] < theta:
+        if seg_ub[si] < theta:
             break
         if n_seen >= MAX_SEG:
             full = [s.to_term_slice() for s in slices]
@@ -497,7 +498,7 @@ def score_bmw_lazy(
         n_got += ids.size
         if n_got >= k:
             allsc = np.concatenate(got_scores)
-            theta = np.partition(-allsc, k - 1)[k - 1] * -1.0
+            theta = max(theta, np.partition(-allsc, k - 1)[k - 1] * -1.0)
     if not got_ids:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     return topk_select(np.concatenate(got_ids), np.concatenate(got_scores), k)
@@ -549,9 +550,18 @@ def topk_select(
 
 
 def score_bmw(
-    slices: list[TermSlice], k1: float, b: float, avgdl: float, k: int
+    slices: list[TermSlice], k1: float, b: float, avgdl: float, k: int,
+    theta0: float = -np.inf,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max top-k over one docID range. Exact (score DESC, doc_id ASC)."""
+    """Block-max top-k over one docID range. Exact (score DESC, doc_id ASC).
+
+    ``theta0``: an externally-known lower bound on the global k-th score
+    (WAND across ranges/shards — the caller carries the running top-k
+    threshold between docID ranges and index segments).  Segments whose
+    upper bound is strictly below it are skipped even before k local
+    docs are collected: a doc scoring < theta0 can never enter the
+    global top-k, and docs scoring exactly theta0 still survive (prune
+    is strict <), so doc_id tie-breaks are never lost."""
     slices = [s for s in slices if s.doc_ids.size]
     if not slices:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -574,7 +584,7 @@ def score_bmw(
     got_ids: list[np.ndarray] = []
     got_scores: list[np.ndarray] = []
     n_got = 0
-    theta = -np.inf
+    theta = theta0
     seg_end = np.append(bounds[1:], np.iinfo(np.int64).max)
     # Pruning-convergence guard: a rare term co-occurring with a stopword
     # makes EVERY segment's upper bound exceed theta (the rare term's few
@@ -586,7 +596,7 @@ def score_bmw(
     # exactly; only the pruning strategy differs).
     MAX_SEG = 16
     for n_seen, si in enumerate(seg_order):
-        if n_got >= k and seg_ub[si] < theta:
+        if seg_ub[si] < theta:
             break  # all remaining segments have strictly smaller bounds
         if n_seen >= MAX_SEG:
             ids, sc = score_brute(slices, k1, b, avgdl)
@@ -611,7 +621,7 @@ def score_bmw(
         n_got += ids.size
         if n_got >= k:
             allsc = np.concatenate(got_scores)
-            theta = np.partition(-allsc, k - 1)[k - 1] * -1.0
+            theta = max(theta, np.partition(-allsc, k - 1)[k - 1] * -1.0)
     if not got_ids:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     ids = np.concatenate(got_ids)

@@ -63,6 +63,12 @@ UA_PARSERS: list[dict] = [
     {"regex": r"(SemrushBot)(?:[~/](\d+)(?:\.(\d+))?)?"},
     {"regex": r"(PetalBot)"},
     {"regex": r"(GPTBot)/(\d+)\.(\d+)"},
+    {"regex": r"(ClaudeBot)/(\d+)\.(\d+)"},
+    {"regex": r"(Amazonbot)/(\d+)\.(\d+)"},
+    {"regex": r"(Bytespider)"},
+    {"regex": r"(CCBot)/(\d+)\.(\d+)"},
+    {"regex": r"(MJ12bot)/v?(\d+)\.(\d+)(?:\.(\d+))?"},
+    {"regex": r"(DotBot)/(\d+)\.(\d+)"},
     # --- http tools / SDKs ---
     {"regex": r"(curl)/(\d+)\.(\d+)(?:\.(\d+))?"},
     {"regex": r"([Ww]get)/(\d+)\.(\d+)(?:\.(\d+))?",
@@ -75,7 +81,14 @@ UA_PARSERS: list[dict] = [
     {"regex": r"(Go-http-client)/(\d+)(?:\.(\d+))?"},
     {"regex": r"(PostmanRuntime)/(\d+)\.(\d+)(?:\.(\d+))?"},
     {"regex": r"(axios)/(\d+)\.(\d+)(?:\.(\d+))?"},
+    {"regex": r"(node-fetch)/(\d+)\.(\d+)(?:\.(\d+))?"},
+    {"regex": r"(aiohttp)/(\d+)\.(\d+)(?:\.(\d+))?"},
+    {"regex": r"(libwww-perl)/(\d+)\.(\d+)"},
+    {"regex": r"(Java)/(\d+)\.(\d+)(?:\.(\d+))?"},
+    {"regex": r"(Dart)/(\d+)\.(\d+)"},
+    {"regex": r"(Lynx)/(\d+)\.(\d+)(?:\.(\d+))?"},
     # --- chromium shells BEFORE Chrome (their UAs carry Chrome/) ---
+    {"regex": r"(Electron)/(\d+)\.(\d+)(?:\.(\d+))?"},
     {"regex": r"(EdgA)/(\d+)(?:\.(\d+))?(?:\.(\d+))?",
      "family_replacement": "Edge Mobile"},
     {"regex": r"(EdgiOS)/(\d+)(?:\.(\d+))?(?:\.(\d+))?",
@@ -97,6 +110,25 @@ UA_PARSERS: list[dict] = [
      "family_replacement": "Brave"},
     {"regex": r"(DuckDuckGo)/(\d+)"},
     {"regex": r"(HeadlessChrome)(?:/(\d+)\.(\d+)(?:\.(\d+))?)?"},
+    {"regex": r"(OPX)/(\d+)\.(\d+)", "family_replacement": "Opera GX"},
+    {"regex": r"(OPT)/(\d+)(?:\.(\d+))?", "family_replacement": "Opera Touch"},
+    {"regex": r"(QQBrowser)/(\d+)(?:\.(\d+))?",
+     "family_replacement": "QQ Browser"},
+    {"regex": r"(MiuiBrowser)/(\d+)\.(\d+)(?:\.(\d+))?",
+     "family_replacement": "Mi Browser"},
+    {"regex": r"(HuaweiBrowser)/(\d+)\.(\d+)(?:\.(\d+))?",
+     "family_replacement": "Huawei Browser"},
+    {"regex": r"(Whale)/(\d+)\.(\d+)(?:\.(\d+))?"},
+    {"regex": r"(Silk)/(\d+)\.(\d+)(?:\.(\d+))?",
+     "family_replacement": "Amazon Silk"},
+    {"regex": r"(Konqueror)/(\d+)(?:\.(\d+))?"},
+    # --- gecko shells BEFORE Firefox (their UAs carry Firefox/) ---
+    {"regex": r"(SeaMonkey)/(\d+)\.(\d+)(?:\.(\d+))?"},
+    {"regex": r"(PaleMoon)/(\d+)\.(\d+)(?:\.(\d+))?",
+     "family_replacement": "Pale Moon"},
+    {"regex": r"(Thunderbird)/(\d+)\.(\d+)(?:\.(\d+))?"},
+    {"regex": r"(Focus)/(\d+)\.(\d+)(?:\.(\d+))?",
+     "family_replacement": "Firefox Focus"},
     # --- mobile browsers before their desktop kin ---
     {"regex": r"(CriOS)/(\d+)\.(\d+)(?:\.(\d+))?",
      "family_replacement": "Chrome Mobile iOS"},
@@ -151,6 +183,8 @@ OS_PARSERS: list[dict] = [
     {"regex": r"(Mac OS X) (\d+)[_.](\d+)(?:[_.](\d+))?"},
     {"regex": r"(Mac OS X)"},
     {"regex": r"(Windows Phone)"},
+    {"regex": r"(Tizen)[ /](\d+)\.(\d+)"},
+    {"regex": r"(KAIOS|KaiOS)/(\d+)\.(\d+)", "os_replacement": "KaiOS"},
     {"regex": r"(FreeBSD)"},
     {"regex": r"(OpenBSD)"},
     {"regex": r"(NetBSD)"},
@@ -158,6 +192,7 @@ OS_PARSERS: list[dict] = [
     {"regex": r"(Ubuntu)"},
     {"regex": r"(Fedora)"},
     {"regex": r"(Debian)"},
+    {"regex": r"(CentOS)"},
     {"regex": r"(Linux)"},
 ]
 
@@ -176,6 +211,9 @@ DEVICE_PARSERS: list[dict] = [
      "device_replacement": "Generic Smartphone"},
     {"regex": r"Android[ \d.]*; ?([^;/)]+?)(?: Build[^)]*)?\)",
      "device_replacement": "$1"},
+    {"regex": r"(Kindle)/(?:\d+\.\d+)", "device_replacement": "Kindle"},
+    {"regex": r"(PlayStation \d+)", "device_replacement": "$1"},
+    {"regex": r"(Xbox)", "device_replacement": "Xbox"},
     {"regex": r"(Macintosh)", "device_replacement": "Mac"},
     {"regex": r"(Windows Phone)", "device_replacement": "Lumia"},
 ]

@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio libraries, so the actual decode is
-STUBBED (``decode_stub`` raises ``NotImplementedError`` unless
-``fake=True``, which produces a deterministic fake decode).  What IS real
-and tested: the schema contract, the mapInPandas batch shape, the
-metadata extraction, partition-size control for large blobs, and the
-frame-sampling arithmetic — i.e. all the Spark-side plumbing a real
-decoder would plug into.
+METADATA-LEVEL DECODE IS REAL: ``fake=False`` (the default decode
+boundary) parses PNG / JPEG / GIF / WAV container headers with the
+pure-python parsers in :mod:`trainprep.mediadecode` — dimensions, bit
+depth, color info, animation frame counts, channels/sample-rate/
+sample-frame counts, EXIF presence.  PIXEL/SAMPLE decode (the part
+that genuinely needs libjpeg/libffmpeg) stays out of scope; unknown
+signatures raise ValueError (route to the DLQ, operators/dlq.py).
+``fake=True`` keeps the old deterministic pseudo-decode for pipeline-
+shape tests whose payloads aren't real containers.
 
 Reference analog: binary appears in the reference only at codec
 boundaries (/root/reference/data-prepper-plugins/s3-source/src/main/java/
@@ -31,7 +33,8 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, width int, height int, "
-    "n_frames int, feature array<float>"
+    "n_frames int, format string, channels int, sample_rate int, "
+    "exif_present boolean, feature array<float>"
 )
 
 
@@ -44,17 +47,15 @@ def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def decode_stub(payload: bytes, kind: str, fake: bool = False) -> dict:
-    """The decode boundary a real image/audio lib would implement.
-
-    fake=True returns a deterministic pseudo-decode derived from the
-    bytes (so tests exercise the full pipeline shape); fake=False raises,
-    clearly marking the unimplemented external dependency.
-    """
+    """Legacy test shim: the deterministic PSEUDO-decode used by
+    pipeline-shape tests whose payloads aren't real containers.  The
+    REAL metadata-level decode boundary is
+    :func:`mediadecode.decode_media` (PNG/JPEG/GIF/WAV header parsers) —
+    fake=False here now delegates to it."""
     if not fake:
-        raise NotImplementedError(
-            "media decode requires an image/audio library not present in "
-            "this container; run with fake=True for the deterministic stub"
-        )
+        from .mediadecode import decode_media
+
+        return decode_media(payload)
     n = len(payload)
     h = int.from_bytes(payload[:8].ljust(8, b"\0"), "big", signed=False)
     return {
@@ -71,8 +72,14 @@ def extract_features(
 ) -> DataFrame:
     """media rows → per-item decoded metadata + a feature vector, via one
     mapInPandas pass (Arrow batches; one Python call per batch, not per
-    row).  The fake feature is a seeded hash-projection of the payload —
+    row).  fake=False: REAL header decode (mediadecode.decode_media —
+    PNG/JPEG/GIF/WAV), raising on unknown/corrupt signatures; fake=True:
+    the deterministic pseudo-decode for non-container test payloads.
+    The feature is a seeded hash-projection of the payload —
     deterministic, so downstream similarity ops are testable."""
+    out_cols = ["media_id", "kind", "n_bytes", "width", "height",
+                "n_frames", "format", "channels", "sample_rate",
+                "exif_present", "feature"]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -85,15 +92,13 @@ def extract_features(
                     [int(mid) & 0x7FFFFFFF, len(payload) & 0x7FFFFFFF]
                 )
                 feat = rng.standard_normal(feature_dim).astype(np.float32)
-                rows.append(
-                    (int(mid), kind, int(nb), d["width"], d["height"], d["n_frames"], feat.tolist())
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "kind", "n_bytes", "width", "height", "n_frames", "feature",
-                ],
-            )
+                rows.append((
+                    int(mid), kind, int(nb), d["width"], d["height"],
+                    d["n_frames"], d.get("format"), d.get("channels"),
+                    d.get("sample_rate"), d.get("exif_present"),
+                    feat.tolist(),
+                ))
+            yield pd.DataFrame(rows, columns=out_cols)
 
     cols = ["media_id", "kind", "payload", "n_bytes"]
     return df.select(*cols).mapInPandas(fn, schema=FEATURE_SCHEMA)

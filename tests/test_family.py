@@ -212,3 +212,21 @@ def test_null_ts_rows_dropped_in_batch_build(spark, tiny_corpus_path, workdir):
     kept = nulled.where(F.col("warc_ts").isNotNull()).count()
     if n_docs is not None:
         assert n_docs == kept
+
+
+def test_family_bmw_identical_to_brute(spark, family_root):
+    """k-bounded family search prunes with avgdl-rescaled block UBs
+    (max(1, avgdl_global/avgdl_segment) inflation — sound because the
+    BM25 tf-norm is monotone increasing in avgdl with ratio < A_g/A_s).
+    Pin: identical (doc, score) lists to per-segment brute scoring at
+    several k, over every reference query."""
+    root, _ = family_root
+    fs = FamilySearcher(spark, root)
+    for q in [q["query_text"] for q in reference_queries()]:
+        for k in (1, 5, 10, 50):
+            brute = fs.search(q, k=k, mode="brute")
+            bmw = fs.search(q, k=k, mode="bmw")
+            assert [d for d, _ in bmw] == [d for d, _ in brute], (q, k)
+            assert np.allclose(
+                [s for _, s in bmw], [s for _, s in brute], rtol=1e-12
+            ), (q, k)

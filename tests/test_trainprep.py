@@ -224,9 +224,41 @@ def test_multimodal_plumbing(spark):
         assert all(f < r["n_frames"] for f in r["sample_frames"])
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_decode_real_rejects_unknown_signature():
+    """fake=False is the REAL header-decode boundary now: unknown
+    signatures raise (→ DLQ route), known containers decode."""
+    with pytest.raises(ValueError):
         multimodal.decode_stub(b"xx", "image", fake=False)
+    from data_prepper_spark.trainprep import mediadecode as md
+
+    d = multimodal.decode_stub(md.make_png(64, 32), "image", fake=False)
+    assert (d["width"], d["height"], d["format"]) == (64, 32, "png")
+
+
+def test_extract_features_real_decode(spark):
+    from data_prepper_spark.trainprep import mediadecode as md
+
+    payloads = [
+        (0, "image", md.make_png(640, 480)),
+        (1, "image", md.make_jpeg(123, 77, exif=True)),
+        (2, "image", md.make_gif(320, 200, n_frames=9)),
+        (3, "audio", md.make_wav(800, channels=2, sample_rate=44100)),
+    ]
+    df = multimodal.attach_metadata(
+        spark.createDataFrame(
+            [(m, k, p, "application/octet-stream") for m, k, p in payloads],
+            "media_id long, kind string, payload binary, mime string",
+        )
+    )
+    got = {r["media_id"]: r
+           for r in multimodal.extract_features(df, fake=False).collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["format"]) == \
+        (640, 480, "png")
+    assert got[1]["exif_present"] is True and got[1]["format"] == "jpeg"
+    assert (got[2]["n_frames"], got[2]["format"]) == (9, "gif")
+    assert (got[3]["n_frames"], got[3]["channels"],
+            got[3]["sample_rate"]) == (800, 2, 44100)
+    assert got[3]["width"] is None
 
 
 # --------------------------------------------------- round-2 scale shapes
