@@ -4556,6 +4556,72 @@ WHERE length(event_type) >= 5 AND contains(event_type, 'r')
 """
 
 
+def q_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTTP push ingest, end-to-end (http-source/.../HTTPSource.java:
+    43 + LogHTTPService.java:77-86): events POST to a live stdlib HTTP
+    endpoint as JSON arrays (one request per 50 events, one event per
+    array element), the server spools accepted batches as atomic NDJSON
+    files, Spark reads the spool back.  A corrupt POST is rejected 400
+    and contributes nothing — the oracle sees only the valid rows."""
+    import json as _json
+    import tempfile
+    import urllib.error
+    import urllib.request
+
+    from .sources.http_source import LogIngestServer, read_spool
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 300)
+        .select("event_id", "event_type", "user_id")
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r["event_id"])
+    spool = tempfile.mkdtemp(prefix="dps_http_ingest_")
+    srv = LogIngestServer(spool).start()
+    try:
+        def post(body: bytes) -> int:
+            req = urllib.request.Request(
+                srv.url, data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        for i in range(0, len(rows), 50):
+            batch = [
+                {"event_id": int(r["event_id"]),
+                 "event_type": r["event_type"],
+                 "user_id": int(r["user_id"])}
+                for r in rows[i:i + 50]
+            ]
+            assert post(_json.dumps(batch).encode()) == 200
+        # corrupt + non-array bodies must bounce with 400, spooling nothing
+        assert post(b"{truncated") == 400
+        assert post(b"{\"not\": \"an array\"}") == 400
+        out = read_spool(
+            spark, spool,
+            schema="event_id long, event_type string, user_id long",
+        )
+        # materialize before the server/spool teardown
+        got = out.collect()
+    finally:
+        srv.stop()
+    return spark.createDataFrame(
+        got, "event_id long, event_type string, user_id long"
+    )
+
+
+def sql_http_ingest() -> str:
+    return (
+        "SELECT event_id, event_type, user_id FROM events "
+        "WHERE event_id < 300"
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline COMPILER itself, driver-pinned: a reference-shaped
     spec (grok → date → convert_entry_type → add_entries → route) over
@@ -5166,6 +5232,7 @@ QUERIES = {
     "decontam_8gram": q_decontam_8gram,
     "stratified_sample": q_stratified_sample,
     "expression_functions": q_expression_functions,
+    "http_ingest": q_http_ingest,
     "pipeline_e2e": q_pipeline_e2e,
     "codec_json_array": q_codec_json_array,
     "codec_csv": q_codec_csv,
@@ -5297,6 +5364,7 @@ ORACLES = {
     "decontam_8gram": sql_decontam_8gram(),
     "stratified_sample": sql_stratified_sample(),
     "expression_functions": sql_expression_functions(),
+    "http_ingest": sql_http_ingest(),
     "pipeline_e2e": sql_pipeline_e2e(),
     "codec_json_array": sql_codec_json_array(),
     "codec_csv": sql_codec_csv(),
@@ -5342,7 +5410,7 @@ _DRIVER_WINDOW_R5 = [
     "mutate_chain", "convert_entry_type", "translate", "string_chain",
     "key_value", "parse_json", "parse_json_pointer", "date_locale",
     "list_to_map_flatten", "obfuscate_patterns", "grok_clf", "date_iso",
-    "obfuscate", "agg_count_window", "agg_histogram", "otel_metrics_full",
+    "obfuscate", "agg_count_window", "otel_metrics_full", "http_ingest",
 ]
 assert len(_DRIVER_WINDOW_R5) == 50 and set(_DRIVER_WINDOW_R5) <= set(QUERIES)
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW_R5}, **QUERIES}

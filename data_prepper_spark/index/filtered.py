@@ -53,15 +53,20 @@ _OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
 
 # candidate-block coverage above which the driver path switches from
 # candidate-driven decode to filter-during-WAND (see search_filtered);
-# >1.0 disables the WAND route, <0 forces it.  Default DISABLED: measured
-# at the 1M-doc serving index (mid+head 2-term queries, 8-83% selective
-# time filters, best-of-3 interleaved), candidate-driven decode won at
-# every selectivity (p50 357 ms vs 423 ms) — per-segment decode overhead
-# outweighs score pruning at this blocks-per-range scale.  The route is
-# kept (exact, strategy-identical results, pinned by
-# tests/test_filtered.py::test_filtered_wand_route_identity) because the
-# trade flips when ranges carry far more blocks than segments BMW visits.
-BMW_COVERAGE_THRESHOLD = 1.1
+# >1.0 disables the WAND route, <0 forces it.  Round-3 measured the WAND
+# route slower at every selectivity (p50 423 vs 357 ms) and disabled it;
+# round 5's cross-range theta carrying (scoring.py theta0) flipped the
+# trade for BROAD filters: at the same 1M-doc serving index (mid+head
+# 2-term queries, 8-83% selective time filters, best-of-3 interleaved)
+# the WAND route now measures p50 124-126 ms / p95 136-150 vs
+# candidate-driven 133 / 159, results route-identical (pinned by
+# tests/test_filtered.py::test_filtered_wand_route_identity).  Selective
+# filters (low coverage) keep candidate-driven decode, whose cost ∝
+# filter selectivity.  Why not zone maps (per-range docvalue min/max):
+# docIDs are url-hash-distributed, so every range spans the full value
+# distribution of every column — a range-level min/max prunes nothing
+# at any selectivity.
+BMW_COVERAGE_THRESHOLD = 0.5
 
 
 def _check_filters(filters) -> None:
@@ -366,6 +371,8 @@ def search_filtered(
     cfg = searcher.cfg
     no_tombs = np.empty(0, dtype=np.int64)  # deletions already off `allowed`
     out_ids, out_sc = [], []
+    theta = float("-inf")  # WAND across ranges (see query._score_pruned)
+    n_collected = 0
     for rid, rr in rows_by_range.items():
         cand = _slice_span(allowed, rid, cfg.range_bits)
         if cand.size == 0:
@@ -386,10 +393,17 @@ def search_filtered(
                 )
                 if cov > BMW_COVERAGE_THRESHOLD:
                     i_r, s_r = score_bmw_lazy(
-                        sl, cfg.k1, cfg.b, searcher.avgdl, k, allowed=cand
+                        sl, cfg.k1, cfg.b, searcher.avgdl, k,
+                        allowed=cand, theta0=theta,
                     )
                     out_ids.append(i_r)
                     out_sc.append(s_r)
+                    n_collected += s_r.size
+                    if n_collected >= k:
+                        allsc = np.concatenate(out_sc)
+                        theta = max(
+                            theta, -np.partition(-allsc, k - 1)[k - 1]
+                        )
                     continue
         i_r, s_r = _eval_filtered(
             slices_by_id, is_lazy, cand, scoring, cfg.k1, cfg.b,
@@ -397,6 +411,10 @@ def search_filtered(
         )
         out_ids.append(i_r)
         out_sc.append(s_r)
+        n_collected += s_r.size
+        if n_collected >= k:
+            allsc = np.concatenate(out_sc)
+            theta = max(theta, -np.partition(-allsc, k - 1)[k - 1])
     if not out_ids:
         return []
     da = np.concatenate(out_ids)
