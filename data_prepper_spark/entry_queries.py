@@ -4821,6 +4821,34 @@ def sql_ft_family_bm25() -> str:
     )
 
 
+def q_ft_family_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-doc FAMILY serving path, oracle-pinned
+    (family.FamilySearcher.search_distributed): ONE Spark job over the
+    union of the covered periods' pruned posting scans, per-(period,
+    range) applyInPandas scoring under family-global stats, global
+    TakeOrdered with the SQL tie rule — no term's postings ever whole on
+    one node, no period's postings leave their partition.  Same covered
+    range and oracle as ft_family_bm25."""
+    from .index.family import FamilySearcher
+
+    root = _family_root(spark, sf_dir)
+    fs = FamilySearcher(spark, root)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = fs.search_distributed(
+            qtext, k=FT_K, start="2025.06.02", end="2025.06.03",
+            mode="brute", tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_family_bm25_distributed() -> str:
+    return sql_ft_bm25_topk(
+        base_where="WHERE (doc_id % 96) >= 24 AND (doc_id % 96) < 72"
+    )
+
+
 def q_ft_live_family_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest into a time-partitioned index FAMILY
     (index/live.py start_stream_family — the opensearch sink's dynamic
@@ -5239,6 +5267,7 @@ QUERIES = {
     "codec_csv_out": q_codec_csv_out,
     "codec_avro": q_codec_avro,
     "ft_family_bm25": q_ft_family_bm25,
+    "ft_family_bm25_distributed": q_ft_family_bm25_distributed,
     "ft_live_family_bm25": q_ft_live_family_bm25,
     "otel_spans_decode": q_otel_spans_decode,
     "otel_service_map": q_otel_service_map,
@@ -5371,6 +5400,7 @@ ORACLES = {
     "codec_csv_out": sql_codec_csv_out(),
     "codec_avro": sql_codec_avro(),
     "ft_family_bm25": sql_ft_family_bm25(),
+    "ft_family_bm25_distributed": sql_ft_family_bm25_distributed(),
     "ft_live_family_bm25": sql_ft_live_family_bm25(),
     "otel_spans_decode": sql_otel_spans_decode(),
     "otel_service_map": sql_otel_service_map(),
@@ -5410,7 +5440,8 @@ _DRIVER_WINDOW_R5 = [
     "mutate_chain", "convert_entry_type", "translate", "string_chain",
     "key_value", "parse_json", "parse_json_pointer", "date_locale",
     "list_to_map_flatten", "obfuscate_patterns", "grok_clf", "date_iso",
-    "obfuscate", "agg_count_window", "otel_metrics_full", "http_ingest",
+    "agg_count_window", "otel_metrics_full", "http_ingest",
+    "ft_family_bm25_distributed",
 ]
 assert len(_DRIVER_WINDOW_R5) == 50 and set(_DRIVER_WINDOW_R5) <= set(QUERIES)
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW_R5}, **QUERIES}

@@ -267,3 +267,125 @@ class FamilySearcher:
                     )
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits if k is None else hits[:k]
+
+    def search_distributed(
+        self,
+        query_text: str,
+        k: int = 10,
+        start: str | None = None,
+        end: str | None = None,
+        periods: list[str] | None = None,
+        mode: str = "bmw",
+        tie_round: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """The 10^12-doc family serving path: ONE Spark job over the
+        union of every covered period's pruned posting scans, scored per
+        (period, docID-range) group under FAMILY-GLOBAL stats, global
+        top-k via orderBy/limit — the cross-period analog of
+        BM25Searcher._search_distributed (no term's full posting list on
+        one node; no period's postings leave their partition; only
+        (doc_id, score) pairs reach the global TakeOrdered).
+
+        Rank-identical to :meth:`search`: per-segment BMW uses the same
+        avgdl-rescaled upper bounds (sound under the global avgdl, see
+        search); ``tie_round`` switches to the SQL-oracle tie rule
+        (round(score, n) DESC, doc_id ASC over ALL matches — brute, no
+        per-range truncation).
+
+        Scan shape: one parquet scan per period, term_bucket+term_id
+        pushed down, unioned.  At very large period counts the union'd
+        plan analysis cost grows linearly; a hive `p=` partition layout
+        over one dataset would amortize it — the directory layout
+        already IS that layout, so the migration is mechanical."""
+        import pandas as pd
+
+        from .deletes import mask_term_slice
+        from .scoring import decode_slice
+
+        sel = periods if periods is not None else self.covered(start, end)
+        opened = [self._searcher(p) for p in sel]
+        if not opened:
+            return []
+        n_docs = sum(s.n_docs for s in opened)
+        total_tokens = sum(int(s.stats["total_tokens"]) for s in opened)
+        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        gdf: dict[int, int] = {}
+        per_seg = []
+        for s in opened:
+            _, s_ids, s_buckets = s._terms_buckets(query_text)
+            dfs = s.term_stats(s_ids, s_buckets)
+            per_seg.append((s, s_ids, s_buckets, dfs))
+            for i, d in dfs.items():
+                gdf[i] = gdf.get(i, 0) + d
+        idf = {i: idf_value(n_docs, d) for i, d in gdf.items() if d > 0}
+        if not idf:
+            return []
+        labels = {i: t for _, s_ids, _, _ in per_seg for i, t in s_ids.items()}
+        scans = []
+        seg_meta: dict[int, dict] = {}
+        for si, (s, s_ids, s_buckets, dfs) in enumerate(per_seg):
+            present = [i for i in s_ids if dfs.get(i, 0) > 0 and i in idf]
+            if not present:
+                continue
+            seg_meta[si] = {
+                "scale": max(1.0, (avgdl / s.avgdl) * (1.0 + 1e-9))
+                if s.avgdl else 1.0,
+                "legacy": s.legacy_codec,
+                "deleted": s.deleted,
+            }
+            scans.append(
+                s._pruned_slices(present, s_buckets)
+                .withColumn("_seg", F.lit(si))
+            )
+        if not scans:
+            return []
+        allscan = scans[0]
+        for sc in scans[1:]:
+            allscan = allscan.unionByName(sc)
+        cfg = opened[0].cfg
+        k1, b = cfg.k1, cfg.b
+        use_bmw = mode == "bmw" and tie_round is None
+
+        from .scoring import score_bmw, score_brute, topk_select  # noqa
+
+        import numpy as np  # ships with the closure
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            si = int(pdf["_seg"].iloc[0])
+            meta = seg_meta[si]
+            slices = [
+                decode_slice(
+                    row, idf[row["term_id"]], label=labels[row["term_id"]],
+                    legacy=meta["legacy"],
+                )
+                for row in pdf.to_dict("records")
+            ]
+            if meta["deleted"].size:
+                slices = [mask_term_slice(s, meta["deleted"]) for s in slices]
+            if use_bmw:
+                if meta["scale"] != 1.0:
+                    for s in slices:
+                        s.block_ubs = (
+                            s.block_ubs.astype(np.float64) * meta["scale"]
+                        )
+                ids_, sc_ = score_bmw(slices, k1, b, avgdl, k)
+            else:
+                ids_, sc_ = score_brute(slices, k1, b, avgdl)
+                if tie_round is None:
+                    ids_, sc_ = topk_select(ids_, sc_, k)
+            return pd.DataFrame({"doc_id": ids_, "score": sc_})
+
+        scored = (
+            allscan.groupBy("_seg", "range_id")
+            .applyInPandas(score_group, schema="doc_id long, score double")
+        )
+        if tie_round is not None:
+            ordered = scored.orderBy(
+                F.round(F.col("score"), tie_round).desc(), F.asc("doc_id")
+            )
+        else:
+            ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in ordered.limit(k).collect()
+        ]

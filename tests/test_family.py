@@ -230,3 +230,24 @@ def test_family_bmw_identical_to_brute(spark, family_root):
             assert np.allclose(
                 [s for _, s in bmw], [s for _, s in brute], rtol=1e-12
             ), (q, k)
+
+
+def test_family_distributed_rank_identical(spark, family_root):
+    """search_distributed (one Spark job over the union of per-period
+    pruned scans, global top-k via orderBy/limit) must equal the driver
+    path — both with the exact rule (mode) and the SQL-oracle tie rule
+    (tie_round)."""
+    root, _ = family_root
+    fs = FamilySearcher(spark, root)
+    for q in [q["query_text"] for q in reference_queries()][:6]:
+        want = fs.search(q, k=10)
+        got = fs.search_distributed(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert np.allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-9
+        ), q
+        # oracle tie rule: round(score,4) DESC, doc_id ASC over all matches
+        allm = fs.search(q, k=None)
+        want_t = sorted(allm, key=lambda h: (-round(h[1], 4), h[0]))[:10]
+        got_t = fs.search_distributed(q, k=10, tie_round=4)
+        assert [d for d, _ in got_t] == [d for d, _ in want_t], q
