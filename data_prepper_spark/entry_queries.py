@@ -894,6 +894,48 @@ def sql_ft_agg_date_histogram() -> str:
 """
 
 
+def q_ft_family_agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-period aggregation over an index FAMILY (OpenSearch aggs
+    over `my-index-*`): per-segment date_histogram partials fold exactly
+    (disjoint period doc spaces, score-free counts — family.agg).  Same
+    covered range as ft_family_bm25."""
+    from .index.family import FamilySearcher
+    from .index.filtered import match_agg_date_histogram
+
+    root = _family_root(spark, sf_dir)
+    fs = FamilySearcher(spark, root)
+    rows = []
+    for qid, qtext, interval, _fmt in AGG_DATEHIST_QUERIES:
+        for b, n in fs.agg(
+            match_agg_date_histogram, qtext, "warc_ts", interval,
+            start="2025.06.02", end="2025.06.03",
+        ):
+            rows.append((qid, b, n))
+    return spark.createDataFrame(rows, "query_id int, bucket string, n long")
+
+
+def sql_ft_family_agg_date_histogram() -> str:
+    selects = []
+    for qid, qtext, interval, fmt in AGG_DATEHIST_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        ts = (
+            "TIMESTAMP '2025-06-01 00:00:00' + (d.doc_id % 96) * INTERVAL 1 HOUR"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id,\n"
+            f"       strftime(date_trunc('{interval}', {ts}), '{fmt}') AS bucket,\n"
+            f"       count(*)::BIGINT AS n\n"
+            f"FROM documents d\n"
+            f"WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))\n"
+            f"  AND (d.doc_id % 96) >= 24 AND (d.doc_id % 96) < 72\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 # more_like_this reference set: (qid, like text, max_query_terms)
 MLT_QUERIES: list[tuple[int, str, int]] = [
     (0, "spark index merge spark index table", 3),
@@ -4788,7 +4830,10 @@ def _family_root(spark: SparkSession, sf_dir: str) -> str:
             "warc_ts", _synth_ts(F.col("doc_id"))
         )
         cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
-        build_family(spark, docs, d, cfg, ts_col="warc_ts", pattern="yyyy.MM.dd")
+        build_family(
+            spark, docs, d, cfg, ts_col="warc_ts", pattern="yyyy.MM.dd",
+            field_cols=("warc_ts",),  # docvalues for cross-period aggs
+        )
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
 
@@ -5268,6 +5313,7 @@ QUERIES = {
     "codec_avro": q_codec_avro,
     "ft_family_bm25": q_ft_family_bm25,
     "ft_family_bm25_distributed": q_ft_family_bm25_distributed,
+    "ft_family_agg_date_histogram": q_ft_family_agg_date_histogram,
     "ft_live_family_bm25": q_ft_live_family_bm25,
     "otel_spans_decode": q_otel_spans_decode,
     "otel_service_map": q_otel_service_map,
@@ -5401,6 +5447,7 @@ ORACLES = {
     "codec_avro": sql_codec_avro(),
     "ft_family_bm25": sql_ft_family_bm25(),
     "ft_family_bm25_distributed": sql_ft_family_bm25_distributed(),
+    "ft_family_agg_date_histogram": sql_ft_family_agg_date_histogram(),
     "ft_live_family_bm25": sql_ft_live_family_bm25(),
     "otel_spans_decode": sql_otel_spans_decode(),
     "otel_service_map": sql_otel_service_map(),
@@ -5440,8 +5487,8 @@ _DRIVER_WINDOW_R5 = [
     "mutate_chain", "convert_entry_type", "translate", "string_chain",
     "key_value", "parse_json", "parse_json_pointer", "date_locale",
     "list_to_map_flatten", "obfuscate_patterns", "grok_clf", "date_iso",
-    "agg_count_window", "otel_metrics_full", "http_ingest",
-    "ft_family_bm25_distributed",
+    "otel_metrics_full", "http_ingest",
+    "ft_family_bm25_distributed", "ft_family_agg_date_histogram",
 ]
 assert len(_DRIVER_WINDOW_R5) == 50 and set(_DRIVER_WINDOW_R5) <= set(QUERIES)
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW_R5}, **QUERIES}

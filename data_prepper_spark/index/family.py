@@ -268,6 +268,34 @@ class FamilySearcher:
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits if k is None else hits[:k]
 
+    def agg(
+        self,
+        agg_fn,
+        query_text: str,
+        *args,
+        start: str | None = None,
+        end: str | None = None,
+        periods: list[str] | None = None,
+        **kwargs,
+    ) -> list[tuple]:
+        """Cross-period aggregation — OpenSearch aggs over `my-index-*`.
+        *agg_fn* is one of index/filtered.py's match_agg_* functions
+        (terms / histogram / date_histogram); it runs per covered
+        segment and the (bucket, count) partials FOLD EXACTLY: period
+        doc spaces are disjoint and aggregations are score-free, so
+        per-segment counts are additive with no global-stats coupling
+        (unlike BM25, which needs dfs_query_then_fetch).  Bucket order:
+        ascending bucket key, matching the single-index functions."""
+        from collections import Counter
+
+        sel = periods if periods is not None else self.covered(start, end)
+        folded: Counter = Counter()
+        for p in sel:
+            s = self._searcher(p)
+            for bucket, n in agg_fn(s, query_text, *args, **kwargs):
+                folded[bucket] += n
+        return sorted(folded.items())
+
     def search_distributed(
         self,
         query_text: str,
