@@ -894,6 +894,55 @@ def sql_ft_agg_date_histogram() -> str:
 """
 
 
+def q_ft_family_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered BM25 over a PERIOD RANGE of an index family —
+    the reference's log-search workload proper: the time window selects
+    periods (partition pruning), docvalue filters restrict matches
+    within them, scores use family-global stats (FamilySearcher.
+    search_filtered).  Covered range = doc_id % 96 in [24, 72)."""
+    from .index.family import FamilySearcher
+
+    root = _family_root(spark, sf_dir)
+    fs = FamilySearcher(spark, root)
+    rows = []
+    for qid, qtext, filters in FILTERED_QUERIES:
+        hits = fs.search_filtered(
+            qtext, filters, k=FT_K, start="2025.06.02", end="2025.06.03",
+            tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_family_filtered_topk() -> str:
+    rng = "(doc_id % 96) >= 24 AND (doc_id % 96) < 72"
+    selects = []
+    for qid, qtext, filters in FILTERED_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"JOIN documents d ON d.doc_id = tf.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({terms}) AND {_sql_filter(filters)}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base(where=f"WHERE {rng}") + f""",
+fam_flt_scores AS ({union}),
+fam_flt_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM fam_flt_scores
+)
+SELECT query_id, doc_id, score_r FROM fam_flt_ranked WHERE rn <= {FT_K}
+"""
+
+
 def q_ft_family_agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-period aggregation over an index FAMILY (OpenSearch aggs
     over `my-index-*`): per-segment date_histogram partials fold exactly
@@ -4832,7 +4881,8 @@ def _family_root(spark: SparkSession, sf_dir: str) -> str:
         cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
         build_family(
             spark, docs, d, cfg, ts_col="warc_ts", pattern="yyyy.MM.dd",
-            field_cols=("warc_ts",),  # docvalues for cross-period aggs
+            # docvalues for cross-period aggs + filtered search
+            field_cols=("warc_ts", "lang", "source", "n_chars"),
         )
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
@@ -5314,6 +5364,7 @@ QUERIES = {
     "ft_family_bm25": q_ft_family_bm25,
     "ft_family_bm25_distributed": q_ft_family_bm25_distributed,
     "ft_family_agg_date_histogram": q_ft_family_agg_date_histogram,
+    "ft_family_filtered_topk": q_ft_family_filtered_topk,
     "ft_live_family_bm25": q_ft_live_family_bm25,
     "otel_spans_decode": q_otel_spans_decode,
     "otel_service_map": q_otel_service_map,
@@ -5448,6 +5499,7 @@ ORACLES = {
     "ft_family_bm25": sql_ft_family_bm25(),
     "ft_family_bm25_distributed": sql_ft_family_bm25_distributed(),
     "ft_family_agg_date_histogram": sql_ft_family_agg_date_histogram(),
+    "ft_family_filtered_topk": sql_ft_family_filtered_topk(),
     "ft_live_family_bm25": sql_ft_live_family_bm25(),
     "otel_spans_decode": sql_otel_spans_decode(),
     "otel_service_map": sql_otel_service_map(),
@@ -5486,9 +5538,10 @@ _DRIVER_WINDOW_R5 = [
     "ft_doc_stats", "ft_bm25_topk", "drop_events", "add_entries",
     "mutate_chain", "convert_entry_type", "translate", "string_chain",
     "key_value", "parse_json", "parse_json_pointer", "date_locale",
-    "list_to_map_flatten", "obfuscate_patterns", "grok_clf", "date_iso",
+    "list_to_map_flatten", "obfuscate_patterns", "grok_clf",
     "otel_metrics_full", "http_ingest",
     "ft_family_bm25_distributed", "ft_family_agg_date_histogram",
+    "ft_family_filtered_topk",
 ]
 assert len(_DRIVER_WINDOW_R5) == 50 and set(_DRIVER_WINDOW_R5) <= set(QUERIES)
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW_R5}, **QUERIES}

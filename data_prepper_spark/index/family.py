@@ -268,6 +268,92 @@ class FamilySearcher:
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits if k is None else hits[:k]
 
+    def search_filtered(
+        self,
+        query_text: str,
+        filters,
+        k: int = 10,
+        start: str | None = None,
+        end: str | None = None,
+        periods: list[str] | None = None,
+        tie_round: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Metadata-filtered BM25 over a period range — the reference's
+        actual log-search workload: the TIME window selects periods
+        (partition pruning: non-covered segments are never opened) and
+        the docvalue filters (service, lang, status, …) restrict matches
+        WITHIN them, scored under family-global stats (Lucene filter
+        semantics: filters never change idf/avgdl).  Per-segment
+        execution reuses the single-index filtered core with the
+        avgdl-rescaled block bounds and cross-segment WAND theta (see
+        `search`); candidate gathering stays per-segment (each period's
+        docvalues cache covers only its own docs)."""
+        from .filtered import _check_filters, _filtered_core
+
+        _check_filters(filters)
+        sel = periods if periods is not None else self.covered(start, end)
+        opened = [self._searcher(p) for p in sel]
+        if not opened:
+            return []
+        if not filters:
+            return self.search(
+                query_text, k=k, start=start, end=end, periods=periods,
+                mode="brute" if tie_round is not None else "bmw",
+            )
+        n_docs = sum(s.n_docs for s in opened)
+        total_tokens = sum(int(s.stats["total_tokens"]) for s in opened)
+        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        gdf: dict[int, int] = {}
+        per_seg = []
+        for s in opened:
+            _, s_ids, s_buckets = s._terms_buckets(query_text)
+            dfs = s.term_stats(s_ids, s_buckets)
+            per_seg.append((s, s_ids, s_buckets, dfs))
+            for i, d in dfs.items():
+                gdf[i] = gdf.get(i, 0) + d
+        idf = {i: idf_value(n_docs, d) for i, d in gdf.items() if d > 0}
+        if not idf:
+            return []
+        import numpy as np
+
+        all_ids, all_sc = [], []
+        theta = float("-inf")
+        n_collected = 0
+        for s, s_ids, s_buckets, dfs in per_seg:
+            present = {i: t for i, t in s_ids.items()
+                       if dfs.get(i, 0) > 0 and i in idf}
+            if not present:
+                continue
+            scoring = sorted(present, key=lambda i: present[i])
+            scale = max(1.0, (avgdl / s.avgdl) * (1.0 + 1e-9)) \
+                if s.avgdl else 1.0
+            da, sc = _filtered_core(
+                s, present, s_buckets, scoring, idf, avgdl, k, filters,
+                tie_round=tie_round, theta0=theta, ub_scale=scale,
+            )
+            if da.size == 0:
+                continue
+            all_ids.append(da)
+            all_sc.append(sc)
+            if tie_round is None:
+                n_collected += sc.size
+                if n_collected >= k:
+                    allsc = np.concatenate(all_sc)
+                    theta = max(
+                        theta, -np.partition(-allsc, k - 1)[k - 1]
+                    )
+        if not all_ids:
+            return []
+        da = np.concatenate(all_ids)
+        sc = np.concatenate(all_sc)
+        if tie_round is not None:
+            order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+            return [(int(da[i]), float(sc[i])) for i in order]
+        from .scoring import topk_select
+
+        ids_k, sc_k = topk_select(da, sc, k)
+        return list(zip(ids_k.tolist(), sc_k.tolist()))
+
     def agg(
         self,
         agg_fn,

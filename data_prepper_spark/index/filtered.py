@@ -359,11 +359,37 @@ def search_filtered(
         return _search_filtered_distributed(
             searcher, ids, buckets, scoring, idf, k, tie_round, filters
         )
+    da, sc = _filtered_core(
+        searcher, ids, buckets, scoring, idf, searcher.avgdl, k, filters,
+        tie_round=tie_round,
+    )
+    if da.size == 0:
+        return []
+    if tie_round is not None:
+        order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+        return [(int(da[i]), float(sc[i])) for i in order]
+    ids_k, sc_k = topk_select(da, sc, k)
+    return list(zip(ids_k.tolist(), sc_k.tolist()))
+
+
+def _filtered_core(
+    searcher, ids, buckets, scoring, idf, avgdl, k, filters,
+    tie_round=None, theta0: float = float("-inf"), ub_scale: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-mode filtered scoring over ONE segment with EXTERNALLY
+    supplied idf/avgdl — `search_filtered` passes the segment's own
+    stats; FamilySearcher.search_filtered passes family-global stats
+    plus the avgdl-rescale factor that keeps the WAND route's block
+    bounds sound (see BM25Searcher._score_pruned).  Returns the
+    UNRANKED (doc_ids, scores) arrays: exact per-range top-k collections
+    under (theta0-seeded) WAND when tie_round is None, ALL matches when
+    a tie rule must rank globally."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     allowed, _ = _meta_ids_vals(searcher, filters)
     if searcher.deleted.size:
         allowed = allowed[~_member(allowed, searcher.deleted)]
     if allowed.size == 0:
-        return []
+        return empty
     rows = searcher._pruned_slice_rows(list(ids), buckets)
     rows_by_range: dict[int, list] = {}
     for r in rows:
@@ -371,7 +397,7 @@ def search_filtered(
     cfg = searcher.cfg
     no_tombs = np.empty(0, dtype=np.int64)  # deletions already off `allowed`
     out_ids, out_sc = [], []
-    theta = float("-inf")  # WAND across ranges (see query._score_pruned)
+    theta = theta0  # WAND across ranges (see query._score_pruned)
     n_collected = 0
     for rid, rr in rows_by_range.items():
         cand = _slice_span(allowed, rid, cfg.range_bits)
@@ -392,8 +418,13 @@ def search_filtered(
                     1, big.block_firsts.size
                 )
                 if cov > BMW_COVERAGE_THRESHOLD:
+                    if ub_scale != 1.0:
+                        for s in sl:  # rebind, never mutate (cached arrays)
+                            s.block_ubs = (
+                                s.block_ubs.astype(np.float64) * ub_scale
+                            )
                     i_r, s_r = score_bmw_lazy(
-                        sl, cfg.k1, cfg.b, searcher.avgdl, k,
+                        sl, cfg.k1, cfg.b, avgdl, k,
                         allowed=cand, theta0=theta,
                     )
                     out_ids.append(i_r)
@@ -406,26 +437,17 @@ def search_filtered(
                         )
                     continue
         i_r, s_r = _eval_filtered(
-            slices_by_id, is_lazy, cand, scoring, cfg.k1, cfg.b,
-            searcher.avgdl,
+            slices_by_id, is_lazy, cand, scoring, cfg.k1, cfg.b, avgdl,
         )
         out_ids.append(i_r)
         out_sc.append(s_r)
         n_collected += s_r.size
-        if n_collected >= k:
+        if k is not None and n_collected >= k:
             allsc = np.concatenate(out_sc)
             theta = max(theta, -np.partition(-allsc, k - 1)[k - 1])
     if not out_ids:
-        return []
-    da = np.concatenate(out_ids)
-    sc = np.concatenate(out_sc)
-    if da.size == 0:
-        return []
-    if tie_round is not None:
-        order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
-        return [(int(da[i]), float(sc[i])) for i in order]
-    ids_k, sc_k = topk_select(da, sc, k)
-    return list(zip(ids_k.tolist(), sc_k.tolist()))
+        return empty
+    return np.concatenate(out_ids), np.concatenate(out_sc)
 
 
 def _matched_union(slices_by_id, is_lazy) -> np.ndarray:
