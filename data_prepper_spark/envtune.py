@@ -20,6 +20,18 @@ _KNOBS = {
     # glibc: never mmap for <1 GiB requests; never trim the heap back.
     "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
     "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+    # pyarrow's bundled (je_arrow_-prefixed) jemalloc reads this env var.
+    # Its default conf purges dirty pages on a ~1 s decay timer, and any
+    # allocation >= oversize_threshold (8 MiB) is purged IMMEDIATELY on
+    # free regardless of decay — so every large Arrow batch buffer
+    # refaults fully on the next batch.  Measured (round 5): a 32 MiB
+    # alloc/free loop faults 409k pages under the default conf vs 8.2k
+    # (first-touch only) under this one; an 8-core 1M-doc index build
+    # drops from 7.9M to 1.0M python-worker minor faults and gains ~6%
+    # wall (this host serializes minor-fault service — see BENCH.md).
+    # Cost: workers retain peak-batch RSS instead of returning it.
+    "JE_ARROW_MALLOC_CONF": (
+        "oversize_threshold:0,dirty_decay_ms:-1,muzzy_decay_ms:-1"),
 }
 
 
