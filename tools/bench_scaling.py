@@ -46,6 +46,7 @@ spark = (
     .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.driver.memory", "12g")
+    .config("spark.driver.extraJavaOptions", {jvm_opts!r})
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .getOrCreate()
 )
@@ -73,9 +74,11 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, corpus: str, workdir: str, timeout: int = 1800) -> dict:
+def run_level(cpus: int, corpus: str, workdir: str, timeout: int = 1800,
+              jvm_opts: str = "") -> dict:
     index_dir = os.path.join(workdir, f"idx_{cpus}")
-    code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, index_dir=index_dir)
+    code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, index_dir=index_dir,
+                         jvm_opts=jvm_opts)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
     )
@@ -99,13 +102,20 @@ def main():
                     help="comma-separated parallelism levels; first two are the N/4N pair")
     ap.add_argument("--reps", type=int, default=2,
                     help="interleaved repetitions per level; best time kept "
-                         "(the sandbox host's throughput drifts ±40% over "
+                         "(the sandbox host's throughput drifts ±40%% over "
                          "minutes, so levels are interleaved and best-of-N "
                          "compared)")
     ap.add_argument("--corpus", type=str, default=None,
                     help="reuse an existing corpus dir instead of generating")
     ap.add_argument("--level-timeout", type=int, default=1800,
                     help="per-level subprocess timeout (seconds)")
+    ap.add_argument("--jvm-pretouch", action="store_true",
+                    help="pin the driver JVM heap at startup (-Xms=Xmx + "
+                         "AlwaysPreTouch): moves the JVM's ~4M minor faults "
+                         "out of the timed region on this fault-serialized "
+                         "host (BENCH.md round-5 fault attribution); opt-in "
+                         "because 12 GiB committed per JVM is hostile to "
+                         "anything else running on the box")
     ap.add_argument("--no-md", action="store_true",
                     help="print JSON only; do not rewrite BENCH.md (the "
                          "file is hand-curated — update its table from the "
@@ -136,7 +146,9 @@ def main():
         best: dict[int, dict] = {}
         for rep in range(args.reps):
             for c in levels:  # interleaved so host drift hits all levels alike
-                r = run_level(c, corpus, work, timeout=args.level_timeout)
+                r = run_level(c, corpus, work, timeout=args.level_timeout,
+                              jvm_opts=("-Xms12g -XX:+AlwaysPreTouch"
+                                        if args.jvm_pretouch else ""))
                 print(f"LEVEL rep={rep} " + json.dumps(r), flush=True)
                 if c not in best or r["build_s"] < best[c]["build_s"]:
                     best[c] = r
