@@ -894,6 +894,221 @@ def sql_ft_agg_date_histogram() -> str:
 """
 
 
+# stats/percentiles/cardinality/range/nested-terms reference sets
+# (OpenSearch metric + bucket aggregations over the match set)
+AGG_STATS_QUERIES: list[tuple[int, str]] = [
+    (0, "spark index"),
+    (1, "merge join window"),
+    (2, "the"),
+]
+AGG_PCTS: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0)
+AGG_RANGES: list[tuple[str, int | None, int | None]] = [
+    ("lt150", None, 150),
+    ("150to300", 150, 300),
+    ("gte300", 300, None),
+]
+
+
+def _agg_match_where(qtext: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+    return (
+        "d.doc_id IN (SELECT DISTINCT doc_id FROM tf "
+        f"WHERE term IN ({terms}))"
+    )
+
+
+def q_ft_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats aggregation over the match set (OpenSearch aggs:stats,
+    index/filtered.py match_agg_stats): count/min/max/sum of n_chars
+    among matching docs, avg emitted as an EXACT scaled integer
+    (floor(avg·10⁴) from integer sum and count — float rounding rules
+    can't diverge between engine and oracle).  Distributed path: only
+    the per-range (value, count) histogram crosses the shuffle."""
+    from .index.filtered import match_agg_stats
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        st = match_agg_stats(s, qtext, "n_chars", distributed=True)
+        rows.append((
+            qid, st["count"], int(st["min"]), int(st["max"]),
+            int(st["sum"]), int(st["sum"]) * 10000 // st["count"],
+        ))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n long, min_v long, max_v long, sum_v long, avg_e4 long",
+    )
+
+
+def sql_ft_agg_stats() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, count(*)::BIGINT AS n,\n"
+            f"       min(d.n_chars)::BIGINT AS min_v,\n"
+            f"       max(d.n_chars)::BIGINT AS max_v,\n"
+            f"       sum(d.n_chars)::BIGINT AS sum_v,\n"
+            f"       ((sum(d.n_chars)::BIGINT * 10000) // count(*))::BIGINT AS avg_e4\n"
+            f"FROM documents d\nWHERE {_agg_match_where(qtext)}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles aggregation over the match set (OpenSearch
+    aggs:percentiles, index/filtered.py match_agg_percentiles):
+    nearest-rank-exact n_chars quantiles — value at 1-based rank
+    ceil(p/100·n).  The reference's OpenSearch answers with a t-digest
+    approximation; nearest-rank is exact, deterministic, and
+    SQL-expressible, so it oracle-pins.  Distributed path folds the
+    per-range value histogram (driver traffic ∝ field cardinality)."""
+    from .index.filtered import match_agg_percentiles
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for p, v in match_agg_percentiles(
+            s, qtext, "n_chars", AGG_PCTS, distributed=True
+        ):
+            rows.append((qid, float(p), int(v)))
+    return spark.createDataFrame(rows, "query_id int, pct double, v long")
+
+
+def sql_ft_agg_percentiles() -> str:
+    pvals = ", ".join(f"({p})" for p in AGG_PCTS)
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, p.pct, r.v::BIGINT AS v\n"
+            f"FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn,\n"
+            f"             count(*) OVER () AS cnt\n"
+            f"      FROM (SELECT d.n_chars AS v FROM documents d\n"
+            f"            WHERE {_agg_match_where(qtext)})) r\n"
+            f"JOIN (VALUES {pvals}) p(pct)\n"
+            f"  ON r.rn = greatest(1, ceil(p.pct / 100.0 * r.cnt)::BIGINT)"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality aggregation over the match set (OpenSearch
+    aggs:cardinality, index/filtered.py match_agg_cardinality): EXACT
+    distinct count of the source docvalue — the reference's OpenSearch
+    approximates with HyperLogLog++; the two-level distinct (per-range
+    DISTINCT values → global distinct) is exact with shuffle traffic
+    bounded by per-range cardinality."""
+    from .index.filtered import match_agg_cardinality
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        n = match_agg_cardinality(s, qtext, "source", distributed=True)
+        rows.append((qid, n))
+    return spark.createDataFrame(rows, "query_id int, n_distinct long")
+
+
+def sql_ft_agg_cardinality() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id,\n"
+            f"       count(DISTINCT d.source)::BIGINT AS n_distinct\n"
+            f"FROM documents d\nWHERE {_agg_match_where(qtext)}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range aggregation over the match set (OpenSearch aggs:range,
+    index/filtered.py match_agg_range): per caller-defined [from, to)
+    interval of n_chars, the matching-doc count — every bucket emitted
+    even when empty, intervals may overlap (each counts independently)."""
+    from .index.filtered import match_agg_range
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for label, n in match_agg_range(
+            s, qtext, "n_chars", AGG_RANGES, distributed=True
+        ):
+            rows.append((qid, label, n))
+    return spark.createDataFrame(rows, "query_id int, bucket string, n long")
+
+
+def sql_ft_agg_range() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for label, lo, hi in AGG_RANGES:
+            conds = []
+            if lo is not None:
+                conds.append(f"d.n_chars >= {lo}")
+            if hi is not None:
+                conds.append(f"d.n_chars < {hi}")
+            flt = " AND ".join(conds)
+            selects.append(
+                f"SELECT {qid} AS query_id, '{label}' AS bucket,\n"
+                f"       count(*) FILTER (WHERE {flt})::BIGINT AS n\n"
+                f"FROM documents d\nWHERE {_agg_match_where(qtext)}"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_terms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested terms→stats aggregation over the match set (OpenSearch
+    bucket + sub-metric aggs, index/filtered.py match_agg_terms_stats):
+    per lang bucket, the (count, sum, min, max) of n_chars among
+    matching docs.  Distributed path emits per-range per-bucket partials
+    — additive (n, sum) and extremal (min, max) fold exactly, the
+    map-side-combine shape."""
+    from .index.filtered import match_agg_terms_stats
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for bucket, n, sm, mn, mx in match_agg_terms_stats(
+            s, qtext, "lang", "n_chars", distributed=True
+        ):
+            rows.append((qid, str(bucket), n, int(sm), int(mn), int(mx)))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, bucket string, n long, sum_v long, min_v long, max_v long",
+    )
+
+
+def sql_ft_agg_terms_stats() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, d.lang::VARCHAR AS bucket,\n"
+            f"       count(*)::BIGINT AS n, sum(d.n_chars)::BIGINT AS sum_v,\n"
+            f"       min(d.n_chars)::BIGINT AS min_v,\n"
+            f"       max(d.n_chars)::BIGINT AS max_v\n"
+            f"FROM documents d\nWHERE {_agg_match_where(qtext)}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 def q_ft_family_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered BM25 over a PERIOD RANGE of an index family —
     the reference's log-search workload proper: the time window selects
@@ -5322,6 +5537,11 @@ QUERIES = {
     "ft_agg_terms": q_ft_agg_terms,
     "ft_agg_histogram": q_ft_agg_histogram,
     "ft_agg_date_histogram": q_ft_agg_date_histogram,
+    "ft_agg_stats": q_ft_agg_stats,
+    "ft_agg_percentiles": q_ft_agg_percentiles,
+    "ft_agg_cardinality": q_ft_agg_cardinality,
+    "ft_agg_range": q_ft_agg_range,
+    "ft_agg_terms_stats": q_ft_agg_terms_stats,
     "ft_function_score": q_ft_function_score,
     "ft_more_like_this": q_ft_more_like_this,
     "ft_delete_bm25": q_ft_delete_bm25,
@@ -5459,6 +5679,11 @@ ORACLES = {
     "ft_agg_terms": sql_ft_agg_terms(),
     "ft_agg_histogram": sql_ft_agg_histogram(),
     "ft_agg_date_histogram": sql_ft_agg_date_histogram(),
+    "ft_agg_stats": sql_ft_agg_stats(),
+    "ft_agg_percentiles": sql_ft_agg_percentiles(),
+    "ft_agg_cardinality": sql_ft_agg_cardinality(),
+    "ft_agg_range": sql_ft_agg_range(),
+    "ft_agg_terms_stats": sql_ft_agg_terms_stats(),
     "ft_function_score": sql_ft_function_score(),
     "ft_more_like_this": sql_ft_more_like_this(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
@@ -5532,11 +5757,13 @@ _DRIVER_WINDOW_R5 = [
     "multimodal_features", "multimodal_meta", "dedup_minhash_lsh",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_langid",
     "text_fingerprint",
-    # -- stalest r3-only (25), operators touched this round first --
+    # -- new this session: OpenSearch metric/bucket aggregations (5) --
+    "ft_agg_stats", "ft_agg_percentiles", "ft_agg_cardinality",
+    "ft_agg_range", "ft_agg_terms_stats",
+    # -- stalest r3-only (20), operators touched this round first --
     "user_agent", "user_agent_uap",
     "ft_token_counts", "ft_term_df", "ft_postings_roundtrip",
-    "ft_doc_stats", "ft_bm25_topk", "drop_events", "add_entries",
-    "mutate_chain", "convert_entry_type", "translate", "string_chain",
+    "ft_doc_stats", "ft_bm25_topk", "string_chain",
     "key_value", "parse_json", "parse_json_pointer", "date_locale",
     "list_to_map_flatten", "obfuscate_patterns", "grok_clf",
     "otel_metrics_full", "http_ingest",

@@ -326,6 +326,26 @@ def search_bool(
             if i in idf:
                 idf[i] *= float(mult)
     live_ids = [i for i in ids if dfs.get(i, 0) > 0]
+    if (
+        not must_ids and not not_ids and tie_round is None
+        and after is None and not distributed
+    ):
+        # pure-should scoring boolean ≡ BM25 disjunction with per-term
+        # (possibly boosted) idf — route through the BM25 scoring core
+        # instead of the eager brute union (tests/test_boolquery.py pins
+        # rank identity vs the brute path).  Mode pick: BMW prunes when
+        # the top-k threshold can beat segment upper bounds; a
+        # disjunction whose clauses' postings outnumber the corpus (a
+        # head-heavy prefix expansion — every doc matches several
+        # clauses, all idfs low and alike) never converges and BMW's
+        # MAX_SEG fallback would pay the probe AND the brute pass, so
+        # go brute directly.
+        mode = "bmw" if sum(dfs[i] for i in scoring) <= searcher.n_docs else "brute"
+        return searcher._score_pruned(
+            {i: ids[i] for i in scoring},
+            sorted({pmod(i, searcher.cfg.n_buckets) for i in scoring}),
+            idf, k, mode, searcher.avgdl,
+        )
     if distributed:
         return _search_bool_distributed(
             searcher, ids, live_ids, buckets, must_ids, not_ids, scoring,

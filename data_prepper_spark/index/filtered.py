@@ -35,6 +35,8 @@ docvalues instead of a posting list:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow.dataset as pads
@@ -475,13 +477,31 @@ _UNION_COLS = ["term_id", "range_id", "df_slice", "doc_ids"]
 
 def _union_docids_rows(rows, legacy) -> np.ndarray:
     """Sorted union of the docIDs of slice rows read with _UNION_COLS
-    (docID stream decoded directly — no TermSlice, no tf/dl)."""
+    (docID stream decoded directly — no TermSlice, no tf/dl).
+
+    Hot rows served from the posting cache decode once: the scoring
+    paths' attached stream memo is reused when present
+    (scoring.stream_abs_docids — same array BMW block reads slice), and
+    cached full rows lacking streams memoize the decoded array on the
+    row dict (budget-covered: the cache charges 32 B/posting for memos)."""
     from .codec import decode_docids, delta_decode_docids
+    from .scoring import stream_abs_docids
 
     parts = []
     for r in rows:
-        buf = bytes(r["doc_ids"])
-        d = delta_decode_docids(buf) if legacy else decode_docids(buf)
+        d = None
+        is_dict = isinstance(r, dict)
+        if is_dict:
+            hit = r.get("_lazy_streams")
+            if hit is not None:
+                d = stream_abs_docids(hit[0])
+            else:
+                d = r.get("_doc_abs")
+        if d is None:
+            buf = bytes(r["doc_ids"])
+            d = delta_decode_docids(buf) if legacy else decode_docids(buf)
+            if is_dict and "tfs" in r:  # full cached row — memo persists
+                r["_doc_abs"] = d
         if d.size:
             parts.append(d)
     if not parts:
@@ -491,9 +511,34 @@ def _union_docids_rows(rows, legacy) -> np.ndarray:
 
 def _topk_by_field(doc_ids, values, k, ascending):
     """Per-range top-k by (field value, doc_id ASC).  *values* must be a
-    numpy array with a total order (ints/floats/bytes)."""
-    if doc_ids.size == 0:
+    numpy array with a total order (ints/floats/bytes).
+
+    Selection before sort: a full lexsort (and, for non-float dtypes,
+    _neg_order's rank inversion — itself a full sort) over the whole
+    match set is O(n log n) per range; np.partition finds the kth
+    boundary value in O(n) and only the ≤-boundary survivors (k plus
+    boundary ties) pay the sort.  NaN boundary or object dtype falls
+    back to the full sort (comparison semantics differ)."""
+    n = doc_ids.size
+    if n == 0:
         return doc_ids, values
+    if n > 4 * k and values.dtype != object:
+        try:
+            if ascending:
+                kth = np.partition(values, k - 1)[k - 1]
+                ok = kth == kth  # NaN boundary ⇒ unordered comparisons
+                sel = np.flatnonzero(values <= kth) if ok else None
+            else:
+                kth = np.partition(values, n - k)[n - k]
+                ok = kth == kth
+                sel = np.flatnonzero(values >= kth) if ok else None
+        except TypeError:
+            sel = None
+        # NaN/NaT rows compare false against the boundary but the full
+        # sort would still admit them once non-NaN rows run out — only
+        # take the shortcut when it kept at least k survivors
+        if sel is not None and sel.size >= k:
+            doc_ids, values = doc_ids[sel], values[sel]
     keys = values if ascending else _neg_order(values)
     order = np.lexsort((doc_ids, keys))[:k]
     return doc_ids[order], values[order]
@@ -765,6 +810,48 @@ def _matched_with_values(searcher, ids, buckets, filters, value_field):
     return np.concatenate(out)
 
 
+def _matched_with_cols(searcher, ids, buckets, filters, fields):
+    """Multi-column variant of :func:`_matched_with_values` (nested
+    aggregations read a bucket key AND a metric field): returns one
+    aligned array per requested docvalues column over the match set."""
+    try:
+        dv = _docvalues(searcher)
+        if filters:
+            m = dv.mask(filters)
+            meta_ids = dv.ids()[m]
+            cols = [dv.np_col(f)[m] for f in fields]
+        else:
+            meta_ids = dv.ids()
+            cols = [dv.np_col(f) for f in fields]
+    except _DVOverBudget:
+        searcher._dv_cache = _DV_DISABLED
+        ds = pads.dataset(f"{searcher.index_dir}/docmeta")
+        flt = pa_filter_expr(filters) if filters else None
+        tbl = ds.to_table(columns=["doc_id", *fields], filter=flt)
+        meta_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(meta_ids, kind="stable")
+        meta_ids = meta_ids[order]
+        cols = [tbl[f].to_numpy(zero_copy_only=False)[order] for f in fields]
+    rows = searcher._pruned_slice_rows(list(ids), buckets, columns=_UNION_COLS)
+    rows_by_range: dict[int, list] = {}
+    for r in rows:
+        rows_by_range.setdefault(int(r["range_id"]), []).append(r)
+    parts: list[list[np.ndarray]] = [[] for _ in fields]
+    for rr in rows_by_range.values():
+        matched = _union_docids_rows(rr, searcher.legacy_codec)
+        if searcher.deleted.size:
+            matched = matched[~_member(matched, searcher.deleted)]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size:
+            pos = np.searchsorted(meta_ids, matched)
+            for j in range(len(fields)):
+                parts[j].append(cols[j][pos])
+    return [
+        np.concatenate(p) if p else np.empty(0, dtype=cols[j].dtype)
+        for j, p in enumerate(parts)
+    ]
+
+
 def match_agg_terms(
     searcher, query_text: str, field: str, filters=(), distributed: bool = False
 ) -> list[tuple[object, int]]:
@@ -925,6 +1012,336 @@ def _agg_distributed(
         v = r["bucket"]
         out.append((float(v) if isinstance(v, float) else v, int(r["n"])))
     return out
+
+
+def _match_query_ids(searcher, query_text):
+    """(live term_id→term map, pruned buckets) for a match-set query —
+    shared prologue of every aggregation entry point."""
+    _, ids, buckets = searcher._terms_buckets(query_text)
+    dfs = searcher.term_stats(ids, buckets)
+    ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
+    return ids, buckets
+
+
+def _matched_values_distributed(searcher, labels, buckets, field, filters):
+    """Scale path shared by stats/percentiles/cardinality: per-range
+    match ∩ docvalues → per-range (value, count) partials → global
+    groupBy(value).sum — the exact value histogram of the match set.
+    Only (value, count) pairs cross the shuffle and reach the driver, so
+    cost is bounded by the FIELD CARDINALITY, not the match count (the
+    OpenSearch analog computes stats/t-digest sketches per shard; an
+    exact value histogram is the strictly-stronger partial for
+    bounded-cardinality docvalues)."""
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty or meta_pdf.empty:
+            return pd.DataFrame({"v": [], "n": []})
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        meta_vals = meta_pdf["v"].to_numpy()
+        order = np.argsort(meta_ids)
+        meta_ids, meta_vals = meta_ids[order], meta_vals[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return pd.DataFrame({"v": [], "n": []})
+        uniq, counts = np.unique(
+            meta_vals[np.searchsorted(meta_ids, matched)], return_counts=True
+        )
+        return pd.DataFrame({"v": uniq, "n": counts.astype(np.int64)})
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id", F.col(field).alias("v")
+    )
+    v_t = dict(meta.dtypes)["v"]
+    rows = (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema=f"v {v_t}, n long")
+        .groupBy("v")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("v")
+        .collect()
+    )
+    vals = np.array([r["v"] for r in rows])
+    counts = np.array([int(r["n"]) for r in rows], dtype=np.int64)
+    return vals, counts
+
+
+def match_agg_stats(
+    searcher, query_text: str, field: str, filters=(),
+    distributed: bool = False,
+) -> dict:
+    """Stats aggregation over the match set (OpenSearch ``aggs:stats``):
+    count / min / max / sum / avg of a numeric docvalues field among
+    docs matching ANY query term.  Integral fields keep EXACT integer
+    sums (float accumulation order can't break rank identity with the
+    SQL oracle); avg is derived.  Distributed mode folds per-range
+    (value, count) partials — only the value histogram crosses the
+    shuffle."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    empty = {"count": 0, "min": None, "max": None, "sum": 0, "avg": None}
+    if not ids:
+        return empty
+    if distributed:
+        vals, counts = _matched_values_distributed(
+            searcher, ids, buckets, field, filters
+        )
+        if vals.size == 0:
+            return empty
+        n = int(counts.sum())
+        total = (vals * counts).sum()
+        return {
+            "count": n,
+            "min": vals[0].item(),
+            "max": vals[-1].item(),
+            "sum": total.item(),
+            "avg": float(total) / n,
+        }
+    vals = _matched_with_values(searcher, ids, buckets, filters, field)
+    if vals.size == 0:
+        return empty
+    total = vals.sum()
+    return {
+        "count": int(vals.size),
+        "min": vals.min().item(),
+        "max": vals.max().item(),
+        "sum": total.item(),
+        "avg": float(total) / vals.size,
+    }
+
+
+def match_agg_percentiles(
+    searcher, query_text: str, field: str, percents=(25.0, 50.0, 75.0, 95.0),
+    filters=(), distributed: bool = False,
+) -> list[tuple[float, object]]:
+    """Percentiles aggregation over the match set (OpenSearch
+    ``aggs:percentiles``): nearest-rank-exact quantiles of a docvalues
+    field — percentile p is the value at 1-based rank ``max(1,
+    ceil(p/100 · n))`` of the sorted match values, a deterministic
+    SQL-expressible definition (the reference's OpenSearch uses an
+    approximate t-digest; exact nearest-rank is strictly stronger and
+    oracle-pinnable).  Distributed mode folds per-range (value, count)
+    partials and walks the cumulative histogram — driver traffic is
+    bounded by field cardinality, not match count."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+    if distributed:
+        vals, counts = _matched_values_distributed(
+            searcher, ids, buckets, field, filters
+        )
+        if vals.size == 0:
+            return []
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out = []
+        for p in percents:
+            rank = max(1, int(math.ceil(p / 100.0 * n)))
+            v = vals[int(np.searchsorted(cum, rank, side="left"))]
+            out.append((float(p), v.item() if hasattr(v, "item") else v))
+        return out
+    vals = _matched_with_values(searcher, ids, buckets, filters, field)
+    if vals.size == 0:
+        return []
+    vals = np.sort(vals)
+    out = []
+    for p in percents:
+        rank = max(1, int(math.ceil(p / 100.0 * vals.size)))
+        v = vals[rank - 1]
+        out.append((float(p), v.item() if hasattr(v, "item") else v))
+    return out
+
+
+def match_agg_cardinality(
+    searcher, query_text: str, field: str, filters=(),
+    distributed: bool = False,
+) -> int:
+    """Cardinality aggregation over the match set (OpenSearch
+    ``aggs:cardinality``): EXACT distinct count of a docvalues field.
+    The reference's OpenSearch answers with HyperLogLog++; the exact
+    two-level distinct (per-range unique values → global unique) is
+    strictly stronger and stays scale-safe because only per-range
+    DISTINCT values cross the shuffle.  Swap the partial for an HLL
+    register set if the field is genuinely unbounded."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return 0
+    if distributed:
+        vals, _ = _matched_values_distributed(
+            searcher, ids, buckets, field, filters
+        )
+        return int(vals.size)
+    vals = _matched_with_values(searcher, ids, buckets, filters, field)
+    return int(np.unique(vals).size)
+
+
+def match_agg_range(
+    searcher, query_text: str, field: str, ranges, filters=(),
+    distributed: bool = False,
+) -> list[tuple[str, int]]:
+    """Range aggregation over the match set (OpenSearch ``aggs:range``):
+    one count per caller-defined [from, to) interval of a numeric
+    docvalues field.  *ranges* is a list of (label, lo, hi) with None
+    for an open end; intervals MAY overlap (each bucket counts
+    independently, OpenSearch semantics) and every bucket is emitted
+    even when empty.  Distributed mode folds the same (value, count)
+    histogram partial as stats — bucket membership is evaluated on the
+    driver over the folded histogram."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return [(label, 0) for label, _lo, _hi in ranges]
+    if distributed:
+        vals, counts = _matched_values_distributed(
+            searcher, ids, buckets, field, filters
+        )
+    else:
+        vals = _matched_with_values(searcher, ids, buckets, filters, field)
+        counts = None
+    out = []
+    for label, lo, hi in ranges:
+        if vals.size == 0:
+            out.append((label, 0))
+            continue
+        m = np.ones(vals.shape, dtype=bool)
+        if lo is not None:
+            m &= vals >= lo
+        if hi is not None:
+            m &= vals < hi
+        n = int(counts[m].sum()) if counts is not None else int(m.sum())
+        out.append((label, n))
+    return out
+
+
+def match_agg_terms_stats(
+    searcher, query_text: str, key_field: str, value_field: str,
+    filters=(), distributed: bool = False,
+) -> list[tuple[object, int, object, object, object]]:
+    """Nested terms→stats aggregation over the match set (OpenSearch
+    ``aggs: {terms: {...}, aggs: {stats: {...}}}``): per distinct value
+    of *key_field*, the (count, sum, min, max) of *value_field* among
+    matching docs, sorted by bucket.  Integral metrics keep exact
+    integer sums.  Distributed mode emits per-range per-bucket partials
+    — additive (n, sum) and extremal (min, max) fold exactly across
+    ranges, the map-side-combine shape."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+    if distributed:
+        return _terms_stats_distributed(
+            searcher, ids, buckets, key_field, value_field, filters
+        )
+    keys, vals = _matched_with_cols(
+        searcher, ids, buckets, filters, [key_field, value_field]
+    )
+    if keys.size == 0:
+        return []
+    uniq, inv = np.unique(keys, return_inverse=True)
+    return _fold_terms_stats(uniq, inv, vals)
+
+
+def _fold_terms_stats(uniq, inv, vals):
+    n = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(n, inv, 1)
+    if np.issubdtype(vals.dtype, np.integer):
+        s = np.zeros(uniq.size, dtype=np.int64)
+    else:
+        s = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(s, inv, vals)
+    mn = np.full(uniq.size, vals.max())
+    np.minimum.at(mn, inv, vals)
+    mx = np.full(uniq.size, vals.min())
+    np.maximum.at(mx, inv, vals)
+    return [
+        (
+            u.item() if hasattr(u, "item") else u,
+            int(n[j]), s[j].item(), mn[j].item(), mx[j].item(),
+        )
+        for j, u in enumerate(uniq)
+    ]
+
+
+def _terms_stats_distributed(
+    searcher, labels, buckets, key_field, value_field, filters
+):
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bucket": [], "n": [], "s": [], "mn": [], "mx": []})
+        if post_pdf.empty or meta_pdf.empty:
+            return empty
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(meta_ids)
+        meta_ids = meta_ids[order]
+        keys = meta_pdf["k"].to_numpy()[order]
+        vals = meta_pdf["v"].to_numpy()[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return empty
+        pos = np.searchsorted(meta_ids, matched)
+        uniq, inv = np.unique(keys[pos], return_inverse=True)
+        folded = _fold_terms_stats(uniq, inv, vals[pos])
+        return pd.DataFrame(
+            {
+                "bucket": [f[0] for f in folded],
+                "n": [f[1] for f in folded],
+                "s": [f[2] for f in folded],
+                "mn": [f[3] for f in folded],
+                "mx": [f[4] for f in folded],
+            }
+        )
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id",
+        F.col(key_field).alias("k"), F.col(value_field).alias("v"),
+    )
+    ts = dict(meta.dtypes)
+    k_t = "string" if ts["k"] == "string" else "bigint" if ts["k"] in (
+        "bigint", "int", "smallint", "tinyint") else "double"
+    num_t = "bigint" if ts["v"] in ("bigint", "int", "smallint", "tinyint") \
+        else "double"
+    rows = (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(
+            eval_cog,
+            schema=f"bucket {k_t}, n long, s {num_t}, mn {num_t}, mx {num_t}",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n"), F.sum("s").alias("s"),
+            F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    return [
+        (r["bucket"], int(r["n"]), r["s"], r["mn"], r["mx"]) for r in rows
+    ]
 
 
 def _search_sorted_distributed(

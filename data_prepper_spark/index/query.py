@@ -90,8 +90,12 @@ class BM25Searcher:
         # disables.
         import os as _os
 
+        # default sized so a head-heavy prefix expansion's working set
+        # (e.g. 90 head terms ≈ 30M postings ≈ 1 GB with decode memos at
+        # 32 B/posting) stays resident — python-side numpy memory, not
+        # JVM heap, on a driver that serves queries
         self.posting_cache_bytes = int(
-            float(_os.environ.get("DPS_POSTING_CACHE_MB", "512")) * 1e6
+            float(_os.environ.get("DPS_POSTING_CACHE_MB", "1536")) * 1e6
         )
         from collections import OrderedDict as _OD
 
@@ -166,11 +170,12 @@ class BM25Searcher:
             by_term.setdefault(int(r["term_id"]), []).append(r)
         for i, rr in by_term.items():
             # budget = raw payload + decoded-memo worst case (3 int64
-            # streams = 24 B/posting, materialized only on dense access)
+            # streams + the hot absolute-docID memo = 32 B/posting,
+            # materialized only on dense/promoted access)
             nb = 512 + sum(
                 len(r["doc_ids"]) + len(r["tfs"]) + len(r["dls"])
                 + len(r["block_firsts"]) + len(r["block_ubs"])
-                + 24 * int(r["df_slice"])
+                + 32 * int(r["df_slice"])
                 for r in rr
             )
             self._rows_cache[i] = (rr, nb)
@@ -255,7 +260,11 @@ class BM25Searcher:
         # tombstones force the eager path: masking needs materialized
         # docID arrays (block metadata stays valid — masking only removes
         # postings, see deletes.mask_term_slice)
-        lazy_ok = mode == "bmw" and not self.legacy_codec and self.deleted.size == 0
+        # brute mode ALSO decodes via the lazy-stream objects: their
+        # decode memos live on the cached posting rows, so a hot term
+        # decodes once per searcher lifetime in either mode (the
+        # to_term_slice conversion below is memo-backed slicing)
+        lazy_ok = not self.legacy_codec and self.deleted.size == 0
         by_range: dict[int, list] = {}
         lazy_by_range: dict[int, bool] = {}
         for r in rows:
@@ -303,6 +312,10 @@ class BM25Searcher:
                 ids, sc = score_bmw(slices, self.cfg.k1, self.cfg.b, avgdl,
                                     k, theta0=theta)
             else:
+                slices = [
+                    s.to_term_slice() if not isinstance(s, TermSlice) else s
+                    for s in slices
+                ]
                 ids, sc = score_brute(slices, self.cfg.k1, self.cfg.b, avgdl)
             ids_all.append(ids)
             sc_all.append(sc)

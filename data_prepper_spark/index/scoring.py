@@ -45,12 +45,14 @@ class _VarintStream:
     terminator scan (lazy) yields per-value byte offsets, then any value
     range decodes independently (LEB128 is self-delimiting)."""
 
-    __slots__ = ("b", "_ends", "_all")
+    __slots__ = ("b", "_ends", "_all", "_gathered", "_abs")
 
     def __init__(self, payload: np.ndarray):
         self.b = payload
         self._ends = None
         self._all = None
+        self._gathered = 0  # cumulative sub-dense gather work (hot promotion)
+        self._abs = None    # doc streams only: memoized absolute docIDs
 
     def _e(self):
         if self._ends is None:
@@ -93,13 +95,15 @@ class _PForStream:
     then any value range decodes by touching only its covering blocks —
     PFor values are positional (no intra-stream delta chain)."""
 
-    __slots__ = ("b", "_offs", "_cum", "_all")
+    __slots__ = ("b", "_offs", "_cum", "_all", "_gathered", "_abs")
 
     def __init__(self, payload: np.ndarray):
         self.b = payload
         self._offs = None
         self._cum = None
         self._all = None
+        self._gathered = 0  # cumulative sub-dense gather work (hot promotion)
+        self._abs = None    # doc streams only: memoized absolute docIDs
 
     def _idx(self):
         if self._offs is None:
@@ -123,6 +127,20 @@ class _PForStream:
             offs, cum = self._idx()
             self._all = pfor_decode_indexed(self.b, offs, cum)
         return self._all
+
+
+def stream_abs_docids(doc_s) -> np.ndarray:
+    """Absolute docIDs of a docID delta stream, memoized on the stream.
+    The delta stream's first value IS the biased absolute first docID
+    (codec.delta_encode_docids stores it full-width), so one cumsum
+    reconstructs the whole list; hot slices thereafter serve docID reads
+    by pure slicing.  Shared by LazySlice block reads and the match-union
+    paths (filtered/sorted/agg), so both memoize into the same array."""
+    if doc_s._abs is None:
+        vals = doc_s.decode_all()
+        u = np.cumsum(vals, dtype=np.uint64)
+        doc_s._abs = (u - _BIAS).astype(np.int64)
+    return doc_s._abs
 
 
 def _stream_for(raw: np.ndarray):
@@ -228,9 +246,21 @@ class LazySlice:
         self.block_ubs = block_ubs
         self._last_doc = None
 
+    def _abs_full(self) -> np.ndarray:
+        """Full absolute-docID array, memoized on the doc stream once it
+        is promoted to a full decode — hot slices then serve every later
+        block read by pure slicing (no per-query segmented cumsum).
+        Values are bit-identical to the per-run reconstruction: the build
+        stores block_firsts = doc_ids[::block_size], so anchoring each
+        run at its block's stored absolute equals the cumsum from the
+        stream start."""
+        return stream_abs_docids(self.doc_s)
+
     def _ids_range(self, va: int, vz: int) -> np.ndarray:
         """Absolute docIDs for value range [va, vz); va MUST be a block
         start (its stored delta is replaced by block_firsts' absolute)."""
+        if self.doc_s._abs is not None:
+            return self.doc_s._abs[va:vz]
         vals = self.doc_s.decode_range(va, vz)
         # biased docID of the block's first posting (exact modular wrap)
         first_u = np.uint64(
@@ -297,10 +327,19 @@ class LazySlice:
         covering blocks are effectively all of them) go through the
         stream's memoized decode_all instead: same values, and with
         posting-row caching a hot term's stream decodes once per searcher
-        lifetime rather than once per query."""
+        lifetime rather than once per query.
+
+        HOT promotion (amortized-2×): sub-dense gathers accumulate a
+        per-stream work counter; once cumulative gathered values reach
+        the stream length, later gathers also switch to the memoized
+        full decode — a head term repeatedly probed by conjunctive
+        queries decodes once per searcher lifetime instead of ~40% of
+        itself per query.  Wasted work before promotion is < one full
+        decode; memory is exactly the decoded-memo worst case the
+        posting-cache budget already charges (24 B/posting)."""
         counts = (runs[:, 1] - runs[:, 0]).astype(np.int64)
         total = int(counts.sum())
-        if 2 * total >= self.n:
+        if 2 * total >= self.n or stream._gathered + total >= self.n:
             full = stream.decode_all()
             vals = (
                 full
@@ -310,6 +349,7 @@ class LazySlice:
                 )
             )
         else:
+            stream._gathered += total
             vals = stream.gather(runs)
         starts = np.concatenate(([0], np.cumsum(counts[:-1])))
         return vals, counts, starts
@@ -338,6 +378,19 @@ class LazySlice:
         if blocks.size == 0:
             return np.empty(0, dtype=np.int64)
         runs = self._block_runs(blocks)
+        return self._run_ids(runs)
+
+    def _run_ids(self, runs: np.ndarray) -> np.ndarray:
+        """Absolute docIDs of the given value-range runs — sliced from
+        the memoized absolute array when the doc stream is hot, else the
+        gather + segmented-cumsum reconstruction (identical values)."""
+        if self.doc_s._all is not None:
+            a = self._abs_full()
+            if runs.shape[0] == 1:
+                return a[int(runs[0, 0]) : int(runs[0, 1])]
+            return np.concatenate(
+                [a[int(va) : int(vz)] for va, vz in runs]
+            )
         vals, counts, starts = self._gather_decode(self.doc_s, runs)
         return self._anchored_ids(vals, counts, starts, runs)
 
@@ -347,22 +400,24 @@ class LazySlice:
         if blocks.size == 0:
             return (np.empty(0, np.int64),) * 3
         runs = self._block_runs(blocks)
-        vals, counts, starts = self._gather_decode(self.doc_s, runs)
-        ids = self._anchored_ids(vals, counts, starts, runs)
+        ids = self._run_ids(runs)
         tfs, _, _ = self._gather_decode(self.tf_s, runs)
         dls, _, _ = self._gather_decode(self.dl_s, runs)
         return ids, tfs.astype(np.int64), dls.astype(np.int64)
 
     def to_term_slice(self) -> TermSlice:
-        """Full eager decode (brute-fallback path)."""
-        stream = self.doc_s.decode_all()
-        u = np.cumsum(stream, dtype=np.uint64)
+        """Full eager decode (brute-fallback path) — memo-backed: the
+        docID cumsum and value decodes live on the streams (cached
+        posting rows keep them across queries), so a hot slice converts
+        by reference.  The int64 views share the memo buffers; every
+        consumer treats TermSlice arrays as read-only (masking/filtering
+        index into fresh arrays)."""
         return TermSlice(
             term=self.term,
             idf=self.idf,
-            doc_ids=(u - _BIAS).astype(np.int64),
-            tfs=self.tf_s.decode_all().astype(np.int64),
-            dls=self.dl_s.decode_all().astype(np.int64),
+            doc_ids=stream_abs_docids(self.doc_s),
+            tfs=self.tf_s.decode_all().view(np.int64),
+            dls=self.dl_s.decode_all().view(np.int64),
             block_firsts=self.block_firsts,
             block_ubs=self.block_ubs,
         )

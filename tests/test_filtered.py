@@ -405,3 +405,109 @@ def test_docvalues_cache_identity(spark, filtered_index, monkeypatch):
     got_off = run_all(s_off)
     assert getattr(s_off, "_dv_cache", None) is _DV_DISABLED
     assert got_on == got_off
+
+
+@pytest.fixture(scope="session")
+def agg_index(spark, tiny_corpus_path, workdir):
+    """filtered_index plus a numeric docvalue (n_chars) for the metric
+    aggregations (stats/percentiles/range/terms_stats)."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.index.build import build_oneshot
+    from data_prepper_spark.index.config import IndexConfig
+
+    index_dir = os.path.join(workdir, "index_agg")
+    pages = spark.read.parquet(tiny_corpus_path).withColumn(
+        "n_chars", F.length("text")
+    )
+    cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8)
+    build_oneshot(spark, pages, index_dir, cfg,
+                  field_cols=("lang", "warc_ts", "n_chars"))
+    return index_dir
+
+
+def test_match_agg_metrics(spark, agg_index, oracle_tiny, tiny_pages_pd):
+    """stats / percentiles / cardinality / range / nested terms-stats over
+    the match set: driver == distributed == a pure-python oracle."""
+    import math
+
+    from data_prepper_spark.index.filtered import (
+        match_agg_cardinality,
+        match_agg_percentiles,
+        match_agg_range,
+        match_agg_stats,
+        match_agg_terms_stats,
+    )
+
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    langs = {
+        xxh64_signed(r.url): r.lang
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    s = BM25Searcher(spark, agg_index)
+    matched = set()
+    for t in ("data", "the"):
+        matched |= set(oracle_tiny.postings.get(t, ()))
+    vals = sorted(nchars[d] for d in matched)
+
+    st = match_agg_stats(s, "the data", "n_chars")
+    assert st == {
+        "count": len(vals), "min": vals[0], "max": vals[-1],
+        "sum": sum(vals), "avg": sum(vals) / len(vals),
+    }
+    assert match_agg_stats(s, "the data", "n_chars", distributed=True) == st
+
+    pct = match_agg_percentiles(s, "the data", "n_chars")
+    want = [
+        (p, vals[max(1, math.ceil(p / 100 * len(vals))) - 1])
+        for p in (25.0, 50.0, 75.0, 95.0)
+    ]
+    assert pct == want
+    assert match_agg_percentiles(
+        s, "the data", "n_chars", distributed=True
+    ) == pct
+
+    card = match_agg_cardinality(s, "the data", "n_chars")
+    assert card == len(set(vals))
+    assert match_agg_cardinality(
+        s, "the data", "n_chars", distributed=True
+    ) == card
+
+    med = vals[len(vals) // 2]
+    ranges = [("lo", None, med), ("mid", med, med + 50), ("hi", med + 50, None),
+              ("overlap", None, None), ("empty", 10**9, None)]
+    rg = match_agg_range(s, "the data", "n_chars", ranges)
+    assert rg == [
+        ("lo", sum(v < med for v in vals)),
+        ("mid", sum(med <= v < med + 50 for v in vals)),
+        ("hi", sum(v >= med + 50 for v in vals)),
+        ("overlap", len(vals)),   # open-open counts everything
+        ("empty", 0),             # empty buckets still emitted
+    ]
+    assert match_agg_range(
+        s, "the data", "n_chars", ranges, distributed=True
+    ) == rg
+
+    tstat = match_agg_terms_stats(s, "the data", "lang", "n_chars")
+    by_lang = {}
+    for d in matched:
+        by_lang.setdefault(langs[d], []).append(nchars[d])
+    want_ts = [
+        (lg, len(v), sum(v), min(v), max(v))
+        for lg, v in sorted(by_lang.items())
+    ]
+    assert tstat == want_ts
+    assert match_agg_terms_stats(
+        s, "the data", "lang", "n_chars", distributed=True
+    ) == tstat
+
+    # a time filter composes identically in both modes
+    flt = [("warc_ts", "<", _ts(500))]
+    st_f = match_agg_stats(s, "the data", "n_chars", filters=flt)
+    assert match_agg_stats(
+        s, "the data", "n_chars", filters=flt, distributed=True
+    ) == st_f
+    assert st_f["count"] <= st["count"]
