@@ -1109,6 +1109,90 @@ def sql_ft_agg_terms_stats() -> str:
 """
 
 
+def q_ft_agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested terms→top_hits aggregation over the match set (OpenSearch
+    top_hits sub-aggregation — "the N largest docs per bucket",
+    index/filtered.py match_agg_top_hits): per lang bucket, the top-3
+    matching docs by (n_chars DESC, doc_id ASC).  Distributed path:
+    per-range per-bucket top-k partials + one row_number window."""
+    from .index.filtered import match_agg_top_hits
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for bucket, did, v in match_agg_top_hits(
+            s, qtext, "lang", "n_chars", k=3, distributed=True
+        ):
+            rows.append((qid, str(bucket), did, int(v)))
+    return spark.createDataFrame(
+        rows, "query_id int, bucket string, doc_id long, v long"
+    )
+
+
+def sql_ft_agg_top_hits() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, d.lang::VARCHAR AS bucket,\n"
+            f"       d.doc_id, d.n_chars::BIGINT AS v\n"
+            f"FROM documents d\nWHERE {_agg_match_where(qtext)}\n"
+            f"QUALIFY row_number() OVER (PARTITION BY d.lang\n"
+            f"        ORDER BY d.n_chars DESC, d.doc_id) <= 3"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+# term-suggester reference set: typos of corpus query words, plus one
+# in-vocabulary token ("data") that mode=missing must skip
+SUGGEST_TEXT = "sparq indxe mege windoq tble data"
+SUGGEST_MAX_EDITS = 2
+SUGGEST_K = 5
+
+
+def q_ft_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term suggester (OpenSearch suggest:term — "did you mean",
+    index/boolquery.py suggest_terms): per misspelled token, the top-5
+    vocabulary corrections within 2 plain-Levenshtein edits, ranked
+    (distance ASC, df DESC, term ASC); mode=missing skips tokens already
+    in the index.  Vocabulary-bounded (one termdict scan + the
+    vectorized DP), never corpus-bounded."""
+    from .index.boolquery import suggest_terms
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = [
+        (tok, sug, dist, df)
+        for tok, sug, dist, df in suggest_terms(
+            s, SUGGEST_TEXT, max_edits=SUGGEST_MAX_EDITS, k=SUGGEST_K
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "token string, suggestion string, dist long, df long"
+    )
+
+
+def sql_ft_suggest_terms() -> str:
+    selects = []
+    for tok in SUGGEST_TEXT.split():
+        selects.append(
+            f"SELECT '{tok}' AS token, term AS suggestion,\n"
+            f"       levenshtein(term, '{tok}')::BIGINT AS dist, df\n"
+            f"FROM df\n"
+            f"WHERE levenshtein(term, '{tok}') BETWEEN 1 AND {SUGGEST_MAX_EDITS}\n"
+            f"  AND NOT EXISTS (SELECT 1 FROM df d2 WHERE d2.term = '{tok}')\n"
+            f"QUALIFY row_number() OVER (ORDER BY levenshtein(term, '{tok}'),\n"
+            f"        df DESC, term) <= {SUGGEST_K}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 def q_ft_family_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered BM25 over a PERIOD RANGE of an index family —
     the reference's log-search workload proper: the time window selects
@@ -5542,6 +5626,8 @@ QUERIES = {
     "ft_agg_cardinality": q_ft_agg_cardinality,
     "ft_agg_range": q_ft_agg_range,
     "ft_agg_terms_stats": q_ft_agg_terms_stats,
+    "ft_agg_top_hits": q_ft_agg_top_hits,
+    "ft_suggest_terms": q_ft_suggest_terms,
     "ft_function_score": q_ft_function_score,
     "ft_more_like_this": q_ft_more_like_this,
     "ft_delete_bm25": q_ft_delete_bm25,
@@ -5684,6 +5770,8 @@ ORACLES = {
     "ft_agg_cardinality": sql_ft_agg_cardinality(),
     "ft_agg_range": sql_ft_agg_range(),
     "ft_agg_terms_stats": sql_ft_agg_terms_stats(),
+    "ft_agg_top_hits": sql_ft_agg_top_hits(),
+    "ft_suggest_terms": sql_ft_suggest_terms(),
     "ft_function_score": sql_ft_function_score(),
     "ft_more_like_this": sql_ft_more_like_this(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
@@ -5757,14 +5845,15 @@ _DRIVER_WINDOW_R5 = [
     "multimodal_features", "multimodal_meta", "dedup_minhash_lsh",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_langid",
     "text_fingerprint",
-    # -- new this session: OpenSearch metric/bucket aggregations (5) --
+    # -- new this session: OpenSearch aggregations + suggester (7) --
     "ft_agg_stats", "ft_agg_percentiles", "ft_agg_cardinality",
-    "ft_agg_range", "ft_agg_terms_stats",
-    # -- stalest r3-only (20), operators touched this round first --
+    "ft_agg_range", "ft_agg_terms_stats", "ft_agg_top_hits",
+    "ft_suggest_terms",
+    # -- stalest r3-only (18), operators touched this round first --
     "user_agent", "user_agent_uap",
     "ft_token_counts", "ft_term_df", "ft_postings_roundtrip",
-    "ft_doc_stats", "ft_bm25_topk", "string_chain",
-    "key_value", "parse_json", "parse_json_pointer", "date_locale",
+    "ft_doc_stats", "ft_bm25_topk",
+    "parse_json", "parse_json_pointer", "date_locale",
     "list_to_map_flatten", "obfuscate_patterns", "grok_clf",
     "otel_metrics_full", "http_ingest",
     "ft_family_bm25_distributed", "ft_family_agg_date_histogram",

@@ -488,22 +488,35 @@ def search_prefix(
 # ------------------------------------------------------------------- fuzzy
 
 def levenshtein_leq(terms: list[str], query: str, max_edits: int) -> np.ndarray:
-    """Boolean mask: plain unit-cost Levenshtein(term, query) <= max_edits,
-    computed for ALL terms in ONE numpy DP (rows = query chars, the column
-    sweep runs over every candidate term simultaneously).  Unit costs and
-    no transpositions — the exact definition DuckDB's ``levenshtein``
+    """Boolean mask: plain unit-cost Levenshtein(term, query) <= max_edits
+    (see :func:`levenshtein_within`)."""
+    n = len(terms)
+    out = np.zeros(n, dtype=bool)
+    idx, _ = levenshtein_within(terms, query, max_edits)
+    out[idx] = True
+    return out
+
+
+def levenshtein_within(
+    terms: list[str], query: str, max_edits: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(indices, distances) of the *terms* whose plain unit-cost
+    Levenshtein distance to *query* is <= max_edits, computed for ALL
+    terms in ONE numpy DP (rows = query chars, the column sweep runs
+    over every candidate term simultaneously).  Unit costs and no
+    transpositions — the exact definition DuckDB's ``levenshtein``
     implements, so the oracle can pin expansions verbatim.  Cost is
     O(|query| × maxlen × n_terms) vectorized over n_terms; a length
     prefilter (|len diff| <= max_edits) drops most of the vocabulary
     before the DP runs."""
     n = len(terms)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     if n == 0:
-        return np.zeros(0, dtype=bool)
+        return empty
     lens = np.fromiter((len(t) for t in terms), np.int64, n)
-    out = np.zeros(n, dtype=bool)
     cand = np.flatnonzero(np.abs(lens - len(query)) <= max_edits)
     if cand.size == 0:
-        return out
+        return empty
     clens = lens[cand]
     maxlen = int(clens.max())
     # code points, not UTF-8 bytes: len() counts characters, so a
@@ -527,7 +540,65 @@ def levenshtein_leq(terms: list[str], query: str, max_edits: int) -> np.ndarray:
                 prev[:, j - 1] + (mat[:, j - 1] != q[i - 1]),
             )
         prev = cur
-    out[cand] = prev[np.arange(cand.size), clens] <= max_edits
+    dist = prev[np.arange(cand.size), clens]
+    keep = dist <= max_edits
+    return cand[keep], dist[keep]
+
+
+def suggest_terms(
+    searcher,
+    text: str,
+    max_edits: int = 2,
+    k: int = 5,
+    mode: str = "missing",
+) -> list[tuple[str, str, int, int]]:
+    """Term suggester (OpenSearch ``suggest: {term}`` — the "did you
+    mean" box): per input token, the top-*k* vocabulary corrections
+    within *max_edits* plain-Levenshtein edits, ranked by
+    (distance ASC, df DESC, term ASC) — OpenSearch's score-then-
+    frequency order made fully deterministic.  ``mode="missing"``
+    (OpenSearch default) suggests only for tokens ABSENT from the index;
+    ``"always"`` suggests for every token (the token itself never
+    appears — distance 0 is excluded).  Returns (token, suggestion,
+    distance, df) rows.  Vocabulary-bounded like every MultiTermQuery
+    rewrite: one termdict scan + the vectorized DP, never corpus-bounded.
+
+    Reference anchor: the reference delegates search UX to OpenSearch
+    (opensearch sink); the suggester is part of that serving surface."""
+    if mode not in ("missing", "always"):
+        raise ValueError(f"unknown suggest mode {mode!r}")
+    toks = []
+    for t in tokenize(text):
+        if t not in toks:
+            toks.append(t)
+    if not toks:
+        return []
+    ds = pads.dataset(f"{searcher.index_dir}/termdict", partitioning="hive")
+    vocab = sorted(set(ds.to_table(columns=["term"])["term"].to_pylist()))
+    vocab_set = set(vocab)
+    out: list[tuple[str, str, int, int]] = []
+    for tok in toks:
+        if mode == "missing" and tok in vocab_set:
+            continue
+        idx, dist = levenshtein_within(vocab, tok, max_edits)
+        keep = dist > 0  # never suggest the token itself
+        idx, dist = idx[keep], dist[keep]
+        if idx.size == 0:
+            continue
+        cands = [vocab[i] for i in idx]
+        ids = {xxh64_signed(t): t for t in cands}
+        from ..hashing import pmod
+
+        buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in ids})
+        dfs = searcher.term_stats(ids, buckets)
+        ranked = sorted(
+            (
+                (int(d), -dfs.get(xxh64_signed(t), 0), t)
+                for t, d in zip(cands, dist)
+                if dfs.get(xxh64_signed(t), 0) > 0
+            ),
+        )[:k]
+        out.extend((tok, t, d, -negdf) for d, negdf, t in ranked)
     return out
 
 

@@ -812,8 +812,9 @@ def _matched_with_values(searcher, ids, buckets, filters, value_field):
 
 def _matched_with_cols(searcher, ids, buckets, filters, fields):
     """Multi-column variant of :func:`_matched_with_values` (nested
-    aggregations read a bucket key AND a metric field): returns one
-    aligned array per requested docvalues column over the match set."""
+    aggregations read a bucket key AND a metric field): returns
+    (matched docIDs, [one aligned array per requested docvalues
+    column]) over the match set."""
     try:
         dv = _docvalues(searcher)
         if filters:
@@ -836,6 +837,7 @@ def _matched_with_cols(searcher, ids, buckets, filters, fields):
     rows_by_range: dict[int, list] = {}
     for r in rows:
         rows_by_range.setdefault(int(r["range_id"]), []).append(r)
+    id_parts: list[np.ndarray] = []
     parts: list[list[np.ndarray]] = [[] for _ in fields]
     for rr in rows_by_range.values():
         matched = _union_docids_rows(rr, searcher.legacy_codec)
@@ -843,10 +845,14 @@ def _matched_with_cols(searcher, ids, buckets, filters, fields):
             matched = matched[~_member(matched, searcher.deleted)]
         matched = matched[_member(matched, meta_ids)]
         if matched.size:
+            id_parts.append(matched)
             pos = np.searchsorted(meta_ids, matched)
             for j in range(len(fields)):
                 parts[j].append(cols[j][pos])
-    return [
+    m_ids = (
+        np.concatenate(id_parts) if id_parts else np.empty(0, dtype=np.int64)
+    )
+    return m_ids, [
         np.concatenate(p) if p else np.empty(0, dtype=cols[j].dtype)
         for j, p in enumerate(parts)
     ]
@@ -1245,7 +1251,7 @@ def match_agg_terms_stats(
         return _terms_stats_distributed(
             searcher, ids, buckets, key_field, value_field, filters
         )
-    keys, vals = _matched_with_cols(
+    _, (keys, vals) = _matched_with_cols(
         searcher, ids, buckets, filters, [key_field, value_field]
     )
     if keys.size == 0:
@@ -1342,6 +1348,115 @@ def _terms_stats_distributed(
     return [
         (r["bucket"], int(r["n"]), r["s"], r["mn"], r["mx"]) for r in rows
     ]
+
+
+def match_agg_top_hits(
+    searcher, query_text: str, key_field: str, sort_field: str, k: int = 3,
+    ascending: bool = False, filters=(), distributed: bool = False,
+) -> list[tuple[object, int, object]]:
+    """Nested terms→top_hits aggregation over the match set (OpenSearch
+    ``aggs: {terms, aggs: {top_hits}}`` — "the newest / largest N docs
+    per bucket"): per distinct *key_field* value, the top-*k* matching
+    docs by (*sort_field*, doc_id ASC).  Returns (bucket, doc_id,
+    sort_value) rows ordered by (bucket, rank).  Distributed mode emits
+    per-range per-bucket top-k partials (exact: a bucket's global top-k
+    is a subset of the union of its per-range top-ks) and re-ranks with
+    one row_number window — only k rows per (range, bucket) cross the
+    shuffle."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+    if distributed:
+        return _top_hits_distributed(
+            searcher, ids, buckets, key_field, sort_field, k, ascending,
+            filters,
+        )
+    m_ids, (keys, vals) = _matched_with_cols(
+        searcher, ids, buckets, filters, [key_field, sort_field]
+    )
+    if keys.size == 0:
+        return []
+    uniq, inv = np.unique(keys, return_inverse=True)
+
+    def _py(v):
+        # datetime64[ns].item() is an int of nanoseconds — normalize to
+        # python datetime (the distributed path's type)
+        if isinstance(v, np.datetime64):
+            return pd.Timestamp(v).to_pydatetime()
+        return v.item() if hasattr(v, "item") else v
+
+    out = []
+    for j, u in enumerate(uniq):
+        sel = np.flatnonzero(inv == j)
+        i_b, v_b = _topk_by_field(m_ids[sel], vals[sel], k, ascending)
+        bucket = u.item() if hasattr(u, "item") else u
+        out.extend((bucket, int(d), _py(v)) for d, v in zip(i_b, v_b))
+    return out
+
+
+def _top_hits_distributed(
+    searcher, labels, buckets, key_field, sort_field, k, ascending, filters
+):
+    from pyspark.sql.window import Window
+
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bucket": [], "doc_id": [], "v": []})
+        if post_pdf.empty or meta_pdf.empty:
+            return empty
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(meta_ids)
+        meta_ids = meta_ids[order]
+        keys = meta_pdf["k"].to_numpy()[order]
+        vals = meta_pdf["v"].to_numpy()[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return empty
+        pos = np.searchsorted(meta_ids, matched)
+        keys, vals = keys[pos], vals[pos]
+        uniq, inv = np.unique(keys, return_inverse=True)
+        bs, ds_, vs = [], [], []
+        for j, u in enumerate(uniq):
+            sel = np.flatnonzero(inv == j)
+            i_b, v_b = _topk_by_field(matched[sel], vals[sel], k, ascending)
+            bs.extend([u] * i_b.size)
+            ds_.extend(i_b.tolist())
+            vs.extend(v_b.tolist())
+        return pd.DataFrame({"bucket": bs, "doc_id": ds_, "v": vs})
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id",
+        F.col(key_field).alias("k"), F.col(sort_field).alias("v"),
+    )
+    ts = dict(meta.dtypes)
+    k_t = "string" if ts["k"] == "string" else "bigint" if ts["k"] in (
+        "bigint", "int", "smallint", "tinyint") else "double"
+    v_spark = F.asc("v") if ascending else F.desc("v")
+    w = Window.partitionBy("bucket").orderBy(v_spark, F.asc("doc_id"))
+    rows = (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(
+            eval_cog, schema=f"bucket {k_t}, doc_id long, v {ts['v']}"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .orderBy("bucket", "rn")
+        .collect()
+    )
+    return [(r["bucket"], int(r["doc_id"]), r["v"]) for r in rows]
 
 
 def _search_sorted_distributed(

@@ -429,3 +429,52 @@ def test_posting_cache_identity(spark, tiny_index, monkeypatch):
         got2 = search_bool(s_on, must=must, should=should, must_not=must_not, k=10)
         assert got1 == ref and got2 == ref, (must, should, must_not)
     assert s_on._rows_cache  # the cache actually engaged
+
+
+def test_suggest_terms(spark, tiny_index, oracle_tiny):
+    """Term suggester: matches a brute per-token python-Levenshtein
+    oracle under the (distance ASC, df DESC, term ASC) rank rule;
+    mode=missing skips in-vocabulary tokens; the token itself never
+    appears."""
+    from data_prepper_spark.index.boolquery import suggest_terms
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    vocab = {t: len(d) for t, d in oracle_tiny.postings.items()}
+    text = "thz datq spark xyzzyxq"
+    got = suggest_terms(s, text, max_edits=2, k=5)
+    want = []
+    for tok in ["thz", "datq", "spark", "xyzzyxq"]:
+        if tok in vocab:
+            continue  # mode=missing
+        cands = sorted(
+            ((lev(t, tok), -df, t) for t, df in vocab.items()
+             if 1 <= lev(t, tok) <= 2),
+        )[:5]
+        want.extend((tok, t, d, -negdf) for d, negdf, t in cands)
+    assert got == want
+    assert all(sug != tok for tok, sug, _d, _f in got)
+    # mode=always also suggests for in-vocabulary tokens, still never
+    # echoing the token itself; pick a vocab token that provably has a
+    # neighbor so the suggestion list is non-empty
+    t0 = next(
+        t for t in sorted(vocab)
+        if any(u != t and 1 <= lev(u, t) <= 2 for u in vocab)
+    )
+    alw = suggest_terms(s, t0, max_edits=2, k=5, mode="always")
+    want_alw = sorted(
+        ((lev(u, t0), -df, u) for u, df in vocab.items()
+         if 1 <= lev(u, t0) <= 2),
+    )[:5]
+    assert alw == [(t0, u, d, -negdf) for d, negdf, u in want_alw]
+    assert suggest_terms(s, t0, max_edits=2, k=5) == []  # mode=missing skips

@@ -511,3 +511,49 @@ def test_match_agg_metrics(spark, agg_index, oracle_tiny, tiny_pages_pd):
         s, "the data", "n_chars", filters=flt, distributed=True
     ) == st_f
     assert st_f["count"] <= st["count"]
+
+
+def test_match_agg_top_hits(spark, agg_index, oracle_tiny, tiny_pages_pd):
+    """terms→top_hits: driver == distributed == a pure-python oracle
+    (per-bucket top-k by (n_chars DESC, doc_id ASC))."""
+    from data_prepper_spark.index.filtered import match_agg_top_hits
+
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    langs = {
+        xxh64_signed(r.url): r.lang
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    s = BM25Searcher(spark, agg_index)
+    matched = set()
+    for t in ("data", "the"):
+        matched |= set(oracle_tiny.postings.get(t, ()))
+    want = []
+    for lg in sorted({langs[d] for d in matched}):
+        docs = sorted(
+            (d for d in matched if langs[d] == lg),
+            key=lambda d: (-nchars[d], d),
+        )[:3]
+        want.extend((lg, d, nchars[d]) for d in docs)
+    got = match_agg_top_hits(s, "the data", "lang", "n_chars", k=3)
+    assert got == want
+    assert match_agg_top_hits(
+        s, "the data", "lang", "n_chars", k=3, distributed=True
+    ) == got
+    # ascending flips the per-bucket order
+    asc = match_agg_top_hits(s, "the data", "lang", "n_chars", k=3,
+                             ascending=True)
+    want_asc = []
+    for lg in sorted({langs[d] for d in matched}):
+        docs = sorted(
+            (d for d in matched if langs[d] == lg),
+            key=lambda d: (nchars[d], d),
+        )[:3]
+        want_asc.extend((lg, d, nchars[d]) for d in docs)
+    assert asc == want_asc
+    assert match_agg_top_hits(
+        s, "the data", "lang", "n_chars", k=3, ascending=True,
+        distributed=True,
+    ) == asc
