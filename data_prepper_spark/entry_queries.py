@@ -1146,6 +1146,58 @@ def sql_ft_agg_top_hits() -> str:
 """
 
 
+def q_ft_agg_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation (OpenSearch aggs:significant_terms
+    — "unusually common in the matched docs vs the index",
+    index/filtered.py match_agg_significant_terms) on the source
+    docvalue: per bucket, foreground (match set) vs background counts,
+    ranked by the JLH score computed in exact integer arithmetic scaled
+    by 10⁶ (both sides truncate toward zero, DuckDB's // rule)."""
+    from .index.filtered import match_agg_significant_terms
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for bucket, score_e6, fg_n, bg_n in match_agg_significant_terms(
+            s, qtext, "source", k=10, distributed=True
+        ):
+            rows.append((qid, str(bucket), score_e6, fg_n, bg_n))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, bucket string, score_e6 long, fg_n long, bg_n long",
+    )
+
+
+def sql_ft_agg_significant_terms() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        match = _agg_match_where(qtext)
+        selects.append(
+            f"SELECT {qid} AS query_id, f.bucket,\n"
+            f"       (((f.fg_n::HUGEINT * bt.b_tot - b.bg_n::HUGEINT * ft.f_tot)\n"
+            f"         * f.fg_n * bt.b_tot * 1000000)\n"
+            f"        // (ft.f_tot::HUGEINT * ft.f_tot * b.bg_n * bt.b_tot)\n"
+            f"       )::BIGINT AS score_e6,\n"
+            f"       f.fg_n, b.bg_n\n"
+            f"FROM (SELECT d.source::VARCHAR AS bucket, count(*)::BIGINT AS fg_n\n"
+            f"      FROM documents d WHERE {match} GROUP BY 1) f\n"
+            f"JOIN (SELECT d.source::VARCHAR AS bucket, count(*)::BIGINT AS bg_n\n"
+            f"      FROM documents d\n"
+            f"      WHERE d.doc_id IN (SELECT doc_id FROM dl)\n"
+            f"      GROUP BY 1) b USING (bucket)\n"
+            f"CROSS JOIN (SELECT count(*)::BIGINT AS f_tot FROM documents d\n"
+            f"            WHERE {match}) ft\n"
+            f"CROSS JOIN (SELECT count(*)::BIGINT AS b_tot FROM documents d\n"
+            f"            WHERE d.doc_id IN (SELECT doc_id FROM dl)) bt\n"
+            f"QUALIFY row_number() OVER (ORDER BY score_e6 DESC, f.bucket) <= 10"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 # term-suggester reference set: typos of corpus query words, plus one
 # in-vocabulary token ("data") that mode=missing must skip
 SUGGEST_TEXT = "sparq indxe mege windoq tble data"
@@ -5627,6 +5679,7 @@ QUERIES = {
     "ft_agg_range": q_ft_agg_range,
     "ft_agg_terms_stats": q_ft_agg_terms_stats,
     "ft_agg_top_hits": q_ft_agg_top_hits,
+    "ft_agg_significant_terms": q_ft_agg_significant_terms,
     "ft_suggest_terms": q_ft_suggest_terms,
     "ft_function_score": q_ft_function_score,
     "ft_more_like_this": q_ft_more_like_this,
@@ -5771,6 +5824,7 @@ ORACLES = {
     "ft_agg_range": sql_ft_agg_range(),
     "ft_agg_terms_stats": sql_ft_agg_terms_stats(),
     "ft_agg_top_hits": sql_ft_agg_top_hits(),
+    "ft_agg_significant_terms": sql_ft_agg_significant_terms(),
     "ft_suggest_terms": sql_ft_suggest_terms(),
     "ft_function_score": sql_ft_function_score(),
     "ft_more_like_this": sql_ft_more_like_this(),
@@ -5845,15 +5899,15 @@ _DRIVER_WINDOW_R5 = [
     "multimodal_features", "multimodal_meta", "dedup_minhash_lsh",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_langid",
     "text_fingerprint",
-    # -- new this session: OpenSearch aggregations + suggester (7) --
+    # -- new this session: OpenSearch aggregations + suggester (8) --
     "ft_agg_stats", "ft_agg_percentiles", "ft_agg_cardinality",
     "ft_agg_range", "ft_agg_terms_stats", "ft_agg_top_hits",
-    "ft_suggest_terms",
-    # -- stalest r3-only (18), operators touched this round first --
+    "ft_agg_significant_terms", "ft_suggest_terms",
+    # -- stalest r3-only (17), operators touched this round first --
     "user_agent", "user_agent_uap",
     "ft_token_counts", "ft_term_df", "ft_postings_roundtrip",
     "ft_doc_stats", "ft_bm25_topk",
-    "parse_json", "parse_json_pointer", "date_locale",
+    "parse_json", "parse_json_pointer",
     "list_to_map_flatten", "obfuscate_patterns", "grok_clf",
     "otel_metrics_full", "http_ingest",
     "ft_family_bm25_distributed", "ft_family_agg_date_histogram",

@@ -1350,6 +1350,86 @@ def _terms_stats_distributed(
     ]
 
 
+def match_agg_significant_terms(
+    searcher, query_text: str, field: str, k: int = 10, filters=(),
+    distributed: bool = False,
+) -> list[tuple[object, int, int, int]]:
+    """Significant-terms aggregation over a docvalues field (OpenSearch
+    ``aggs:significant_terms`` — "what is unusually common in the
+    matched docs vs the whole index"): per field value, the foreground
+    count (matched docs) vs the background count (all live docs), ranked
+    by the JLH score (fg% − bg%)·(fg%/bg%) — computed in EXACT integer
+    arithmetic scaled by 10⁶ so engine and SQL oracle agree bit-for-bit
+    (float rounding of a rational score could diverge at ties):
+
+        score_e6 = ((fg·B − bg·F)·fg·B·10⁶) // (F²·bg·B)
+
+    with F = foreground size, B = background size.  Only buckets with
+    fg > 0 are candidates (OpenSearch emits no zero-fg buckets); ties
+    rank by (score DESC, bucket ASC).  Returns (bucket, score_e6, fg_n,
+    bg_n).  Distributed mode reuses the terms-agg partial shape for the
+    foreground and one docmeta groupBy for the background — only
+    (value, count) pairs cross the shuffle."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+    if distributed:
+        fg_pairs = _agg_distributed(
+            searcher, ids, buckets, field, filters, lambda v: v
+        )
+        meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+        if filters:
+            meta = meta.filter(spark_filter_col(filters))
+        if searcher.deleted.size:
+            meta = meta.filter(
+                ~F.col("doc_id").isin([int(d) for d in searcher.deleted])
+            )
+        bg_rows = (
+            meta.groupBy(F.col(field).alias("v"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        bg = {r["v"]: int(r["n"]) for r in bg_rows}
+        fg = {v: n for v, n in fg_pairs}
+    else:
+        m_ids, (keys,) = _matched_with_cols(
+            searcher, ids, buckets, filters, [field]
+        )
+        if keys.size == 0:
+            return []
+        uniq, counts = np.unique(keys, return_counts=True)
+        fg = {
+            (u.item() if hasattr(u, "item") else u): int(c)
+            for u, c in zip(uniq, counts)
+        }
+        meta_ids, meta_vals = _meta_ids_vals(searcher, filters, field)
+        if searcher.deleted.size:
+            live = ~_member(meta_ids, searcher.deleted)
+            meta_vals = meta_vals[live]
+        bu, bc = np.unique(meta_vals, return_counts=True)
+        bg = {
+            (u.item() if hasattr(u, "item") else u): int(c)
+            for u, c in zip(bu, bc)
+        }
+    f_tot = sum(fg.values())
+    b_tot = sum(bg.values())
+    if f_tot == 0 or b_tot == 0:
+        return []
+    scored = []
+    for v, fg_n in fg.items():
+        bg_n = bg.get(v, fg_n)  # fg docs are in the background too
+        num = (fg_n * b_tot - bg_n * f_tot) * fg_n * b_tot * 10**6
+        den = f_tot * f_tot * bg_n * b_tot
+        # truncate toward zero, NOT floor: DuckDB's // truncates on
+        # negatives (-7//2 = -3) while python floors (-4) — negative
+        # scores (fg% < bg%) must agree with the SQL oracle
+        score_e6 = num // den if num >= 0 else -((-num) // den)
+        scored.append((v, score_e6, fg_n, bg_n))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
 def match_agg_top_hits(
     searcher, query_text: str, key_field: str, sort_field: str, k: int = 3,
     ascending: bool = False, filters=(), distributed: bool = False,

@@ -557,3 +557,43 @@ def test_match_agg_top_hits(spark, agg_index, oracle_tiny, tiny_pages_pd):
         s, "the data", "lang", "n_chars", k=3, ascending=True,
         distributed=True,
     ) == asc
+
+
+def test_match_agg_significant_terms(spark, agg_index, oracle_tiny,
+                                     tiny_pages_pd):
+    """significant_terms: driver == distributed == a pure-python exact
+    integer JLH oracle (truncate-toward-zero, the DuckDB // rule)."""
+    from data_prepper_spark.index.filtered import (
+        match_agg_significant_terms,
+    )
+
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    s = BM25Searcher(spark, agg_index)
+    matched = set()
+    for t in ("data", "the"):
+        matched |= set(oracle_tiny.postings.get(t, ()))
+    fg, bg = {}, {}
+    for d, v in nchars.items():
+        if d not in oracle_tiny.doc_len:
+            continue  # token-less docs never reach docmeta (the background)
+        bg[v] = bg.get(v, 0) + 1
+        if d in matched:
+            fg[v] = fg.get(v, 0) + 1
+    F_, B_ = sum(fg.values()), sum(bg.values())
+    want = []
+    for v, fg_n in fg.items():
+        bg_n = bg[v]
+        num = (fg_n * B_ - bg_n * F_) * fg_n * B_ * 10**6
+        den = F_ * F_ * bg_n * B_
+        sc = num // den if num >= 0 else -((-num) // den)
+        want.append((v, sc, fg_n, bg_n))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    want = want[:10]
+    got = match_agg_significant_terms(s, "the data", "n_chars", k=10)
+    assert got == want
+    assert match_agg_significant_terms(
+        s, "the data", "n_chars", k=10, distributed=True
+    ) == got
