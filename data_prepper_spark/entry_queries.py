@@ -1198,6 +1198,57 @@ def sql_ft_agg_significant_terms() -> str:
 """
 
 
+def q_ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit highlighting (OpenSearch highlight / Lucene plain highlighter,
+    index/highlight.py): top-k BM25 docs per reference query, each with
+    a deterministic snippet — fragment anchored at the earliest query-
+    term occurrence, every term token wrapped in <em> tags.  Pure
+    Catalyst column expressions over the source table (the index stores
+    postings, not text — fragments build from _source at fetch, the
+    OpenSearch model)."""
+    from .index.highlight import highlight_hits
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    docs = _docs(spark, sf_dir)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = s.search(qtext, k=FT_K, distributed=True, mode="brute",
+                        tie_round=4)
+        for did, snip in highlight_hits(docs, hits, qtext):
+            rows.append((qid, did, snip))
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, snippet string"
+    )
+
+
+def sql_ft_highlight() -> str:
+    from .index.highlight import highlight_pattern
+
+    selects = []
+    for qid, qtext in FT_QUERIES:
+        terms = sorted(set(qtext.split()))
+        pos = ", ".join(
+            f"nullif(strpos(lower(d.text), '{t}'), 0)" for t in terms
+        )
+        # DuckDB standard strings keep backslashes literally — embed the
+        # pattern as-is ('\b' in the SQL text reaches RE2 as \b)
+        pat = highlight_pattern(qtext)
+        selects.append(
+            f"SELECT r.query_id, r.doc_id,\n"
+            f"       regexp_replace(\n"
+            f"         substr(d.text, greatest(1, least({pos}) - 30), 80),\n"
+            f"         '{pat}', '<em>\\1</em>', 'g') AS snippet\n"
+            f"FROM ranked r JOIN documents d USING (doc_id)\n"
+            f"WHERE r.rn <= {FT_K} AND r.query_id = {qid}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    base = sql_ft_bm25_topk()
+    # reuse the bm25 CTE chain up through `ranked`, swap the final SELECT
+    cut = base.rindex("SELECT query_id, doc_id, score_r FROM ranked")
+    return base[:cut] + union + "\n"
+
+
 # term-suggester reference set: typos of corpus query words, plus one
 # in-vocabulary token ("data") that mode=missing must skip
 SUGGEST_TEXT = "sparq indxe mege windoq tble data"
@@ -5680,6 +5731,7 @@ QUERIES = {
     "ft_agg_terms_stats": q_ft_agg_terms_stats,
     "ft_agg_top_hits": q_ft_agg_top_hits,
     "ft_agg_significant_terms": q_ft_agg_significant_terms,
+    "ft_highlight": q_ft_highlight,
     "ft_suggest_terms": q_ft_suggest_terms,
     "ft_function_score": q_ft_function_score,
     "ft_more_like_this": q_ft_more_like_this,
@@ -5825,6 +5877,7 @@ ORACLES = {
     "ft_agg_terms_stats": sql_ft_agg_terms_stats(),
     "ft_agg_top_hits": sql_ft_agg_top_hits(),
     "ft_agg_significant_terms": sql_ft_agg_significant_terms(),
+    "ft_highlight": sql_ft_highlight(),
     "ft_suggest_terms": sql_ft_suggest_terms(),
     "ft_function_score": sql_ft_function_score(),
     "ft_more_like_this": sql_ft_more_like_this(),
@@ -5899,16 +5952,16 @@ _DRIVER_WINDOW_R5 = [
     "multimodal_features", "multimodal_meta", "dedup_minhash_lsh",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_langid",
     "text_fingerprint",
-    # -- new this session: OpenSearch aggregations + suggester (8) --
+    # -- new this session: aggregations, suggester, highlighting (9) --
     "ft_agg_stats", "ft_agg_percentiles", "ft_agg_cardinality",
     "ft_agg_range", "ft_agg_terms_stats", "ft_agg_top_hits",
-    "ft_agg_significant_terms", "ft_suggest_terms",
-    # -- stalest r3-only (17), operators touched this round first --
+    "ft_agg_significant_terms", "ft_suggest_terms", "ft_highlight",
+    # -- stalest r3-only (16), operators touched this round first --
     "user_agent", "user_agent_uap",
     "ft_token_counts", "ft_term_df", "ft_postings_roundtrip",
     "ft_doc_stats", "ft_bm25_topk",
     "parse_json", "parse_json_pointer",
-    "list_to_map_flatten", "obfuscate_patterns", "grok_clf",
+    "list_to_map_flatten", "grok_clf",
     "otel_metrics_full", "http_ingest",
     "ft_family_bm25_distributed", "ft_family_agg_date_histogram",
     "ft_family_filtered_topk",
