@@ -475,6 +475,13 @@ def _member_sorted(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     return sorted_set[loc] == ids
 
 
+# Pruning-convergence guard for both BMW kernels: after this many scored
+# segments without the threshold beating the remaining upper bounds, the
+# kernel concedes and finishes with one exact brute pass (decode memos make
+# the concession cheap for hot slices).  Tunable for measurement.
+BMW_MAX_SEG = 16
+
+
 def score_bmw_lazy(
     slices: list[LazySlice], k1: float, b: float, avgdl: float, k: int,
     allowed: np.ndarray | None = None,
@@ -512,7 +519,7 @@ def score_bmw_lazy(
     n_got = 0
     theta = theta0
     seg_end = np.append(bounds[1:], np.iinfo(np.int64).max)
-    MAX_SEG = 16  # pruning-convergence guard (see score_bmw)
+    MAX_SEG = BMW_MAX_SEG  # pruning-convergence guard (see score_bmw)
     for n_seen, si in enumerate(seg_order):
         if seg_ub[si] < theta:
             break
@@ -649,7 +656,7 @@ def score_bmw(
     # whole-range brute scoring in ONE vectorized pass is strictly
     # cheaper (~ms) — output is identical either way (both paths score
     # exactly; only the pruning strategy differs).
-    MAX_SEG = 16
+    MAX_SEG = BMW_MAX_SEG
     for n_seen, si in enumerate(seg_order):
         if seg_ub[si] < theta:
             break  # all remaining segments have strictly smaller bounds
