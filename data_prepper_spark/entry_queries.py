@@ -1198,6 +1198,78 @@ def sql_ft_agg_significant_terms() -> str:
 """
 
 
+def q_ft_family_agg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-period metric aggregations over an index family (OpenSearch
+    stats/percentiles/cardinality over `my-index-*`, index/family.py
+    agg_stats / agg_percentiles / agg_cardinality): per-period exact
+    (value, count) histograms fold across the covered periods —
+    disjoint doc spaces, additive counts — then every metric derives
+    from the folded histogram.  Long-format rows (query_id, kind, v):
+    n/min_v/max_v/sum_v/avg_e4 (exact scaled-int avg) + p25/p50/p75/p95
+    (nearest-rank) of n_chars + distinct_src (exact source cardinality).
+    Covered range = [2025.06.02, 2025.06.03] ⇒ doc_id % 96 ∈ [24, 72)."""
+    from .index.family import FamilySearcher
+
+    root = _family_root(spark, sf_dir)
+    fs = FamilySearcher(spark, root)
+    cover = {"start": "2025.06.02", "end": "2025.06.03"}
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        st = fs.agg_stats(qtext, "n_chars", **cover)
+        if st["count"]:
+            rows.extend([
+                (qid, "n", st["count"]),
+                (qid, "min_v", int(st["min"])),
+                (qid, "max_v", int(st["max"])),
+                (qid, "sum_v", int(st["sum"])),
+                (qid, "avg_e4", int(st["sum"]) * 10000 // st["count"]),
+            ])
+        for p, v in fs.agg_percentiles(qtext, "n_chars", **cover):
+            rows.append((qid, f"p{int(p)}", int(v)))
+        rows.append(
+            (qid, "distinct_src", fs.agg_cardinality(qtext, "source", **cover))
+        )
+    return spark.createDataFrame(rows, "query_id int, kind string, v long")
+
+
+def sql_ft_family_agg_metrics() -> str:
+    rng = "(d.doc_id % 96) >= 24 AND (d.doc_id % 96) < 72"
+    pvals = ", ".join(f"({p})" for p in AGG_PCTS)
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        match = _agg_match_where(qtext)
+        selects.append(
+            f"SELECT {qid} AS query_id, s.kind, s.v FROM (\n"
+            f"  SELECT 'n' AS kind, count(*)::BIGINT AS v FROM documents d\n"
+            f"    WHERE {rng} AND {match}\n"
+            f"  UNION ALL SELECT 'min_v', min(d.n_chars)::BIGINT FROM documents d\n"
+            f"    WHERE {rng} AND {match}\n"
+            f"  UNION ALL SELECT 'max_v', max(d.n_chars)::BIGINT FROM documents d\n"
+            f"    WHERE {rng} AND {match}\n"
+            f"  UNION ALL SELECT 'sum_v', sum(d.n_chars)::BIGINT FROM documents d\n"
+            f"    WHERE {rng} AND {match}\n"
+            f"  UNION ALL SELECT 'avg_e4',\n"
+            f"    ((sum(d.n_chars)::BIGINT * 10000) // count(*))::BIGINT\n"
+            f"    FROM documents d WHERE {rng} AND {match}\n"
+            f"  UNION ALL\n"
+            f"  SELECT 'p' || p.pct::INT::VARCHAR, r.v::BIGINT\n"
+            f"  FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn,\n"
+            f"               count(*) OVER () AS cnt\n"
+            f"        FROM (SELECT d.n_chars AS v FROM documents d\n"
+            f"              WHERE {rng} AND {match})) r\n"
+            f"  JOIN (VALUES {pvals}) p(pct)\n"
+            f"    ON r.rn = greatest(1, ceil(p.pct / 100.0 * r.cnt)::BIGINT)\n"
+            f"  UNION ALL SELECT 'distinct_src',\n"
+            f"    count(DISTINCT d.source)::BIGINT FROM documents d\n"
+            f"    WHERE {rng} AND {match}\n"
+            f") s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 def q_ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hit highlighting (OpenSearch highlight / Lucene plain highlighter,
     index/highlight.py): top-k BM25 docs per reference query, each with
@@ -5732,6 +5804,7 @@ QUERIES = {
     "ft_agg_top_hits": q_ft_agg_top_hits,
     "ft_agg_significant_terms": q_ft_agg_significant_terms,
     "ft_highlight": q_ft_highlight,
+    "ft_family_agg_metrics": q_ft_family_agg_metrics,
     "ft_suggest_terms": q_ft_suggest_terms,
     "ft_function_score": q_ft_function_score,
     "ft_more_like_this": q_ft_more_like_this,
@@ -5878,6 +5951,7 @@ ORACLES = {
     "ft_agg_top_hits": sql_ft_agg_top_hits(),
     "ft_agg_significant_terms": sql_ft_agg_significant_terms(),
     "ft_highlight": sql_ft_highlight(),
+    "ft_family_agg_metrics": sql_ft_family_agg_metrics(),
     "ft_suggest_terms": sql_ft_suggest_terms(),
     "ft_function_score": sql_ft_function_score(),
     "ft_more_like_this": sql_ft_more_like_this(),
@@ -5952,16 +6026,17 @@ _DRIVER_WINDOW_R5 = [
     "multimodal_features", "multimodal_meta", "dedup_minhash_lsh",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_langid",
     "text_fingerprint",
-    # -- new this session: aggregations, suggester, highlighting (9) --
+    # -- new this session: aggregations, suggester, highlighting (10) --
     "ft_agg_stats", "ft_agg_percentiles", "ft_agg_cardinality",
     "ft_agg_range", "ft_agg_terms_stats", "ft_agg_top_hits",
     "ft_agg_significant_terms", "ft_suggest_terms", "ft_highlight",
-    # -- stalest r3-only (16), operators touched this round first --
+    "ft_family_agg_metrics",
+    # -- stalest r3-only (15), operators touched this round first --
     "user_agent", "user_agent_uap",
     "ft_token_counts", "ft_term_df", "ft_postings_roundtrip",
     "ft_doc_stats", "ft_bm25_topk",
     "parse_json", "parse_json_pointer",
-    "list_to_map_flatten", "grok_clf",
+    "grok_clf",
     "otel_metrics_full", "http_ingest",
     "ft_family_bm25_distributed", "ft_family_agg_date_histogram",
     "ft_family_filtered_topk",

@@ -382,6 +382,75 @@ class FamilySearcher:
                 folded[bucket] += n
         return sorted(folded.items())
 
+    def agg_value_hist(
+        self,
+        query_text: str,
+        field: str,
+        filters=(),
+        start: str | None = None,
+        end: str | None = None,
+        periods: list[str] | None = None,
+    ):
+        """Cross-period (value, count) histogram of a docvalues field
+        over the match set — the foldable partial every metric
+        aggregation derives from (index/filtered.py match_value_hist):
+        period doc spaces are disjoint, so per-segment histograms fold
+        by summing counts per value, exactly."""
+        from collections import Counter
+
+        import numpy as np
+
+        from .filtered import match_value_hist
+
+        sel = periods if periods is not None else self.covered(start, end)
+        folded: Counter = Counter()
+        for p in sel:
+            vals, counts = match_value_hist(
+                self._searcher(p), query_text, field, filters
+            )
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                folded[v] += c
+        if not folded:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        keys = sorted(folded)
+        return np.array(keys), np.array(
+            [folded[k] for k in keys], dtype=np.int64
+        )
+
+    def agg_stats(self, query_text: str, field: str, **cover) -> dict:
+        """OpenSearch stats over `my-index-*` (count/min/max/sum/avg of
+        the covered periods' match set) — exact integer sums fold."""
+        from .filtered import stats_from_hist
+
+        return stats_from_hist(*self.agg_value_hist(query_text, field, **cover))
+
+    def agg_percentiles(
+        self, query_text: str, field: str, percents=(25.0, 50.0, 75.0, 95.0),
+        **cover,
+    ) -> list[tuple[float, object]]:
+        """Nearest-rank-exact percentiles over `my-index-*` — exact at
+        any period count because the folded histogram is exact."""
+        from .filtered import percentiles_from_hist
+
+        return percentiles_from_hist(
+            *self.agg_value_hist(query_text, field, **cover), percents
+        )
+
+    def agg_cardinality(self, query_text: str, field: str, **cover) -> int:
+        """EXACT distinct count over `my-index-*` (a value present in
+        many periods counts once — the histogram keys are the set)."""
+        vals, _ = self.agg_value_hist(query_text, field, **cover)
+        return int(vals.size)
+
+    def agg_range(self, query_text: str, field: str, ranges, **cover):
+        """[from, to) bucket counts over `my-index-*` — every bucket
+        emitted, overlap allowed (OpenSearch range-agg rules)."""
+        from .filtered import range_from_hist
+
+        return range_from_hist(
+            *self.agg_value_hist(query_text, field, **cover), ranges
+        )
+
     def search_distributed(
         self,
         query_text: str,

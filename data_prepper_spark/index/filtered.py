@@ -1083,6 +1083,79 @@ def _matched_values_distributed(searcher, labels, buckets, field, filters):
     return vals, counts
 
 
+def match_value_hist(
+    searcher, query_text: str, field: str, filters=(),
+    distributed: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The exact (value, count) histogram of one docvalues field over the
+    match set — THE foldable partial for every metric aggregation
+    (stats / percentiles / cardinality / range all derive from it) and
+    for their cross-period family forms: period doc spaces are disjoint,
+    so per-segment histograms fold by summing counts per value, with no
+    global-stats coupling.  Sorted by value."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if distributed:
+        return _matched_values_distributed(
+            searcher, ids, buckets, field, filters
+        )
+    vals = _matched_with_values(searcher, ids, buckets, filters, field)
+    uniq, counts = np.unique(vals, return_counts=True)
+    return uniq, counts.astype(np.int64)
+
+
+def stats_from_hist(vals: np.ndarray, counts: np.ndarray) -> dict:
+    """count/min/max/sum/avg from a sorted (value, count) histogram —
+    integer sums stay exact (the engine↔oracle hashing contract)."""
+    if vals.size == 0:
+        return {"count": 0, "min": None, "max": None, "sum": 0, "avg": None}
+    n = int(counts.sum())
+    total = (vals * counts).sum()
+    return {
+        "count": n,
+        "min": vals[0].item(),
+        "max": vals[-1].item(),
+        "sum": total.item(),
+        "avg": float(total) / n,
+    }
+
+
+def percentiles_from_hist(
+    vals: np.ndarray, counts: np.ndarray, percents
+) -> list[tuple[float, object]]:
+    """Nearest-rank-exact percentiles from a sorted (value, count)
+    histogram — percentile p = value at 1-based rank ceil(p/100·n)."""
+    if vals.size == 0:
+        return []
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = []
+    for p in percents:
+        rank = max(1, int(math.ceil(p / 100.0 * n)))
+        v = vals[int(np.searchsorted(cum, rank, side="left"))]
+        out.append((float(p), v.item() if hasattr(v, "item") else v))
+    return out
+
+
+def range_from_hist(vals: np.ndarray, counts: np.ndarray, ranges):
+    """[from, to) bucket counts from a sorted (value, count) histogram;
+    every bucket emitted, overlap allowed (OpenSearch range-agg rules)."""
+    out = []
+    for label, lo, hi in ranges:
+        if vals.size == 0:
+            out.append((label, 0))
+            continue
+        m = np.ones(vals.shape, dtype=bool)
+        if lo is not None:
+            m &= vals >= lo
+        if hi is not None:
+            m &= vals < hi
+        out.append((label, int(counts[m].sum())))
+    return out
+
+
 def match_agg_stats(
     searcher, query_text: str, field: str, filters=(),
     distributed: bool = False,

@@ -251,3 +251,59 @@ def test_family_distributed_rank_identical(spark, family_root):
         want_t = sorted(allm, key=lambda h: (-round(h[1], 4), h[0]))[:10]
         got_t = fs.search_distributed(q, k=10, tie_round=4)
         assert [d for d, _ in got_t] == [d for d, _ in want_t], q
+
+
+@pytest.fixture(scope="module")
+def family_root_dv(spark, tiny_corpus_path, workdir):
+    """Family with docvalues (n_chars/lang) for the cross-period metric
+    aggregations."""
+    root = os.path.join(workdir, "index_family_dv")
+    pages = spark.read.parquet(tiny_corpus_path).withColumn(
+        "n_chars", F.length("text")
+    )
+    build_family(
+        spark, pages, root, CFG, ts_col="warc_ts", pattern=PATTERN,
+        mode="pages", field_cols=("lang", "warc_ts", "n_chars"),
+    )
+    return root
+
+
+def test_family_metric_aggs_equal_single_index(spark, family_root_dv,
+                                               tiny_corpus_path, workdir):
+    """Cross-period stats/percentiles/cardinality/range over ALL periods
+    must equal the single-index aggregations over the same docs — the
+    folded (value, count) histogram is exact."""
+    from data_prepper_spark.index.filtered import (
+        match_agg_cardinality,
+        match_agg_percentiles,
+        match_agg_range,
+        match_agg_stats,
+    )
+
+    single = os.path.join(workdir, "index_agg_single_for_family")
+    pages = spark.read.parquet(tiny_corpus_path).withColumn(
+        "n_chars", F.length("text")
+    )
+    build_oneshot(spark, pages, single, CFG,
+                  field_cols=("lang", "warc_ts", "n_chars"))
+    s1 = BM25Searcher(spark, single)
+    fs = FamilySearcher(spark, family_root_dv)
+    for qtext in ("the data", "spark index"):
+        assert fs.agg_stats(qtext, "n_chars") == match_agg_stats(
+            s1, qtext, "n_chars"
+        )
+        assert fs.agg_percentiles(qtext, "n_chars") == (
+            match_agg_percentiles(s1, qtext, "n_chars")
+        )
+        assert fs.agg_cardinality(qtext, "n_chars") == (
+            match_agg_cardinality(s1, qtext, "n_chars")
+        )
+        ranges = [("lo", None, 1500), ("hi", 1500, None), ("all", None, None)]
+        assert fs.agg_range(qtext, "n_chars", ranges) == match_agg_range(
+            s1, qtext, "n_chars", ranges
+        )
+    # a period-range subset folds only the covered periods
+    sub = fs.periods[:2]
+    st_sub = fs.agg_stats("the data", "n_chars", periods=sub)
+    st_all = fs.agg_stats("the data", "n_chars")
+    assert 0 < st_sub["count"] < st_all["count"]
