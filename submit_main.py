@@ -195,6 +195,70 @@ def cmd_query(args) -> None:
                               "field": args.agg_field, "width": args.width,
                               "buckets": buckets}))
             continue
+        elif mode == "agg-stats":
+            from data_prepper_spark.index.filtered import match_agg_stats
+
+            st = match_agg_stats(s, q, args.agg_field, filters=filters,
+                                 distributed=args.distributed)
+            print(json.dumps({"query": q, "agg": "stats",
+                              "field": args.agg_field, "stats": st},
+                             default=str))
+            continue
+        elif mode == "agg-percentiles":
+            from data_prepper_spark.index.filtered import (
+                match_agg_percentiles,
+            )
+
+            pcts = [float(x) for x in args.percents.split(",")]
+            out = match_agg_percentiles(
+                s, q, args.agg_field, pcts, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "percentiles",
+                              "field": args.agg_field,
+                              "values": out}, default=str))
+            continue
+        elif mode == "agg-cardinality":
+            from data_prepper_spark.index.filtered import (
+                match_agg_cardinality,
+            )
+
+            n = match_agg_cardinality(s, q, args.agg_field, filters=filters,
+                                      distributed=args.distributed)
+            print(json.dumps({"query": q, "agg": "cardinality",
+                              "field": args.agg_field, "n_distinct": n}))
+            continue
+        elif mode == "agg-top-hits":
+            from data_prepper_spark.index.filtered import match_agg_top_hits
+
+            out = match_agg_top_hits(
+                s, q, args.key_field, args.sort_field, k=args.k,
+                ascending=args.asc, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "top_hits",
+                              "rows": out}, default=str))
+            continue
+        elif mode == "agg-significant":
+            from data_prepper_spark.index.filtered import (
+                match_agg_significant_terms,
+            )
+
+            out = match_agg_significant_terms(
+                s, q, args.agg_field, k=args.k, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "significant_terms",
+                              "rows": [[str(b), sc, fg, bg]
+                                       for b, sc, fg, bg in out]}))
+            continue
+        elif mode == "suggest":
+            from data_prepper_spark.index.boolquery import suggest_terms
+
+            out = suggest_terms(s, q, max_edits=args.max_edits, k=args.k,
+                                mode=args.suggest_mode)
+            print(json.dumps({"text": q, "suggestions": out}))
+            continue
         elif mode == "prefix":
             from data_prepper_spark.index.boolquery import search_prefix
 
@@ -223,11 +287,19 @@ def cmd_query(args) -> None:
             hits = s.search(q, k=args.k, distributed=args.distributed)
         ms = (time.perf_counter() - t0) * 1000
         urls = s.urls_for([d for d, _ in hits])
+        snippets = {}
+        if args.highlight_source:
+            from data_prepper_spark.index.highlight import highlight_hits
+
+            src = spark.read.parquet(args.highlight_source)
+            snippets = dict(highlight_hits(src, hits, q,
+                                           text_col=args.text_col))
         print(json.dumps({
             "query": q, "ms": round(ms, 1),
             "hits": [
                 {"rank": i + 1, "doc_id": d, "url": urls.get(d, ""),
-                 "score": round(sc, 4) if isinstance(sc, float) else sc}
+                 "score": round(sc, 4) if isinstance(sc, float) else sc,
+                 **({"snippet": snippets[d]} if d in snippets else {})}
                 for i, (d, sc) in enumerate(hits)
             ],
         }))
@@ -460,11 +532,14 @@ def main() -> None:
                     choices=["bm25", "phrase", "bool", "fuzzy", "wildcard",
                              "prefix", "regexp", "termrange", "fields",
                              "dismax", "sorted", "agg-terms",
-                             "agg-histogram"],
+                             "agg-histogram", "agg-stats", "agg-percentiles",
+                             "agg-cardinality", "agg-top-hits",
+                             "agg-significant", "suggest"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); fuzzy/wildcard/prefix/regexp/"
                          "termrange expand against the term dictionary; "
-                         "agg-* aggregate over the match set")
+                         "agg-* aggregate over the match set; suggest is "
+                         "the term suggester (did-you-mean)")
     pq.add_argument("--lower", help="termrange lower bound")
     pq.add_argument("--upper", help="termrange upper bound")
     pq.add_argument("--exclude-lower", action="store_true")
@@ -484,8 +559,18 @@ def main() -> None:
     pq.add_argument("--prefix-len", type=int, default=0)
     pq.add_argument("--fq", action="append", metavar="FIELD=QUERY",
                     help="per-field query for --mode fields (repeatable)")
-    pq.add_argument("--sort-field", help="docvalues column for --mode sorted")
+    pq.add_argument("--sort-field", help="docvalues column for --mode sorted"
+                                         " / agg-top-hits")
     pq.add_argument("--asc", action="store_true")
+    pq.add_argument("--key-field", help="bucket column for agg-top-hits")
+    pq.add_argument("--percents", default="25,50,75,95",
+                    help="comma-separated percentiles for agg-percentiles")
+    pq.add_argument("--suggest-mode", default="missing",
+                    choices=["missing", "always"])
+    pq.add_argument("--highlight-source",
+                    help="source-table parquet (doc_id, text) — adds a "
+                         "highlight snippet per hit")
+    pq.add_argument("--text-col", default="text")
     pq.set_defaults(fn=cmd_query)
 
     pn = sub.add_parser("bench")
