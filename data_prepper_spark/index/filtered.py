@@ -1705,3 +1705,154 @@ def _search_filtered_distributed(
         ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
     out = ordered.limit(k).collect()
     return [(int(r["doc_id"]), float(r["score"])) for r in out]
+
+
+# --------------------------------------------------- composite / extended
+
+def match_agg_extended_stats(
+    searcher, query_text: str, field: str, filters=(),
+    distributed: bool = False,
+) -> dict:
+    """Extended-stats aggregation over the match set (OpenSearch
+    ``aggs:extended_stats``): count/min/max/sum plus sum_of_squares and
+    population variance.  Integral fields keep EXACT integer sum and
+    sum_sq (variance derives as (n·Σv² − (Σv)²)/n² in arbitrary-precision
+    python ints, so the oracle contract never meets float accumulation);
+    distributed mode folds the same per-range (value, count) histogram as
+    stats — cost bounded by field cardinality, not match count."""
+    vals, counts = match_value_hist(
+        searcher, query_text, field, filters, distributed=distributed
+    )
+    if vals.size == 0:
+        return {"count": 0, "min": None, "max": None, "sum": 0,
+                "sum_sq": 0, "variance": None}
+    n = int(counts.sum())
+    if np.issubdtype(vals.dtype, np.integer):
+        # python-int accumulation: exact at any corpus size (n·Σv² can
+        # overflow int64 at 10^12 docs × wide values)
+        s = sum(int(v) * int(c) for v, c in zip(vals, counts))
+        ss = sum(int(v) * int(v) * int(c) for v, c in zip(vals, counts))
+        var = float(n * ss - s * s) / float(n * n)
+    else:
+        vf = vals.astype(np.float64)
+        s = float((vf * counts).sum())
+        ss = float((vf * vf * counts).sum())
+        var = (n * ss - s * s) / (n * n)
+    return {
+        "count": n,
+        "min": vals[0].item(),
+        "max": vals[-1].item(),
+        "sum": s,
+        "sum_sq": ss,
+        "variance": var,
+    }
+
+
+def _tuple_gt(row, after) -> bool:
+    return tuple(row) > tuple(after)
+
+
+def match_agg_composite(
+    searcher, query_text: str, sources: list[str], size: int = 10,
+    after: tuple | None = None, filters=(), distributed: bool = False,
+):
+    """Composite aggregation (OpenSearch ``aggs:composite``): the match
+    set's distinct (source₁, …, sourceₙ) docvalue tuples with counts,
+    in ascending tuple order, paginated — only tuples strictly AFTER the
+    cursor are returned, ``size`` per page, with the page's last tuple as
+    the next ``after_key``.  THE scale shape for unbounded-cardinality
+    aggregations: every page is a bounded, resumable unit (deep bucket
+    sets never materialize at once), and the cursor pushes into the
+    per-range kernels so partials for skipped buckets are never emitted.
+    Returns (rows, after_key) with rows = [(v₁, …, vₙ, count)]."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return [], None
+    if distributed:
+        rows = _composite_distributed(
+            searcher, ids, buckets, sources, size, after, filters
+        )
+    else:
+        m_ids, cols = _matched_with_cols(
+            searcher, ids, buckets, filters, list(sources)
+        )
+        if m_ids.size == 0:
+            return [], None
+        pdf = pd.DataFrame({f: c for f, c in zip(sources, cols)})
+        grouped = (
+            pdf.groupby(list(sources), sort=True).size().reset_index(name="n")
+        )
+        rows = []
+        for rec in grouped.itertuples(index=False):
+            key = tuple(
+                v.item() if hasattr(v, "item") else v for v in rec[:-1]
+            )
+            if after is not None and not _tuple_gt(key, after):
+                continue
+            rows.append((*key, int(rec[-1])))
+            if len(rows) == size:
+                break
+    if not rows:
+        return [], None
+    return rows, tuple(rows[-1][:-1])
+
+
+def _composite_distributed(
+    searcher, labels, buckets, sources, size, after, filters
+):
+    """Per-range partials: match ∩ docvalues → per-range (tuple, count)
+    rows with the after-cursor applied INSIDE the kernel (skipped pages'
+    buckets never cross the shuffle); global groupBy-sum, ascending
+    tuple order, limit size."""
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+    srcs = list(sources)
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({**{f: [] for f in srcs}, "n": []})
+        if post_pdf.empty or meta_pdf.empty:
+            return empty
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(meta_ids)
+        meta_ids = meta_ids[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return empty
+        pos = np.searchsorted(meta_ids, matched)
+        pdf = pd.DataFrame(
+            {f: meta_pdf[f].to_numpy()[order][pos] for f in srcs}
+        )
+        g = pdf.groupby(srcs, sort=True).size().reset_index(name="n")
+        if after is not None:
+            keep = g[srcs].apply(
+                lambda row: _tuple_gt(tuple(row), after), axis=1
+            )
+            g = g[keep.to_numpy()] if len(g) else g
+        return g
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id", *srcs
+    )
+    ts = dict(meta.dtypes)
+    schema = ", ".join(f"`{f}` {ts[f]}" for f in srcs) + ", n long"
+    out = (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema=schema)
+        .groupBy(*srcs)
+        .agg(F.sum("n").alias("n"))
+        .orderBy(*srcs)
+        .limit(size)
+        .collect()
+    )
+    return [(*(r[f] for f in srcs), int(r["n"])) for r in out]

@@ -383,3 +383,221 @@ def _phrase_topk_driver(
     sc = idf * ta * (k1 + 1.0) / (ta + k1 * (1.0 - b + b * la / avgdl))
     order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
     return [(int(da[i]), float(sc[i])) for i in order]
+
+
+# ------------------------------------------------- match_phrase_prefix
+
+def _match_rows_alts(rows: list[dict], seq_alts: list[list[int]]):
+    """Adjacency match where each phrase position accepts ANY of a set of
+    term_ids (the last position of a match_phrase_prefix carries the
+    prefix's dictionary expansion; concrete positions are 1-element
+    sets).  Same composite-key m-way ``np.intersect1d`` core as
+    :func:`_match_rows` — per-(doc, position) keys are unique across
+    alternatives because one position holds exactly one token, so the
+    per-position union is a plain concatenation.  A position whose
+    alternatives are ALL absent from the range kills the match; a missing
+    alternative merely contributes nothing."""
+    flat = {t for alts in seq_alts for t in alts}
+    acc = {}
+    max_pos = 0
+    for row in rows:
+        tid = int(row["term_id"])
+        if tid not in flat:
+            continue
+        d = decode_docids(bytes(row["doc_ids"]))
+        tf = decode_uints(bytes(row["tfs"])).astype(np.int64)
+        dl = decode_uints(bytes(row["dls"])).astype(np.int64)
+        deltas = decode_uints(bytes(row["positions"])).astype(np.int64)
+        cum = np.cumsum(deltas)
+        ends = np.cumsum(tf)
+        starts = ends - tf
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        pos = cum - np.repeat(base, tf)
+        a = acc.setdefault(tid, {"docs": [], "tf": [], "dl": [], "pos": []})
+        a["docs"].append(d)
+        a["tf"].append(tf)
+        a["dl"].append(dl)
+        a["pos"].append(pos)
+        if pos.size:
+            max_pos = max(max_pos, int(pos.max()))
+    T = {
+        t: (
+            np.concatenate(a["docs"]),
+            np.concatenate(a["tf"]),
+            np.concatenate(a["dl"]),
+            np.concatenate(a["pos"]),
+        )
+        for t, a in acc.items()
+    }
+    common = None
+    for alts in seq_alts:
+        present = [t for t in alts if t in T]
+        if not present:
+            return [], [], [], []
+        docs_u = np.unique(np.concatenate([T[t][0] for t in present]))
+        common = (
+            docs_u if common is None
+            else np.intersect1d(common, docs_u, assume_unique=True)
+        )
+        if common.size == 0:
+            return [], [], [], []
+    stride = max_pos + len(seq_alts) + 2
+    keys = None
+    for j, alts in enumerate(seq_alts):
+        parts = []
+        for t in alts:
+            if t not in T:
+                continue
+            docs, tf, _dl, pos = T[t]
+            loc = np.searchsorted(common, docs)
+            loc_c = np.minimum(loc, common.size - 1)
+            in_common = common[loc_c] == docs
+            di = np.repeat(loc_c, tf)
+            keep = np.repeat(in_common, tf)
+            pj = pos[keep] - j
+            di = di[keep]
+            ok = pj >= 0
+            parts.append(di[ok] * stride + pj[ok])
+        kj = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        kj = np.sort(kj)
+        keys = kj if keys is None else np.intersect1d(keys, kj, assume_unique=True)
+        if keys.size == 0:
+            return [], [], [], []
+    di = keys // stride
+    pstart = keys % stride
+    bounds = np.flatnonzero(np.concatenate(([True], di[1:] != di[:-1])))
+    tfp = np.diff(np.append(bounds, di.size))
+    docs_out = common[di[bounds]]
+    first = pstart[bounds]
+    dcat = np.concatenate([T[t][0] for t in T])
+    lcat = np.concatenate([T[t][2] for t in T])
+    o = np.argsort(dcat, kind="stable")
+    dl_out = lcat[o][np.searchsorted(dcat[o], docs_out)]
+    return (
+        docs_out.tolist(),
+        tfp.tolist(),
+        dl_out.tolist(),
+        first.tolist(),
+    )
+
+
+def _range_kernel_alts(seq_alts: list[list[int]]):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_tf, out_dl, out_fp = _match_rows_alts(
+            pdf.to_dict("records"), seq_alts
+        )
+        return pd.DataFrame(
+            {"doc_id": out_d, "tf_phrase": out_tf, "dl": out_dl,
+             "first_pos": out_fp}
+        ).astype({"doc_id": "int64", "tf_phrase": "int64", "dl": "int64",
+                  "first_pos": "int64"})
+
+    return fn
+
+
+def phrase_prefix_topk(
+    searcher,
+    phrase_text: str,
+    k: int = 10,
+    tie_round: int = 4,
+    max_expansions: int = 1024,
+    distributed: bool = True,
+) -> list[tuple[int, float]]:
+    """match_phrase_prefix: the phrase's LAST token is a prefix — a doc
+    matches at position p when the leading tokens sit adjacently at
+    p..p+m−2 and the token at p+m−1 starts with the prefix (any
+    dictionary expansion, OpenSearch/Lucene MultiPhraseQuery position
+    semantics).  tf = count of such start positions (each position holds
+    exactly one token, so expansions can't double-count); df = matching
+    docs; BM25-scored like an exact phrase.
+
+    Scale shape identical to phrase_topk: per-docID-range positional
+    kernel (alternatives close locally), global df, Catalyst score."""
+    if not searcher.stats.get("positions"):
+        raise ValueError(
+            "phrase queries need a positional index (IndexConfig.positions=True)"
+        )
+    from .boolquery import expand_prefix
+
+    terms = tokenize(phrase_text)
+    if not terms:
+        return []
+    prefix = terms[-1]
+    exps = expand_prefix(searcher, prefix, max_expansions)
+    if not exps:
+        return []
+    seq_alts = [[xxh64_signed(t)] for t in terms[:-1]] + [
+        sorted(xxh64_signed(e) for e in exps)
+    ]
+    flat = sorted({t for alts in seq_alts for t in alts})
+    buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in flat})
+    k1, b = searcher.cfg.k1, searcher.cfg.b
+    n, avgdl = searcher.n_docs, searcher.avgdl
+    if not distributed:
+        import pyarrow.dataset as pads
+
+        flt = (
+            pads.field("term_bucket").isin(buckets)
+            & pads.field("term_id").isin(flat)
+        )
+        rows = searcher._postings.to_table(
+            columns=["range_id"] + _POS_COLS, filter=flt
+        ).to_pylist()
+        by_range: dict[int, list] = {}
+        for r in rows:
+            by_range.setdefault(int(r["range_id"]), []).append(r)
+        docs, tfs, dls = [], [], []
+        for rr in by_range.values():
+            d, tf, dl, _fp = _match_rows_alts(rr, seq_alts)
+            docs.extend(d)
+            tfs.extend(tf)
+            dls.extend(dl)
+        if searcher.deleted.size and docs:
+            from .deletes import _member
+
+            keep = ~_member(np.asarray(docs, dtype=np.int64), searcher.deleted)
+            docs = [x for x, kp in zip(docs, keep) if kp]
+            tfs = [x for x, kp in zip(tfs, keep) if kp]
+            dls = [x for x, kp in zip(dls, keep) if kp]
+        if not docs:
+            return []
+        df_p = len(docs)
+        idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+        da = np.asarray(docs, dtype=np.int64)
+        ta = np.asarray(tfs, dtype=np.float64)
+        la = np.asarray(dls, dtype=np.float64)
+        sc = idf * ta * (k1 + 1.0) / (ta + k1 * (1.0 - b + b * la / avgdl))
+        order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+        return [(int(da[i]), float(sc[i])) for i in order]
+    slices = (
+        searcher.spark.read.parquet(f"{searcher.index_dir}/postings")
+        .filter(
+            F.col("term_bucket").isin(buckets) & F.col("term_id").isin(flat)
+        )
+        .select("range_id", *_POS_COLS)
+    )
+    matched = slices.groupBy("range_id").applyInPandas(
+        _range_kernel_alts(seq_alts),
+        schema="doc_id long, tf_phrase long, dl long, first_pos long",
+    )
+    if searcher.deleted.size:
+        matched = matched.filter(
+            ~F.col("doc_id").isin(searcher.deleted.tolist())
+        )
+    matched = matched.localCheckpoint()
+    df_p = matched.count()
+    if df_p == 0:
+        return []
+    idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+    score = (
+        F.lit(idf)
+        * F.col("tf_phrase") * F.lit(k1 + 1.0)
+        / (F.col("tf_phrase") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    )
+    out = (
+        matched.withColumn("score", score)
+        .orderBy(F.round(F.col("score"), tie_round).desc(), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    return [(int(r["doc_id"]), float(r["score"])) for r in out]

@@ -256,3 +256,72 @@ def test_phrase_on_pfor_index(spark, pos_index):
     for ph in ["quick brown", "quick brown fox", "42 42", "lazy cat",
                "the quick brown fox"]:
         assert phrase_topk(s_pfor, ph, k=10) == phrase_topk(s_var, ph, k=10), ph
+
+
+# -------------------------------------------------- match_phrase_prefix
+
+def _phrase_prefix_oracle(docs, phrase, k1=1.2, b=0.75):
+    """Brute force: leading tokens adjacent, last token a PREFIX match."""
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    ts = phrase.split()
+    lead, pre = ts[:-1], ts[-1]
+    m = {}
+    for d, seq in toks.items():
+        c = sum(
+            1
+            for i in range(len(seq) - len(ts) + 1)
+            if seq[i : i + len(lead)] == lead
+            and seq[i + len(lead)].startswith(pre)
+        )
+        if c:
+            m[d] = c
+    df = len(m)
+    if df == 0:
+        return []
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    out = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    return sorted(out, key=lambda kv: (-round(kv[1], 4), kv[0]))
+
+
+PREFIX_PHRASES = [
+    "quick bro",       # single expansion (brown)
+    "brown fox a",     # multi expansion (a and another at all)
+    "the qu",          # qualifies at doc 1 only
+    "quick q",         # overlapping occurrences (doc 7)
+    "lazy c",          # no match
+    "qu",              # single-token phrase = plain prefix positions
+]
+
+
+def test_phrase_prefix_matches_brute_oracle(spark, pos_index):
+    from data_prepper_spark.index.phrase import phrase_prefix_topk
+
+    s = BM25Searcher(spark, pos_index)
+    for ph in PREFIX_PHRASES:
+        want = _phrase_prefix_oracle(DOCS, ph)[:10]
+        got = phrase_prefix_topk(s, ph, k=10, distributed=True)
+        assert [d for d, _ in got] == [d for d, _ in want], ph
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, ph
+        got_drv = phrase_prefix_topk(s, ph, k=10, distributed=False)
+        assert [d for d, _ in got_drv] == [d for d, _ in got], ph
+        assert all(
+            abs(x - y) < 1e-12 for (_, x), (_, y) in zip(got, got_drv)
+        ), ph
+
+
+def test_phrase_prefix_exact_term_included(spark, pos_index):
+    """The prefix's own exact term participates when it is in the
+    vocabulary ('quick bro*' and 'quick brown' agree on DOCS)."""
+    from data_prepper_spark.index.phrase import phrase_prefix_topk
+
+    s = BM25Searcher(spark, pos_index)
+    a = phrase_prefix_topk(s, "quick brown", k=10, distributed=False)
+    b = phrase_topk(s, "quick brown", k=10, distributed=False)
+    assert [d for d, _ in a] == [d for d, _ in b]
