@@ -5713,6 +5713,460 @@ def sql_select_entries() -> str:
     return "SELECT event_id, event_type, round(value, 6) AS value FROM events"
 
 
+# ---------------- round-5 session-4: score-shaping + paging serving surfaces
+# (index/rescore.py collapse/boosting/rescore/explain; index/filtered.py
+# composite + extended_stats; index/phrase.py match_phrase_prefix)
+
+_BM25_TERM = (
+    f"ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+    f"       * tf.tf * ({K1} + 1)\n"
+    f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))"
+)
+
+# field collapsing: (qid, query, collapse field)
+COLLAPSE_FT: list[tuple[int, str, str]] = [
+    (0, "spark index", "lang"),
+    (1, "the", "source"),
+    (2, "merge join window", "lang"),
+    (3, "table scan", "source"),
+]
+
+
+def q_ft_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (OpenSearch `collapse`, index/rescore.py
+    search_collapsed): top-k hits with at most one hit per distinct
+    docvalue — groups ranked by their winner's (round(score,4) DESC,
+    doc_id ASC), plus the group's total match count.  Distributed path:
+    per-docID-range postings × docmeta cogroup emits only per-key winner
+    partials, so shuffle traffic is bounded by ranges × keys."""
+    from .index.rescore import search_collapsed
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, field in COLLAPSE_FT:
+        for key, did, sc, n in search_collapsed(
+            s, qtext, field, k=FT_K, tie_round=4, distributed=True
+        ):
+            rows.append((qid, str(key), did, round(sc, 4), n))
+    return spark.createDataFrame(
+        rows, "query_id int, bucket string, doc_id long, score_r double, n long"
+    )
+
+
+def sql_ft_collapse() -> str:
+    selects = []
+    for qid, qtext, field in COLLAPSE_FT:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, d.{field}::VARCHAR AS bucket, tf.doc_id,\n"
+            f"  sum( {_BM25_TERM} ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"JOIN documents d ON d.doc_id = tf.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({terms})\n"
+            f"GROUP BY 1, 2, 3"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+col_scores AS ({union}),
+col_win AS (
+  SELECT query_id, bucket, doc_id, score,
+         row_number() OVER (PARTITION BY query_id, bucket
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY query_id, bucket) AS n
+  FROM col_scores
+),
+col_ranked AS (
+  SELECT query_id, bucket, doc_id, round(score, 4) AS score_r, n::BIGINT AS n,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rk
+  FROM col_win WHERE rn = 1
+)
+SELECT query_id, bucket, doc_id, score_r, n FROM col_ranked WHERE rk <= {FT_K}
+"""
+
+
+# boosting query: (qid, positive, negative, negative_boost)
+BOOSTING_FT: list[tuple[int, str, str, float]] = [
+    (0, "spark index", "the", 0.5),
+    (1, "table scan", "data query", 0.25),
+    (2, "the", "merge", 0.1),
+    (3, "customer value fast", "slow batch", 0.5),
+]
+
+
+def q_ft_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene BoostingQuery (index/rescore.py search_boosting): positive
+    clause scored normally, docs ALSO matching the negative clause keep
+    their place at score × negative_boost — demotion, not the must_not
+    exclusion.  Distributed: per-range applyInPandas, demotion closes
+    locally, global TakeOrdered."""
+    from .index.rescore import search_boosting
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, pos, neg, nb in BOOSTING_FT:
+        hits = search_boosting(
+            s, pos, neg, negative_boost=nb, k=FT_K, tie_round=4,
+            distributed=True,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_boosting() -> str:
+    selects = []
+    for qid, pos, neg, nb in BOOSTING_FT:
+        pterms = ", ".join(f"'{t}'" for t in sorted(set(pos.split())))
+        nterms = ", ".join(f"'{t}'" for t in sorted(set(neg.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( {_BM25_TERM} )\n"
+            f"  * (CASE WHEN tf.doc_id IN (SELECT DISTINCT doc_id FROM tf nx\n"
+            f"                             WHERE nx.term IN ({nterms}))\n"
+            f"     THEN {nb} ELSE 1 END)::DOUBLE AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({pterms})\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+bq_scores AS ({union}),
+bq_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM bq_scores
+)
+SELECT query_id, doc_id, score_r FROM bq_ranked WHERE rn <= {FT_K}
+"""
+
+
+# rescore: (qid, primary, rescore query, window, query_weight, rescore_weight)
+RESCORE_FT: list[tuple[int, str, str, int, float, float]] = [
+    (0, "the", "spark index", 30, 1.0, 2.0),
+    (1, "data query", "table scan", 20, 1.0, 0.5),
+    (2, "customer value fast", "the", 25, 2.0, 1.0),
+]
+
+
+def q_ft_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ranking (OpenSearch `rescore`, score_mode=total,
+    index/rescore.py search_rescored): the primary top-window re-ranked
+    by qw·primary + rw·secondary.  The second stage touches only
+    window_size docs — O(window), corpus-size-independent."""
+    from .index.rescore import search_rescored
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, pq, rq, w, qw, rw in RESCORE_FT:
+        hits = search_rescored(
+            s, pq, rq, window_size=w, query_weight=qw, rescore_weight=rw,
+            k=FT_K, tie_round=4,
+        )
+        rows.extend(
+            (qid, did, round(comb, 4), round(pr, 4), round(sec, 4))
+            for did, comb, pr, sec in hits
+        )
+    return spark.createDataFrame(
+        rows,
+        "query_id int, doc_id long, score_r double, prim_r double, sec_r double",
+    )
+
+
+def sql_ft_rescore() -> str:
+    ctes, selects = [], []
+    for qid, pq, rq, w, qw, rw in RESCORE_FT:
+        pterms = ", ".join(f"'{t}'" for t in sorted(set(pq.split())))
+        rterms = ", ".join(f"'{t}'" for t in sorted(set(rq.split())))
+        ctes.append(
+            f"rs_p{qid} AS (SELECT tf.doc_id, sum( {_BM25_TERM} ) AS p\n"
+            f"  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"  CROSS JOIN stats s WHERE tf.term IN ({pterms}) GROUP BY 1)"
+        )
+        ctes.append(
+            f"rs_s{qid} AS (SELECT tf.doc_id, sum( {_BM25_TERM} ) AS sec\n"
+            f"  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"  CROSS JOIN stats s WHERE tf.term IN ({rterms}) GROUP BY 1)"
+        )
+        ctes.append(
+            f"rs_w{qid} AS (SELECT doc_id, p FROM (\n"
+            f"  SELECT doc_id, p, row_number() OVER (ORDER BY round(p, 4) DESC, doc_id) AS rn\n"
+            f"  FROM rs_p{qid}) WHERE rn <= {w})"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, w.doc_id,\n"
+            f"  {qw}::DOUBLE * w.p + {rw}::DOUBLE * coalesce(x.sec, 0) AS comb,\n"
+            f"  w.p AS prim, coalesce(x.sec, 0)::DOUBLE AS sec\n"
+            f"FROM rs_w{qid} w LEFT JOIN rs_s{qid} x USING (doc_id)"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + ",\n" + ",\n".join(ctes) + f""",
+rs_comb AS ({union}),
+rs_ranked AS (
+  SELECT query_id, doc_id, round(comb, 4) AS score_r, round(prim, 4) AS prim_r,
+         round(sec, 4) AS sec_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(comb, 4) DESC, doc_id) AS rn
+  FROM rs_comb
+)
+SELECT query_id, doc_id, score_r, prim_r, sec_r FROM rs_ranked WHERE rn <= {FT_K}
+"""
+
+
+# explain: (qid, query); breakdown rows for the query's top-EXPLAIN_K docs
+EXPLAIN_FT: list[tuple[int, str]] = [
+    (0, "spark index"),
+    (1, "the data"),
+    (2, "customer value fast"),
+]
+EXPLAIN_K = 3
+
+
+def q_ft_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_explain endpoint (index/rescore.py explain_bm25): per-(doc, term)
+    BM25 breakdown — tf, df, and the term's contribution — for the
+    query's top-EXPLAIN_K docs; the doc's score is the sum of its rows
+    (pinned by tests/test_rescore.py)."""
+    from .index.rescore import explain_bm25
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in EXPLAIN_FT:
+        hits = s.search(qtext, k=EXPLAIN_K, tie_round=4)
+        for did, term, tf, dfv, contrib in explain_bm25(
+            s, qtext, [d for d, _ in hits]
+        ):
+            rows.append((qid, did, term, tf, dfv, round(contrib, 4)))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, doc_id long, term string, tf long, df long, contrib_r double",
+    )
+
+
+def sql_ft_explain() -> str:
+    ctes, selects = [], []
+    for qid, qtext in EXPLAIN_FT:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        ctes.append(
+            f"ex_s{qid} AS (SELECT tf.doc_id, sum( {_BM25_TERM} ) AS score\n"
+            f"  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"  CROSS JOIN stats s WHERE tf.term IN ({terms}) GROUP BY 1)"
+        )
+        ctes.append(
+            f"ex_t{qid} AS (SELECT doc_id FROM (\n"
+            f"  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rn\n"
+            f"  FROM ex_s{qid}) WHERE rn <= {EXPLAIN_K})"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id, tf.term, tf.tf, df.df,\n"
+            f"  round( {_BM25_TERM} , 4) AS contrib_r\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({terms})\n"
+            f"  AND tf.doc_id IN (SELECT doc_id FROM ex_t{qid})"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + ",\n" + ",\n".join(ctes) + f"""
+{union}
+"""
+
+
+# composite aggregation: (qid, query); sources fixed (lang, source)
+COMPOSITE_FT: list[tuple[int, str]] = [
+    (0, "the"),
+    (1, "spark index"),
+    (2, "merge join"),
+]
+COMPOSITE_PAGE = 7
+
+
+def q_ft_agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite aggregation (OpenSearch `aggs:composite`,
+    index/filtered.py match_agg_composite): the match set's distinct
+    (lang, source) tuples with counts in ascending tuple order, paged by
+    after_key cursor — each page is a bounded resumable unit and the
+    cursor pushes into the per-range kernels.  The entry walks every
+    page and tags rows with their page number, pinning pagination order
+    as well as the bucket counts."""
+    from .index.filtered import match_agg_composite
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in COMPOSITE_FT:
+        page, after = 0, None
+        while True:
+            prows, after = match_agg_composite(
+                s, qtext, ["lang", "source"], size=COMPOSITE_PAGE,
+                after=after, distributed=True,
+            )
+            if not prows:
+                break
+            rows.extend(
+                (qid, str(lang), str(src), int(n), page)
+                for lang, src, n in prows
+            )
+            if len(prows) < COMPOSITE_PAGE:
+                break
+            page += 1
+    return spark.createDataFrame(
+        rows, "query_id int, lang string, source string, n long, page int"
+    )
+
+
+def sql_ft_agg_composite() -> str:
+    selects = []
+    for qid, qtext in COMPOSITE_FT:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, lang, source, n,\n"
+            f"  ((row_number() OVER (ORDER BY lang, source) - 1) // {COMPOSITE_PAGE})::INT AS page\n"
+            f"FROM (\n"
+            f"  SELECT d.lang AS lang, d.source AS source, count(*)::BIGINT AS n\n"
+            f"  FROM documents d\n"
+            f"  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))\n"
+            f"  GROUP BY 1, 2\n"
+            f")"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+# extended_stats aggregation: (qid, query) over n_chars
+EXTSTATS_FT: list[tuple[int, str]] = [
+    (0, "spark index"),
+    (1, "the"),
+    (2, "table scan"),
+]
+
+
+def q_ft_agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extended_stats aggregation (OpenSearch, index/filtered.py
+    match_agg_extended_stats): count/min/max/sum plus sum_of_squares and
+    population variance over the match set's n_chars — integral fields
+    accumulate EXACT integer sum/sum_sq (python ints; n·Σv² overflows
+    int64 at 10^12 docs), variance derives as (n·Σv² − (Σv)²)/n²."""
+    from .index.filtered import match_agg_extended_stats
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in EXTSTATS_FT:
+        st = match_agg_extended_stats(s, qtext, "n_chars", distributed=True)
+        rows.append(
+            (qid, int(st["count"]), int(st["min"]), int(st["max"]),
+             int(st["sum"]), int(st["sum_sq"]), round(st["variance"], 6))
+        )
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n long, mn long, mx long, total long, total_sq long, "
+        "variance_r double",
+    )
+
+
+def sql_ft_agg_extended_stats() -> str:
+    selects = []
+    for qid, qtext in EXTSTATS_FT:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, count(*)::BIGINT AS n,\n"
+            f"  min(d.n_chars)::BIGINT AS mn, max(d.n_chars)::BIGINT AS mx,\n"
+            f"  sum(d.n_chars)::BIGINT AS total,\n"
+            f"  sum(d.n_chars::HUGEINT * d.n_chars)::BIGINT AS total_sq,\n"
+            f"  round( (count(*)::HUGEINT * sum(d.n_chars::HUGEINT * d.n_chars)\n"
+            f"          - sum(d.n_chars)::HUGEINT * sum(d.n_chars)::HUGEINT)::DOUBLE\n"
+            f"         / (count(*)::DOUBLE * count(*)::DOUBLE), 6) AS variance_r\n"
+            f"FROM documents d\n"
+            f"WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+# match_phrase_prefix: (qid, phrase whose LAST token is a prefix)
+PHRASE_PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "part fil"),
+    (1, "merge gro"),
+    (2, "the s"),
+    (3, "scan the ta"),
+    (4, "order fa"),
+]
+
+
+def q_ft_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix (Lucene MultiPhraseQuery position semantics,
+    index/phrase.py phrase_prefix_topk): leading tokens sit adjacently
+    and the final position holds ANY dictionary expansion of the prefix;
+    tf = matching start positions, df = matching docs, BM25-scored like
+    an exact phrase.  Per-docID-range positional kernel — alternatives
+    close locally, only (doc, tf, dl) partials cross the shuffle."""
+    from .index.phrase import phrase_prefix_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, ph in PHRASE_PREFIX_QUERIES:
+        hits = phrase_prefix_topk(s, ph, k=FT_K, tie_round=4, distributed=True)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_phrase_prefix() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, ph in PHRASE_PREFIX_QUERIES:
+        ts = ph.split()
+        m = len(ts)
+        joins = "".join(
+            f" JOIN toks t{j} ON t0.doc_id = t{j}.doc_id AND t{j}.ord = t0.ord + {j}"
+            for j in range(1, m)
+        )
+        conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts[:-1]))
+        last = f"t{m - 1}.term LIKE '{ts[-1]}%'"
+        where = (conds + " AND " if conds else "") + last
+        ctes.append(
+            f"pp{qid} AS (SELECT t0.doc_id, count(*)::BIGINT AS tfp "
+            f"FROM toks t0{joins} WHERE {where} GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM pp{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM pp{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM pp{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+pp_scores AS ({union}),
+pp_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM pp_scores
+)
+SELECT query_id, doc_id, score_r FROM pp_ranked WHERE rn <= {FT_K}
+"""
+    )
+
+
 QUERIES = {
     # fulltext index engine (north star)
     "ft_token_counts": q_ft_token_counts,
@@ -5862,6 +6316,14 @@ QUERIES = {
     "stateful_conclude": q_stateful_conclude,
     "codec_compressed": q_codec_compressed,
     "select_entries": q_select_entries,
+    # round-5 session-4: score-shaping + paging serving surfaces
+    "ft_collapse": q_ft_collapse,
+    "ft_boosting": q_ft_boosting,
+    "ft_rescore": q_ft_rescore,
+    "ft_explain": q_ft_explain,
+    "ft_agg_composite": q_ft_agg_composite,
+    "ft_agg_extended_stats": q_ft_agg_extended_stats,
+    "ft_phrase_prefix": q_ft_phrase_prefix,
     # rows-only by design: sequential per-key forest state, non-relational
     "anomaly_rcf": q_anomaly_rcf,
 }
@@ -6006,6 +6468,13 @@ ORACLES = {
     "stateful_conclude": sql_stateful_conclude(),
     "codec_compressed": sql_codec_compressed(),
     "select_entries": sql_select_entries(),
+    "ft_collapse": sql_ft_collapse(),
+    "ft_boosting": sql_ft_boosting(),
+    "ft_rescore": sql_ft_rescore(),
+    "ft_explain": sql_ft_explain(),
+    "ft_agg_composite": sql_ft_agg_composite(),
+    "ft_agg_extended_stats": sql_ft_agg_extended_stats(),
+    "ft_phrase_prefix": sql_ft_phrase_prefix(),
 }
 
 # The driver's correctness harness checks exactly the FIRST 50 entries of
@@ -6031,12 +6500,11 @@ _DRIVER_WINDOW_R5 = [
     "ft_agg_range", "ft_agg_terms_stats", "ft_agg_top_hits",
     "ft_agg_significant_terms", "ft_suggest_terms", "ft_highlight",
     "ft_family_agg_metrics",
-    # -- stalest r3-only (15), operators touched this round first --
-    "user_agent", "user_agent_uap",
-    "ft_token_counts", "ft_term_df", "ft_postings_roundtrip",
-    "ft_doc_stats", "ft_bm25_topk",
-    "parse_json", "parse_json_pointer",
-    "grok_clf",
+    # -- new session-4: score-shaping + paging serving surfaces (7) --
+    "ft_collapse", "ft_boosting", "ft_rescore", "ft_explain",
+    "ft_agg_composite", "ft_agg_extended_stats", "ft_phrase_prefix",
+    # -- stalest r3-only pads + round-5 additions --
+    "user_agent", "user_agent_uap", "ft_bm25_topk",
     "otel_metrics_full", "http_ingest",
     "ft_family_bm25_distributed", "ft_family_agg_date_histogram",
     "ft_family_filtered_topk",
