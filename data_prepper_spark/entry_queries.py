@@ -6167,6 +6167,156 @@ SELECT query_id, doc_id, score_r FROM pp_ranked WHERE rn <= {FT_K}
     )
 
 
+# query_string DSL: (qid, query string) — classic QueryParser subset over
+# the documents-table vocabulary; phrases need the positional index
+QS_FT: list[tuple[int, str]] = [
+    (0, "+spark qu*"),
+    (1, '"the data" fast^2'),
+    (2, "quer~1 +table"),
+    (3, '"scan the table"~1 window'),
+    (4, "big^3 small slow"),
+    (5, '+table -"the data"'),
+    (6, "+the -data"),
+]
+
+
+def q_ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string DSL (Lucene classic QueryParser subset,
+    index/querystring.py): [+|-] clauses over terms, prefix*, fuzzy~N,
+    "phrases"[~slop] with ^boosts — parsed, then evaluated as a Lucene
+    BooleanQuery with SCORING_BOOLEAN_REWRITE (each expansion scores
+    with its own idf; phrases score BM25 on phrase-tf/phrase-df).
+    Distributed: one bounded per-clause DataFrame (per-range scoring
+    kernels / positional phrase kernel), ONE groupBy(doc_id) fold,
+    left-anti must_not joins, global TakeOrdered."""
+    from .index.querystring import search_query_string
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qs in QS_FT:
+        hits = search_query_string(
+            s, qs, k=FT_K, tie_round=4, distributed=True
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_query_string() -> str:
+    from .index.querystring import parse_query_string
+
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)"""
+
+    def term_pred(c) -> str:
+        if c.kind == "term":
+            return f"tf.term = '{c.text}'"
+        if c.kind == "prefix":
+            return f"tf.term LIKE '{c.text}%'"
+        return f"levenshtein(tf.term, '{c.text}') <= {c.edits}"
+
+    def phrase_match_cte(name, c) -> str:
+        ts = c.text.split()
+        m = len(ts)
+        if c.slop == 0:
+            joins = "".join(
+                f" JOIN toks t{j} ON t0.doc_id = t{j}.doc_id AND t{j}.ord = t0.ord + {j}"
+                for j in range(1, m)
+            )
+            conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
+            cnt = "count(*)"
+        else:
+            joins = "".join(
+                f" JOIN toks t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.ord > t{j-1}.ord"
+                for j in range(1, m)
+            )
+            conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
+            if m > 1:
+                conds += f" AND t{m-1}.ord - t0.ord <= {m - 1 + c.slop}"
+            cnt = "count(DISTINCT t0.ord)"
+        return (
+            f"{name} AS (SELECT t0.doc_id, {cnt}::BIGINT AS tfp "
+            f"FROM toks t0{joins} WHERE {conds} GROUP BY 1)"
+        )
+
+    ctes, selects = [], []
+    for qid, qs in QS_FT:
+        clauses = parse_query_string(qs)
+        scoring = [c for c in clauses if c.occur != "must_not"]
+        nots = [c for c in clauses if c.occur == "must_not"]
+        score_names, must_names, not_preds = [], [], []
+        for i, c in enumerate(scoring):
+            name = f"qsc{qid}_{i}"
+            if c.kind == "phrase":
+                mname = f"qsp{qid}_{i}"
+                ctes.append(phrase_match_cte(mname, c))
+                ctes.append(
+                    f"{name} AS (SELECT m.doc_id,\n"
+                    f"  {c.boost}::DOUBLE * ln(1 + (s.n_docs - (SELECT count(*) FROM {mname}) + 0.5)"
+                    f" / ((SELECT count(*) FROM {mname}) + 0.5))\n"
+                    f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+                    f"  FROM {mname} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s)"
+                )
+            else:
+                ctes.append(
+                    f"{name} AS (SELECT tf.doc_id,\n"
+                    f"  {c.boost}::DOUBLE * sum( {_BM25_TERM} ) AS score\n"
+                    f"  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+                    f"  CROSS JOIN stats s WHERE {term_pred(c)} GROUP BY 1)"
+                )
+            score_names.append(name)
+            if c.occur == "must":
+                must_names.append(name)
+        if must_names:
+            cand = "\nINTERSECT\n".join(
+                f"SELECT doc_id FROM {n}" for n in must_names
+            )
+        else:
+            cand = "\nUNION\n".join(
+                f"SELECT doc_id FROM {n}" for n in score_names
+            )
+        ctes.append(f"qcand{qid} AS ({cand})")
+        for j, c in enumerate(nots):
+            if c.kind == "phrase":
+                mname = f"qsn{qid}_{j}"
+                ctes.append(phrase_match_cte(mname, c))
+                not_preds.append(
+                    f"u.doc_id NOT IN (SELECT doc_id FROM {mname})"
+                )
+            else:
+                not_preds.append(
+                    f"u.doc_id NOT IN (SELECT DISTINCT tf.doc_id FROM tf "
+                    f"WHERE {term_pred(c)})"
+                )
+        union = "\nUNION ALL\n".join(f"SELECT * FROM {n}" for n in score_names)
+        notw = ("\n  AND " + "\n  AND ".join(not_preds)) if not_preds else ""
+        selects.append(
+            f"SELECT {qid} AS query_id, u.doc_id, sum(u.score) AS score\n"
+            f"FROM ({union}) u\n"
+            f"WHERE u.doc_id IN (SELECT doc_id FROM qcand{qid}){notw}\n"
+            f"GROUP BY 1, 2"
+        )
+    union_all = "\nUNION ALL\n".join(selects)
+    return base + ",\n" + ",\n".join(ctes) + f""",
+qs_scores AS ({union_all}),
+qs_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM qs_scores
+)
+SELECT query_id, doc_id, score_r FROM qs_ranked WHERE rn <= {FT_K}
+"""
+
+
 QUERIES = {
     # fulltext index engine (north star)
     "ft_token_counts": q_ft_token_counts,
@@ -6324,6 +6474,7 @@ QUERIES = {
     "ft_agg_composite": q_ft_agg_composite,
     "ft_agg_extended_stats": q_ft_agg_extended_stats,
     "ft_phrase_prefix": q_ft_phrase_prefix,
+    "ft_query_string": q_ft_query_string,
     # rows-only by design: sequential per-key forest state, non-relational
     "anomaly_rcf": q_anomaly_rcf,
 }
@@ -6475,6 +6626,7 @@ ORACLES = {
     "ft_agg_composite": sql_ft_agg_composite(),
     "ft_agg_extended_stats": sql_ft_agg_extended_stats(),
     "ft_phrase_prefix": sql_ft_phrase_prefix(),
+    "ft_query_string": sql_ft_query_string(),
 }
 
 # The driver's correctness harness checks exactly the FIRST 50 entries of
@@ -6494,7 +6646,6 @@ _DRIVER_WINDOW_R5 = [
     # -- stalest: r1/r2-only (8) --
     "multimodal_features", "multimodal_meta", "dedup_minhash_lsh",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_langid",
-    "text_fingerprint",
     # -- new this session: aggregations, suggester, highlighting (10) --
     "ft_agg_stats", "ft_agg_percentiles", "ft_agg_cardinality",
     "ft_agg_range", "ft_agg_terms_stats", "ft_agg_top_hits",
@@ -6503,6 +6654,7 @@ _DRIVER_WINDOW_R5 = [
     # -- new session-4: score-shaping + paging serving surfaces (7) --
     "ft_collapse", "ft_boosting", "ft_rescore", "ft_explain",
     "ft_agg_composite", "ft_agg_extended_stats", "ft_phrase_prefix",
+    "ft_query_string",
     # -- stalest r3-only pads + round-5 additions --
     "user_agent", "user_agent_uap", "ft_bm25_topk",
     "otel_metrics_full", "http_ingest",

@@ -259,6 +259,83 @@ def cmd_query(args) -> None:
                                 mode=args.suggest_mode)
             print(json.dumps({"text": q, "suggestions": out}))
             continue
+        elif mode == "query-string":
+            from data_prepper_spark.index.querystring import (
+                search_query_string,
+            )
+
+            hits = search_query_string(
+                s, q, k=args.k, distributed=args.distributed
+            )
+        elif mode == "phrase-prefix":
+            from data_prepper_spark.index.phrase import phrase_prefix_topk
+
+            hits = phrase_prefix_topk(
+                s, q, k=args.k, distributed=args.distributed
+            )
+        elif mode == "collapse":
+            from data_prepper_spark.index.rescore import search_collapsed
+
+            out = search_collapsed(
+                s, q, args.collapse_field, k=args.k,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "collapse": args.collapse_field,
+                              "rows": [[str(key), d, sc, n]
+                                       for key, d, sc, n in out]}))
+            continue
+        elif mode == "boosting":
+            from data_prepper_spark.index.rescore import search_boosting
+
+            hits = search_boosting(
+                s, q, args.negative, negative_boost=args.negative_boost,
+                k=args.k, distributed=args.distributed,
+            )
+        elif mode == "rescore":
+            from data_prepper_spark.index.rescore import search_rescored
+
+            out = search_rescored(
+                s, q, args.rescore_q, window_size=args.window_size,
+                query_weight=args.query_weight,
+                rescore_weight=args.rescore_weight, k=args.k,
+            )
+            print(json.dumps({"query": q, "rescore": args.rescore_q,
+                              "rows": out}))
+            continue
+        elif mode == "explain":
+            from data_prepper_spark.index.rescore import explain_bm25
+
+            top = s.search(q, k=args.k, distributed=args.distributed)
+            rows = explain_bm25(s, q, [d for d, _ in top])
+            print(json.dumps({"query": q, "hits": top, "explain": rows}))
+            continue
+        elif mode == "agg-composite":
+            from data_prepper_spark.index.filtered import match_agg_composite
+
+            sources = args.sources.split(",")
+            after = tuple(args.after.split(",")) if args.after else None
+            rows, after_key = match_agg_composite(
+                s, q, sources, size=args.k, after=after, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "composite",
+                              "sources": sources,
+                              "rows": rows, "after_key": after_key},
+                             default=str))
+            continue
+        elif mode == "agg-extended-stats":
+            from data_prepper_spark.index.filtered import (
+                match_agg_extended_stats,
+            )
+
+            st = match_agg_extended_stats(
+                s, q, args.agg_field, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "extended_stats",
+                              "field": args.agg_field, "stats": st},
+                             default=str))
+            continue
         elif mode == "prefix":
             from data_prepper_spark.index.boolquery import search_prefix
 
@@ -534,9 +611,14 @@ def main() -> None:
                              "dismax", "sorted", "agg-terms",
                              "agg-histogram", "agg-stats", "agg-percentiles",
                              "agg-cardinality", "agg-top-hits",
-                             "agg-significant", "suggest"],
+                             "agg-significant", "suggest", "query-string",
+                             "phrase-prefix", "collapse", "boosting",
+                             "rescore", "explain", "agg-composite",
+                             "agg-extended-stats"],
                     help="bool uses Lucene classic syntax (+must -not "
-                         "term^boost); fuzzy/wildcard/prefix/regexp/"
+                         "term^boost); query-string is the full DSL "
+                         "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "
+                         "fuzzy/wildcard/prefix/regexp/"
                          "termrange expand against the term dictionary; "
                          "agg-* aggregate over the match set; suggest is "
                          "the term suggester (did-you-mean)")
@@ -571,6 +653,15 @@ def main() -> None:
                     help="source-table parquet (doc_id, text) — adds a "
                          "highlight snippet per hit")
     pq.add_argument("--text-col", default="text")
+    pq.add_argument("--collapse-field", help="docvalues column for collapse")
+    pq.add_argument("--negative", help="negative clause for --mode boosting")
+    pq.add_argument("--negative-boost", type=float, default=0.5)
+    pq.add_argument("--rescore-q", help="second-stage query for rescore")
+    pq.add_argument("--window-size", type=int, default=50)
+    pq.add_argument("--query-weight", type=float, default=1.0)
+    pq.add_argument("--rescore-weight", type=float, default=2.0)
+    pq.add_argument("--sources", help="comma-separated agg-composite fields")
+    pq.add_argument("--after", help="comma-separated composite after-key")
     pq.set_defaults(fn=cmd_query)
 
     pn = sub.add_parser("bench")
