@@ -319,7 +319,21 @@ def _phrase_scored_df(searcher, c: Clause) -> DataFrame | None:
     return matched.select("doc_id", score.alias("score"))
 
 
-def _qs_distributed(searcher, scoring, nots, k, tie_round, max_expansions):
+def query_string_plan(
+    searcher, query_string: str, max_expansions: int = 1024
+) -> DataFrame | None:
+    """The distributed evaluation as an uncollected DataFrame
+    (doc_id, score, nreq) — the plan-shape hook (tools/explain_plans.py)
+    and the building block for sinks that want the full match set."""
+    clauses = parse_query_string(query_string)
+    scoring = [c for c in clauses if c.occur != "must_not"]
+    nots = [c for c in clauses if c.occur == "must_not"]
+    if not scoring:
+        return None
+    return _qs_fold(searcher, scoring, nots, max_expansions)
+
+
+def _qs_fold(searcher, scoring, nots, max_expansions):
     frames, n_must = [], 0
     for c in scoring:
         if c.kind == "phrase":
@@ -331,13 +345,13 @@ def _qs_distributed(searcher, scoring, nots, k, tie_round, max_expansions):
         if c.occur == "must":
             n_must += 1
             if d is None:
-                return []  # a required clause with zero postings
+                return None  # a required clause with zero postings
         if d is not None:
             frames.append(
                 d.withColumn("req", F.lit(1 if c.occur == "must" else 0))
             )
     if not frames:
-        return []
+        return None
     u = reduce(DataFrame.unionByName, frames)
     agg = u.groupBy("doc_id").agg(
         F.sum("score").alias("score"), F.sum("req").alias("nreq")
@@ -356,6 +370,13 @@ def _qs_distributed(searcher, scoring, nots, k, tie_round, max_expansions):
             )
         if nd is not None:
             agg = agg.join(nd, "doc_id", "left_anti")
+    return agg
+
+
+def _qs_distributed(searcher, scoring, nots, k, tie_round, max_expansions):
+    agg = _qs_fold(searcher, scoring, nots, max_expansions)
+    if agg is None:
+        return []
     r = F.round(F.col("score"), tie_round)
     out = agg.orderBy(r.desc(), F.asc("doc_id")).limit(k).collect()
     return [(int(row["doc_id"]), float(row["score"])) for row in out]

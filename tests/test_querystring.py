@@ -236,3 +236,27 @@ def test_query_string_boost_scales_contribution(spark, qs_index):
     assert set(base) == set(boosted)
     for d, v in base.items():
         assert boosted[d] == pytest.approx(3.0 * v, rel=1e-12)
+
+
+def test_query_string_respects_deletes(spark, qs_index, workdir):
+    """Tombstoned docs leave every clause path (term scoring, phrase
+    matching, must_not sets) in both driver and distributed modes."""
+    import shutil
+
+    from data_prepper_spark.index.deletes import delete_docs
+
+    d = os.path.join(workdir, "index_querystring_del")
+    if not os.path.exists(d):
+        shutil.copytree(qs_index, d)
+    s0 = BM25Searcher(spark, d)
+    before = search_query_string(s0, '+tok0010 "of the"', k=5, tie_round=TIE)
+    assert before
+    victims = [did for did, _ in before[:2]]
+    delete_docs(d, victims)
+    s1 = BM25Searcher(spark, d)
+    for distributed in (False, True):
+        after = search_query_string(
+            s1, '+tok0010 "of the"', k=5, tie_round=TIE,
+            distributed=distributed,
+        )
+        assert not ({did for did, _ in after} & set(victims)), distributed

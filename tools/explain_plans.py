@@ -247,6 +247,22 @@ def main():
         cap(phr),
     ))
 
+    # 8. query_string distributed fold (round-5 session-4)
+    from data_prepper_spark.index.query import BM25Searcher
+    from data_prepper_spark.index.querystring import query_string_plan
+
+    qs_s = BM25Searcher(spark, pidx)
+    qs_plan = query_string_plan(qs_s, '+spark qu* -"the data"')
+    sections.append((
+        "query_string fold (per-clause kernels → ONE groupBy(doc_id))",
+        "Each scoring clause contributes one per-range FlatMapGroupsInPandas "
+        "over a bucket-pruned postings scan; the clause frames union into a "
+        "SINGLE hashaggregate on doc_id (partial+final — one Exchange of "
+        "match-set-bounded partials); the must_not set applies as a "
+        "LeftAnti join, never a filter over collected IDs.",
+        cap(qs_plan),
+    ))
+
     out = ["# PLANS — physical-plan evidence for the load-bearing queries",
            "",
            "Generated by tools/explain_plans.py (sf0.01). What to look for",
