@@ -200,6 +200,29 @@ def main():
             plat.sort()
             extras["prefix_p50_ms"] = round(plat[len(plat) // 2] * 1000, 1)
 
+            # query_string DSL probe (term-family clauses; the serving
+            # fixture has no positions, so phrase clauses are exercised
+            # in bench only via the ft oracle entries)
+            from data_prepper_spark.index.querystring import (
+                search_query_string,
+            )
+
+            qs_probes = [
+                f"+{RARE_TERMS[i % 5]} {HEAD_TERMS[i][:5]}* "
+                f"-{MID_TERMS[(i + 3) % 8]} {MID_TERMS[i % 8]}^2"
+                for i in range(10)
+            ]
+            qlat: list[float] = []
+            for _ in range(3):
+                for q in qs_probes:
+                    t0 = time.perf_counter()
+                    search_query_string(s1m, q, k=10)
+                    qlat.append(time.perf_counter() - t0)
+            qlat.sort()
+            extras["query_string_p50_ms"] = round(
+                qlat[len(qlat) // 2] * 1000, 1
+            )
+
             # filtered + sort-by-field probes need docvalues in docmeta
             # (caches built before field_cols lack them — skip gracefully;
             # a fresh driver-round build always has them)
