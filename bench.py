@@ -207,8 +207,9 @@ def main():
                 search_query_string,
             )
 
+            qs_prefixes = ["tok00", "tok01", "zanz", "quix", "spar"]
             qs_probes = [
-                f"+{RARE_TERMS[i % 5]} {HEAD_TERMS[i][:5]}* "
+                f"+{RARE_TERMS[i % 5]} {qs_prefixes[i % 5]}* "
                 f"-{MID_TERMS[(i + 3) % 8]} {MID_TERMS[i % 8]}^2"
                 for i in range(10)
             ]

@@ -384,6 +384,42 @@ def _qs_distributed(searcher, scoring, nots, k, tie_round, max_expansions):
 
 # --------------------------------------------------------------- entry
 
+def _bool_route(searcher, clauses, max_expansions):
+    """Map a term-family-only query string onto search_bool — the
+    candidate-driven (lazy-decode, BMW/mode-pick optimized) boolean
+    core, so a rare `+must` bounds the gather work even when a head
+    prefix expands to millions of postings.  Returns search_bool kwargs,
+    or None when the shape doesn't map: phrase clauses, disjunctive
+    musts (`+prefix*` means "≥1 expansion", not a term conjunction), or
+    the same term scored by two clauses (boost would collide)."""
+    must, should, must_not, boosts = [], [], [], {}
+    for c in clauses:
+        if c.kind == "phrase":
+            return None
+        if c.occur == "must_not":
+            if c.kind == "term":
+                must_not.append(c.text)
+            else:
+                must_not.extend(_expansions(searcher, c, max_expansions))
+            continue
+        if c.kind == "term":
+            terms = [c.text]
+        elif c.occur == "must":
+            return None
+        else:
+            terms = _expansions(searcher, c, max_expansions)
+        tgt = must if c.occur == "must" else should
+        for t in terms:
+            if t in boosts:
+                return None
+            boosts[t] = c.boost
+        tgt.extend(terms)
+    return dict(
+        must=must, should=should, must_not=must_not,
+        boosts={t: b for t, b in boosts.items() if b != 1.0} or None,
+    )
+
+
 def search_query_string(
     searcher,
     query_string: str,
@@ -391,14 +427,28 @@ def search_query_string(
     tie_round: int = 4,
     distributed: bool = False,
     max_expansions: int = 1024,
+    route_bool: bool = True,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a classic query_string (see module
-    docstring for the supported subset and semantics)."""
+    docstring for the supported subset and semantics).  Term-family-only
+    strings route through the boolean serving core (identical scores —
+    a clause's expansion sum IS a should-group sum; pinned by
+    tests/test_querystring.py routed-vs-generic); ``route_bool=False``
+    forces the generic per-clause fold."""
     clauses = parse_query_string(query_string)
     scoring = [c for c in clauses if c.occur != "must_not"]
     nots = [c for c in clauses if c.occur == "must_not"]
     if not scoring:
         return []
+    if route_bool:
+        routed = _bool_route(searcher, clauses, max_expansions)
+        if routed is not None:
+            from .boolquery import search_bool
+
+            return search_bool(
+                searcher, k=k, distributed=distributed,
+                tie_round=tie_round, **routed,
+            )
     if distributed:
         return _qs_distributed(
             searcher, scoring, nots, k, tie_round, max_expansions

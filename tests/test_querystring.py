@@ -260,3 +260,17 @@ def test_query_string_respects_deletes(spark, qs_index, workdir):
             distributed=distributed,
         )
         assert not ({did for did, _ in after} & set(victims)), distributed
+
+
+def test_query_string_bool_route_identical(spark, qs_index):
+    """Term-family strings route through search_bool; scores and ranks
+    must be identical to the generic per-clause fold."""
+    for q in ["+tok0010 tok001*", "tok0030^3 tok0031 tok0032", "+the -of",
+              "tok001~1 +the", "zzqq* tok0010"]:
+        a = search_query_string(s := BM25Searcher(spark, qs_index), q,
+                                k=20, tie_round=TIE)
+        b = search_query_string(s, q, k=20, tie_round=TIE, route_bool=False)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        np.testing.assert_allclose(
+            [v for _, v in a], [v for _, v in b], rtol=1e-9, err_msg=q
+        )
