@@ -6202,119 +6202,260 @@ def q_ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
 
 
-def sql_ft_query_string() -> str:
-    from .index.querystring import parse_query_string
+def _qs_term_pred(c) -> str:
+    if c.kind == "term":
+        return f"tf.term = '{c.text}'"
+    if c.kind == "prefix":
+        return f"tf.term LIKE '{c.text}%'"
+    return f"levenshtein(tf.term, '{c.text}') <= {c.edits}"
 
-    base = f"""
+
+def _qs_phrase_match_cte(name, c) -> str:
+    ts = c.text.split()
+    m = len(ts)
+    if c.slop == 0:
+        joins = "".join(
+            f" JOIN toks t{j} ON t0.doc_id = t{j}.doc_id AND t{j}.ord = t0.ord + {j}"
+            for j in range(1, m)
+        )
+        conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
+        cnt = "count(*)"
+    else:
+        joins = "".join(
+            f" JOIN toks t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.ord > t{j-1}.ord"
+            for j in range(1, m)
+        )
+        conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
+        if m > 1:
+            conds += f" AND t{m-1}.ord - t0.ord <= {m - 1 + c.slop}"
+        cnt = "count(DISTINCT t0.ord)"
+    return (
+        f"{name} AS (SELECT t0.doc_id, {cnt}::BIGINT AS tfp "
+        f"FROM toks t0{joins} WHERE {conds} GROUP BY 1)"
+    )
+
+
+_QS_SQL_BASE = """
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
-         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{rx}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{rx}'), 1) AS ord
   FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
 stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
-df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)"""
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)""".format(
+    rx=TOKEN_RX
+)
 
-    def term_pred(c) -> str:
-        if c.kind == "term":
-            return f"tf.term = '{c.text}'"
-        if c.kind == "prefix":
-            return f"tf.term LIKE '{c.text}%'"
-        return f"levenshtein(tf.term, '{c.text}') <= {c.edits}"
 
-    def phrase_match_cte(name, c) -> str:
-        ts = c.text.split()
-        m = len(ts)
-        if c.slop == 0:
-            joins = "".join(
-                f" JOIN toks t{j} ON t0.doc_id = t{j}.doc_id AND t{j}.ord = t0.ord + {j}"
-                for j in range(1, m)
+def _qs_clause_sql(qid: int, qs: str, msm: int = 0):
+    """(ctes, final-select) for one query string under the engine's
+    semantics — shared by the ft_query_string and
+    ft_qs_min_should_match oracles."""
+    from .index.querystring import parse_query_string
+
+    clauses = parse_query_string(qs)
+    scoring = [c for c in clauses if c.occur != "must_not"]
+    nots = [c for c in clauses if c.occur == "must_not"]
+    ctes, score_names, must_names, should_names, not_preds = [], [], [], [], []
+    for i, c in enumerate(scoring):
+        name = f"qsc{qid}_{i}"
+        if c.kind == "phrase":
+            mname = f"qsp{qid}_{i}"
+            ctes.append(_qs_phrase_match_cte(mname, c))
+            ctes.append(
+                f"{name} AS (SELECT m.doc_id,\n"
+                f"  {c.boost}::DOUBLE * ln(1 + (s.n_docs - (SELECT count(*) FROM {mname}) + 0.5)"
+                f" / ((SELECT count(*) FROM {mname}) + 0.5))\n"
+                f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+                f"  FROM {mname} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s)"
             )
-            conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
-            cnt = "count(*)"
         else:
-            joins = "".join(
-                f" JOIN toks t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.ord > t{j-1}.ord"
-                for j in range(1, m)
+            ctes.append(
+                f"{name} AS (SELECT tf.doc_id,\n"
+                f"  {c.boost}::DOUBLE * sum( {_BM25_TERM} ) AS score\n"
+                f"  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+                f"  CROSS JOIN stats s WHERE {_qs_term_pred(c)} GROUP BY 1)"
             )
-            conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
-            if m > 1:
-                conds += f" AND t{m-1}.ord - t0.ord <= {m - 1 + c.slop}"
-            cnt = "count(DISTINCT t0.ord)"
-        return (
-            f"{name} AS (SELECT t0.doc_id, {cnt}::BIGINT AS tfp "
-            f"FROM toks t0{joins} WHERE {conds} GROUP BY 1)"
+        score_names.append(name)
+        if c.occur == "must":
+            must_names.append(name)
+        else:
+            should_names.append(name)
+    if must_names:
+        cand = "\nINTERSECT\n".join(
+            f"SELECT doc_id FROM {n}" for n in must_names
         )
+    else:
+        cand = "\nUNION\n".join(
+            f"SELECT doc_id FROM {n}" for n in score_names
+        )
+    ctes.append(f"qcand{qid} AS ({cand})")
+    if msm > 0 and should_names:
+        shd_union = "\nUNION ALL\n".join(
+            f"SELECT doc_id FROM {n}" for n in should_names
+        )
+        ctes.append(
+            f"qshd{qid} AS (SELECT doc_id FROM ({shd_union}) "
+            f"GROUP BY doc_id HAVING count(*) >= {msm})"
+        )
+    for j, c in enumerate(nots):
+        if c.kind == "phrase":
+            mname = f"qsn{qid}_{j}"
+            ctes.append(_qs_phrase_match_cte(mname, c))
+            not_preds.append(f"u.doc_id NOT IN (SELECT doc_id FROM {mname})")
+        else:
+            not_preds.append(
+                f"u.doc_id NOT IN (SELECT DISTINCT tf.doc_id FROM tf "
+                f"WHERE {_qs_term_pred(c)})"
+            )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM {n}" for n in score_names)
+    conds = [f"u.doc_id IN (SELECT doc_id FROM qcand{qid})"]
+    if msm > 0 and should_names:
+        conds.append(f"u.doc_id IN (SELECT doc_id FROM qshd{qid})")
+    conds.extend(not_preds)
+    where = "\n  AND ".join(conds)
+    select = (
+        f"SELECT {qid} AS query_id, u.doc_id, sum(u.score) AS score\n"
+        f"FROM ({union}) u\n"
+        f"WHERE {where}\n"
+        f"GROUP BY 1, 2"
+    )
+    return ctes, select
 
+
+def _qs_oracle_sql(qset: list, cte_tag: str) -> str:
     ctes, selects = [], []
-    for qid, qs in QS_FT:
-        clauses = parse_query_string(qs)
-        scoring = [c for c in clauses if c.occur != "must_not"]
-        nots = [c for c in clauses if c.occur == "must_not"]
-        score_names, must_names, not_preds = [], [], []
-        for i, c in enumerate(scoring):
-            name = f"qsc{qid}_{i}"
-            if c.kind == "phrase":
-                mname = f"qsp{qid}_{i}"
-                ctes.append(phrase_match_cte(mname, c))
-                ctes.append(
-                    f"{name} AS (SELECT m.doc_id,\n"
-                    f"  {c.boost}::DOUBLE * ln(1 + (s.n_docs - (SELECT count(*) FROM {mname}) + 0.5)"
-                    f" / ((SELECT count(*) FROM {mname}) + 0.5))\n"
-                    f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
-                    f"  FROM {mname} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s)"
-                )
-            else:
-                ctes.append(
-                    f"{name} AS (SELECT tf.doc_id,\n"
-                    f"  {c.boost}::DOUBLE * sum( {_BM25_TERM} ) AS score\n"
-                    f"  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
-                    f"  CROSS JOIN stats s WHERE {term_pred(c)} GROUP BY 1)"
-                )
-            score_names.append(name)
-            if c.occur == "must":
-                must_names.append(name)
-        if must_names:
-            cand = "\nINTERSECT\n".join(
-                f"SELECT doc_id FROM {n}" for n in must_names
-            )
-        else:
-            cand = "\nUNION\n".join(
-                f"SELECT doc_id FROM {n}" for n in score_names
-            )
-        ctes.append(f"qcand{qid} AS ({cand})")
-        for j, c in enumerate(nots):
-            if c.kind == "phrase":
-                mname = f"qsn{qid}_{j}"
-                ctes.append(phrase_match_cte(mname, c))
-                not_preds.append(
-                    f"u.doc_id NOT IN (SELECT doc_id FROM {mname})"
-                )
-            else:
-                not_preds.append(
-                    f"u.doc_id NOT IN (SELECT DISTINCT tf.doc_id FROM tf "
-                    f"WHERE {term_pred(c)})"
-                )
-        union = "\nUNION ALL\n".join(f"SELECT * FROM {n}" for n in score_names)
-        notw = ("\n  AND " + "\n  AND ".join(not_preds)) if not_preds else ""
-        selects.append(
-            f"SELECT {qid} AS query_id, u.doc_id, sum(u.score) AS score\n"
-            f"FROM ({union}) u\n"
-            f"WHERE u.doc_id IN (SELECT doc_id FROM qcand{qid}){notw}\n"
-            f"GROUP BY 1, 2"
-        )
+    for entry in qset:
+        qid, qs, msm = entry if len(entry) == 3 else (*entry, 0)
+        c, sel = _qs_clause_sql(qid, qs, msm)
+        ctes.extend(c)
+        selects.append(sel)
     union_all = "\nUNION ALL\n".join(selects)
-    return base + ",\n" + ",\n".join(ctes) + f""",
-qs_scores AS ({union_all}),
-qs_ranked AS (
+    return _QS_SQL_BASE + ",\n" + ",\n".join(ctes) + f""",
+{cte_tag}_scores AS ({union_all}),
+{cte_tag}_ranked AS (
   SELECT query_id, doc_id, round(score, 4) AS score_r,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 4) DESC, doc_id) AS rn
-  FROM qs_scores
+  FROM {cte_tag}_scores
 )
-SELECT query_id, doc_id, score_r FROM qs_ranked WHERE rn <= {FT_K}
+SELECT query_id, doc_id, score_r FROM {cte_tag}_ranked WHERE rn <= {FT_K}
 """
+
+
+def sql_ft_query_string() -> str:
+    return _qs_oracle_sql(QS_FT, "qs")
+
+
+# minimum_should_match reference sets
+# (qid, must, should, must_not, msm) — the bool-core parameter
+MSM_QUERIES: list[tuple[int, list, list, list, int]] = [
+    (0, [], ["merge", "join", "window", "sort"], [], 2),
+    (1, ["the"], ["spark", "query", "fast"], [], 2),
+    (2, [], ["data", "table", "scan"], ["batch"], 3),
+    (3, ["customer"], ["value", "fast", "slow", "big"], [], 1),
+]
+# (qid, query string, msm) — CLAUSE-level counting incl. a phrase clause
+QSM_QUERIES: list[tuple[int, str, int]] = [
+    (0, '"the data" spark query', 2),
+    (1, "+table merge join window", 2),
+    (2, "big small slow fast", 3),
+]
+
+
+def q_ft_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match on the boolean core (OpenSearch bool
+    parameter, index/boolquery.py search_bool): a doc must match at
+    least N of the should clauses, in addition to every must and no
+    must_not.  Counts close per docID range; under musts the lazy plan
+    bounds the count's decode cost by the must candidates' blocks."""
+    from .index.boolquery import search_bool
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, must, should, must_not, msm in MSM_QUERIES:
+        hits = search_bool(
+            s, must=must, should=should, must_not=must_not, k=FT_K,
+            distributed=True, tie_round=4, minimum_should_match=msm,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_min_should_match() -> str:
+    ctes, selects = [], []
+    for qid, must, should, must_not, msm in MSM_QUERIES:
+        scoring = sorted(set(must) | set(should))
+        sc_in = ", ".join(f"'{t}'" for t in scoring)
+        sh_in = ", ".join(f"'{t}'" for t in sorted(set(should)))
+        parts = []
+        if must:
+            m_in = ", ".join(f"'{t}'" for t in must)
+            parts.append(
+                f"SELECT doc_id FROM tf WHERE term IN ({m_in}) "
+                f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(must)}"
+            )
+        if msm > 0 and should:
+            parts.append(
+                f"SELECT doc_id FROM tf WHERE term IN ({sh_in}) "
+                f"GROUP BY doc_id HAVING count(DISTINCT term) >= {msm}"
+            )
+        if not parts:
+            parts.append(f"SELECT DISTINCT doc_id FROM tf WHERE term IN ({sc_in})")
+        ctes.append(f"msmc{qid} AS (" + "\nINTERSECT\n".join(parts) + ")")
+        notp = ""
+        if must_not:
+            n_in = ", ".join(f"'{t}'" for t in must_not)
+            notp = (
+                f" AND NOT EXISTS (SELECT 1 FROM tf nx WHERE "
+                f"nx.doc_id = tf.doc_id AND nx.term IN ({n_in}))"
+            )
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( {_BM25_TERM} ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({sc_in})\n"
+            f"  AND tf.doc_id IN (SELECT doc_id FROM msmc{qid}){notp}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + ",\n" + ",\n".join(ctes) + f""",
+msm_scores AS ({union}),
+msm_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM msm_scores
+)
+SELECT query_id, doc_id, score_r FROM msm_ranked WHERE rn <= {FT_K}
+"""
+
+
+def q_ft_qs_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match at the query_string level: CLAUSE counting —
+    a phrase or expansion clause matching via any of its terms counts
+    once (the generic per-clause fold; the bool route is bypassed when
+    clause- and term-level counting could diverge)."""
+    from .index.querystring import search_query_string
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qs, msm in QSM_QUERIES:
+        hits = search_query_string(
+            s, qs, k=FT_K, tie_round=4, distributed=True,
+            minimum_should_match=msm,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_qs_min_should_match() -> str:
+    return _qs_oracle_sql(QSM_QUERIES, "qsm")
 
 
 QUERIES = {
@@ -6475,6 +6616,8 @@ QUERIES = {
     "ft_agg_extended_stats": q_ft_agg_extended_stats,
     "ft_phrase_prefix": q_ft_phrase_prefix,
     "ft_query_string": q_ft_query_string,
+    "ft_min_should_match": q_ft_min_should_match,
+    "ft_qs_min_should_match": q_ft_qs_min_should_match,
     # rows-only by design: sequential per-key forest state, non-relational
     "anomaly_rcf": q_anomaly_rcf,
 }
@@ -6627,6 +6770,8 @@ ORACLES = {
     "ft_agg_extended_stats": sql_ft_agg_extended_stats(),
     "ft_phrase_prefix": sql_ft_phrase_prefix(),
     "ft_query_string": sql_ft_query_string(),
+    "ft_min_should_match": sql_ft_min_should_match(),
+    "ft_qs_min_should_match": sql_ft_qs_min_should_match(),
 }
 
 # The driver's correctness harness checks exactly the FIRST 50 entries of
@@ -6654,9 +6799,9 @@ _DRIVER_WINDOW_R5 = [
     # -- new session-4: score-shaping + paging serving surfaces (7) --
     "ft_collapse", "ft_boosting", "ft_rescore", "ft_explain",
     "ft_agg_composite", "ft_agg_extended_stats", "ft_phrase_prefix",
-    "ft_query_string",
+    "ft_query_string", "ft_min_should_match", "ft_qs_min_should_match",
     # -- stalest r3-only pads + round-5 additions --
-    "user_agent", "user_agent_uap", "ft_bm25_topk",
+    "user_agent_uap",
     "otel_metrics_full", "http_ingest",
     "ft_family_bm25_distributed", "ft_family_agg_date_histogram",
     "ft_family_filtered_topk",

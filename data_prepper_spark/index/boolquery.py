@@ -89,10 +89,14 @@ def _member(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     return sorted_set[loc] == ids
 
 
-def _range_eval(slices_by_id, must_ids, not_ids, scoring, k1, b, avgdl):
+def _range_eval(slices_by_id, must_ids, not_ids, scoring, k1, b, avgdl,
+                should_ids=(), msm=0):
     """Evaluate one docID range.  *slices_by_id*: term_id → TermSlice
     (already tombstone-masked).  Returns (doc_ids, scores) of matching
-    docs in this range (exact scores, unranked)."""
+    docs in this range (exact scores, unranked).  ``msm`` > 0 requires
+    each doc to match at least that many of the *should_ids* clauses
+    (OpenSearch ``minimum_should_match``; counts close range-locally
+    because a doc lives in exactly one range)."""
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     # conjunction: every must term needs postings in this range
     if must_ids:
@@ -115,6 +119,18 @@ def _range_eval(slices_by_id, must_ids, not_ids, scoring, k1, b, avgdl):
         if not arrs:
             return empty
         cand = np.unique(np.concatenate(arrs))
+    if msm > 0 and should_ids and (must_ids or msm > 1):
+        # pure-should msm==1 is the default union — no filter needed
+        arrs = [
+            slices_by_id[i].doc_ids for i in should_ids if i in slices_by_id
+        ]
+        if len(arrs) < msm:
+            return empty  # too few live should clauses in this range
+        u, cnt = np.unique(np.concatenate(arrs), return_counts=True)
+        ok = u[cnt >= msm]
+        cand = cand[_member(cand, ok)]
+        if cand.size == 0:
+            return empty
     if not_ids:
         excl = [
             slices_by_id[i].doc_ids for i in not_ids if i in slices_by_id
@@ -146,7 +162,8 @@ def _range_eval(slices_by_id, must_ids, not_ids, scoring, k1, b, avgdl):
     return score_brute(subs, k1, b, avgdl)
 
 
-def _range_eval_lazy(lz: dict, must_ids, not_ids, scoring, k1, b, avgdl):
+def _range_eval_lazy(lz: dict, must_ids, not_ids, scoring, k1, b, avgdl,
+                     should_ids=(), msm=0):
     """Block-lazy conjunctive evaluation of one docID range — the
     skip-pointer plan:
 
@@ -176,6 +193,19 @@ def _range_eval_lazy(lz: dict, must_ids, not_ids, scoring, k1, b, avgdl):
     for s in must[1:]:
         ids = s.block_docids(s.covering_blocks(cand))
         cand = cand[_member(cand, ids)]
+        if cand.size == 0:
+            return empty
+    if msm > 0 and should_ids:
+        # skip-pointer-bounded msm: each should slice decodes only the
+        # blocks the must-derived candidates can live in
+        cnt = np.zeros(cand.size, dtype=np.int64)
+        for i in should_ids:
+            s = lz.get(i)
+            if s is None or s.n == 0:
+                continue
+            ids = s.block_docids(s.covering_blocks(cand))
+            cnt += _member(cand, ids)
+        cand = cand[cnt >= msm]
         if cand.size == 0:
             return empty
     for i in not_ids:
@@ -273,6 +303,7 @@ def search_bool(
     tie_round: int | None = None,
     boosts: dict | None = None,
     after: tuple[float, int] | None = None,
+    minimum_should_match: int = 0,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) under Lucene BooleanQuery semantics.
     *searcher* is a BM25Searcher.  ``tie_round`` ranks by
@@ -290,7 +321,13 @@ def search_bool(
     DESC, doc_id ASC) order are returned.  Requires ``tie_round`` (the
     cursor is defined on ROUNDED scores so it is stable across
     serving modes and against the SQL oracle).  Rank-stable paging with
-    no deep window: page N costs the same as page 1."""
+    no deep window: page N costs the same as page 1.
+
+    ``minimum_should_match``: docs must match at least this many SHOULD
+    clauses (OpenSearch bool parameter) — ignored when there are no
+    should clauses, like the reference.  Counts close per docID range,
+    and the lazy conjunctive plan bounds the count's decode cost by the
+    must candidates' blocks (skip pointers), not the should dfs."""
     if after is not None and tie_round is None:
         raise ValueError("after= requires tie_round (cursor on rounded scores)")
     must = _norm_terms(must)
@@ -316,6 +353,14 @@ def search_bool(
     not_ids = [i for t in must_not for i in (xxh64_signed(t),) if dfs.get(i, 0) > 0]
     if not scoring:
         return []
+    msm = int(minimum_should_match or 0)
+    should_ids = [
+        i for t in should for i in (xxh64_signed(t),) if dfs.get(i, 0) > 0
+    ]
+    if not should:
+        msm = 0  # no should clauses: the parameter is a no-op (OpenSearch)
+    elif msm > len(should_ids):
+        return []  # fewer live should clauses than required matches
     idf = {i: idf_value(searcher.n_docs, dfs[i]) for i in scoring}
     if boosts:
         unknown = set(boosts) - set(must) - set(should)
@@ -328,7 +373,7 @@ def search_bool(
     live_ids = [i for i in ids if dfs.get(i, 0) > 0]
     if (
         not must_ids and not not_ids and tie_round is None
-        and after is None and not distributed
+        and after is None and not distributed and msm <= 1
     ):
         # pure-should scoring boolean ≡ BM25 disjunction with per-term
         # (possibly boosted) idf — route through the BM25 scoring core
@@ -349,7 +394,7 @@ def search_bool(
     if distributed:
         return _search_bool_distributed(
             searcher, ids, live_ids, buckets, must_ids, not_ids, scoring,
-            idf, k, tie_round, after,
+            idf, k, tie_round, after, should_ids, msm,
         )
     rows = searcher._pruned_slice_rows(live_ids, buckets)
     rows_by_range: dict[int, list] = {}
@@ -365,7 +410,7 @@ def search_bool(
         if is_lazy and must_ids:
             i_r, s_r = _range_eval_lazy(
                 slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b,
-                searcher.avgdl,
+                searcher.avgdl, should_ids, msm,
             )
         else:
             if is_lazy:  # pure-should needs the union — full decode
@@ -374,7 +419,7 @@ def search_bool(
                 }
             i_r, s_r = _range_eval(
                 slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b,
-                searcher.avgdl,
+                searcher.avgdl, should_ids, msm,
             )
         out_ids.append(i_r)
         out_sc.append(s_r)
@@ -400,7 +445,7 @@ def search_bool(
 
 def _search_bool_distributed(
     searcher, labels, live_ids, buckets, must_ids, not_ids, scoring, idf,
-    k, tie_round, after=None,
+    k, tie_round, after=None, should_ids=(), msm=0,
 ):
     """Per-docID-range applyInPandas boolean evaluation + global
     TakeOrdered — the scale path (a range holds every term's postings for
@@ -415,7 +460,8 @@ def _search_bool_distributed(
         )
         if is_lazy and must_ids:
             i_r, s_r = _range_eval_lazy(
-                slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b, avgdl
+                slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b,
+                avgdl, should_ids, msm,
             )
         else:
             if is_lazy:
@@ -423,7 +469,8 @@ def _search_bool_distributed(
                     i: s.to_term_slice() for i, s in slices_by_id.items()
                 }
             i_r, s_r = _range_eval(
-                slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b, avgdl
+                slices_by_id, must_ids, not_ids, scoring, cfg.k1, cfg.b,
+                avgdl, should_ids, msm,
             )
         return pd.DataFrame({"doc_id": i_r, "score": s_r})
 

@@ -320,20 +320,23 @@ def _phrase_scored_df(searcher, c: Clause) -> DataFrame | None:
 
 
 def query_string_plan(
-    searcher, query_string: str, max_expansions: int = 1024
+    searcher, query_string: str, max_expansions: int = 1024,
+    minimum_should_match: int = 0,
 ) -> DataFrame | None:
     """The distributed evaluation as an uncollected DataFrame
-    (doc_id, score, nreq) — the plan-shape hook (tools/explain_plans.py)
-    and the building block for sinks that want the full match set."""
+    (doc_id, score, nreq, nshd) — the plan-shape hook
+    (tools/explain_plans.py) and the building block for sinks that want
+    the full match set."""
     clauses = parse_query_string(query_string)
     scoring = [c for c in clauses if c.occur != "must_not"]
     nots = [c for c in clauses if c.occur == "must_not"]
     if not scoring:
         return None
-    return _qs_fold(searcher, scoring, nots, max_expansions)
+    return _qs_fold(searcher, scoring, nots, max_expansions,
+                    minimum_should_match)
 
 
-def _qs_fold(searcher, scoring, nots, max_expansions):
+def _qs_fold(searcher, scoring, nots, max_expansions, msm=0):
     frames, n_must = [], 0
     for c in scoring:
         if c.kind == "phrase":
@@ -349,15 +352,19 @@ def _qs_fold(searcher, scoring, nots, max_expansions):
         if d is not None:
             frames.append(
                 d.withColumn("req", F.lit(1 if c.occur == "must" else 0))
+                .withColumn("shd", F.lit(0 if c.occur == "must" else 1))
             )
     if not frames:
         return None
     u = reduce(DataFrame.unionByName, frames)
     agg = u.groupBy("doc_id").agg(
-        F.sum("score").alias("score"), F.sum("req").alias("nreq")
+        F.sum("score").alias("score"), F.sum("req").alias("nreq"),
+        F.sum("shd").alias("nshd"),
     )
     if n_must:
         agg = agg.filter(F.col("nreq") == n_must)
+    if msm > 0 and any(c.occur == "should" for c in scoring):
+        agg = agg.filter(F.col("nshd") >= msm)
     for c in nots:
         if c.kind == "phrase":
             from .phrase import phrase_matches
@@ -373,8 +380,9 @@ def _qs_fold(searcher, scoring, nots, max_expansions):
     return agg
 
 
-def _qs_distributed(searcher, scoring, nots, k, tie_round, max_expansions):
-    agg = _qs_fold(searcher, scoring, nots, max_expansions)
+def _qs_distributed(searcher, scoring, nots, k, tie_round, max_expansions,
+                    msm=0):
+    agg = _qs_fold(searcher, scoring, nots, max_expansions, msm)
     if agg is None:
         return []
     r = F.round(F.col("score"), tie_round)
@@ -428,30 +436,40 @@ def search_query_string(
     distributed: bool = False,
     max_expansions: int = 1024,
     route_bool: bool = True,
+    minimum_should_match: int = 0,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a classic query_string (see module
     docstring for the supported subset and semantics).  Term-family-only
     strings route through the boolean serving core (identical scores —
     a clause's expansion sum IS a should-group sum; pinned by
     tests/test_querystring.py routed-vs-generic); ``route_bool=False``
-    forces the generic per-clause fold."""
+    forces the generic per-clause fold.
+
+    ``minimum_should_match`` counts CLAUSES (a prefix/fuzzy clause
+    matching via any expansion counts once), so with it set the bool
+    route is taken only when every should clause is a single term —
+    term-level and clause-level counting coincide there."""
     clauses = parse_query_string(query_string)
     scoring = [c for c in clauses if c.occur != "must_not"]
     nots = [c for c in clauses if c.occur == "must_not"]
     if not scoring:
         return []
-    if route_bool:
+    msm = int(minimum_should_match or 0)
+    if route_bool and (
+        msm == 0
+        or all(c.kind == "term" for c in scoring if c.occur == "should")
+    ):
         routed = _bool_route(searcher, clauses, max_expansions)
         if routed is not None:
             from .boolquery import search_bool
 
             return search_bool(
                 searcher, k=k, distributed=distributed,
-                tie_round=tie_round, **routed,
+                tie_round=tie_round, minimum_should_match=msm, **routed,
             )
     if distributed:
         return _qs_distributed(
-            searcher, scoring, nots, k, tie_round, max_expansions
+            searcher, scoring, nots, k, tie_round, max_expansions, msm
         )
     per = [
         (c, *_clause_scores_driver(searcher, c, max_expansions))
@@ -475,6 +493,16 @@ def search_query_string(
             cand = cand[~_member(cand, nd)]
     if cand.size == 0:
         return []
+    if msm > 0 and any(c.occur == "should" for c in scoring) and (
+        must_sets or msm > 1
+    ):
+        cnt = np.zeros(cand.size, dtype=np.int64)
+        for c, da, _sc in per:
+            if c.occur == "should" and da.size:
+                cnt += _member(cand, da)
+        cand = cand[cnt >= msm]
+        if cand.size == 0:
+            return []
     total = np.zeros(cand.size, dtype=np.float64)
     for _c, da, sc in per:
         if da.size == 0:

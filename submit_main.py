@@ -140,6 +140,7 @@ def cmd_query(args) -> None:
             hits = search_bool(
                 s, must=must, should=should, must_not=must_not, k=args.k,
                 distributed=args.distributed, boosts=boosts or None,
+                minimum_should_match=args.min_should_match,
             )
         elif mode == "fuzzy":
             from data_prepper_spark.index.boolquery import search_fuzzy
@@ -265,7 +266,8 @@ def cmd_query(args) -> None:
             )
 
             hits = search_query_string(
-                s, q, k=args.k, distributed=args.distributed
+                s, q, k=args.k, distributed=args.distributed,
+                minimum_should_match=args.min_should_match,
             )
         elif mode == "phrase-prefix":
             from data_prepper_spark.index.phrase import phrase_prefix_topk
@@ -638,6 +640,9 @@ def main() -> None:
                          "index built with field_cols; with --mode bm25 "
                          "runs a filtered BM25 search")
     pq.add_argument("--max-edits", type=int, default=2)
+    pq.add_argument("--min-should-match", type=int, default=0,
+                    help="minimum number of SHOULD clauses a doc must "
+                         "match (bool and query-string modes)")
     pq.add_argument("--prefix-len", type=int, default=0)
     pq.add_argument("--fq", action="append", metavar="FIELD=QUERY",
                     help="per-field query for --mode fields (repeatable)")

@@ -19,10 +19,12 @@ from data_prepper_spark.index.query import BM25Searcher
 K1, B = 1.2, 0.75
 
 
-def _bool_oracle(oracle, must, should, must_not, k=10, exclude=()):
+def _bool_oracle(oracle, must, should, must_not, k=10, exclude=(), msm=0):
     """Pure-Python BooleanQuery: candidates ∩ must, − must_not, scored
     over must+should in sorted-term order (the engine's accumulation
-    order).  *exclude*: tombstoned docs (full-index stats retained)."""
+    order).  *exclude*: tombstoned docs (full-index stats retained).
+    *msm*: minimum_should_match — docs must match ≥ msm should terms
+    (no-op when there are no should clauses, per OpenSearch)."""
     must = list(dict.fromkeys(must))
     should = [t for t in dict.fromkeys(should) if t not in must]
     scoring = sorted(set(must + should))
@@ -37,6 +39,11 @@ def _bool_oracle(oracle, must, should, must_not, k=10, exclude=()):
         cand = set()
         for t in scoring:
             cand |= set(oracle.postings.get(t, ()))
+    if msm > 0 and should:
+        cand = {
+            d for d in cand
+            if sum(d in oracle.postings.get(t, {}) for t in should) >= msm
+        }
     for t in must_not:
         cand -= set(oracle.postings.get(t, ()))
     cand -= set(exclude)
@@ -90,6 +97,50 @@ def test_bool_distributed_matches_driver(spark, tiny_index, oracle_tiny):
             distributed=True,
         )
         _assert_rank_identical(dst, drv, f"{must}/{should}/{must_not}")
+
+
+MSM_CASES = [
+    # (must, should, must_not, msm)
+    ([], ["the", "data", "search", "web"], [], 2),
+    ([], ["the", "data", "search", "web"], [], 3),
+    (["the"], ["data", "search", "engine"], [], 2),
+    (["the"], ["data", "search"], ["engine"], 1),
+    ([], ["data", "search"], [], 1),          # pure-should msm=1 ≡ union
+    (["the"], ["data", "qqqabsentqqq"], [], 2),  # dead should clause
+]
+
+
+def test_bool_minimum_should_match(spark, tiny_index, oracle_tiny):
+    """minimum_should_match vs the oracle, across eager/lazy/distributed
+    paths — docs must match ≥ msm SHOULD terms on top of the must/not
+    semantics (OpenSearch bool parameter)."""
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    for must, should, must_not, msm in MSM_CASES:
+        want = _bool_oracle(oracle_tiny, must, should, must_not, msm=msm)
+        ctx = f"{must}/{should}/{must_not} msm={msm}"
+        got = search_bool(
+            s, must=must, should=should, must_not=must_not, k=10,
+            minimum_should_match=msm,
+        )
+        _assert_rank_identical(got, want, ctx)
+        dst = search_bool(
+            s, must=must, should=should, must_not=must_not, k=10,
+            minimum_should_match=msm, distributed=True,
+        )
+        _assert_rank_identical(dst, want, ctx + " distributed")
+
+
+def test_bool_msm_exceeding_live_shoulds_is_empty(spark, tiny_index):
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    # only one live should clause but two required
+    assert search_bool(
+        s, must=["the"], should=["data", "qqqabsentqqq"],
+        minimum_should_match=2,
+    ) == []
+    # no should clauses at all: parameter is a no-op (OpenSearch)
+    assert search_bool(s, must=["the"], minimum_should_match=3, k=5)
 
 
 def test_bool_absent_must_is_empty(spark, tiny_index):

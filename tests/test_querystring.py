@@ -114,7 +114,7 @@ def _phrase_occurrences(toks, terms, slop):
     return n
 
 
-def _oracle_qs(oracle, positions_by_doc, query_string):
+def _oracle_qs(oracle, positions_by_doc, query_string, msm=0):
     clauses = parse_query_string(query_string)
     vocab = sorted(oracle.postings)
     n, avgdl = oracle.n_docs, oracle.avgdl
@@ -170,6 +170,11 @@ def _oracle_qs(oracle, positions_by_doc, query_string):
         cand = set.intersection(*must)
     else:
         cand = set().union(*(set(sc) for _, sc in per))
+    if msm > 0 and any(c.occur == "should" for c, _ in per):
+        cand = {
+            d for d in cand
+            if sum(d in sc for c, sc in per if c.occur == "should") >= msm
+        }
     for c in clauses:
         if c.occur == "must_not":
             cand -= set(clause_scores(Clause("should", c.kind, c.text,
@@ -260,6 +265,44 @@ def test_query_string_respects_deletes(spark, qs_index, workdir):
             distributed=distributed,
         )
         assert not ({did for did, _ in after} & set(victims)), distributed
+
+
+QS_MSM_CASES = [
+    # clause-level counting: a prefix/fuzzy/phrase clause counts once
+    ("tok0030 tok0031 tok0032 tok0033", 2),
+    ("tok0030 tok0031 tok0032 tok0033", 3),
+    ("+the tok0010 tok0011", 1),
+    ("+the tok0010 tok0011", 2),
+    ('"of the" tok0010 tok001*', 2),    # phrase + prefix should clauses
+    ("+tok0010 -of the data", 2),
+    ("tok001* tok0030~1 the", 2),       # expansion clauses count once
+]
+
+
+def test_query_string_minimum_should_match(spark, qs_index, oracle_tiny,
+                                           positions_by_doc):
+    """Clause-level minimum_should_match vs the oracle, identical across
+    driver / distributed / routed paths."""
+    s = BM25Searcher(spark, qs_index)
+    for q, msm in QS_MSM_CASES:
+        want = _rank(
+            _oracle_qs(oracle_tiny, positions_by_doc, q, msm=msm), 10
+        )
+        ctx = f"{q} msm={msm}"
+        for kw in (
+            {},
+            {"distributed": True},
+            {"route_bool": False},
+            {"route_bool": False, "distributed": True},
+        ):
+            got = search_query_string(
+                s, q, k=10, tie_round=TIE, minimum_should_match=msm, **kw
+            )
+            assert [d for d, _ in got] == [d for d, _ in want], (ctx, kw)
+            np.testing.assert_allclose(
+                [v for _, v in got], [v for _, v in want], rtol=1e-9,
+                err_msg=f"{ctx} {kw}",
+            )
 
 
 def test_query_string_bool_route_identical(spark, qs_index):
