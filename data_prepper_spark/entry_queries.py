@@ -6365,6 +6365,71 @@ QSM_QUERIES: list[tuple[int, str, int]] = [
 ]
 
 
+# (qid, supplied terms) — per-doc requirement r(d) = max(1, n_chars % 4)
+TERMS_SET_QUERIES: list[tuple[int, list]] = [
+    (0, ["data", "table", "merge", "join"]),
+    (1, ["the", "spark", "query", "fast", "slow"]),
+    (2, ["customer", "value", "big"]),
+]
+
+
+def q_ft_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms_set query (index/filtered.py search_terms_set — OpenSearch
+    TermsSetQuery / Lucene CoveringQuery): a doc matches when it
+    contains at least r(doc) of the supplied terms, r(doc) read from a
+    docvalues field through a per-doc script (here ``n_chars % 4``,
+    clamped to ≥1 like Lucene).  Scores are the BM25 disjunction sum
+    over the matched terms.  Distributed: posting slices cogrouped with
+    the docvalues column per docID range."""
+    from .index.filtered import search_terms_set
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, terms in TERMS_SET_QUERIES:
+        hits = search_terms_set(
+            s, terms, msm_field="n_chars", required_fn=lambda v: v % 4,
+            k=FT_K, distributed=True, tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_terms_set() -> str:
+    ctes, selects = [], []
+    for qid, terms in TERMS_SET_QUERIES:
+        t_in = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        ctes.append(
+            f"tscnt{qid} AS (SELECT doc_id, count(DISTINCT term) AS cnt "
+            f"FROM tf WHERE term IN ({t_in}) GROUP BY 1)"
+        )
+        ctes.append(
+            f"tscand{qid} AS (SELECT c.doc_id FROM tscnt{qid} c "
+            f"JOIN documents d ON c.doc_id = d.doc_id "
+            f"WHERE c.cnt >= GREATEST(1, d.n_chars % 4))"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( {_BM25_TERM} ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({t_in})\n"
+            f"  AND tf.doc_id IN (SELECT doc_id FROM tscand{qid})\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + ",\n" + ",\n".join(ctes) + f""",
+ts_scores AS ({union}),
+ts_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM ts_scores
+)
+SELECT query_id, doc_id, score_r FROM ts_ranked WHERE rn <= {FT_K}
+"""
+
+
 def q_ft_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minimum_should_match on the boolean core (OpenSearch bool
     parameter, index/boolquery.py search_bool): a doc must match at
@@ -6617,6 +6682,7 @@ QUERIES = {
     "ft_phrase_prefix": q_ft_phrase_prefix,
     "ft_query_string": q_ft_query_string,
     "ft_min_should_match": q_ft_min_should_match,
+    "ft_terms_set": q_ft_terms_set,
     "ft_qs_min_should_match": q_ft_qs_min_should_match,
     # rows-only by design: sequential per-key forest state, non-relational
     "anomaly_rcf": q_anomaly_rcf,
@@ -6771,6 +6837,7 @@ ORACLES = {
     "ft_phrase_prefix": sql_ft_phrase_prefix(),
     "ft_query_string": sql_ft_query_string(),
     "ft_min_should_match": sql_ft_min_should_match(),
+    "ft_terms_set": sql_ft_terms_set(),
     "ft_qs_min_should_match": sql_ft_qs_min_should_match(),
 }
 
@@ -6789,7 +6856,7 @@ _DRIVER_WINDOW_R5 = [
     "otel_spans_decode", "otel_service_map", "otel_metrics_decode",
     "otel_logs_decode", "geoip_mmdb", "select_entries", "anomaly_rcf",
     # -- stalest: r1/r2-only (8) --
-    "multimodal_features", "multimodal_meta", "dedup_minhash_lsh",
+    "multimodal_features", "dedup_minhash_lsh",
     "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_langid",
     # -- new this session: aggregations, suggester, highlighting (10) --
     "ft_agg_stats", "ft_agg_percentiles", "ft_agg_cardinality",
@@ -6800,6 +6867,7 @@ _DRIVER_WINDOW_R5 = [
     "ft_collapse", "ft_boosting", "ft_rescore", "ft_explain",
     "ft_agg_composite", "ft_agg_extended_stats", "ft_phrase_prefix",
     "ft_query_string", "ft_min_should_match", "ft_qs_min_should_match",
+    "ft_terms_set",
     # -- stalest r3-only pads + round-5 additions --
     "user_agent_uap",
     "otel_metrics_full", "http_ingest",

@@ -310,6 +310,7 @@ def build_index(
     src_tag: str = "",
     bucket_groups: int = 1,
     fault_injector=None,
+    field_cols: tuple[str, ...] = (),
 ) -> dict:
     """Build the full index at *index_dir*. Resumable at bucket-group
     granularity via the ledger; returns build stats.
@@ -318,11 +319,19 @@ def build_index(
     each owning term_buckets {tb : tb % G == g}; a group's output directory
     is overwritten atomically and its ledger row committed only after the
     write succeeds, so rerunning after a crash skips completed groups.
+
+    *field_cols*: extra pages columns stored as docvalues (filtered /
+    sorted / terms_set / agg serving).  They enter the resume
+    fingerprint — a rerun with different docvalues rebuilds rather than
+    silently reusing a docmeta without them.
     """
     assert cfg.n_buckets % bucket_groups == 0
     p = _paths(index_dir)
     ledger = Ledger(index_dir)
-    fp = _fingerprint(src_tag, cfg)
+    tag = (
+        src_tag + "|fields=" + ",".join(field_cols) if field_cols else src_tag
+    )
+    fp = _fingerprint(tag, cfg)
 
     # ---- stage: tokens (extraction + tokenization, staged once) ----
     if 0 not in ledger.completed("tokens", fp):
@@ -337,11 +346,11 @@ def build_index(
 
     # ---- stage: docmeta + corpus stats ----
     if 0 not in ledger.completed("docmeta", fp):
-        doc_src = doc_src_from_pages(pages, cfg)
+        doc_src = doc_src_from_pages(pages, cfg, field_cols)
         dls = tokens.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
         docmeta = dls.join(doc_src, "doc_id", "left").select(
             "doc_id", F.coalesce("url", F.col("doc_id").cast("string")).alias("url"),
-            "doc_len",
+            "doc_len", *field_cols,
         )
         (
             docmeta.repartitionByRange(8, "doc_id")

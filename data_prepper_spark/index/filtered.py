@@ -788,6 +788,145 @@ def _function_score_distributed(
     ]
 
 
+def search_terms_set(
+    searcher,
+    terms: list[str],
+    msm_field: str,
+    k: int = 10,
+    required_fn=None,
+    filters=(),
+    distributed: bool = False,
+    tie_round: int | None = None,
+) -> list[tuple[int, float]]:
+    """terms_set query (OpenSearch / Lucene CoveringQuery): a doc
+    matches when it contains at least r(doc) of the supplied *terms*,
+    where r(doc) = max(1, required_fn(docvalue[msm_field])) — the
+    ``minimum_should_match_field`` / ``minimum_should_match_script``
+    surface (reference sink delegates to OpenSearch's TermsSetQuery;
+    Lucene clamps the per-doc requirement to ≥1).  *required_fn* is a
+    vectorized ndarray→ndarray callable (identity when None, the plain
+    field semantics).  Scoring is the BM25 disjunction sum over the
+    matched supplied terms, accumulated in sorted-term order.
+
+    Distributed mode cogroups the pruned posting slices with the
+    docvalues column per docID range — the per-doc requirement never
+    leaves its range, so the shuffle stays bounded by the match set
+    (the 10^12-doc plan; same shape as function_score)."""
+    _check_filters(filters)
+    _, ids, buckets = searcher._terms_buckets(" ".join(dict.fromkeys(terms)))
+    dfs = searcher.term_stats(ids, buckets)
+    ids = {i: t for i, t in ids.items() if dfs.get(i, 0) > 0}
+    if not ids:
+        return []
+    idf = {i: idf_value(searcher.n_docs, dfs[i]) for i in ids}
+    cfg, avgdl = searcher.cfg, searcher.avgdl
+
+    def eval_slices(slices_by_id, is_lazy, meta_ids, meta_vals):
+        # closure captures scalars only (cfg/avgdl/required_fn) — the
+        # distributed cogroup pickles this into the workers
+        if is_lazy:
+            slices_by_id = {
+                i: s.to_term_slice() for i, s in slices_by_id.items() if s.n
+            }
+        subs = [s for s in slices_by_id.values() if s.doc_ids.size]
+        if not subs:
+            return None
+        i_r, s_r = score_brute(subs, cfg.k1, cfg.b, avgdl)
+        cnt = np.zeros(i_r.size, dtype=np.int64)
+        for s in subs:
+            cnt += _member(i_r, s.doc_ids)
+        keep = _member(i_r, meta_ids)  # filters / missing-field drop
+        i_r, s_r, cnt = i_r[keep], s_r[keep], cnt[keep]
+        if i_r.size == 0:
+            return None
+        vals = meta_vals[np.searchsorted(meta_ids, i_r)]
+        req = required_fn(vals) if required_fn is not None else vals
+        req = np.maximum(1, np.asarray(req).astype(np.int64))
+        keep = cnt >= req
+        i_r, s_r = i_r[keep], s_r[keep]
+        return (i_r, s_r) if i_r.size else None
+
+    if distributed:
+        return _terms_set_distributed(
+            searcher, ids, buckets, idf, eval_slices, msm_field, filters,
+            k, tie_round,
+        )
+    meta_ids, meta_vals = _meta_ids_vals(searcher, filters, msm_field)
+    rows = searcher._pruned_slice_rows(list(ids), buckets)
+    rows_by_range: dict[int, list] = {}
+    for r in rows:
+        rows_by_range.setdefault(int(r["range_id"]), []).append(r)
+    out_ids, out_sc = [], []
+    for rr in rows_by_range.values():
+        slices_by_id, is_lazy = _decode_range(
+            rr, ids, idf, searcher.legacy_codec, searcher.deleted,
+            cfg.block_size,
+        )
+        got = eval_slices(slices_by_id, is_lazy, meta_ids, meta_vals)
+        if got is not None:
+            out_ids.append(got[0])
+            out_sc.append(got[1])
+    if not out_ids:
+        return []
+    da = np.concatenate(out_ids)
+    sc = np.concatenate(out_sc)
+    if tie_round is not None:
+        order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+        return [(int(da[i]), float(sc[i])) for i in order]
+    ids_k, sc_k = topk_select(da, sc, k)
+    return list(zip(ids_k.tolist(), sc_k.tolist()))
+
+
+def _terms_set_distributed(
+    searcher, labels, buckets, idf, eval_slices, msm_field, filters, k,
+    tie_round,
+):
+    from .tokenize import range_id_col
+
+    cfg, legacy, deleted = searcher.cfg, searcher.legacy_codec, searcher.deleted
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty or meta_pdf.empty:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        slices_by_id, is_lazy = _decode_range(
+            post_pdf.to_dict("records"), labels, idf, legacy, deleted,
+            cfg.block_size,
+        )
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        meta_vals = meta_pdf["v"].to_numpy()
+        order = np.argsort(meta_ids)
+        got = eval_slices(
+            slices_by_id, is_lazy, meta_ids[order], meta_vals[order]
+        )
+        if got is None:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        return pd.DataFrame({"doc_id": got[0], "score": got[1]})
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id",
+        F.col(msm_field).alias("v"),
+    )
+    scored = (
+        searcher._pruned_slices(list(labels), buckets)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema="doc_id long, score double")
+    )
+    if tie_round is not None:
+        ordered = scored.orderBy(
+            F.round(F.col("score"), tie_round).desc(), F.asc("doc_id")
+        )
+    else:
+        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in ordered.limit(k).collect()
+    ]
+
+
 def _matched_with_values(searcher, ids, buckets, filters, value_field):
     """Driver-mode shared core for match-set aggregations: sorted matched
     docIDs of the OR query (docID streams only) joined to one docvalues

@@ -74,6 +74,9 @@ def cmd_build(args) -> None:
     stats = build_index(
         spark, pages, args.index_dir, cfg,
         src_tag=args.input, bucket_groups=args.bucket_groups,
+        field_cols=tuple(
+            c for c in (args.field_cols or "").split(",") if c
+        ),
     )
     dt = time.perf_counter() - t0
     print(json.dumps({"built": args.index_dir, "seconds": round(dt, 1),
@@ -268,6 +271,13 @@ def cmd_query(args) -> None:
             hits = search_query_string(
                 s, q, k=args.k, distributed=args.distributed,
                 minimum_should_match=args.min_should_match,
+            )
+        elif mode == "terms-set":
+            from data_prepper_spark.index.filtered import search_terms_set
+
+            hits = search_terms_set(
+                s, q.split(), msm_field=args.msm_field, k=args.k,
+                filters=filters, distributed=args.distributed,
             )
         elif mode == "phrase-prefix":
             from data_prepper_spark.index.phrase import phrase_prefix_topk
@@ -597,6 +607,9 @@ def main() -> None:
     pb.add_argument("--k1", type=float, default=1.2)
     pb.add_argument("--b", type=float, default=0.75)
     pb.add_argument("--codec", choices=["varint", "pfor"], default="varint")
+    pb.add_argument("--field-cols", help="comma-separated pages columns "
+                    "stored as docvalues (filtered/sorted/terms-set/agg-* "
+                    "query modes)")
     pb.add_argument("--positions", action="store_true",
                     help="store positional postings (enables phrase queries)")
     pb.set_defaults(fn=cmd_build)
@@ -616,7 +629,7 @@ def main() -> None:
                              "agg-significant", "suggest", "query-string",
                              "phrase-prefix", "collapse", "boosting",
                              "rescore", "explain", "agg-composite",
-                             "agg-extended-stats"],
+                             "agg-extended-stats", "terms-set"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); query-string is the full DSL "
                          "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "
@@ -643,6 +656,9 @@ def main() -> None:
     pq.add_argument("--min-should-match", type=int, default=0,
                     help="minimum number of SHOULD clauses a doc must "
                          "match (bool and query-string modes)")
+    pq.add_argument("--msm-field", help="terms-set mode: integer "
+                    "docvalues column holding each doc's required "
+                    "match count (clamped to >=1)")
     pq.add_argument("--prefix-len", type=int, default=0)
     pq.add_argument("--fq", action="append", metavar="FIELD=QUERY",
                     help="per-field query for --mode fields (repeatable)")

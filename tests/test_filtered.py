@@ -597,3 +597,55 @@ def test_match_agg_significant_terms(spark, agg_index, oracle_tiny,
     assert match_agg_significant_terms(
         s, "the data", "n_chars", k=10, distributed=True
     ) == got
+
+
+def test_terms_set(spark, agg_index, oracle_tiny, tiny_pages_pd):
+    """terms_set (CoveringQuery): doc matches iff it contains at least
+    max(1, required_fn(n_chars)) of the supplied terms; score is the
+    BM25 disjunction sum over matched terms.  Driver == distributed ==
+    pure-python oracle, including the Lucene >=1 clamp."""
+    from data_prepper_spark.index.filtered import search_terms_set
+
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    s = BM25Searcher(spark, agg_index)
+    terms = ["the", "data", "search", "web"]
+
+    def ts_oracle(fn, k=10):
+        cnt = {}
+        for t in set(terms):
+            for d in oracle_tiny.postings.get(t, {}):
+                cnt[d] = cnt.get(d, 0) + 1
+        allowed = {
+            d for d, c in cnt.items() if c >= max(1, fn(nchars[d]))
+        }
+        scores = {}
+        for t in sorted(set(terms)):
+            idf = oracle_tiny.idf(t)
+            for d, tf in oracle_tiny.postings.get(t, {}).items():
+                if d not in allowed:
+                    continue
+                dl = oracle_tiny.doc_len[d]
+                denom = tf + K1 * (1.0 - B + B * dl / oracle_tiny.avgdl)
+                scores[d] = scores.get(d, 0.0) + idf * tf * (K1 + 1.0) / denom
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for fn in (
+        lambda v: v % 3,        # 0..2 → exercises the >=1 clamp
+        lambda v: v % 4 + 1,    # 1..4 (4 = all supplied terms)
+        lambda v: v * 0 + 2,    # constant 2
+    ):
+        want = ts_oracle(fn)
+        got = search_terms_set(
+            s, terms, msm_field="n_chars", required_fn=fn, k=10
+        )
+        _assert_rank_identical(got, want, "terms_set")
+        dst = search_terms_set(
+            s, terms, msm_field="n_chars", required_fn=fn, k=10,
+            distributed=True,
+        )
+        _assert_rank_identical(dst, want, "terms_set distributed")
+    # raw-field semantics: n_chars >> len(terms) → nothing can match
+    assert search_terms_set(s, terms, msm_field="n_chars", k=10) == []
