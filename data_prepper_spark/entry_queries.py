@@ -74,13 +74,17 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
         d = tempfile.mkdtemp(prefix="dps_entry_index_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         cfg = IndexConfig(k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16)
-        docs = _docs(spark, sf_dir).withColumn(
-            "warc_ts", _synth_ts(F.col("doc_id"))
+        docs = (
+            _docs(spark, sf_dir)
+            .withColumn("warc_ts", _synth_ts(F.col("doc_id")))
+            # second numeric docvalue (weighted_avg weight, multi_terms
+            # key) — doc_id-derived so the SQL oracle recomputes it
+            .withColumn("prio", (F.col("doc_id") % 7 + 1).cast("long"))
         )
         build_oneshot_text(
             spark, docs, d, cfg,
-            # docvalues (filtered search + date_histogram)
-            field_cols=("lang", "source", "n_chars", "warc_ts"),
+            # docvalues (filtered search + date_histogram + metric aggs)
+            field_cols=("lang", "source", "n_chars", "warc_ts", "prio"),
         )
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
@@ -1102,6 +1106,484 @@ def sql_ft_agg_terms_stats() -> str:
             f"       max(d.n_chars)::BIGINT AS max_v\n"
             f"FROM documents d\nWHERE {_agg_match_where(qtext)}\n"
             f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+# SQL twin of the _index_dir synthetic timestamp docvalue
+_TS_SQL = "(TIMESTAMP '2025-06-01 00:00:00' + (d.doc_id % 96) * INTERVAL 1 HOUR)"
+# day-histogram-with-stats parent every pipeline agg operates on
+_DAY_BUCKETS_SQL = (
+    "SELECT strftime(date_trunc('day', {ts}), '%Y-%m-%d') AS bucket,\n"
+    "       count(*)::BIGINT AS n, sum(d.n_chars)::BIGINT AS sum_v\n"
+    "FROM documents d WHERE {match} GROUP BY 1"
+)
+
+
+def _day_buckets(spark, sf_dir, qtext):
+    from .index.filtered import match_agg_date_histogram_stats
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    return match_agg_date_histogram_stats(
+        s, qtext, "warc_ts", "day", "n_chars", distributed=True
+    )
+
+
+def q_ft_agg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline aggregations (OpenSearch derivative / cumulative_sum /
+    moving_fn over a date_histogram parent, index/filtered.py
+    pipeline_from_buckets): per day bucket of the match set, the doc
+    count and n_chars sum plus the running cumulative sum, the
+    bucket-over-bucket derivative (NULL for the first bucket — OpenSearch
+    emits no value there), and the trailing-3-bucket moving average as
+    an exact scaled integer.  The parent runs the distributed
+    date-trunc-inside-the-kernel partial fold; pipeline transforms run
+    over the REDUCED bucket list (the OpenSearch coordinating-node
+    step), so their cost is bounded by bucket count, never match
+    count."""
+    from .index.filtered import pipeline_from_buckets
+
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for b, n, sv, cum, deriv, mavg in pipeline_from_buckets(
+            _day_buckets(spark, sf_dir, qtext), mavg_window=3
+        ):
+            rows.append((
+                qid, b, n, int(sv), int(cum),
+                None if deriv is None else int(deriv), int(mavg),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, bucket string, n long, sum_v long, cum_sum long,"
+        " deriv long, mavg_e4 long",
+    )
+
+
+def sql_ft_agg_pipeline() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _DAY_BUCKETS_SQL.format(ts=_TS_SQL, match=_agg_match_where(qtext))
+        selects.append(
+            f"SELECT {qid} AS query_id, bucket, n, sum_v,\n"
+            f"       (sum(sum_v) OVER (ORDER BY bucket))::BIGINT AS cum_sum,\n"
+            f"       (sum_v - lag(sum_v) OVER (ORDER BY bucket))::BIGINT AS deriv,\n"
+            f"       ((sum(sum_v) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000\n"
+            f"        // (count(*) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)))::BIGINT AS mavg_e4\n"
+            f"FROM ({day})"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sibling pipeline aggregations (OpenSearch sum_bucket / min_bucket
+    / max_bucket / avg_bucket / stats_bucket, index/filtered.py
+    bucket_stats_from_buckets): scalar stats OF the parent day
+    histogram's per-bucket n_chars sums — "what does a typical day
+    total look like".  avg as exact scaled integer."""
+    from .index.filtered import bucket_stats_from_buckets
+
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        st = bucket_stats_from_buckets(_day_buckets(spark, sf_dir, qtext))
+        rows.append((
+            qid, st["n_buckets"], int(st["sum"]), int(st["min"]),
+            int(st["max"]), int(st["avg_e4"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n_buckets long, sum_b long, min_b long, max_b long,"
+        " avg_e4 long",
+    )
+
+
+def sql_ft_agg_stats_bucket() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _DAY_BUCKETS_SQL.format(ts=_TS_SQL, match=_agg_match_where(qtext))
+        selects.append(
+            f"SELECT {qid} AS query_id, count(*)::BIGINT AS n_buckets,\n"
+            f"       sum(sum_v)::BIGINT AS sum_b, min(sum_v)::BIGINT AS min_b,\n"
+            f"       max(sum_v)::BIGINT AS max_b,\n"
+            f"       (sum(sum_v) * 10000 // count(*))::BIGINT AS avg_e4\n"
+            f"FROM ({day})"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_selector + bucket_sort pipeline aggregations (OpenSearch,
+    index/filtered.py bucket_sort_buckets): keep day buckets with ≥ 5
+    matching docs (the selector's HAVING), rank by (n_chars sum DESC,
+    bucket ASC), top-3 — "the busiest days above a floor", the
+    dashboard query."""
+    from .index.filtered import bucket_sort_buckets
+
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for rank, (b, n, sv, _mn, _mx) in enumerate(
+            bucket_sort_buckets(
+                _day_buckets(spark, sf_dir, qtext), min_n=5, k=3
+            ),
+            1,
+        ):
+            rows.append((qid, rank, b, n, int(sv)))
+    return spark.createDataFrame(
+        rows, "query_id int, rank long, bucket string, n long, sum_v long"
+    )
+
+
+def sql_ft_agg_bucket_sort() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _DAY_BUCKETS_SQL.format(ts=_TS_SQL, match=_agg_match_where(qtext))
+        selects.append(
+            f"SELECT query_id, rank, bucket, n, sum_v FROM (\n"
+            f"  SELECT {qid} AS query_id,\n"
+            f"         row_number() OVER (ORDER BY sum_v DESC, bucket) AS rank,\n"
+            f"         bucket, n, sum_v\n"
+            f"  FROM ({day}) WHERE n >= 5)\n"
+            f"WHERE rank <= 3"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+AGG_PCT_RANK_PROBES: tuple[int, ...] = (150, 300, 450)
+
+
+def q_ft_agg_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-ranks aggregation (OpenSearch aggs:percentile_ranks,
+    index/filtered.py match_agg_percentile_ranks): per probe value, the
+    percentage of matching docs with n_chars ≤ probe as an exact scaled
+    integer (count_le·10⁶ // n) — the reference's OpenSearch
+    interpolates over a t-digest; the exact ≤-fraction is deterministic
+    and SQL-pinnable.  Distributed path folds the per-range (value,
+    count) histogram."""
+    from .index.filtered import match_agg_percentile_ranks
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for x, pct in match_agg_percentile_ranks(
+            s, qtext, "n_chars", AGG_PCT_RANK_PROBES, distributed=True
+        ):
+            rows.append((qid, int(x), int(pct)))
+    return spark.createDataFrame(
+        rows, "query_id int, probe long, pct_e4 long"
+    )
+
+
+def sql_ft_agg_percentile_ranks() -> str:
+    pvals = ", ".join(f"({p})" for p in AGG_PCT_RANK_PROBES)
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, p.v::BIGINT AS probe,\n"
+            f"       (count(*) FILTER (WHERE d.n_chars <= p.v) * 1000000\n"
+            f"        // count(*))::BIGINT AS pct_e4\n"
+            f"FROM documents d, (VALUES {pvals}) p(v)\n"
+            f"WHERE {_agg_match_where(qtext)}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-average + value_count aggregations (OpenSearch
+    aggs:weighted_avg, index/filtered.py match_agg_weighted_avg):
+    Σ(n_chars·prio)/Σ(prio) over matching docs as exact integer
+    components plus the 10⁴-scaled quotient.  Distributed path emits ONE
+    (n, Σvw, Σw) partial per docID range — the minimal additive
+    sufficient statistic crosses the shuffle."""
+    from .index.filtered import match_agg_weighted_avg
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        wa = match_agg_weighted_avg(
+            s, qtext, "n_chars", "prio", distributed=True
+        )
+        rows.append((
+            qid, wa["n"], int(wa["sum_vw"]), int(wa["sum_w"]),
+            int(wa["wavg_e4"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n long, sum_vw long, sum_w long, wavg_e4 long",
+    )
+
+
+def sql_ft_agg_weighted_avg() -> str:
+    w = "(d.doc_id % 7 + 1)"
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, count(*)::BIGINT AS n,\n"
+            f"       sum(d.n_chars * {w})::BIGINT AS sum_vw,\n"
+            f"       sum({w})::BIGINT AS sum_w,\n"
+            f"       (sum(d.n_chars * {w}) * 10000 // sum({w}))::BIGINT AS wavg_e4\n"
+            f"FROM documents d WHERE {_agg_match_where(qtext)}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+AGG_FILTERS_NAMED: list[tuple[str, tuple]] = [
+    ("short", (("n_chars", "<", 250),)),
+    ("long", (("n_chars", ">=", 250),)),
+    ("all", ()),
+]
+
+
+def q_ft_agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filters aggregation (OpenSearch aggs:filters — named buckets each
+    defined by its own filter, index/filtered.py match_agg_filters):
+    per named docvalue filter, the matching-doc count; buckets overlap
+    and every bucket is emitted.  Each bucket reuses the match-count
+    scale path (per-range partial counts only)."""
+    from .index.filtered import match_agg_filters
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for name, n in match_agg_filters(
+            s, qtext, AGG_FILTERS_NAMED, "n_chars", distributed=True
+        ):
+            rows.append((qid, name, n))
+    return spark.createDataFrame(rows, "query_id int, name string, n long")
+
+
+def sql_ft_agg_filters() -> str:
+    conds = {
+        "short": "d.n_chars < 250",
+        "long": "d.n_chars >= 250",
+        "all": "TRUE",
+    }
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for name, _f in AGG_FILTERS_NAMED:
+            selects.append(
+                f"SELECT {qid} AS query_id, '{name}' AS name,\n"
+                f"       count(*) FILTER (WHERE {conds[name]})::BIGINT AS n\n"
+                f"FROM documents d WHERE {_agg_match_where(qtext)}"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+AGG_DATE_RANGES: list[tuple[str, str | None, str | None]] = [
+    ("d1", None, "2025-06-02 00:00:00"),
+    ("mid", "2025-06-02 00:00:00", "2025-06-04 00:00:00"),
+    ("tail", "2025-06-04 00:00:00", None),
+]
+
+
+def q_ft_agg_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range aggregation (OpenSearch aggs:date_range,
+    index/filtered.py match_agg_date_range): per caller-defined
+    [from, to) window of the warc_ts docvalue, the matching-doc count —
+    every bucket emitted, overlap allowed.  Distributed path folds the
+    (timestamp, count) histogram; bound checks run once on the driver
+    over the folded histogram."""
+    from .index.filtered import match_agg_date_range
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for label, n in match_agg_date_range(
+            s, qtext, "warc_ts", AGG_DATE_RANGES, distributed=True
+        ):
+            rows.append((qid, label, n))
+    return spark.createDataFrame(rows, "query_id int, bucket string, n long")
+
+
+def sql_ft_agg_date_range() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for label, lo, hi in AGG_DATE_RANGES:
+            conds = []
+            if lo is not None:
+                conds.append(f"{_TS_SQL} >= TIMESTAMP '{lo}'")
+            if hi is not None:
+                conds.append(f"{_TS_SQL} < TIMESTAMP '{hi}'")
+            flt = " AND ".join(conds)
+            selects.append(
+                f"SELECT {qid} AS query_id, '{label}' AS bucket,\n"
+                f"       count(*) FILTER (WHERE {flt})::BIGINT AS n\n"
+                f"FROM documents d WHERE {_agg_match_where(qtext)}"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-terms aggregation (OpenSearch aggs:rare_terms — the long
+    tail the terms agg's size cut hides, index/filtered.py
+    match_agg_rare_terms): n_chars values with ≤ 2 matching docs,
+    ranked (count ASC, value ASC) — rank emitted so the ordering itself
+    is oracle-checked.  OpenSearch prunes approximately with a
+    CuckooFilter; the exact histogram fold is strictly stronger with
+    shuffle traffic bounded by field cardinality."""
+    from .index.filtered import match_agg_rare_terms
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for rank, (v, n) in enumerate(
+            match_agg_rare_terms(
+                s, qtext, "n_chars", max_doc_count=2, distributed=True
+            ),
+            1,
+        ):
+            rows.append((qid, rank, int(v), n))
+    return spark.createDataFrame(
+        rows, "query_id int, rank long, val long, n long"
+    )
+
+
+def sql_ft_agg_rare_terms() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id,\n"
+            f"       row_number() OVER (ORDER BY n, val) AS rank, val, n\n"
+            f"FROM (SELECT d.n_chars::BIGINT AS val, count(*)::BIGINT AS n\n"
+            f"      FROM documents d WHERE {_agg_match_where(qtext)}\n"
+            f"      GROUP BY 1 HAVING count(*) <= 2)"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-terms aggregation (OpenSearch aggs:multi_terms,
+    index/filtered.py match_agg_multi_terms): counts per composite
+    (lang, source) docvalue tuple over the match set, ordered (count
+    DESC, tuple ASC), top-8 with the rank emitted — terms-agg ordering
+    over the composite agg's tuple partials (only (tuple, count) rows
+    cross the shuffle)."""
+    from .index.filtered import match_agg_multi_terms
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for rank, (lang, source, n) in enumerate(
+            match_agg_multi_terms(
+                s, qtext, ["lang", "source"], k=8, distributed=True
+            ),
+            1,
+        ):
+            rows.append((qid, rank, str(lang), str(source), n))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, rank long, lang string, source string, n long",
+    )
+
+
+def sql_ft_agg_multi_terms() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT query_id, rank, lang, source, n FROM (\n"
+            f"  SELECT {qid} AS query_id,\n"
+            f"         row_number() OVER (ORDER BY n DESC, lang, source) AS rank,\n"
+            f"         lang, source, n\n"
+            f"  FROM (SELECT d.lang::VARCHAR AS lang, d.source::VARCHAR AS source,\n"
+            f"               count(*)::BIGINT AS n\n"
+            f"        FROM documents d WHERE {_agg_match_where(qtext)}\n"
+            f"        GROUP BY 1, 2))\n"
+            f"WHERE rank <= 8"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-interval date histogram (OpenSearch
+    aggs:auto_date_histogram, index/filtered.py
+    match_agg_auto_date_histogram): the engine PICKS the finest
+    calendar interval (minute→year) yielding ≤ 10 buckets, then counts
+    per bucket — both the interval choice AND the bucket counts are
+    oracle-checked (the SQL twin reproduces the pick from distinct
+    truncation counts).  Labels are interval-invariant second-resolution
+    ISO strings.  Scale path: the same folded (timestamp, count)
+    histogram as every metric agg."""
+    from .index.filtered import match_agg_auto_date_histogram
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        iv, bs = match_agg_auto_date_histogram(
+            s, qtext, "warc_ts", max_buckets=10, distributed=True
+        )
+        for b, n in bs:
+            rows.append((qid, iv, b, n))
+    return spark.createDataFrame(
+        rows, "query_id int, iv string, bucket string, n long"
+    )
+
+
+def sql_ft_agg_auto_date_histogram() -> str:
+    fmt = "'%Y-%m-%d %H:%M:%S'"
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        ts2 = _TS_SQL.replace("d.doc_id", "d2.doc_id")
+        match2 = _agg_match_where(qtext).replace("d.doc_id", "d2.doc_id")
+        pick = (
+            f"SELECT CASE\n"
+            f"  WHEN count(DISTINCT date_trunc('minute', {ts2})) <= 10 THEN 'minute'\n"
+            f"  WHEN count(DISTINCT date_trunc('hour', {ts2})) <= 10 THEN 'hour'\n"
+            f"  WHEN count(DISTINCT date_trunc('day', {ts2})) <= 10 THEN 'day'\n"
+            f"  WHEN count(DISTINCT date_trunc('month', {ts2})) <= 10 THEN 'month'\n"
+            f"  ELSE 'year' END AS iv\n"
+            f"FROM documents d2 WHERE {match2}"
+        )
+        bucket = (
+            f"CASE p.iv\n"
+            f"  WHEN 'minute' THEN strftime(date_trunc('minute', {_TS_SQL}), {fmt})\n"
+            f"  WHEN 'hour' THEN strftime(date_trunc('hour', {_TS_SQL}), {fmt})\n"
+            f"  WHEN 'day' THEN strftime(date_trunc('day', {_TS_SQL}), {fmt})\n"
+            f"  WHEN 'month' THEN strftime(date_trunc('month', {_TS_SQL}), {fmt})\n"
+            f"  ELSE strftime(date_trunc('year', {_TS_SQL}), {fmt}) END"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, p.iv AS iv,\n"
+            f"       {bucket} AS bucket, count(*)::BIGINT AS n\n"
+            f"FROM documents d, ({pick}) p\n"
+            f"WHERE {_agg_match_where(qtext)}\n"
+            f"GROUP BY 1, 2, 3"
         )
     union = "\nUNION ALL\n".join(selects)
     return _ft_sql_base() + f"""
@@ -6612,6 +7094,16 @@ QUERIES = {
     "ft_agg_range": q_ft_agg_range,
     "ft_agg_terms_stats": q_ft_agg_terms_stats,
     "ft_agg_top_hits": q_ft_agg_top_hits,
+    "ft_agg_pipeline": q_ft_agg_pipeline,
+    "ft_agg_stats_bucket": q_ft_agg_stats_bucket,
+    "ft_agg_bucket_sort": q_ft_agg_bucket_sort,
+    "ft_agg_percentile_ranks": q_ft_agg_percentile_ranks,
+    "ft_agg_weighted_avg": q_ft_agg_weighted_avg,
+    "ft_agg_filters": q_ft_agg_filters,
+    "ft_agg_date_range": q_ft_agg_date_range,
+    "ft_agg_rare_terms": q_ft_agg_rare_terms,
+    "ft_agg_multi_terms": q_ft_agg_multi_terms,
+    "ft_agg_auto_date_histogram": q_ft_agg_auto_date_histogram,
     "ft_agg_significant_terms": q_ft_agg_significant_terms,
     "ft_highlight": q_ft_highlight,
     "ft_family_agg_metrics": q_ft_family_agg_metrics,
@@ -6771,6 +7263,16 @@ ORACLES = {
     "ft_agg_range": sql_ft_agg_range(),
     "ft_agg_terms_stats": sql_ft_agg_terms_stats(),
     "ft_agg_top_hits": sql_ft_agg_top_hits(),
+    "ft_agg_pipeline": sql_ft_agg_pipeline(),
+    "ft_agg_stats_bucket": sql_ft_agg_stats_bucket(),
+    "ft_agg_bucket_sort": sql_ft_agg_bucket_sort(),
+    "ft_agg_percentile_ranks": sql_ft_agg_percentile_ranks(),
+    "ft_agg_weighted_avg": sql_ft_agg_weighted_avg(),
+    "ft_agg_filters": sql_ft_agg_filters(),
+    "ft_agg_date_range": sql_ft_agg_date_range(),
+    "ft_agg_rare_terms": sql_ft_agg_rare_terms(),
+    "ft_agg_multi_terms": sql_ft_agg_multi_terms(),
+    "ft_agg_auto_date_histogram": sql_ft_agg_auto_date_histogram(),
     "ft_agg_significant_terms": sql_ft_agg_significant_terms(),
     "ft_highlight": sql_ft_highlight(),
     "ft_family_agg_metrics": sql_ft_family_agg_metrics(),
@@ -6855,9 +7357,12 @@ _DRIVER_WINDOW_R5 = [
     "codec_avro", "codec_ndjson_roundtrip", "codec_compressed",
     "otel_spans_decode", "otel_service_map", "otel_metrics_decode",
     "otel_logs_decode", "geoip_mmdb", "select_entries", "anomaly_rcf",
-    # -- stalest: r1/r2-only (8) --
-    "multimodal_features", "dedup_minhash_lsh",
-    "ann_lsh_topk", "ann_ivf_topk", "text_quality", "text_langid",
+    # -- new session-6: pipeline + remaining OpenSearch aggregations
+    # (ft_agg_stats_bucket / date_range / multi_terms ride on the local
+    # sweep — siblings of the window-checked machinery) --
+    "ft_agg_pipeline", "ft_agg_bucket_sort", "ft_agg_percentile_ranks",
+    "ft_agg_weighted_avg", "ft_agg_filters", "ft_agg_rare_terms",
+    "ft_agg_auto_date_histogram",
     # -- new this session: aggregations, suggester, highlighting (10) --
     "ft_agg_stats", "ft_agg_percentiles", "ft_agg_cardinality",
     "ft_agg_range", "ft_agg_terms_stats", "ft_agg_top_hits",
@@ -6868,8 +7373,7 @@ _DRIVER_WINDOW_R5 = [
     "ft_agg_composite", "ft_agg_extended_stats", "ft_phrase_prefix",
     "ft_query_string", "ft_min_should_match", "ft_qs_min_should_match",
     "ft_terms_set",
-    # -- stalest r3-only pads + round-5 additions --
-    "user_agent_uap",
+    # -- round-5 additions --
     "otel_metrics_full", "http_ingest",
     "ft_family_bm25_distributed", "ft_family_agg_date_histogram",
     "ft_family_filtered_topk",

@@ -1494,8 +1494,13 @@ def _fold_terms_stats(uniq, inv, vals):
 
 
 def _terms_stats_distributed(
-    searcher, labels, buckets, key_field, value_field, filters
+    searcher, labels, buckets, key_field, value_field, filters,
+    key_bucketer=None, key_type=None,
 ):
+    """*key_bucketer* (optional) maps the raw key array to bucket labels
+    INSIDE the per-range kernel (date-histogram truncation etc.) so only
+    (bucket, partial) rows cross the shuffle; *key_type* overrides the
+    bucket column's Spark type when a bucketer changes it."""
     from .tokenize import range_id_col
 
     cfg, legacy = searcher.cfg, searcher.legacy_codec
@@ -1517,7 +1522,10 @@ def _terms_stats_distributed(
         if matched.size == 0:
             return empty
         pos = np.searchsorted(meta_ids, matched)
-        uniq, inv = np.unique(keys[pos], return_inverse=True)
+        k_matched = keys[pos]
+        if key_bucketer is not None:
+            k_matched = key_bucketer(k_matched)
+        uniq, inv = np.unique(k_matched, return_inverse=True)
         folded = _fold_terms_stats(uniq, inv, vals[pos])
         return pd.DataFrame(
             {
@@ -1537,8 +1545,9 @@ def _terms_stats_distributed(
         F.col(key_field).alias("k"), F.col(value_field).alias("v"),
     )
     ts = dict(meta.dtypes)
-    k_t = "string" if ts["k"] == "string" else "bigint" if ts["k"] in (
-        "bigint", "int", "smallint", "tinyint") else "double"
+    k_t = key_type if key_type is not None else (
+        "string" if ts["k"] == "string" else "bigint" if ts["k"] in (
+            "bigint", "int", "smallint", "tinyint") else "double")
     num_t = "bigint" if ts["v"] in ("bigint", "int", "smallint", "tinyint") \
         else "double"
     rows = (
@@ -1995,3 +2004,380 @@ def _composite_distributed(
         .collect()
     )
     return [(*(r[f] for f in srcs), int(r["n"])) for r in out]
+
+
+def match_agg_date_histogram_stats(
+    searcher, query_text: str, ts_field: str, interval: str,
+    value_field: str, filters=(), distributed: bool = False,
+) -> list[tuple[str, int, object, object, object]]:
+    """Date-histogram with a stats sub-aggregation (OpenSearch
+    ``aggs: {date_histogram, aggs: {stats}}`` — the parent shape every
+    PIPELINE aggregation operates on): per calendar bucket of *ts_field*,
+    the (count, sum, min, max) of *value_field* among matching docs,
+    sorted by bucket.  Integral metrics keep exact integer sums (the
+    engine↔oracle hashing contract).  Distributed mode applies the
+    calendar truncation INSIDE the per-range kernel, so only (bucket,
+    n, sum, min, max) partials cross the shuffle — additive and
+    extremal components fold exactly."""
+    unit = _DATE_UNITS[interval]
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+
+    def key_bucketer(v):
+        return np.datetime_as_string(np.asarray(v).astype(f"datetime64[{unit}]"))
+
+    if distributed:
+        return _terms_stats_distributed(
+            searcher, ids, buckets, ts_field, value_field, filters,
+            key_bucketer=key_bucketer, key_type="string",
+        )
+    _, (keys, vals) = _matched_with_cols(
+        searcher, ids, buckets, filters, [ts_field, value_field]
+    )
+    if keys.size == 0:
+        return []
+    uniq, inv = np.unique(key_bucketer(keys), return_inverse=True)
+    return [(str(b), n, s, mn, mx)
+            for b, n, s, mn, mx in _fold_terms_stats(uniq, inv, vals)]
+
+
+def pipeline_from_buckets(rows, mavg_window: int = 3):
+    """Per-bucket PIPELINE aggregations over a parent histogram
+    (OpenSearch ``derivative`` / ``cumulative_sum`` / ``moving_fn``):
+    given the parent's (bucket, n, sum, …) rows in bucket order, emit
+    (bucket, n, sum, cumulative_sum, derivative, moving_avg_e4) —
+    derivative is None for the first bucket (OpenSearch emits no value
+    there); the moving average is the trailing window of *mavg_window*
+    sums ENDING AT the current bucket, as an exact scaled integer
+    (sum(window)·10⁴ // len(window)) so engine and SQL oracle agree
+    bit-for-bit.  Pipeline aggs run over the REDUCED bucket list (the
+    coordinating-node step in OpenSearch), so this is scale-free: cost
+    is bounded by bucket count, never match count."""
+    out = []
+    cum = 0
+    sums: list[int] = []
+    for i, r in enumerate(rows):
+        bucket, n, s = r[0], r[1], int(r[2])
+        sums.append(s)
+        cum += s
+        deriv = None if i == 0 else s - sums[i - 1]
+        w = sums[max(0, i - mavg_window + 1): i + 1]
+        total = sum(w)
+        mavg_e4 = (total * 10**4 // len(w) if total >= 0
+                   else -((-total * 10**4) // len(w)))
+        out.append((bucket, n, s, cum, deriv, mavg_e4))
+    return out
+
+
+def bucket_stats_from_buckets(rows) -> dict:
+    """Sibling pipeline aggregations (OpenSearch ``sum_bucket`` /
+    ``min_bucket`` / ``max_bucket`` / ``avg_bucket`` / ``stats_bucket``)
+    over a parent histogram's per-bucket sums: scalar stats of the
+    bucket metric itself.  avg is an exact scaled integer
+    (sum·10⁴ // n_buckets)."""
+    if not rows:
+        return {"n_buckets": 0, "sum": 0, "min": None, "max": None,
+                "avg_e4": None}
+    sums = [int(r[2]) for r in rows]
+    total = sum(sums)
+    avg_e4 = (total * 10**4 // len(sums) if total >= 0
+              else -((-total * 10**4) // len(sums)))
+    return {"n_buckets": len(sums), "sum": total, "min": min(sums),
+            "max": max(sums), "avg_e4": avg_e4}
+
+
+def bucket_sort_buckets(rows, min_n: int = 0, k: int = 5):
+    """``bucket_selector`` + ``bucket_sort`` pipeline aggregations:
+    keep parent buckets whose doc count ≥ *min_n* (the selector's
+    HAVING), order by (metric sum DESC, bucket ASC), return the top-*k*
+    — "the busiest days above a floor", the dashboard shape."""
+    kept = [r for r in rows if int(r[1]) >= min_n]
+    kept.sort(key=lambda r: (-int(r[2]), r[0]))
+    return kept[:k]
+
+
+def match_agg_percentile_ranks(
+    searcher, query_text: str, field: str, values, filters=(),
+    distributed: bool = False,
+) -> list[tuple[object, int]]:
+    """Percentile-ranks aggregation over the match set (OpenSearch
+    ``aggs:percentile_ranks`` — the inverse of percentiles): for each
+    probe value x, the percentage of matched docs with field ≤ x, as an
+    exact scaled integer (count_le·100·10⁴ // n).  The reference's
+    OpenSearch interpolates over a t-digest; the exact ≤-fraction is
+    deterministic and SQL-expressible.  Distributed mode folds the same
+    per-range (value, count) histogram as stats/percentiles."""
+    _check_filters(filters)
+    vals, counts = match_value_hist(
+        searcher, query_text, field, filters, distributed
+    )
+    if vals.size == 0:
+        return [(x, None) for x in values]
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    out = []
+    for x in values:
+        pos = int(np.searchsorted(vals, x, side="right"))
+        le = int(cum[pos - 1]) if pos > 0 else 0
+        out.append((x, le * 100 * 10**4 // n))
+    return out
+
+
+def match_agg_value_count(
+    searcher, query_text: str, field: str, filters=(),
+    distributed: bool = False,
+) -> int:
+    """Value-count aggregation over the match set (OpenSearch
+    ``aggs:value_count``): the number of field values present among
+    matching docs — with single-valued, null-free docvalues this is the
+    match-set size under the filters.  Distributed mode sums the folded
+    histogram's counts (only (value, count) pairs cross the shuffle)."""
+    _check_filters(filters)
+    _, counts = match_value_hist(
+        searcher, query_text, field, filters, distributed
+    )
+    return int(counts.sum()) if counts.size else 0
+
+
+def match_agg_weighted_avg(
+    searcher, query_text: str, value_field: str, weight_field: str,
+    filters=(), distributed: bool = False,
+) -> dict:
+    """Weighted-average aggregation over the match set (OpenSearch
+    ``aggs:weighted_avg``): Σ(value·weight) / Σ(weight) over matching
+    docs, returned as exact integer components (n, sum_vw, sum_w) plus
+    the quotient scaled to 10⁴ — integral fields stay exact end-to-end
+    so the SQL oracle pins bit-for-bit.  Distributed mode emits ONE
+    (n, Σvw, Σw) partial per docID range — the minimal additive
+    sufficient statistic crosses the shuffle."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    empty = {"n": 0, "sum_vw": 0, "sum_w": 0, "wavg_e4": None}
+    if not ids:
+        return empty
+    if distributed:
+        n, s_vw, s_w = _weighted_avg_distributed(
+            searcher, ids, buckets, value_field, weight_field, filters
+        )
+    else:
+        _, (v, w) = _matched_with_cols(
+            searcher, ids, buckets, filters, [value_field, weight_field]
+        )
+        if v.size == 0:
+            return empty
+        n = int(v.size)
+        s_vw = int((v.astype(np.int64) * w.astype(np.int64)).sum())
+        s_w = int(w.astype(np.int64).sum())
+    if n == 0 or s_w == 0:
+        return empty
+    wavg_e4 = (s_vw * 10**4 // s_w if s_vw >= 0
+               else -((-s_vw * 10**4) // s_w))
+    return {"n": n, "sum_vw": s_vw, "sum_w": s_w, "wavg_e4": wavg_e4}
+
+
+def _weighted_avg_distributed(
+    searcher, labels, buckets, value_field, weight_field, filters
+):
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"n": [], "s_vw": [], "s_w": []})
+        if post_pdf.empty or meta_pdf.empty:
+            return empty
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(meta_ids)
+        meta_ids = meta_ids[order]
+        v = meta_pdf["v"].to_numpy()[order]
+        w = meta_pdf["w"].to_numpy()[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return empty
+        pos = np.searchsorted(meta_ids, matched)
+        vv = v[pos].astype(np.int64)
+        ww = w[pos].astype(np.int64)
+        return pd.DataFrame({
+            "n": [int(vv.size)],
+            "s_vw": [int((vv * ww).sum())],
+            "s_w": [int(ww.sum())],
+        })
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id",
+        F.col(value_field).alias("v"), F.col(weight_field).alias("w"),
+    )
+    row = (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema="n long, s_vw long, s_w long")
+        .agg(F.sum("n").alias("n"), F.sum("s_vw").alias("s_vw"),
+             F.sum("s_w").alias("s_w"))
+        .collect()[0]
+    )
+    return (int(row["n"] or 0), int(row["s_vw"] or 0), int(row["s_w"] or 0))
+
+
+def match_agg_filters(
+    searcher, query_text: str, named, count_field: str, filters=(),
+    distributed: bool = False,
+) -> list[tuple[str, int]]:
+    """Filters aggregation over the match set (OpenSearch
+    ``aggs:filters`` — named buckets, each defined by its own filter):
+    per (name, docvalue-filter) pair, the count of matching docs passing
+    the base *filters* AND the named filter.  Buckets may overlap and
+    every bucket is emitted, OpenSearch semantics.  Each named bucket
+    reuses the match-count scale path (per-range partial counts only)."""
+    out = []
+    for name, extra in named:
+        combined = tuple(filters) + tuple(extra)
+        n = match_agg_value_count(
+            searcher, query_text, count_field, combined, distributed
+        )
+        out.append((name, n))
+    return out
+
+
+def match_agg_date_range(
+    searcher, query_text: str, ts_field: str, ranges, filters=(),
+    distributed: bool = False,
+) -> list[tuple[str, int]]:
+    """Date-range aggregation over the match set (OpenSearch
+    ``aggs:date_range``): one count per caller-defined [from, to)
+    interval of a timestamp docvalues field; *ranges* is (label,
+    iso_from|None, iso_to|None).  Every bucket is emitted, overlap
+    allowed.  Distributed mode folds the (timestamp, count) histogram —
+    bound evaluation happens once on the driver over the folded
+    histogram."""
+    _check_filters(filters)
+    vals, counts = match_value_hist(
+        searcher, query_text, ts_field, filters, distributed
+    )
+    if vals.size and vals.dtype == object:
+        # distributed mode collects timestamps as datetime.datetime
+        vals = np.array(
+            [np.datetime64(v) for v in vals], dtype="datetime64[us]"
+        )
+    out = []
+    for label, lo, hi in ranges:
+        if vals.size == 0:
+            out.append((label, 0))
+            continue
+        m = np.ones(vals.shape, dtype=bool)
+        if lo is not None:
+            m &= vals >= np.datetime64(lo)
+        if hi is not None:
+            m &= vals < np.datetime64(hi)
+        out.append((label, int(counts[m].sum())))
+    return out
+
+
+def match_agg_rare_terms(
+    searcher, query_text: str, field: str, max_doc_count: int = 1,
+    filters=(), distributed: bool = False,
+) -> list[tuple[object, int]]:
+    """Rare-terms aggregation over the match set (OpenSearch
+    ``aggs:rare_terms`` — the long tail the terms agg's size cut
+    hides): field values whose matching-doc count ≤ *max_doc_count*,
+    ordered (count ASC, value ASC).  The reference's OpenSearch prunes
+    with a CuckooFilter (approximate); the exact histogram fold is
+    strictly stronger and shuffle traffic stays bounded by field
+    cardinality."""
+    pairs = match_agg_terms(searcher, query_text, field, filters, distributed)
+    kept = [(v, n) for v, n in pairs if n <= max_doc_count]
+    kept.sort(key=lambda t: (t[1], t[0]))
+    return kept
+
+
+def match_agg_multi_terms(
+    searcher, query_text: str, sources: list[str], k: int = 10,
+    filters=(), distributed: bool = False,
+):
+    """Multi-terms aggregation over the match set (OpenSearch
+    ``aggs:multi_terms``): counts per composite (source₁, …, sourceₙ)
+    docvalue tuple, ordered by (count DESC, tuple ASC), top-*k* — the
+    composite agg's tuple machinery with terms-agg ordering.
+    Distributed mode reuses the composite per-range partial (only
+    (tuple, count) rows cross the shuffle); ordering happens over the
+    folded buckets."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+    if distributed:
+        rows = _composite_distributed(
+            searcher, ids, buckets, sources, size=2**31 - 1, after=None,
+            filters=filters,
+        )
+    else:
+        m_ids, cols = _matched_with_cols(
+            searcher, ids, buckets, filters, list(sources)
+        )
+        if m_ids.size == 0:
+            return []
+        pdf = pd.DataFrame({f: c for f, c in zip(sources, cols)})
+        grouped = (
+            pdf.groupby(list(sources), sort=True).size().reset_index(name="n")
+        )
+        rows = [
+            (*(v.item() if hasattr(v, "item") else v for v in rec[:-1]),
+             int(rec[-1]))
+            for rec in grouped.itertuples(index=False)
+        ]
+    rows = sorted(rows, key=lambda r: (-r[-1], r[:-1]))
+    return rows[:k]
+
+
+_AUTO_DH_INTERVALS = ("minute", "hour", "day", "month", "year")
+
+
+def match_agg_auto_date_histogram(
+    searcher, query_text: str, ts_field: str, max_buckets: int = 10,
+    filters=(), distributed: bool = False,
+) -> tuple[str, list[tuple[str, int]]]:
+    """Auto-interval date histogram over the match set (OpenSearch
+    ``aggs:auto_date_histogram``): picks the FINEST calendar interval
+    from (minute, hour, day, month, year) that yields ≤ *max_buckets*
+    buckets (falling back to year), then counts per bucket.  Bucket
+    labels are second-resolution ISO strings ("YYYY-MM-DD hh:mm:ss" of
+    the truncated timestamp) so the label format is interval-invariant
+    — the SQL oracle reproduces the interval choice and the labels with
+    one strftime.  Both the interval decision and the counts derive
+    from the folded (timestamp, count) histogram, so the scale path is
+    the same bounded fold as every other metric agg."""
+    _check_filters(filters)
+    vals, counts = match_value_hist(
+        searcher, query_text, ts_field, filters, distributed
+    )
+    if vals.size == 0:
+        return _AUTO_DH_INTERVALS[-1], []
+    if vals.dtype == object:
+        vals = np.array(
+            [np.datetime64(v) for v in vals], dtype="datetime64[us]"
+        )
+    chosen = _AUTO_DH_INTERVALS[-1]
+    for interval in _AUTO_DH_INTERVALS:
+        unit = _DATE_UNITS[interval]
+        n_buckets = np.unique(vals.astype(f"datetime64[{unit}]")).size
+        if n_buckets <= max_buckets:
+            chosen = interval
+            break
+    unit = _DATE_UNITS[chosen]
+    trunc = vals.astype(f"datetime64[{unit}]").astype("datetime64[s]")
+    labels = np.char.replace(
+        np.datetime_as_string(trunc, unit="s"), "T", " "
+    )
+    uniq, inv = np.unique(labels, return_inverse=True)
+    n = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(n, inv, counts)
+    return chosen, [(str(u), int(c)) for u, c in zip(uniq, n)]
