@@ -2608,6 +2608,137 @@ SELECT query_id, doc_id, score_r FROM xranked WHERE rn <= {FT_K}
     )
 
 
+# span_first reference set: (qid, term, end boundary)
+SPAN_FIRST_QUERIES: list[tuple[int, str, int]] = [
+    (0, "data", 5),
+    (1, "the", 3),
+    (2, "query", 12),
+    (3, "merge", 8),
+]
+# unordered span_near reference set: (qid, term_a, term_b, slop)
+SPAN_NEAR_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "data", "query", 2),
+    (1, "merge", "join", 3),
+    (2, "scan", "table", 2),
+    (3, "the", "filter", 1),
+]
+
+
+def q_ft_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanFirstQuery top-k (Lucene span_first, index/phrase.py
+    span_first_topk): docs where the term occurs within the first N
+    token positions — "title-ish hits" without a separate field — BM25
+    scored with tf = qualifying occurrences, df = matching docs.  Same
+    per-range positional kernel + two-pass global-df shape as
+    phrases."""
+    from .index.phrase import span_first_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, term, end in SPAN_FIRST_QUERIES:
+        hits = span_first_topk(s, term, end, k=FT_K, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_span_first() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, term, end in SPAN_FIRST_QUERIES:
+        # engine positions are 0-based (pos < end ⇔ 1-based ord ≤ end)
+        ctes.append(
+            f"sf{qid} AS (SELECT doc_id, count(*)::BIGINT AS tfp FROM toks "
+            f"WHERE term = '{term}' AND ord <= {end} GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM sf{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM sf{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM sf{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+sfscores AS ({union}),
+sfranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM sfscores
+)
+SELECT query_id, doc_id, score_r FROM sfranked WHERE rn <= {FT_K}
+"""
+    )
+
+
+def q_ft_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered SpanNearQuery top-k (Lucene span_near in_order=false,
+    index/phrase.py span_near_topk): term_a and term_b within slop
+    intervening positions in EITHER order (|pa − pb| − 1 ≤ slop), BM25
+    with tf = distinct qualifying a-positions — the symmetric sibling of
+    the ordered proximity surface (ft_proximity_topk).  Two
+    searchsorteds over composite doc×position keys answer every
+    position's window test per range."""
+    from .index.phrase import span_near_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, ta, tb, slop in SPAN_NEAR_QUERIES:
+        hits = span_near_topk(s, ta, tb, slop, k=FT_K, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_span_near() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, ta, tb, slop in SPAN_NEAR_QUERIES:
+        ctes.append(
+            f"sn{qid} AS (SELECT a.doc_id, count(DISTINCT a.ord)::BIGINT AS tfp\n"
+            f"  FROM toks a JOIN toks b ON a.doc_id = b.doc_id\n"
+            f"  WHERE a.term = '{ta}' AND b.term = '{tb}'\n"
+            f"    AND abs(a.ord - b.ord) - 1 <= {slop}\n"
+            f"  GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM sn{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM sn{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM sn{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+snscores AS ({union}),
+snranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM snscores
+)
+SELECT query_id, doc_id, score_r FROM snranked WHERE rn <= {FT_K}
+"""
+    )
+
+
 def q_ft_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-position fidelity gate: ALL matching docs of each phrase
     with occurrence count and the 0-based token position of the FIRST
@@ -7118,6 +7249,8 @@ QUERIES = {
     "ft_phrase_topk": q_ft_phrase_topk,
     "ft_proximity_topk": q_ft_proximity_topk,
     "ft_phrase_positions": q_ft_phrase_positions,
+    "ft_span_first": q_ft_span_first,
+    "ft_span_near": q_ft_span_near,
     "ft_snippets": q_ft_snippets,
     "dedup_retained": q_dedup_retained,
     "multimodal_features": q_multimodal_features,
@@ -7287,6 +7420,8 @@ ORACLES = {
     "ft_phrase_topk": sql_ft_phrase_topk(),
     "ft_proximity_topk": sql_ft_proximity_topk(),
     "ft_phrase_positions": sql_ft_phrase_positions(),
+    "ft_span_first": sql_ft_span_first(),
+    "ft_span_near": sql_ft_span_near(),
     "ft_snippets": sql_ft_snippets(),
     "dedup_retained": sql_dedup_retained(),
     "multimodal_features": sql_multimodal_features(),

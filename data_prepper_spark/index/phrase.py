@@ -601,3 +601,231 @@ def phrase_prefix_topk(
         .collect()
     )
     return [(int(r["doc_id"]), float(r["score"])) for r in out]
+
+
+# ------------------------------------------------------- span queries
+
+def _span_first_match_rows(rows: list[dict], tid: int, end: int):
+    """SpanFirstQuery match over one docID-range's slice rows: the term's
+    occurrences whose span END is within the first *end* token positions
+    of the document (Lucene SpanFirstQuery semantics — a single-term
+    span at 0-based position p has end p+1, so the test is p < end).
+    tf = qualifying-occurrence count; first_pos = earliest qualifying
+    position.  Vectorized: per-occurrence doc indices come from one
+    np.repeat, counts from one bincount — no per-doc Python loop."""
+    g = _gather(rows, [tid])
+    if g is None:
+        return [], [], [], []
+    T, _common, _max_pos = g
+    docs, tf, dl, pos = T[tid]
+    di = np.repeat(np.arange(docs.size), tf)
+    ok = pos < end
+    cnt = np.bincount(di[ok], minlength=docs.size)
+    fp = np.full(docs.size, np.iinfo(np.int64).max)
+    np.minimum.at(fp, di[ok], pos[ok])
+    sel = cnt > 0
+    return (
+        docs[sel].tolist(),
+        cnt[sel].astype(np.int64).tolist(),
+        dl[sel].tolist(),
+        fp[sel].astype(np.int64).tolist(),
+    )
+
+
+def _span_near_unordered_match_rows(
+    rows: list[dict], tid_a: int, tid_b: int, slop: int
+):
+    """Unordered SpanNearQuery (two distinct single-term clauses) over
+    one docID-range's slice rows: an occurrence is a position a of term
+    A with SOME position b of term B in the window |a − b| − 1 ≤ slop
+    (the positions between the two spans, either order — Lucene's
+    in_order=false).  tf = count of distinct qualifying A-positions
+    (mirrors the ordered kernel's valid-start counting); df = matching
+    docs; BM25-scored like phrases.
+
+    Vectorized via the same composite doc×position keys as the ordered
+    kernel: with stride > max_pos + slop + 1 the window
+    [a−(slop+1), a+(slop+1)] can never reach a neighboring doc's key
+    segment, so two searchsorteds over B's sorted keys answer every
+    A-position's existence test at once."""
+    g = _gather(rows, [tid_a, tid_b])
+    if g is None:
+        return [], [], [], []
+    T, common, max_pos = g
+    stride = max_pos + slop + 3
+
+    def keyed(t):
+        docs, tf, _dl, pos = T[t]
+        loc = np.searchsorted(common, docs)
+        loc_c = np.minimum(loc, common.size - 1)
+        in_common = common[loc_c] == docs
+        di = np.repeat(loc_c, tf)
+        keep = np.repeat(in_common, tf)
+        return np.sort(di[keep] * stride + pos[keep])
+
+    ka, kb = keyed(tid_a), keyed(tid_b)
+    if ka.size == 0 or kb.size == 0:
+        return [], [], [], []
+    lo = np.searchsorted(kb, ka - (slop + 1), side="left")
+    hi = np.searchsorted(kb, ka + (slop + 1), side="right")
+    starts = ka[hi > lo]
+    if starts.size == 0:
+        return [], [], [], []
+    di = starts // stride
+    ps = starts % stride
+    bounds = np.flatnonzero(np.concatenate(([True], di[1:] != di[:-1])))
+    tfp = np.diff(np.append(bounds, di.size))
+    docs_out = common[di[bounds]]
+    first = ps[bounds]
+    d0, _, dl0, _ = T[tid_a]
+    o = np.argsort(d0, kind="stable")
+    dl_out = dl0[o][np.searchsorted(d0[o], docs_out)]
+    return (
+        docs_out.tolist(),
+        tfp.tolist(),
+        dl_out.tolist(),
+        first.tolist(),
+    )
+
+
+def _span_kernel(matcher):
+    """applyInPandas kernel wrapping a span matcher closure."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_tf, out_dl, out_fp = matcher(pdf.to_dict("records"))
+        return pd.DataFrame(
+            {"doc_id": out_d, "tf_phrase": out_tf, "dl": out_dl,
+             "first_pos": out_fp}
+        ).astype({"doc_id": "int64", "tf_phrase": "int64", "dl": "int64",
+                  "first_pos": "int64"})
+
+    return fn
+
+
+def _span_topk(searcher, ids: list[int], matcher, k: int, tie_round: int,
+               distributed: bool, field: str | None):
+    """Shared two-pass span scorer: per-range matcher → (doc, tf, dl)
+    match set → global df → BM25 rank, identical to phrase_topk's shape.
+    distributed=False runs the same matcher over a bucket-pruned pyarrow
+    read (the ms-latency serving path)."""
+    if not searcher.stats.get("positions"):
+        raise ValueError(
+            "span queries need a positional index (IndexConfig.positions=True)"
+        )
+    buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in ids})
+    n, avgdl = _phrase_corpus_stats(searcher, field)
+    k1, b = searcher.cfg.k1, searcher.cfg.b
+    if not distributed:
+        import pyarrow.dataset as pads
+
+        flt = (
+            pads.field("term_bucket").isin(buckets)
+            & pads.field("term_id").isin(ids)
+        )
+        rows = searcher._postings.to_table(
+            columns=["range_id"] + _POS_COLS, filter=flt
+        ).to_pylist()
+        by_range: dict[int, list] = {}
+        for r in rows:
+            by_range.setdefault(int(r["range_id"]), []).append(r)
+        docs, tfs, dls = [], [], []
+        for rr in by_range.values():
+            d, tf, dl, _fp = matcher(rr)
+            docs.extend(d)
+            tfs.extend(tf)
+            dls.extend(dl)
+        if searcher.deleted.size and docs:
+            from .deletes import _member
+
+            keep = ~_member(np.asarray(docs, dtype=np.int64), searcher.deleted)
+            docs = [d for d, kp in zip(docs, keep) if kp]
+            tfs = [t for t, kp in zip(tfs, keep) if kp]
+            dls = [l for l, kp in zip(dls, keep) if kp]
+        if not docs:
+            return []
+        df_p = len(docs)
+        idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+        da = np.asarray(docs, dtype=np.int64)
+        ta = np.asarray(tfs, dtype=np.float64)
+        la = np.asarray(dls, dtype=np.float64)
+        sc = idf * ta * (k1 + 1.0) / (ta + k1 * (1.0 - b + b * la / avgdl))
+        order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+        return [(int(da[i]), float(sc[i])) for i in order]
+    slices = (
+        searcher.spark.read.parquet(f"{searcher.index_dir}/postings")
+        .filter(
+            F.col("term_bucket").isin(buckets)
+            & F.col("term_id").isin(ids)
+        )
+        .select("range_id", *_POS_COLS)
+    )
+    matched = slices.groupBy("range_id").applyInPandas(
+        _span_kernel(matcher),
+        schema="doc_id long, tf_phrase long, dl long, first_pos long",
+    )
+    if searcher.deleted.size:
+        matched = matched.filter(
+            ~F.col("doc_id").isin(searcher.deleted.tolist())
+        )
+    matched = matched.localCheckpoint()
+    df_p = matched.count()
+    if df_p == 0:
+        return []
+    idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+    score = (
+        F.lit(idf)
+        * F.col("tf_phrase") * F.lit(k1 + 1.0)
+        / (F.col("tf_phrase") + F.lit(k1)
+           * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    )
+    out = (
+        matched.withColumn("score", score)
+        .orderBy(F.round(F.col("score"), tie_round).desc(), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    return [(int(r["doc_id"]), float(r["score"])) for r in out]
+
+
+def span_first_topk(
+    searcher, term_text: str, end: int, k: int = 10, tie_round: int = 4,
+    distributed: bool = True, field: str | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k for a SpanFirstQuery (Lucene ``span_first``): docs where
+    *term_text* occurs within the first *end* token positions, BM25
+    scored with tf = qualifying-occurrence count, df = matching docs —
+    "title-ish hits" without a separate title field.  Same two-pass
+    per-range shape as phrase_topk."""
+    terms = _phrase_terms(searcher, term_text, field)
+    if len(terms) != 1:
+        raise ValueError("span_first takes exactly one term")
+    tid = xxh64_signed(terms[0])
+    return _span_topk(
+        searcher, [tid],
+        lambda rows: _span_first_match_rows(rows, tid, end),
+        k, tie_round, distributed, field,
+    )
+
+
+def span_near_topk(
+    searcher, term_a: str, term_b: str, slop: int, k: int = 10,
+    tie_round: int = 4, distributed: bool = True,
+    field: str | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k for an unordered SpanNearQuery (Lucene ``span_near`` with
+    ``in_order=false``, two single-term clauses): docs where *term_a*
+    and *term_b* occur within *slop* intervening positions in EITHER
+    order (|pa − pb| − 1 ≤ slop), BM25 scored with tf = distinct
+    qualifying A-positions."""
+    ta = _phrase_terms(searcher, term_a, field)
+    tb = _phrase_terms(searcher, term_b, field)
+    if len(ta) != 1 or len(tb) != 1:
+        raise ValueError("span_near clauses must be single terms")
+    if ta[0] == tb[0]:
+        raise ValueError("span_near clauses must be distinct terms")
+    tid_a, tid_b = xxh64_signed(ta[0]), xxh64_signed(tb[0])
+    return _span_topk(
+        searcher, [tid_a, tid_b],
+        lambda rows: _span_near_unordered_match_rows(rows, tid_a, tid_b, slop),
+        k, tie_round, distributed, field,
+    )

@@ -285,6 +285,21 @@ def cmd_query(args) -> None:
             hits = phrase_prefix_topk(
                 s, q, k=args.k, distributed=args.distributed
             )
+        elif mode == "span-first":
+            from data_prepper_spark.index.phrase import span_first_topk
+
+            hits = span_first_topk(
+                s, q, end=args.span_end, k=args.k,
+                distributed=args.distributed,
+            )
+        elif mode == "span-near":
+            from data_prepper_spark.index.phrase import span_near_topk
+
+            ta, tb = q.split()
+            hits = span_near_topk(
+                s, ta, tb, slop=args.slop, k=args.k,
+                distributed=args.distributed,
+            )
         elif mode == "collapse":
             from data_prepper_spark.index.rescore import search_collapsed
 
@@ -629,7 +644,8 @@ def main() -> None:
                              "agg-significant", "suggest", "query-string",
                              "phrase-prefix", "collapse", "boosting",
                              "rescore", "explain", "agg-composite",
-                             "agg-extended-stats", "terms-set"],
+                             "agg-extended-stats", "terms-set",
+                             "span-first", "span-near"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); query-string is the full DSL "
                          "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "
@@ -637,6 +653,10 @@ def main() -> None:
                          "termrange expand against the term dictionary; "
                          "agg-* aggregate over the match set; suggest is "
                          "the term suggester (did-you-mean)")
+    pq.add_argument("--span-end", type=int, default=5,
+                    help="span-first: match within the first N positions")
+    pq.add_argument("--slop", type=int, default=2,
+                    help="span-near: max intervening positions, any order")
     pq.add_argument("--lower", help="termrange lower bound")
     pq.add_argument("--upper", help="termrange upper bound")
     pq.add_argument("--exclude-lower", action="store_true")

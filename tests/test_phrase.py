@@ -325,3 +325,92 @@ def test_phrase_prefix_exact_term_included(spark, pos_index):
     a = phrase_prefix_topk(s, "quick brown", k=10, distributed=False)
     b = phrase_topk(s, "quick brown", k=10, distributed=False)
     assert [d for d, _ in a] == [d for d, _ in b]
+
+
+# ------------------------------------------------------- span queries
+
+def _span_first_oracle(docs, term, end, k1=1.2, b=0.75):
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    m = {}
+    for d, seq in toks.items():
+        c = sum(1 for i, t in enumerate(seq) if t == term and i < end)
+        if c:
+            m[d] = c
+    if not m:
+        return []
+    idf = math.log(1 + (n - len(m) + 0.5) / (len(m) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+def _span_near_oracle(docs, ta, tb, slop, k1=1.2, b=0.75):
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    m = {}
+    for d, seq in toks.items():
+        pa = [i for i, t in enumerate(seq) if t == ta]
+        pb = [i for i, t in enumerate(seq) if t == tb]
+        c = sum(1 for a in pa if any(abs(a - bpos) - 1 <= slop for bpos in pb))
+        if c:
+            m[d] = c
+    if not m:
+        return []
+    idf = math.log(1 + (n - len(m) + 0.5) / (len(m) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+def test_span_first_matches_brute_oracle(spark, pos_index):
+    from data_prepper_spark.index.phrase import span_first_topk
+
+    s = BM25Searcher(spark, pos_index)
+    for term, end in [("quick", 1), ("quick", 3), ("brown", 2),
+                      ("fox", 5), ("42", 9), ("absent", 4)]:
+        want = _span_first_oracle(DOCS, term, end)
+        got = span_first_topk(s, term, end, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], (term, end)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (term, end)
+        drv = span_first_topk(s, term, end, k=10, distributed=False)
+        assert [d for d, _ in drv] == [d for d, _ in got], (term, end)
+        assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(drv, got))
+
+
+def test_span_near_matches_brute_oracle(spark, pos_index):
+    from data_prepper_spark.index.phrase import span_near_topk
+
+    s = BM25Searcher(spark, pos_index)
+    for ta, tb, slop in [("quick", "fox", 0), ("quick", "fox", 2),
+                         ("fox", "quick", 2), ("brown", "dog", 10),
+                         ("42", "digits", 1), ("quick", "absent", 3)]:
+        want = _span_near_oracle(DOCS, ta, tb, slop)
+        got = span_near_topk(s, ta, tb, slop, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], (ta, tb, slop)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (ta, tb, slop)
+        drv = span_near_topk(s, ta, tb, slop, k=10, distributed=False)
+        assert [d for d, _ in drv] == [d for d, _ in got], (ta, tb, slop)
+        assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(drv, got))
+
+
+def test_span_near_rejects_bad_clauses(spark, pos_index):
+    from data_prepper_spark.index.phrase import span_near_topk
+
+    s = BM25Searcher(spark, pos_index)
+    with pytest.raises(ValueError, match="distinct"):
+        span_near_topk(s, "quick", "quick", 1)
+    with pytest.raises(ValueError, match="single"):
+        span_near_topk(s, "quick brown", "fox", 1)
