@@ -1752,6 +1752,60 @@ def sql_ft_family_agg_metrics() -> str:
 """
 
 
+def q_ft_family_agg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-period pipeline aggregations over an index family
+    (OpenSearch derivative / cumulative_sum / moving_fn over a
+    date_histogram of `my-index-*`, index/family.py agg_pipeline):
+    per-period (bucket, n, sum, min, max) partials fold exactly
+    (additive + extremal), THEN the pipeline transforms run over the
+    folded bucket list — running them per period would be unsound (a
+    derivative across a period boundary needs the combined neighbor).
+    Covered range = [2025.06.02, 2025.06.03] ⇒ doc_id % 96 ∈ [24, 72)."""
+    from .index.family import FamilySearcher
+
+    root = _family_root(spark, sf_dir)
+    fs = FamilySearcher(spark, root)
+    cover = {"start": "2025.06.02", "end": "2025.06.03"}
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for b, n, sv, cum, deriv, mavg in fs.agg_pipeline(
+            qtext, "warc_ts", "day", "n_chars", mavg_window=3, **cover
+        ):
+            rows.append((
+                qid, b, n, int(sv), int(cum),
+                None if deriv is None else int(deriv), int(mavg),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, bucket string, n long, sum_v long, cum_sum long,"
+        " deriv long, mavg_e4 long",
+    )
+
+
+def sql_ft_family_agg_pipeline() -> str:
+    rng = "(d.doc_id % 96) >= 24 AND (d.doc_id % 96) < 72"
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = (
+            f"SELECT strftime(date_trunc('day', {_TS_SQL}), '%Y-%m-%d') AS bucket,\n"
+            f"       count(*)::BIGINT AS n, sum(d.n_chars)::BIGINT AS sum_v\n"
+            f"FROM documents d WHERE {rng} AND {_agg_match_where(qtext)}\n"
+            f"GROUP BY 1"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, bucket, n, sum_v,\n"
+            f"       (sum(sum_v) OVER (ORDER BY bucket))::BIGINT AS cum_sum,\n"
+            f"       (sum_v - lag(sum_v) OVER (ORDER BY bucket))::BIGINT AS deriv,\n"
+            f"       ((sum(sum_v) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000\n"
+            f"        // (count(*) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)))::BIGINT AS mavg_e4\n"
+            f"FROM ({day})"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 def q_ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hit highlighting (OpenSearch highlight / Lucene plain highlighter,
     index/highlight.py): top-k BM25 docs per reference query, each with
@@ -7235,6 +7289,7 @@ QUERIES = {
     "ft_agg_rare_terms": q_ft_agg_rare_terms,
     "ft_agg_multi_terms": q_ft_agg_multi_terms,
     "ft_agg_auto_date_histogram": q_ft_agg_auto_date_histogram,
+    "ft_family_agg_pipeline": q_ft_family_agg_pipeline,
     "ft_agg_significant_terms": q_ft_agg_significant_terms,
     "ft_highlight": q_ft_highlight,
     "ft_family_agg_metrics": q_ft_family_agg_metrics,
@@ -7406,6 +7461,7 @@ ORACLES = {
     "ft_agg_rare_terms": sql_ft_agg_rare_terms(),
     "ft_agg_multi_terms": sql_ft_agg_multi_terms(),
     "ft_agg_auto_date_histogram": sql_ft_agg_auto_date_histogram(),
+    "ft_family_agg_pipeline": sql_ft_family_agg_pipeline(),
     "ft_agg_significant_terms": sql_ft_agg_significant_terms(),
     "ft_highlight": sql_ft_highlight(),
     "ft_family_agg_metrics": sql_ft_family_agg_metrics(),

@@ -408,7 +408,14 @@ class FamilySearcher:
             vals, counts = match_value_hist(
                 self._searcher(p), query_text, field, filters
             )
-            for v, c in zip(vals.tolist(), counts.tolist()):
+            # datetime64 keys stay np.datetime64 scalars — .tolist() on a
+            # ns-unit array yields raw nanosecond INTS (the .item()
+            # pitfall), which would silently break date-range bound math
+            vkeys = (
+                list(vals) if np.issubdtype(vals.dtype, np.datetime64)
+                else vals.tolist()
+            )
+            for v, c in zip(vkeys, counts.tolist()):
                 folded[v] += c
         if not folded:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -449,6 +456,151 @@ class FamilySearcher:
 
         return range_from_hist(
             *self.agg_value_hist(query_text, field, **cover), ranges
+        )
+
+    def agg_percentile_ranks(
+        self, query_text: str, field: str, values, **cover
+    ):
+        """Exact ≤-fraction percentile ranks over `my-index-*` — derived
+        from the folded histogram, so exact at any period count."""
+        from .filtered import percentile_ranks_from_hist
+
+        return percentile_ranks_from_hist(
+            *self.agg_value_hist(query_text, field, **cover), values
+        )
+
+    def agg_value_count(self, query_text: str, field: str, **cover) -> int:
+        """value_count over `my-index-*` — the folded histogram's total."""
+        _, counts = self.agg_value_hist(query_text, field, **cover)
+        return int(counts.sum()) if counts.size else 0
+
+    def agg_date_range(self, query_text: str, ts_field: str, ranges, **cover):
+        """date_range over `my-index-*` — bound checks over the folded
+        (timestamp, count) histogram."""
+        from .filtered import date_range_from_hist
+
+        return date_range_from_hist(
+            *self.agg_value_hist(query_text, ts_field, **cover), ranges
+        )
+
+    def agg_auto_date_histogram(
+        self, query_text: str, ts_field: str, max_buckets: int = 10, **cover
+    ):
+        """auto_date_histogram over `my-index-*` — the interval pick must
+        see the GLOBAL timestamp histogram (a per-period pick could
+        choose different intervals), so the fold runs first."""
+        from .filtered import auto_dh_from_hist
+
+        return auto_dh_from_hist(
+            *self.agg_value_hist(query_text, ts_field, **cover), max_buckets
+        )
+
+    def agg_weighted_avg(
+        self, query_text: str, value_field: str, weight_field: str, **cover
+    ) -> dict:
+        """weighted_avg over `my-index-*`: per-period (n, Σvw, Σw)
+        partials are the minimal additive sufficient statistic — they
+        fold by summation with no global-stats coupling."""
+        from .filtered import match_agg_weighted_avg
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        n = s_vw = s_w = 0
+        for p in sel:
+            wa = match_agg_weighted_avg(
+                self._searcher(p), query_text, value_field, weight_field,
+                **cover,
+            )
+            n += wa["n"]
+            s_vw += wa["sum_vw"]
+            s_w += wa["sum_w"]
+        if n == 0 or s_w == 0:
+            return {"n": 0, "sum_vw": 0, "sum_w": 0, "wavg_e4": None}
+        wavg_e4 = (s_vw * 10**4 // s_w if s_vw >= 0
+                   else -((-s_vw * 10**4) // s_w))
+        return {"n": n, "sum_vw": s_vw, "sum_w": s_w, "wavg_e4": wavg_e4}
+
+    def agg_rare_terms(
+        self, query_text: str, field: str, max_doc_count: int = 1, **cover
+    ):
+        """rare_terms over `my-index-*`: the rarity cut runs AFTER the
+        fold — a value matching once in each of N periods is N-common,
+        so per-period pruning would be unsound."""
+        from .filtered import match_agg_terms
+
+        pairs = self.agg(match_agg_terms, query_text, field, **cover)
+        kept = [(v, n) for v, n in pairs if n <= max_doc_count]
+        kept.sort(key=lambda t: (t[1], t[0]))
+        return kept
+
+    def agg_multi_terms(
+        self, query_text: str, sources: list[str], k: int = 10, **cover
+    ):
+        """multi_terms over `my-index-*`: per-period FULL tuple counts
+        fold by tuple (a sub-k tuple per period can be top-k globally,
+        so per-period truncation would be unsound), then one global
+        (count DESC, tuple ASC) cut."""
+        from collections import Counter
+
+        from .filtered import match_agg_multi_terms
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        folded: Counter = Counter()
+        for p in sel:
+            for row in match_agg_multi_terms(
+                self._searcher(p), query_text, sources, k=2**31 - 1, **cover
+            ):
+                folded[row[:-1]] += row[-1]
+        rows = sorted(
+            ((*key, n) for key, n in folded.items()),
+            key=lambda r: (-r[-1], r[:-1]),
+        )
+        return rows[:k]
+
+    def agg_date_histogram_stats(
+        self, query_text: str, ts_field: str, interval: str,
+        value_field: str, **cover,
+    ):
+        """date_histogram + stats sub-agg over `my-index-*` (the pipeline
+        parent): per-period (bucket, n, sum, min, max) rows fold exactly
+        — additive n/sum, extremal min/max — in bucket order."""
+        from .filtered import match_agg_date_histogram_stats
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        folded: dict = {}
+        for p in sel:
+            for b, n, s, mn, mx in match_agg_date_histogram_stats(
+                self._searcher(p), query_text, ts_field, interval,
+                value_field, **cover,
+            ):
+                if b in folded:
+                    n0, s0, mn0, mx0 = folded[b]
+                    folded[b] = (n0 + n, s0 + s, min(mn0, mn), max(mx0, mx))
+                else:
+                    folded[b] = (n, s, mn, mx)
+        return [(b, *folded[b]) for b in sorted(folded)]
+
+    def agg_pipeline(
+        self, query_text: str, ts_field: str, interval: str,
+        value_field: str, mavg_window: int = 3, **cover,
+    ):
+        """Pipeline aggregations over `my-index-*`: derivative /
+        cumulative_sum / moving_avg run over the FOLDED bucket list (the
+        OpenSearch coordinating-node step) — running on per-period
+        buckets then folding would be unsound (a derivative across a
+        period boundary needs the combined neighbor)."""
+        from .filtered import pipeline_from_buckets
+
+        return pipeline_from_buckets(
+            self.agg_date_histogram_stats(
+                query_text, ts_field, interval, value_field, **cover
+            ),
+            mavg_window=mavg_window,
         )
 
     def search_distributed(

@@ -2110,9 +2110,15 @@ def match_agg_percentile_ranks(
     deterministic and SQL-expressible.  Distributed mode folds the same
     per-range (value, count) histogram as stats/percentiles."""
     _check_filters(filters)
-    vals, counts = match_value_hist(
-        searcher, query_text, field, filters, distributed
+    return percentile_ranks_from_hist(
+        *match_value_hist(searcher, query_text, field, filters, distributed),
+        values,
     )
+
+
+def percentile_ranks_from_hist(vals, counts, values):
+    """Exact ≤-fraction percentile ranks from a sorted (value, count)
+    histogram — the foldable form family serving reuses."""
     if vals.size == 0:
         return [(x, None) for x in values]
     n = int(counts.sum())
@@ -2260,14 +2266,28 @@ def match_agg_date_range(
     bound evaluation happens once on the driver over the folded
     histogram."""
     _check_filters(filters)
-    vals, counts = match_value_hist(
-        searcher, query_text, ts_field, filters, distributed
+    return date_range_from_hist(
+        *match_value_hist(searcher, query_text, ts_field, filters,
+                          distributed),
+        ranges,
     )
+
+
+def _ts_hist_to_dt64(vals):
+    """Timestamp value-histogram keys arrive as datetime64 (driver path)
+    or datetime.datetime objects (collected distributed / family folds)
+    — normalize to datetime64[us] for vectorized bound checks."""
     if vals.size and vals.dtype == object:
-        # distributed mode collects timestamps as datetime.datetime
-        vals = np.array(
+        return np.array(
             [np.datetime64(v) for v in vals], dtype="datetime64[us]"
         )
+    return vals
+
+
+def date_range_from_hist(vals, counts, ranges):
+    """[from, to) date-bucket counts from a sorted (timestamp, count)
+    histogram — the foldable form family serving reuses."""
+    vals = _ts_hist_to_dt64(vals)
     out = []
     for label, lo, hi in ranges:
         if vals.size == 0:
@@ -2356,15 +2376,21 @@ def match_agg_auto_date_histogram(
     from the folded (timestamp, count) histogram, so the scale path is
     the same bounded fold as every other metric agg."""
     _check_filters(filters)
-    vals, counts = match_value_hist(
-        searcher, query_text, ts_field, filters, distributed
+    return auto_dh_from_hist(
+        *match_value_hist(searcher, query_text, ts_field, filters,
+                          distributed),
+        max_buckets,
     )
+
+
+def auto_dh_from_hist(vals, counts, max_buckets):
+    """Auto-interval pick + bucket counts from a sorted (timestamp,
+    count) histogram — the foldable form family serving reuses (the
+    interval decision must see the GLOBAL histogram, so the fold
+    happens before the pick)."""
     if vals.size == 0:
         return _AUTO_DH_INTERVALS[-1], []
-    if vals.dtype == object:
-        vals = np.array(
-            [np.datetime64(v) for v in vals], dtype="datetime64[us]"
-        )
+    vals = _ts_hist_to_dt64(vals)
     chosen = _AUTO_DH_INTERVALS[-1]
     for interval in _AUTO_DH_INTERVALS:
         unit = _DATE_UNITS[interval]

@@ -307,3 +307,67 @@ def test_family_metric_aggs_equal_single_index(spark, family_root_dv,
     st_sub = fs.agg_stats("the data", "n_chars", periods=sub)
     st_all = fs.agg_stats("the data", "n_chars")
     assert 0 < st_sub["count"] < st_all["count"]
+
+
+def test_family_new_aggs_equal_single_index(spark, family_root_dv,
+                                            tiny_corpus_path, workdir):
+    """percentile_ranks / value_count / weighted_avg / date_range /
+    rare_terms / multi_terms / date_histogram_stats / pipeline /
+    auto_date_histogram over ALL periods must equal the single-index
+    aggregations over the same docs — every partial folds exactly
+    (additive counts/sums, extremal min/max, global interval pick)."""
+    from data_prepper_spark.index.filtered import (
+        match_agg_auto_date_histogram,
+        match_agg_date_histogram_stats,
+        match_agg_date_range,
+        match_agg_multi_terms,
+        match_agg_percentile_ranks,
+        match_agg_rare_terms,
+        match_agg_value_count,
+        match_agg_weighted_avg,
+        pipeline_from_buckets,
+    )
+
+    single = os.path.join(workdir, "index_agg_single_for_family_new")
+    pages = spark.read.parquet(tiny_corpus_path).withColumn(
+        "n_chars", F.length("text")
+    )
+    build_oneshot(spark, pages, single, CFG,
+                  field_cols=("lang", "warc_ts", "n_chars"))
+    s1 = BM25Searcher(spark, single)
+    fs = FamilySearcher(spark, family_root_dv)
+    for qtext in ("the data", "spark index"):
+        probes = [500, 1500, 3000]
+        assert fs.agg_percentile_ranks(qtext, "n_chars", probes) == (
+            match_agg_percentile_ranks(s1, qtext, "n_chars", probes)
+        )
+        assert fs.agg_value_count(qtext, "n_chars") == (
+            match_agg_value_count(s1, qtext, "n_chars")
+        )
+        assert fs.agg_weighted_avg(qtext, "n_chars", "n_chars") == (
+            match_agg_weighted_avg(s1, qtext, "n_chars", "n_chars")
+        )
+        dranges = [("early", None, "2025-01-01 00:05:00"),
+                   ("late", "2025-01-01 00:05:00", None)]
+        assert fs.agg_date_range(qtext, "warc_ts", dranges) == (
+            match_agg_date_range(s1, qtext, "warc_ts", dranges)
+        )
+        assert fs.agg_rare_terms(qtext, "n_chars", 2) == (
+            match_agg_rare_terms(s1, qtext, "n_chars", 2)
+        )
+        assert fs.agg_multi_terms(qtext, ["lang", "n_chars"], k=7) == (
+            match_agg_multi_terms(s1, qtext, ["lang", "n_chars"], k=7)
+        )
+        parent_f = fs.agg_date_histogram_stats(
+            qtext, "warc_ts", "minute", "n_chars"
+        )
+        parent_s = match_agg_date_histogram_stats(
+            s1, qtext, "warc_ts", "minute", "n_chars"
+        )
+        assert parent_f == parent_s
+        assert fs.agg_pipeline(qtext, "warc_ts", "minute", "n_chars") == (
+            pipeline_from_buckets(parent_s)
+        )
+        assert fs.agg_auto_date_histogram(qtext, "warc_ts", 10) == (
+            match_agg_auto_date_histogram(s1, qtext, "warc_ts", 10)
+        )
