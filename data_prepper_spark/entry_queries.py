@@ -2793,6 +2793,76 @@ SELECT query_id, doc_id, score_r FROM snranked WHERE rn <= {FT_K}
     )
 
 
+# span_not reference set: (qid, keep_term, exclude_term, slop)
+SPAN_NOT_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "data", "query", 2),
+    (1, "merge", "join", 3),
+    (2, "scan", "table", 2),
+    (3, "filter", "the", 1),
+]
+
+
+def q_ft_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNotQuery top-k (Lucene span_not, symmetric pre/post window,
+    index/phrase.py span_not_topk): occurrences of term A NOT within
+    slop positions of any term B — "apple but not near pie" — BM25 with
+    tf = surviving A occurrences.  Docs without B keep every A
+    occurrence (exclusion only removes), so the doc universe is A's
+    posting list, not an intersection; with ft_span_near this partitions
+    A's occurrences exactly."""
+    from .index.phrase import span_not_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, ta, tb, slop in SPAN_NOT_QUERIES:
+        hits = span_not_topk(s, ta, tb, slop, k=FT_K, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_span_not() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, ta, tb, slop in SPAN_NOT_QUERIES:
+        # surviving A occurrences: anti-join against B's window
+        ctes.append(
+            f"sx{qid} AS (SELECT a.doc_id, count(*)::BIGINT AS tfp\n"
+            f"  FROM toks a\n"
+            f"  WHERE a.term = '{ta}' AND NOT EXISTS (\n"
+            f"    SELECT 1 FROM toks b WHERE b.doc_id = a.doc_id\n"
+            f"      AND b.term = '{tb}' AND abs(a.ord - b.ord) - 1 <= {slop})\n"
+            f"  GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM sx{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM sx{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM sx{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+sxscores AS ({union}),
+sxranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM sxscores
+)
+SELECT query_id, doc_id, score_r FROM sxranked WHERE rn <= {FT_K}
+"""
+    )
+
+
 def q_ft_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-position fidelity gate: ALL matching docs of each phrase
     with occurrence count and the 0-based token position of the FIRST
@@ -7306,6 +7376,7 @@ QUERIES = {
     "ft_phrase_positions": q_ft_phrase_positions,
     "ft_span_first": q_ft_span_first,
     "ft_span_near": q_ft_span_near,
+    "ft_span_not": q_ft_span_not,
     "ft_snippets": q_ft_snippets,
     "dedup_retained": q_dedup_retained,
     "multimodal_features": q_multimodal_features,
@@ -7478,6 +7549,7 @@ ORACLES = {
     "ft_phrase_positions": sql_ft_phrase_positions(),
     "ft_span_first": sql_ft_span_first(),
     "ft_span_near": sql_ft_span_near(),
+    "ft_span_not": sql_ft_span_not(),
     "ft_snippets": sql_ft_snippets(),
     "dedup_retained": sql_dedup_retained(),
     "multimodal_features": sql_multimodal_features(),

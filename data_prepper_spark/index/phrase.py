@@ -829,3 +829,100 @@ def span_near_topk(
         lambda rows: _span_near_unordered_match_rows(rows, tid_a, tid_b, slop),
         k, tie_round, distributed, field,
     )
+
+
+def _span_not_match_rows(rows: list[dict], tid_a: int, tid_b: int, slop: int):
+    """SpanNotQuery match (Lucene ``span_not`` with symmetric pre/post
+    window = *slop*): occurrences of term A with NO occurrence of term B
+    within |pa − pb| − 1 ≤ slop — the complement of the unordered
+    span_near starts.  Docs containing A but no B at all match with every
+    A occurrence (the exclusion clause only removes, never requires), so
+    the doc universe is A's posting list, not an intersection."""
+    uniq = {tid_a, tid_b}
+    acc = {t: {"docs": [], "tf": [], "dl": [], "pos": []} for t in uniq}
+    max_pos = 0
+    for row in rows:
+        tid = int(row["term_id"])
+        if tid not in uniq:
+            continue
+        d = decode_docids(bytes(row["doc_ids"]))
+        tf = decode_uints(bytes(row["tfs"])).astype(np.int64)
+        dl = decode_uints(bytes(row["dls"])).astype(np.int64)
+        deltas = decode_uints(bytes(row["positions"])).astype(np.int64)
+        cum = np.cumsum(deltas)
+        ends = np.cumsum(tf)
+        starts = ends - tf
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        pos = cum - np.repeat(base, tf)
+        a = acc[tid]
+        a["docs"].append(d)
+        a["tf"].append(tf)
+        a["dl"].append(dl)
+        a["pos"].append(pos)
+        if pos.size:
+            max_pos = max(max_pos, int(pos.max()))
+    if not acc[tid_a]["docs"]:
+        return [], [], [], []
+    docs_a = np.concatenate(acc[tid_a]["docs"])
+    tf_a = np.concatenate(acc[tid_a]["tf"])
+    dl_a = np.concatenate(acc[tid_a]["dl"])
+    pos_a = np.concatenate(acc[tid_a]["pos"])
+    universe = np.sort(docs_a)  # A's docs, unique per range by construction
+    stride = max_pos + slop + 3
+    di_a = np.repeat(np.searchsorted(universe, docs_a), tf_a)
+    ka = np.sort(di_a * stride + pos_a)
+    if acc[tid_b]["docs"]:
+        docs_b = np.concatenate(acc[tid_b]["docs"])
+        tf_b = np.concatenate(acc[tid_b]["tf"])
+        pos_b = np.concatenate(acc[tid_b]["pos"])
+        loc = np.searchsorted(universe, docs_b)
+        loc_c = np.minimum(loc, universe.size - 1)
+        in_u = universe[loc_c] == docs_b  # B positions outside A-docs drop
+        di_b = np.repeat(loc_c, tf_b)
+        keep = np.repeat(in_u, tf_b)
+        kb = np.sort(di_b[keep] * stride + pos_b[keep])
+        lo = np.searchsorted(kb, ka - (slop + 1), side="left")
+        hi = np.searchsorted(kb, ka + (slop + 1), side="right")
+        starts_k = ka[hi <= lo]
+    else:
+        starts_k = ka
+    if starts_k.size == 0:
+        return [], [], [], []
+    di = starts_k // stride
+    ps = starts_k % stride
+    bounds = np.flatnonzero(np.concatenate(([True], di[1:] != di[:-1])))
+    tfp = np.diff(np.append(bounds, di.size))
+    docs_out = universe[di[bounds]]
+    first = ps[bounds]
+    o = np.argsort(docs_a, kind="stable")
+    dl_out = dl_a[o][np.searchsorted(docs_a[o], docs_out)]
+    return (
+        docs_out.tolist(),
+        tfp.tolist(),
+        dl_out.tolist(),
+        first.tolist(),
+    )
+
+
+def span_not_topk(
+    searcher, term_a: str, term_b: str, slop: int = 0, k: int = 10,
+    tie_round: int = 4, distributed: bool = True,
+    field: str | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k for a SpanNotQuery (Lucene ``span_not``, symmetric pre/post
+    window): occurrences of *term_a* NOT within *slop* intervening
+    positions of any *term_b*, BM25 scored with tf = surviving A
+    occurrences — "apple but not near pie".  Docs without B keep every A
+    occurrence."""
+    ta = _phrase_terms(searcher, term_a, field)
+    tb = _phrase_terms(searcher, term_b, field)
+    if len(ta) != 1 or len(tb) != 1:
+        raise ValueError("span_not clauses must be single terms")
+    if ta[0] == tb[0]:
+        raise ValueError("span_not clauses must be distinct terms")
+    tid_a, tid_b = xxh64_signed(ta[0]), xxh64_signed(tb[0])
+    return _span_topk(
+        searcher, [tid_a, tid_b],
+        lambda rows: _span_not_match_rows(rows, tid_a, tid_b, slop),
+        k, tie_round, distributed, field,
+    )

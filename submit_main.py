@@ -300,6 +300,14 @@ def cmd_query(args) -> None:
                 s, ta, tb, slop=args.slop, k=args.k,
                 distributed=args.distributed,
             )
+        elif mode == "span-not":
+            from data_prepper_spark.index.phrase import span_not_topk
+
+            ta, tb = q.split()
+            hits = span_not_topk(
+                s, ta, tb, slop=args.slop, k=args.k,
+                distributed=args.distributed,
+            )
         elif mode == "collapse":
             from data_prepper_spark.index.rescore import search_collapsed
 
@@ -645,7 +653,7 @@ def main() -> None:
                              "phrase-prefix", "collapse", "boosting",
                              "rescore", "explain", "agg-composite",
                              "agg-extended-stats", "terms-set",
-                             "span-first", "span-near"],
+                             "span-first", "span-near", "span-not"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); query-string is the full DSL "
                          "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "

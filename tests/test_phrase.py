@@ -414,3 +414,65 @@ def test_span_near_rejects_bad_clauses(spark, pos_index):
         span_near_topk(s, "quick", "quick", 1)
     with pytest.raises(ValueError, match="single"):
         span_near_topk(s, "quick brown", "fox", 1)
+
+
+def _span_not_oracle(docs, ta, tb, slop, k1=1.2, b=0.75):
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    m = {}
+    for d, seq in toks.items():
+        pa = [i for i, t in enumerate(seq) if t == ta]
+        pb = [i for i, t in enumerate(seq) if t == tb]
+        c = sum(
+            1 for a in pa
+            if not any(abs(a - bpos) - 1 <= slop for bpos in pb)
+        )
+        if c:
+            m[d] = c
+    if not m:
+        return []
+    idf = math.log(1 + (n - len(m) + 0.5) / (len(m) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+def test_span_not_matches_brute_oracle(spark, pos_index):
+    from data_prepper_spark.index.phrase import span_not_topk
+
+    s = BM25Searcher(spark, pos_index)
+    for ta, tb, slop in [("quick", "fox", 0), ("quick", "fox", 2),
+                         ("quick", "brown", 0), ("42", "digits", 1),
+                         ("quick", "absent", 3), ("fox", "quick", 1)]:
+        want = _span_not_oracle(DOCS, ta, tb, slop)
+        got = span_not_topk(s, ta, tb, slop, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], (ta, tb, slop)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (ta, tb, slop)
+        drv = span_not_topk(s, ta, tb, slop, k=10, distributed=False)
+        assert [d for d, _ in drv] == [d for d, _ in got], (ta, tb, slop)
+        assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(drv, got))
+
+
+def test_span_near_not_partition(spark, pos_index):
+    """For any doc, span_near tf + span_not tf = term A's full tf — the
+    two queries partition A's occurrences."""
+    from data_prepper_spark.index.phrase import span_near_topk, span_not_topk
+
+    s = BM25Searcher(spark, pos_index)
+    ta, tb, slop = "quick", "fox", 2
+    full = {d: sum(1 for t in tokenize(txt) if t == ta) for d, txt in DOCS}
+    near = {d: c for d, c in _span_near_oracle(DOCS, ta, tb, slop) or []}
+    # recover tf from oracles directly
+    toks = {d: tokenize(t) for d, t in DOCS}
+    for d, seq in toks.items():
+        pa = [i for i, t in enumerate(seq) if t == ta]
+        pb = [i for i, t in enumerate(seq) if t == tb]
+        n_near = sum(1 for a in pa if any(abs(a - b_) - 1 <= slop for b_ in pb))
+        n_not = sum(1 for a in pa if not any(abs(a - b_) - 1 <= slop for b_ in pb))
+        assert n_near + n_not == len(pa)
