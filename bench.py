@@ -269,6 +269,22 @@ def main():
                 srt.sort()
                 extras["sorted_p50_ms"] = round(srt[len(srt) // 2] * 1000, 1)
 
+                # aggregation probe: date_histogram over the match set
+                # (driver mode — the docvalues-cache + match-union path
+                # every metric/bucket/pipeline agg shares)
+                from data_prepper_spark.index.filtered import (
+                    match_agg_date_histogram,
+                )
+
+                alat: list[float] = []
+                for _ in range(3):
+                    for qt, _flt in fqs:
+                        t0 = time.perf_counter()
+                        match_agg_date_histogram(s1m, qt, "warc_ts", "day")
+                        alat.append(time.perf_counter() - t0)
+                alat.sort()
+                extras["agg_p50_ms"] = round(alat[len(alat) // 2] * 1000, 1)
+
             # cross-period family serving: the SAME 1M docs partitioned
             # by day (~12 periods), family-global stats.  BMW pruning
             # stays on via avgdl-rescaled block UBs (index/family.py);

@@ -1077,21 +1077,37 @@ def match_agg_date_histogram(
     if not ids:
         return []
 
-    def bucketer(v):
-        dt = np.asarray(v).astype(f"datetime64[{unit}]")
-        return np.datetime_as_string(dt)
-
     if distributed:
         return _agg_distributed(
-            searcher, ids, buckets, field, filters, bucketer,
+            searcher, ids, buckets, field, filters, _date_bucketer(unit),
             bucket_type="string",
         )
     vals = _matched_with_values(searcher, ids, buckets, filters, field)
     if vals.size == 0:
         return []
-    b = bucketer(vals)
-    uniq, counts = np.unique(b, return_counts=True)
-    return [(str(u), int(c)) for u, c in zip(uniq, counts)]
+    # unique on the truncated datetime64 INTS, then format only the
+    # unique buckets — datetime_as_string is a per-element python-level
+    # formatter, so stringifying every matched doc (then uniquing
+    # strings) cost ~20× the whole fold at 300k matches
+    uniq, counts = np.unique(
+        np.asarray(vals).astype(f"datetime64[{unit}]"), return_counts=True
+    )
+    labels = np.datetime_as_string(uniq)
+    return [(str(u), int(c)) for u, c in zip(labels, counts)]
+
+
+def _date_bucketer(unit):
+    """Calendar-truncating bucketer for the distributed agg kernels:
+    truncate (cheap int ops), unique the datetime64 codes, format ONLY
+    the unique buckets, expand by inverse — never per-element string
+    formatting (see match_agg_date_histogram)."""
+
+    def bucketer(v):
+        dt = np.asarray(v).astype(f"datetime64[{unit}]")
+        uniq, inv = np.unique(dt, return_inverse=True)
+        return np.datetime_as_string(uniq)[inv]
+
+    return bucketer
 
 
 def _agg_distributed(
@@ -2024,23 +2040,24 @@ def match_agg_date_histogram_stats(
     ids, buckets = _match_query_ids(searcher, query_text)
     if not ids:
         return []
-
-    def key_bucketer(v):
-        return np.datetime_as_string(np.asarray(v).astype(f"datetime64[{unit}]"))
-
     if distributed:
         return _terms_stats_distributed(
             searcher, ids, buckets, ts_field, value_field, filters,
-            key_bucketer=key_bucketer, key_type="string",
+            key_bucketer=_date_bucketer(unit), key_type="string",
         )
     _, (keys, vals) = _matched_with_cols(
         searcher, ids, buckets, filters, [ts_field, value_field]
     )
     if keys.size == 0:
         return []
-    uniq, inv = np.unique(key_bucketer(keys), return_inverse=True)
+    # unique the truncated datetime64 codes, format only the uniques
+    # (per-element datetime_as_string dominated the fold at scale)
+    uniq_dt, inv = np.unique(
+        np.asarray(keys).astype(f"datetime64[{unit}]"), return_inverse=True
+    )
     return [(str(b), n, s, mn, mx)
-            for b, n, s, mn, mx in _fold_terms_stats(uniq, inv, vals)]
+            for b, n, s, mn, mx in _fold_terms_stats(
+                np.datetime_as_string(uniq_dt), inv, vals)]
 
 
 def pipeline_from_buckets(rows, mavg_window: int = 3):
@@ -2400,10 +2417,12 @@ def auto_dh_from_hist(vals, counts, max_buckets):
             break
     unit = _DATE_UNITS[chosen]
     trunc = vals.astype(f"datetime64[{unit}]").astype("datetime64[s]")
+    # unique the datetime64 codes before formatting (labels only for
+    # the unique buckets — see match_agg_date_histogram)
+    uniq_dt, inv = np.unique(trunc, return_inverse=True)
     labels = np.char.replace(
-        np.datetime_as_string(trunc, unit="s"), "T", " "
+        np.datetime_as_string(uniq_dt, unit="s"), "T", " "
     )
-    uniq, inv = np.unique(labels, return_inverse=True)
-    n = np.zeros(uniq.size, dtype=np.int64)
+    n = np.zeros(uniq_dt.size, dtype=np.int64)
     np.add.at(n, inv, counts)
-    return chosen, [(str(u), int(c)) for u, c in zip(uniq, n)]
+    return chosen, [(str(u), int(c)) for u, c in zip(labels, n)]

@@ -45,6 +45,9 @@ _SLICE_COLS = [
     "term_id", "range_id", "df_slice", "doc_ids", "tfs", "dls",
     "block_firsts", "block_ubs",
 ]
+# the match-union projection (filtered._UNION_COLS) — the only narrow
+# read shape the decoded-union cache admits
+_UNION_COL_SET = {"term_id", "range_id", "df_slice", "doc_ids"}
 
 
 class BM25Searcher:
@@ -102,6 +105,21 @@ class BM25Searcher:
         self._rows_cache: dict[int, tuple[list[dict], int]] = _OD()
         self._rows_cache_bytes = 0
         self._df_cache: dict[int, int] = {}
+        # decoded docID-union cache: the match-union consumers
+        # (aggregations, must_not, pure-should fallbacks) read docID
+        # streams only, and the full-row cache deliberately never admits
+        # narrow reads (a narrow row would poison later scoring reads) —
+        # so a repeated aggregation re-decoded its head terms every
+        # query.  This cache stores narrow rows with the raw docID
+        # buffer REPLACED by the decoded absolute array (8 B/posting),
+        # term-keyed, LRU on its own budget.  Same snapshot argument as
+        # the posting cache: stats/tombstones are read once at open, so
+        # there is no staleness surface.  DPS_UNION_CACHE_MB=0 disables.
+        self.union_cache_bytes = int(
+            float(_os.environ.get("DPS_UNION_CACHE_MB", "256")) * 1e6
+        )
+        self._union_cache: dict[int, tuple[list[dict], int]] = _OD()
+        self._union_cache_bytes = 0
 
     # -------------------------------------------------------------- helpers
     def _terms_buckets(self, query_text: str) -> tuple[list[str], dict[int, str], list[int]]:
@@ -163,7 +181,12 @@ class BM25Searcher:
             return out
         mb = sorted({pmod(i, self.cfg.n_buckets) for i in missing})
         if columns is not None:
-            return out + self._read_slice_rows(missing, mb, columns)
+            if (
+                set(columns) != _UNION_COL_SET
+                or self.union_cache_bytes <= 0
+            ):
+                return out + self._read_slice_rows(missing, mb, columns)
+            return out + self._union_rows(missing, mb, columns)
         rows = self._read_slice_rows(missing, mb, None)
         by_term: dict[int, list[dict]] = {i: [] for i in missing}
         for r in rows:
@@ -187,6 +210,47 @@ class BM25Searcher:
             _, (_, nb) = self._rows_cache.popitem(last=False)
             self._rows_cache_bytes -= nb
         return out + rows
+
+    def _union_rows(self, ids: list[int], buckets: list[int],
+                    columns: list[str]) -> list[dict]:
+        """Serve/populate the decoded docID-union cache for terms the
+        full-row cache missed: each narrow row's raw docID buffer is
+        decoded ONCE and stored as `_doc_abs` (which
+        filtered._union_docids_rows consumes by preference)."""
+        out: list[dict] = []
+        still: list[int] = []
+        for i in ids:
+            ent = self._union_cache.get(i)
+            if ent is not None:
+                self._union_cache.move_to_end(i)
+                out.extend(ent[0])
+            else:
+                still.append(i)
+        if not still:
+            return out
+        from .codec import decode_docids, delta_decode_docids
+
+        sb = sorted({pmod(i, self.cfg.n_buckets) for i in still})
+        by_term: dict[int, list[dict]] = {i: [] for i in still}
+        for r in self._read_slice_rows(still, sb, columns):
+            buf = bytes(r.pop("doc_ids"))
+            r["_doc_abs"] = (
+                delta_decode_docids(buf) if self.legacy_codec
+                else decode_docids(buf)
+            )
+            by_term.setdefault(int(r["term_id"]), []).append(r)
+        for i, rr in by_term.items():
+            nb = 256 + sum(8 * int(x["_doc_abs"].size) + 128 for x in rr)
+            self._union_cache[i] = (rr, nb)
+            self._union_cache_bytes += nb
+            out.extend(rr)
+        while (
+            self._union_cache_bytes > self.union_cache_bytes
+            and self._union_cache
+        ):
+            _, (_, nb) = self._union_cache.popitem(last=False)
+            self._union_cache_bytes -= nb
+        return out
 
     def _pruned_slices(
         self, ids: list[int], buckets: list[int], columns: list[str] | None = None

@@ -649,3 +649,32 @@ def test_terms_set(spark, agg_index, oracle_tiny, tiny_pages_pd):
         _assert_rank_identical(dst, want, "terms_set distributed")
     # raw-field semantics: n_chars >> len(terms) → nothing can match
     assert search_terms_set(s, terms, msm_field="n_chars", k=10) == []
+
+
+def test_union_cache_identity(spark, agg_index):
+    """The decoded docID-union cache must be invisible: aggregations and
+    match-union paths return identical results with the cache enabled
+    (decoded `_doc_abs` rows) and disabled (fresh narrow reads)."""
+    from data_prepper_spark.index.filtered import (
+        match_agg_date_histogram,
+        match_agg_stats,
+        match_agg_terms,
+    )
+
+    s_on = BM25Searcher(spark, agg_index)
+    assert s_on.union_cache_bytes > 0
+    s_off = BM25Searcher(spark, agg_index)
+    s_off.union_cache_bytes = 0
+    for q in ("the data", "web search", "the"):
+        for _ in range(2):  # second pass serves from the cache
+            a = match_agg_stats(s_on, q, "n_chars")
+            b = match_agg_stats(s_off, q, "n_chars")
+            assert a == b, q
+            assert match_agg_terms(s_on, q, "lang") == (
+                match_agg_terms(s_off, q, "lang")
+            ), q
+            assert match_agg_date_histogram(s_on, q, "warc_ts", "hour") == (
+                match_agg_date_histogram(s_off, q, "warc_ts", "hour")
+            ), q
+    assert s_on._union_cache_bytes > 0
+    assert s_off._union_cache_bytes == 0
