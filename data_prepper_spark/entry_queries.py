@@ -1393,6 +1393,175 @@ def sql_ft_agg_filters() -> str:
 """
 
 
+def q_ft_agg_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-stats aggregation (OpenSearch aggs:matrix_stats,
+    index/filtered.py match_agg_matrix_stats): joint moments of the
+    (n_chars, prio) docvalue pair over the match set — count, per-field
+    mean + population variance, covariance, and SIGNED SQUARED Pearson
+    correlation, all exact scaled integers (the square avoids the sqrt
+    OpenSearch floats through).  Distributed path: ONE six-moment
+    partial (n, Σx, Σy, Σx², Σy², Σxy) per docID range, decimal(38,0)
+    global fold."""
+    from .index.filtered import match_agg_matrix_stats
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        m = match_agg_matrix_stats(s, qtext, "n_chars", "prio",
+                                   distributed=True)
+        rows.append((
+            qid, m["n"], m["sum_x"], m["sum_y"], m["mean_x_e6"],
+            m["mean_y_e6"], m["var_x_e6"], m["var_y_e6"], m["cov_e6"],
+            m["corr2s_e6"],
+        ))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n long, sum_x long, sum_y long, mean_x_e6 long, "
+        "mean_y_e6 long, var_x_e6 long, var_y_e6 long, cov_e6 long, "
+        "corr2s_e6 long",
+    )
+
+
+def sql_ft_agg_matrix_stats() -> str:
+    p = "(d.doc_id % 7 + 1)"
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(f"""\
+SELECT {qid} AS query_id, n, sum_x, sum_y,
+       (sum_x::HUGEINT * 1000000 // n)::BIGINT AS mean_x_e6,
+       (sum_y::HUGEINT * 1000000 // n)::BIGINT AS mean_y_e6,
+       ((n::HUGEINT * sxx - sum_x::HUGEINT * sum_x) * 1000000
+        // (n::HUGEINT * n))::BIGINT AS var_x_e6,
+       ((n::HUGEINT * syy - sum_y::HUGEINT * sum_y) * 1000000
+        // (n::HUGEINT * n))::BIGINT AS var_y_e6,
+       ((n::HUGEINT * sxy - sum_x::HUGEINT * sum_y) * 1000000
+        // (n::HUGEINT * n))::BIGINT AS cov_e6,
+       ((CASE WHEN n::HUGEINT * sxy - sum_x::HUGEINT * sum_y >= 0
+              THEN 1 ELSE -1 END)
+        * (((n::HUGEINT * sxy - sum_x::HUGEINT * sum_y)
+            * (n::HUGEINT * sxy - sum_x::HUGEINT * sum_y) * 1000000)
+           // ((n::HUGEINT * sxx - sum_x::HUGEINT * sum_x)
+               * (n::HUGEINT * syy - sum_y::HUGEINT * sum_y))))::BIGINT
+         AS corr2s_e6
+FROM (SELECT count(*)::BIGINT AS n,
+             sum(d.n_chars)::BIGINT AS sum_x, sum({p})::BIGINT AS sum_y,
+             sum(d.n_chars::BIGINT * d.n_chars)::BIGINT AS sxx,
+             sum({p}::BIGINT * {p})::BIGINT AS syy,
+             sum(d.n_chars::BIGINT * {p})::BIGINT AS sxy
+      FROM documents d WHERE {_agg_match_where(qtext)})""")
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation aggregation (OpenSearch
+    aggs:median_absolute_deviation, index/filtered.py
+    match_agg_median_absolute_deviation): nearest-rank-exact median of
+    |n_chars − median(n_chars)| over the match set — both medians share
+    the percentiles' rank definition (OpenSearch answers from a t-digest;
+    exact is strictly stronger).  Distributed path folds the per-range
+    (value, count) histogram ONCE; the deviation histogram re-fold is
+    driver-side, cost ∝ field cardinality."""
+    from .index.filtered import match_agg_median_absolute_deviation
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        r = match_agg_median_absolute_deviation(
+            s, qtext, "n_chars", distributed=True
+        )
+        rows.append((qid, r["n"], int(r["median"]), int(r["mad"])))
+    return spark.createDataFrame(
+        rows, "query_id int, n long, median long, mad long"
+    )
+
+
+def sql_ft_agg_mad() -> str:
+    ctes, selects = [], []
+    for qid, qtext in AGG_STATS_QUERIES:
+        ctes.append(
+            f"v{qid} AS (SELECT d.n_chars AS v FROM documents d "
+            f"WHERE {_agg_match_where(qtext)}),\n"
+            f"med{qid} AS (SELECT v FROM (\n"
+            f"  SELECT v, row_number() OVER (ORDER BY v) AS rn,\n"
+            f"         count(*) OVER () AS cnt FROM v{qid})\n"
+            f"  WHERE rn = greatest(1, ceil(50.0 / 100.0 * cnt)::BIGINT)),\n"
+            f"madr{qid} AS (SELECT dv FROM (\n"
+            f"  SELECT dv, row_number() OVER (ORDER BY dv) AS rn,\n"
+            f"         count(*) OVER () AS cnt\n"
+            f"  FROM (SELECT abs(a.v - m.v) AS dv FROM v{qid} a CROSS JOIN med{qid} m))\n"
+            f"  WHERE rn = greatest(1, ceil(50.0 / 100.0 * cnt)::BIGINT))"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id,\n"
+            f"       (SELECT count(*) FROM v{qid})::BIGINT AS n,\n"
+            f"       (SELECT v FROM med{qid})::BIGINT AS median,\n"
+            f"       (SELECT dv FROM madr{qid})::BIGINT AS mad"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + ",\n" + ",\n".join(ctes) + f"""
+{union}
+"""
+
+
+# adjacency_matrix named filters: short&long is disjoint (bucket dropped),
+# en overlaps both
+ADJ_NAMED: list[tuple[str, tuple]] = [
+    ("short", (("n_chars", "<", 250),)),
+    ("long", (("n_chars", ">=", 250),)),
+    ("en", (("lang", "==", "en"),)),
+]
+
+
+def q_ft_agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency-matrix aggregation (OpenSearch aggs:adjacency_matrix,
+    index/filtered.py match_agg_adjacency_matrix): matching-doc counts
+    for each named docvalue filter and each pairwise intersection
+    (sorted `a&b` keys), zero-count buckets dropped — short&long is
+    disjoint by construction and must NOT appear.  Each bucket reuses
+    the match-count scale path (per-range partial counts only)."""
+    from .index.filtered import match_agg_adjacency_matrix
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for key, n in match_agg_adjacency_matrix(
+            s, qtext, ADJ_NAMED, "n_chars", distributed=True
+        ):
+            rows.append((qid, key, n))
+    return spark.createDataFrame(rows, "query_id int, key string, n long")
+
+
+def sql_ft_agg_adjacency_matrix() -> str:
+    conds = {
+        "short": "d.n_chars < 250",
+        "long": "d.n_chars >= 250",
+        "en": "d.lang = 'en'",
+        "en&long": "d.lang = 'en' AND d.n_chars >= 250",
+        "en&short": "d.lang = 'en' AND d.n_chars < 250",
+        "long&short": "d.n_chars >= 250 AND d.n_chars < 250",
+    }
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for key in sorted(conds):
+            selects.append(
+                f"SELECT {qid} AS query_id, '{key}' AS key,\n"
+                f"       count(*)::BIGINT AS n\n"
+                f"FROM documents d\n"
+                f"WHERE {_agg_match_where(qtext)} AND ({conds[key]})\n"
+                f"HAVING count(*) > 0"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 AGG_DATE_RANGES: list[tuple[str, str | None, str | None]] = [
     ("d1", None, "2025-06-02 00:00:00"),
     ("mid", "2025-06-02 00:00:00", "2025-06-04 00:00:00"),
@@ -1900,6 +2069,107 @@ def sql_ft_suggest_terms() -> str:
         )
     union = "\nUNION ALL\n".join(selects)
     return _ft_sql_base() + f"""
+{union}
+"""
+
+
+# completion-suggester reference prefixes ("se" is out-of-vocabulary at
+# sf0.001 — must yield no rows, not an error)
+COMPLETION_PREFIXES: list[str] = ["s", "qu", "da", "win", "zzz"]
+COMPLETION_K = 5
+
+
+def q_ft_suggest_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion suggester (OpenSearch suggest:completion —
+    search-as-you-type, index/boolquery.py suggest_completion): per
+    prefix, the top-5 vocabulary terms ranked (df DESC, term ASC) with
+    their document frequencies — df is the corpus-derived analog of
+    OpenSearch's indexed completion weight.  One hive-pruned termdict
+    scan + one termstats lookup per prefix; vocabulary-bounded, never
+    corpus-bounded."""
+    from .index.boolquery import suggest_completion
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for pref in COMPLETION_PREFIXES:
+        for term, df in suggest_completion(s, pref, k=COMPLETION_K):
+            rows.append((pref, term, df))
+    return spark.createDataFrame(rows, "prefix string, term string, df long")
+
+
+def sql_ft_suggest_completion() -> str:
+    selects = []
+    for pref in COMPLETION_PREFIXES:
+        selects.append(
+            f"SELECT '{pref}' AS prefix, term, df\n"
+            f"FROM df\n"
+            f"WHERE term LIKE '{pref}%'\n"
+            f"QUALIFY row_number() OVER (ORDER BY df DESC, term)"
+            f" <= {COMPLETION_K}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+SIGTEXT_SAMPLE = 100
+SIGTEXT_K = 10
+
+
+def q_ft_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_text aggregation (OpenSearch aggs:significant_text,
+    index/sigtext.py): unusually-common terms of a deterministic sample
+    of matching docs (the 100 lowest matched docIDs, re-tokenized from
+    _source via one Catalyst fetch join) vs the whole index's termstats,
+    ranked by the EXACT scaled-integer JLH shared with
+    significant_terms.  Distributed sample gather: per-range lowest-k
+    partials → one bounded sort-limit."""
+    from .index.sigtext import significant_text
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    docs = _docs(spark, sf_dir)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for term, sc, fg, bg in significant_text(
+            s, docs, qtext, k=SIGTEXT_K, sample_size=SIGTEXT_SAMPLE,
+            distributed=True,
+        ):
+            rows.append((qid, term, sc, fg, bg))
+    return spark.createDataFrame(
+        rows, "query_id int, term string, score_e6 long, fg long, bg long"
+    )
+
+
+def sql_ft_significant_text() -> str:
+    ctes, selects = [], []
+    for qid, qtext in AGG_STATS_QUERIES:
+        ctes.append(
+            f"samp{qid} AS (SELECT d.doc_id FROM documents d\n"
+            f"  WHERE {_agg_match_where(qtext)}\n"
+            f"  ORDER BY d.doc_id LIMIT {SIGTEXT_SAMPLE}),\n"
+            f"fg{qid} AS (SELECT tf.term, count(*)::BIGINT AS fg\n"
+            f"  FROM tf JOIN samp{qid} sm ON tf.doc_id = sm.doc_id\n"
+            f"  GROUP BY 1),\n"
+            f"ftot{qid} AS (SELECT count(*)::BIGINT AS f FROM samp{qid})"
+        )
+        selects.append(
+            f"SELECT * FROM (\n"
+            f"  SELECT {qid} AS query_id, g.term,\n"
+            f"    (((g.fg::HUGEINT * s.n_docs - d2.df::HUGEINT * ft.f)\n"
+            f"      * g.fg * s.n_docs * 1000000)\n"
+            f"     // (ft.f::HUGEINT * ft.f * d2.df * s.n_docs))::BIGINT"
+            f" AS score_e6,\n"
+            f"    g.fg AS fg, d2.df::BIGINT AS bg\n"
+            f"  FROM fg{qid} g JOIN df d2 USING (term)\n"
+            f"  CROSS JOIN stats s CROSS JOIN ftot{qid} ft)\n"
+            f"QUALIFY row_number() OVER (ORDER BY score_e6 DESC, term)"
+            f" <= {SIGTEXT_K}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + ",\n" + ",\n".join(ctes) + f"""
 {union}
 """
 
@@ -2859,6 +3129,74 @@ sxranked AS (
   FROM sxscores
 )
 SELECT query_id, doc_id, score_r FROM sxranked WHERE rn <= {FT_K}
+"""
+    )
+
+
+# span_or reference set: (qid, [clause terms]) — qid 3 carries a clause
+# absent from the vocabulary (union semantics: contributes nothing)
+SPAN_OR_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["data", "query"]),
+    (1, ["merge", "join", "window"]),
+    (2, ["scan", "table"]),
+    (3, ["filter", "zzzznotaterm"]),
+]
+
+
+def q_ft_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanOrQuery top-k (Lucene span_or, single-term span clauses,
+    index/phrase.py span_or_topk): docs containing ANY clause term, BM25
+    with tf = total occurrences of any clause under ONE shared idf over
+    the union df — distinct from a bool should, which sums per-term
+    idf·tf contributions.  qid 3 includes an out-of-vocabulary clause
+    (union semantics: absent clauses contribute nothing, the query still
+    matches).  Same per-range positional kernel + two-pass global-df
+    shape as the rest of the span family."""
+    from .index.phrase import span_or_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, terms in SPAN_OR_QUERIES:
+        hits = span_or_topk(s, terms, k=FT_K, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_span_or() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, terms in SPAN_OR_QUERIES:
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        ctes.append(
+            f"so{qid} AS (SELECT doc_id, count(*)::BIGINT AS tfp FROM toks "
+            f"WHERE term IN ({tlist}) GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM so{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM so{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM so{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+soscores AS ({union}),
+soranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM soscores
+)
+SELECT query_id, doc_id, score_r FROM soranked WHERE rn <= {FT_K}
 """
     )
 
@@ -7355,6 +7693,9 @@ QUERIES = {
     "ft_agg_percentile_ranks": q_ft_agg_percentile_ranks,
     "ft_agg_weighted_avg": q_ft_agg_weighted_avg,
     "ft_agg_filters": q_ft_agg_filters,
+    "ft_agg_matrix_stats": q_ft_agg_matrix_stats,
+    "ft_agg_mad": q_ft_agg_mad,
+    "ft_agg_adjacency_matrix": q_ft_agg_adjacency_matrix,
     "ft_agg_date_range": q_ft_agg_date_range,
     "ft_agg_rare_terms": q_ft_agg_rare_terms,
     "ft_agg_multi_terms": q_ft_agg_multi_terms,
@@ -7364,6 +7705,8 @@ QUERIES = {
     "ft_highlight": q_ft_highlight,
     "ft_family_agg_metrics": q_ft_family_agg_metrics,
     "ft_suggest_terms": q_ft_suggest_terms,
+    "ft_suggest_completion": q_ft_suggest_completion,
+    "ft_significant_text": q_ft_significant_text,
     "ft_function_score": q_ft_function_score,
     "ft_more_like_this": q_ft_more_like_this,
     "ft_delete_bm25": q_ft_delete_bm25,
@@ -7377,6 +7720,7 @@ QUERIES = {
     "ft_span_first": q_ft_span_first,
     "ft_span_near": q_ft_span_near,
     "ft_span_not": q_ft_span_not,
+    "ft_span_or": q_ft_span_or,
     "ft_snippets": q_ft_snippets,
     "dedup_retained": q_dedup_retained,
     "multimodal_features": q_multimodal_features,
@@ -7528,6 +7872,9 @@ ORACLES = {
     "ft_agg_percentile_ranks": sql_ft_agg_percentile_ranks(),
     "ft_agg_weighted_avg": sql_ft_agg_weighted_avg(),
     "ft_agg_filters": sql_ft_agg_filters(),
+    "ft_agg_matrix_stats": sql_ft_agg_matrix_stats(),
+    "ft_agg_mad": sql_ft_agg_mad(),
+    "ft_agg_adjacency_matrix": sql_ft_agg_adjacency_matrix(),
     "ft_agg_date_range": sql_ft_agg_date_range(),
     "ft_agg_rare_terms": sql_ft_agg_rare_terms(),
     "ft_agg_multi_terms": sql_ft_agg_multi_terms(),
@@ -7537,6 +7884,8 @@ ORACLES = {
     "ft_highlight": sql_ft_highlight(),
     "ft_family_agg_metrics": sql_ft_family_agg_metrics(),
     "ft_suggest_terms": sql_ft_suggest_terms(),
+    "ft_suggest_completion": sql_ft_suggest_completion(),
+    "ft_significant_text": sql_ft_significant_text(),
     "ft_function_score": sql_ft_function_score(),
     "ft_more_like_this": sql_ft_more_like_this(),
     "ft_delete_bm25": sql_ft_delete_bm25(),
@@ -7550,6 +7899,7 @@ ORACLES = {
     "ft_span_first": sql_ft_span_first(),
     "ft_span_near": sql_ft_span_near(),
     "ft_span_not": sql_ft_span_not(),
+    "ft_span_or": sql_ft_span_or(),
     "ft_snippets": sql_ft_snippets(),
     "dedup_retained": sql_dedup_retained(),
     "multimodal_features": sql_multimodal_features(),

@@ -649,6 +649,50 @@ def suggest_terms(
     return out
 
 
+def suggest_completion(
+    searcher, prefix: str, k: int = 5
+) -> list[tuple[str, int]]:
+    """Completion suggester (OpenSearch ``suggest: {completion}`` —
+    search-as-you-type): the top-*k* vocabulary terms with *prefix*,
+    ranked by (df DESC, term ASC) and returned as (term, df) rows.
+    OpenSearch ranks completions by an indexed per-suggestion weight;
+    document frequency is the corpus-derived analog, deterministic and
+    oracle-pinnable.  One hive-pruned termdict scan + one termstats
+    lookup — vocabulary-bounded, never corpus-bounded (no max_expansions
+    cap: nothing downstream is per-expansion).  Stored df counts every
+    indexed doc, like OpenSearch completion weights, so terms appearing
+    only in since-deleted docs still suggest until a merge folds the
+    tombstones in."""
+    ranked = sorted(
+        completion_candidates(searcher, prefix), key=lambda x: (-x[1], x[0])
+    )
+    return ranked[:k]
+
+
+def completion_candidates(searcher, prefix: str) -> list[tuple[str, int]]:
+    """ALL (term, df) completions of *prefix* — the UNCUT candidate set
+    suggest_completion ranks, and the foldable partial the family
+    cross-period suggester sums (a per-period top-k cut before the df
+    fold would be unsound: a term just below k in every period can be
+    the global winner)."""
+    ds = pads.dataset(f"{searcher.index_dir}/termdict", partitioning="hive")
+    col = ds.to_table(columns=["term"])["term"]
+    cands = sorted(set(col.filter(
+        pc.starts_with(col, pattern=prefix)
+    ).to_pylist()))
+    if not cands:
+        return []
+    from ..hashing import pmod
+
+    ids = {xxh64_signed(t): t for t in cands}
+    buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in ids})
+    dfs = searcher.term_stats(ids, buckets)
+    return [
+        (t, int(dfs.get(xxh64_signed(t), 0))) for t in cands
+        if dfs.get(xxh64_signed(t), 0) > 0
+    ]
+
+
 def expand_fuzzy(
     searcher,
     term: str,

@@ -521,6 +521,82 @@ class FamilySearcher:
                    else -((-s_vw * 10**4) // s_w))
         return {"n": n, "sum_vw": s_vw, "sum_w": s_w, "wavg_e4": wavg_e4}
 
+    def agg_matrix_stats(
+        self, query_text: str, field_x: str, field_y: str, **cover
+    ) -> dict:
+        """matrix_stats over `my-index-*`: per-period six-moment partials
+        (n, Σx, Σy, Σx², Σy², Σxy) sum exactly over disjoint doc spaces;
+        the derivation runs once over the folded moments."""
+        from .filtered import match_matrix_moments, matrix_stats_from_moments
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        tot = [0, 0, 0, 0, 0, 0]
+        for p in sel:
+            m = match_matrix_moments(
+                self._searcher(p), query_text, field_x, field_y, **cover
+            )
+            for i in range(6):
+                tot[i] += m[i]
+        if tot[0] == 0:
+            return {
+                "n": 0, "sum_x": 0, "sum_y": 0, "mean_x_e6": None,
+                "mean_y_e6": None, "var_x_e6": None, "var_y_e6": None,
+                "cov_e6": None, "corr2s_e6": None,
+            }
+        return matrix_stats_from_moments(*tot)
+
+    def agg_mad(self, query_text: str, field: str, **cover) -> dict:
+        """median_absolute_deviation over `my-index-*` — BOTH medians
+        derive from the folded value histogram, so exact at any period
+        count (a per-period median of medians would be unsound)."""
+        from .filtered import mad_from_hist
+
+        return mad_from_hist(*self.agg_value_hist(query_text, field, **cover))
+
+    def agg_adjacency_matrix(
+        self, query_text: str, named, count_field: str, **cover
+    ) -> list[tuple[str, int]]:
+        """adjacency_matrix over `my-index-*`: per-key counts fold by
+        summation; the zero-bucket drop runs AFTER the fold (a key empty
+        in one period may be populated in another)."""
+        from collections import Counter
+
+        from .filtered import match_agg_adjacency_matrix
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        folded: Counter = Counter()
+        for p in sel:
+            for key, n in match_agg_adjacency_matrix(
+                self._searcher(p), query_text, named, count_field, **cover
+            ):
+                folded[key] += n
+        return sorted(folded.items())
+
+    def suggest_completion(
+        self, prefix: str, k: int = 5, **cover
+    ) -> list[tuple[str, int]]:
+        """Completion suggester over `my-index-*`: per-period UNCUT
+        (term, df) candidates fold by df summation, then one global
+        (df DESC, term ASC) cut — a per-period top-k before the fold
+        would miss a term just below k in every period."""
+        from collections import Counter
+
+        from .boolquery import completion_candidates
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        folded: Counter = Counter()
+        for p in sel:
+            for t, df in completion_candidates(self._searcher(p), prefix):
+                folded[t] += df
+        ranked = sorted(folded.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
+
     def agg_rare_terms(
         self, query_text: str, field: str, max_doc_count: int = 1, **cover
     ):

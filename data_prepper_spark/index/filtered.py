@@ -1398,6 +1398,65 @@ def match_agg_percentiles(
     return out
 
 
+def _nearest_rank_from_hist(vals: np.ndarray, counts: np.ndarray, p: float):
+    """Value at 1-based nearest rank ``max(1, ceil(p/100·n))`` of the
+    (sorted values, counts) histogram — the percentiles definition."""
+    cum = np.cumsum(counts)
+    rank = max(1, int(math.ceil(p / 100.0 * int(cum[-1]))))
+    return vals[int(np.searchsorted(cum, rank, side="left"))]
+
+
+def mad_from_hist(vals: np.ndarray, counts: np.ndarray) -> dict:
+    """(n, median, mad) from a (sorted values, counts) histogram — the
+    foldable form match_agg_median_absolute_deviation and the family
+    cross-period fold share.  Both medians are nearest-rank (the
+    percentiles definition); the deviation histogram is a re-fold of the
+    value histogram, cost ∝ field cardinality."""
+    if vals.size == 0:
+        return {"n": 0, "median": None, "mad": None}
+    n = int(counts.sum())
+    med = _nearest_rank_from_hist(vals, counts, 50.0)
+    dev = np.abs(vals - med)
+    o = np.argsort(dev, kind="stable")
+    dev_u, inv = np.unique(dev[o], return_inverse=True)
+    dev_c = np.bincount(inv, weights=counts[o]).astype(np.int64)
+    mad = _nearest_rank_from_hist(dev_u, dev_c, 50.0)
+    as_py = lambda v: v.item() if hasattr(v, "item") else v  # noqa: E731
+    return {"n": n, "median": as_py(med), "mad": as_py(mad)}
+
+
+def match_agg_median_absolute_deviation(
+    searcher, query_text: str, field: str, filters=(),
+    distributed: bool = False,
+) -> dict:
+    """Median-absolute-deviation aggregation over the match set
+    (OpenSearch ``aggs:median_absolute_deviation``): median of
+    |v − median(v)| — the robust dispersion metric.  Both medians use
+    the nearest-rank definition shared with match_agg_percentiles
+    (value at 1-based rank ``max(1, ceil(n/2))``), so integral fields
+    are exact end-to-end; the reference's OpenSearch computes both
+    medians on a t-digest sketch — nearest-rank-exact is strictly
+    stronger and SQL-pinnable.  Distributed mode folds the per-range
+    (value, count) histogram once and derives BOTH medians from it
+    driver-side (deviation histogram = |vals − med| re-fold, cost ∝
+    field cardinality, no second scan)."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    empty = {"n": 0, "median": None, "mad": None}
+    if not ids:
+        return empty
+    if distributed:
+        vals, counts = _matched_values_distributed(
+            searcher, ids, buckets, field, filters
+        )
+    else:
+        raw = _matched_with_values(searcher, ids, buckets, filters, field)
+        if raw.size == 0:
+            return empty
+        vals, counts = np.unique(raw, return_counts=True)
+    return mad_from_hist(vals, counts)
+
+
 def match_agg_cardinality(
     searcher, query_text: str, field: str, filters=(),
     distributed: bool = False,
@@ -2148,6 +2207,37 @@ def percentile_ranks_from_hist(vals, counts, values):
     return out
 
 
+def match_agg_adjacency_matrix(
+    searcher, query_text: str, named, count_field: str, filters=(),
+    distributed: bool = False,
+) -> list[tuple[str, int]]:
+    """Adjacency-matrix aggregation over the match set (OpenSearch
+    ``aggs:adjacency_matrix``): given named docvalue filters, the
+    matching-doc count for each filter AND each pairwise intersection,
+    intersection keys spelled ``a&b`` with the two names in sorted
+    order — OpenSearch's key convention.  Empty buckets are dropped
+    (OpenSearch emits no zero-count buckets) and results order by key.
+    Each bucket reuses the match-count scale path (per-range partial
+    counts only cross the shuffle); m named filters cost m + C(m,2)
+    bounded count folds — OpenSearch evaluates the same m·(m+1)/2
+    bucket set per shard."""
+    out = []
+    m = len(named)
+    pairs = [(nm, tuple(filters) + tuple(f)) for nm, f in named]
+    for i in range(m):
+        for j in range(i + 1, m):
+            key = "&".join(sorted((pairs[i][0], pairs[j][0])))
+            pairs.append((key, pairs[i][1] + tuple(named[j][1])))
+    for key, combined in pairs:
+        n = match_agg_value_count(
+            searcher, query_text, count_field, combined, distributed
+        )
+        if n:
+            out.append((key, n))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
 def match_agg_value_count(
     searcher, query_text: str, field: str, filters=(),
     distributed: bool = False,
@@ -2249,6 +2339,164 @@ def _weighted_avg_distributed(
         .collect()[0]
     )
     return (int(row["n"] or 0), int(row["s_vw"] or 0), int(row["s_w"] or 0))
+
+
+def _tdiv(num: int, den: int) -> int:
+    """Exact integer division truncating toward zero — DuckDB's ``//``
+    semantics (python's floors on negatives, -7//2 = -4 vs DuckDB -3).
+    Every scaled rational the aggregations emit goes through this so the
+    SQL oracle pins bit-for-bit on negative values too."""
+    return num // den if (num >= 0) == (den > 0) else -(abs(num) // abs(den))
+
+
+def match_agg_matrix_stats(
+    searcher, query_text: str, field_x: str, field_y: str, filters=(),
+    distributed: bool = False,
+) -> dict:
+    """Matrix-stats aggregation over the match set (OpenSearch
+    ``aggs:matrix_stats`` over two numeric docvalues fields): count,
+    per-field mean and population variance, covariance, and correlation
+    between the fields — all from the six additive moment sums (n, Σx,
+    Σy, Σx², Σy², Σxy), computed in EXACT integer arithmetic for
+    integral fields and emitted as truncated scaled rationals:
+
+        mean_e6  = Σx·10⁶ // n
+        var_e6   = (n·Σx² − (Σx)²)·10⁶ // n²          (population)
+        cov_e6   = (n·Σxy − Σx·Σy)·10⁶ // n²          (population)
+        corr2s_e6 = sign(s)·(s²·10⁶ // (vx·vy)),  s = n·Σxy − Σx·Σy,
+                    vx = n·Σx² − (Σx)²,  vy = n·Σy² − (Σy)²
+
+    corr2s_e6 is the SIGNED SQUARED Pearson correlation ×10⁶ — the
+    square avoids the sqrt OpenSearch computes in floating point, so
+    engine and DuckDB HUGEINT oracle agree bit-for-bit (|corr| =
+    sqrt(|corr2s|/10⁶), sign = sign(corr2s)).  Distributed mode emits
+    ONE six-moment partial per docID range and folds them with
+    decimal(38,0) sums (int64-safe per range by the bounded range size;
+    decimal at the global fold keeps exactness at 10¹²-doc scale)."""
+    n, sx, sy, sxx, syy, sxy = match_matrix_moments(
+        searcher, query_text, field_x, field_y, filters, distributed
+    )
+    if n == 0:
+        return {
+            "n": 0, "sum_x": 0, "sum_y": 0, "mean_x_e6": None,
+            "mean_y_e6": None, "var_x_e6": None, "var_y_e6": None,
+            "cov_e6": None, "corr2s_e6": None,
+        }
+    return matrix_stats_from_moments(n, sx, sy, sxx, syy, sxy)
+
+
+def match_matrix_moments(
+    searcher, query_text: str, field_x: str, field_y: str, filters=(),
+    distributed: bool = False,
+) -> tuple[int, int, int, int, int, int]:
+    """The six additive moment sums (n, Σx, Σy, Σx², Σy², Σxy) of a
+    docvalue pair over the match set — matrix_stats' foldable partial
+    (the family cross-period fold sums these per period)."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return (0, 0, 0, 0, 0, 0)
+    if distributed:
+        return _matrix_stats_distributed(
+            searcher, ids, buckets, field_x, field_y, filters
+        )
+    _, (x, y) = _matched_with_cols(
+        searcher, ids, buckets, filters, [field_x, field_y]
+    )
+    if x.size == 0:
+        return (0, 0, 0, 0, 0, 0)
+    xl = x.astype(np.int64)
+    yl = y.astype(np.int64)
+    return (
+        int(xl.size), int(xl.sum()), int(yl.sum()), int((xl * xl).sum()),
+        int((yl * yl).sum()), int((xl * yl).sum()),
+    )
+
+
+def matrix_stats_from_moments(
+    n: int, sx: int, sy: int, sxx: int, syy: int, sxy: int
+) -> dict:
+    """Derive the matrix_stats result from the six additive moment sums
+    — shared by match_agg_matrix_stats and the family cross-period fold
+    (per-period moments sum exactly over disjoint doc spaces)."""
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    s = n * sxy - sx * sy
+    out = {
+        "n": n, "sum_x": sx, "sum_y": sy,
+        "mean_x_e6": _tdiv(sx * 10**6, n),
+        "mean_y_e6": _tdiv(sy * 10**6, n),
+        "var_x_e6": _tdiv(vx * 10**6, n * n),
+        "var_y_e6": _tdiv(vy * 10**6, n * n),
+        "cov_e6": _tdiv(s * 10**6, n * n),
+    }
+    out["corr2s_e6"] = (
+        None if vx == 0 or vy == 0
+        else (1 if s >= 0 else -1) * ((s * s * 10**6) // (vx * vy))
+    )
+    return out
+
+
+def _matrix_stats_distributed(
+    searcher, labels, buckets, field_x, field_y, filters
+):
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"n": [], "sx": [], "sy": [], "sxx": [], "syy": [], "sxy": []}
+        )
+        if post_pdf.empty or meta_pdf.empty:
+            return empty
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(meta_ids)
+        meta_ids = meta_ids[order]
+        x = meta_pdf["x"].to_numpy()[order]
+        y = meta_pdf["y"].to_numpy()[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return empty
+        pos = np.searchsorted(meta_ids, matched)
+        xl = x[pos].astype(np.int64)
+        yl = y[pos].astype(np.int64)
+        return pd.DataFrame({
+            "n": [int(xl.size)],
+            "sx": [int(xl.sum())], "sy": [int(yl.sum())],
+            "sxx": [int((xl * xl).sum())], "syy": [int((yl * yl).sum())],
+            "sxy": [int((xl * yl).sum())],
+        })
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id",
+        F.col(field_x).alias("x"), F.col(field_y).alias("y"),
+    )
+    dec = "decimal(38,0)"
+    row = (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(
+            eval_cog,
+            schema="n long, sx long, sy long, sxx long, syy long, sxy long",
+        )
+        .agg(*[
+            F.sum(F.col(c).cast(dec)).alias(c)
+            for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+        ])
+        .collect()[0]
+    )
+    return tuple(
+        int(row[c] or 0) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
 
 
 def match_agg_filters(

@@ -39,11 +39,13 @@ from .codec import decode_docids, decode_uints
 _POS_COLS = ["term_id", "df_slice", "doc_ids", "tfs", "dls", "positions"]
 
 
-def _gather(rows: list[dict], term_seq: list[int]):
+def _gather(rows: list[dict], term_seq: list[int], required: bool = True):
     """Decode the positional slice rows of one docID range into per-term
     (docs, tfs, dls, positions) arrays + the docID intersection of all
     phrase terms.  Returns (T, common, max_pos) or None when any term is
-    absent / the intersection is empty."""
+    absent / the intersection is empty.  required=False (union-semantics
+    callers: span_or) keeps terms that ARE present, skips absent ones,
+    and returns common=None — None overall only when NO term matched."""
     uniq = set(term_seq)
     acc = {t: {"docs": [], "tf": [], "dl": [], "pos": []} for t in uniq}
     max_pos = 0
@@ -72,13 +74,17 @@ def _gather(rows: list[dict], term_seq: list[int]):
     T = {}
     for t in uniq:
         if not acc[t]["docs"]:
-            return None
+            if required:
+                return None
+            continue
         T[t] = (
             np.concatenate(acc[t]["docs"]),
             np.concatenate(acc[t]["tf"]),
             np.concatenate(acc[t]["dl"]),
             np.concatenate(acc[t]["pos"]),
         )
+    if not required:
+        return (T, None, max_pos) if T else None
     common = None
     for t in term_seq:
         common = (
@@ -924,5 +930,76 @@ def span_not_topk(
     return _span_topk(
         searcher, [tid_a, tid_b],
         lambda rows: _span_not_match_rows(rows, tid_a, tid_b, slop),
+        k, tie_round, distributed, field,
+    )
+
+
+def _span_or_match_rows(rows: list[dict], tids: list[int]):
+    """SpanOrQuery match (Lucene ``span_or``, single-term clauses) over
+    one docID-range's slice rows: the UNION of every clause term's
+    occurrences.  tf = total matching occurrences in the doc (Lucene's
+    span-count freq), first_pos = earliest matching position; a clause
+    term absent from the range (or the whole index) just contributes
+    nothing — union semantics, so _gather runs with required=False.
+    Vectorized: per-occurrence (doc, pos) pairs from np.repeat, one
+    lexsort groups occurrences by doc (a doc hit by several clauses
+    concatenates, never double-counts — the tokenizer emits one token
+    per position, so distinct terms can't share a position)."""
+    g = _gather(rows, tids, required=False)
+    if g is None:
+        return [], [], [], []
+    T, _common, _max_pos = g
+    occ_d, occ_p, map_d, map_l = [], [], [], []
+    for t in tids:
+        if t not in T:
+            continue
+        docs, tf, dl, pos = T[t]
+        occ_d.append(np.repeat(docs, tf))
+        occ_p.append(pos)
+        map_d.append(docs)
+        map_l.append(dl)
+    di = np.concatenate(occ_d)
+    ps = np.concatenate(occ_p)
+    order = np.lexsort((ps, di))
+    di, ps = di[order], ps[order]
+    bounds = np.flatnonzero(np.concatenate(([True], di[1:] != di[:-1])))
+    tf_out = np.diff(np.append(bounds, di.size))
+    docs_out = di[bounds]
+    first = ps[bounds]
+    md = np.concatenate(map_d)
+    ml = np.concatenate(map_l)
+    o = np.argsort(md, kind="stable")
+    dl_out = ml[o][np.searchsorted(md[o], docs_out)]
+    return (
+        docs_out.tolist(),
+        tf_out.astype(np.int64).tolist(),
+        dl_out.tolist(),
+        first.astype(np.int64).tolist(),
+    )
+
+
+def span_or_topk(
+    searcher, term_texts: list[str], k: int = 10, tie_round: int = 4,
+    distributed: bool = True, field: str | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k for a SpanOrQuery (Lucene ``span_or``, single-term span
+    clauses): docs containing ANY clause term, BM25 scored with tf =
+    total occurrences of any clause (the union span count — one shared
+    idf over the union df, unlike a bool should which sums per-term
+    idf·tf contributions) and df = docs with at least one occurrence.
+    Reference behavior: OpenSearch span_or inside span queries
+    (opensearch query DSL); scoring shape matches phrase_topk's two-pass
+    global-df fold."""
+    tids: list[int] = []
+    for tt in term_texts:
+        ts = _phrase_terms(searcher, tt, field)
+        if len(ts) != 1:
+            raise ValueError("span_or clauses must be single terms")
+        tids.append(xxh64_signed(ts[0]))
+    if len(set(tids)) != len(tids):
+        raise ValueError("span_or clauses must be distinct terms")
+    return _span_topk(
+        searcher, tids,
+        lambda rows: _span_or_match_rows(rows, tids),
         k, tie_round, distributed, field,
     )

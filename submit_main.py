@@ -118,6 +118,22 @@ def _parse_filter(spec: str):
         return (col, op, raw)
 
 
+def _read_source(spark, path: str):
+    """Read a _source table for fetch-time surfaces (highlight,
+    significant-text).  A raw corpus without a doc_id column gets one
+    derived from url (the engine's doc_id convention: xxhash64(url))."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(path)
+    if "doc_id" not in src.columns:
+        if "url" not in src.columns:
+            raise SystemExit(
+                f"{path} has neither doc_id nor url — cannot join hits"
+            )
+        src = src.withColumn("doc_id", F.xxhash64("url"))
+    return src
+
+
 def cmd_query(args) -> None:
     from data_prepper_spark.index.query import BM25Searcher
 
@@ -308,6 +324,76 @@ def cmd_query(args) -> None:
                 s, ta, tb, slop=args.slop, k=args.k,
                 distributed=args.distributed,
             )
+        elif mode == "span-or":
+            from data_prepper_spark.index.phrase import span_or_topk
+
+            hits = span_or_topk(
+                s, q.split(), k=args.k, distributed=args.distributed,
+            )
+        elif mode == "suggest-completion":
+            from data_prepper_spark.index.boolquery import suggest_completion
+
+            out = suggest_completion(s, q, k=args.k)
+            print(json.dumps({"prefix": q, "completions": out}))
+            continue
+        elif mode == "agg-matrix-stats":
+            from data_prepper_spark.index.filtered import (
+                match_agg_matrix_stats,
+            )
+
+            fx, fy = args.fields.split(",")
+            out = match_agg_matrix_stats(
+                s, q, fx, fy, filters=filters, distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "matrix_stats",
+                              "fields": [fx, fy], "result": out}))
+            continue
+        elif mode == "agg-mad":
+            from data_prepper_spark.index.filtered import (
+                match_agg_median_absolute_deviation,
+            )
+
+            out = match_agg_median_absolute_deviation(
+                s, q, args.agg_field, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "median_absolute_deviation",
+                              "field": args.agg_field, "result": out}))
+            continue
+        elif mode == "significant-text":
+            from data_prepper_spark.index.sigtext import significant_text
+
+            if not args.highlight_source:
+                raise SystemExit(
+                    "--mode significant-text needs --highlight-source "
+                    "(the _source table to re-tokenize the sample from)"
+                )
+            src = _read_source(spark, args.highlight_source)
+            out = significant_text(
+                s, src, q, k=args.k, sample_size=args.sample_size,
+                filters=filters, text_col=args.text_col,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "significant_text",
+                              "rows": out}))
+            continue
+        elif mode == "agg-adjacency":
+            from data_prepper_spark.index.filtered import (
+                match_agg_adjacency_matrix,
+            )
+
+            named = []
+            for spec in args.named_filters.split(";"):
+                name, col, op, val = spec.split(":")
+                v = int(val) if val.lstrip("-").isdigit() else val
+                named.append((name, ((col, op, v),)))
+            out = match_agg_adjacency_matrix(
+                s, q, named, args.agg_field, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "adjacency_matrix",
+                              "rows": out}))
+            continue
         elif mode == "collapse":
             from data_prepper_spark.index.rescore import search_collapsed
 
@@ -403,7 +489,7 @@ def cmd_query(args) -> None:
         if args.highlight_source:
             from data_prepper_spark.index.highlight import highlight_hits
 
-            src = spark.read.parquet(args.highlight_source)
+            src = _read_source(spark, args.highlight_source)
             snippets = dict(highlight_hits(src, hits, q,
                                            text_col=args.text_col))
         print(json.dumps({
@@ -653,7 +739,10 @@ def main() -> None:
                              "phrase-prefix", "collapse", "boosting",
                              "rescore", "explain", "agg-composite",
                              "agg-extended-stats", "terms-set",
-                             "span-first", "span-near", "span-not"],
+                             "span-first", "span-near", "span-not",
+                             "span-or", "suggest-completion",
+                             "agg-matrix-stats", "agg-mad",
+                             "agg-adjacency", "significant-text"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); query-string is the full DSL "
                          "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "
@@ -711,6 +800,11 @@ def main() -> None:
     pq.add_argument("--rescore-weight", type=float, default=2.0)
     pq.add_argument("--sources", help="comma-separated agg-composite fields")
     pq.add_argument("--after", help="comma-separated composite after-key")
+    pq.add_argument("--fields", help="x,y docvalue pair for agg-matrix-stats")
+    pq.add_argument("--sample-size", type=int, default=200,
+                    help="significant-text foreground sample size")
+    pq.add_argument("--named-filters",
+                    help="agg-adjacency buckets: name:col:op:val;name:... ")
     pq.set_defaults(fn=cmd_query)
 
     pn = sub.add_parser("bench")

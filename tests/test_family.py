@@ -371,3 +371,30 @@ def test_family_new_aggs_equal_single_index(spark, family_root_dv,
         assert fs.agg_auto_date_histogram(qtext, "warc_ts", 10) == (
             match_agg_auto_date_histogram(s1, qtext, "warc_ts", 10)
         )
+        # session-7 additions: matrix_stats / mad / adjacency_matrix
+        from data_prepper_spark.index.filtered import (
+            match_agg_adjacency_matrix,
+            match_agg_matrix_stats,
+            match_agg_median_absolute_deviation,
+        )
+
+        assert fs.agg_matrix_stats(qtext, "n_chars", "n_chars") == (
+            match_agg_matrix_stats(s1, qtext, "n_chars", "n_chars")
+        )
+        assert fs.agg_mad(qtext, "n_chars") == (
+            match_agg_median_absolute_deviation(s1, qtext, "n_chars")
+        )
+        named = [("short", (("n_chars", "<", 1500),)),
+                 ("long", (("n_chars", ">=", 1500),)),
+                 ("en", (("lang", "==", "en"),))]
+        assert fs.agg_adjacency_matrix(qtext, named, "n_chars") == (
+            match_agg_adjacency_matrix(s1, qtext, named, "n_chars")
+        )
+
+    # completion suggester: uncut per-period candidates fold by df sum
+    from data_prepper_spark.index.boolquery import suggest_completion
+
+    for pref in ("t", "d", "zzz"):
+        assert fs.suggest_completion(pref, k=5) == (
+            suggest_completion(s1, pref, k=5)
+        )

@@ -417,12 +417,16 @@ def agg_index(spark, tiny_corpus_path, workdir):
     from data_prepper_spark.index.config import IndexConfig
 
     index_dir = os.path.join(workdir, "index_agg")
-    pages = spark.read.parquet(tiny_corpus_path).withColumn(
-        "n_chars", F.length("text")
+    pages = (
+        spark.read.parquet(tiny_corpus_path)
+        .withColumn("n_chars", F.length("text"))
+        # second numeric docvalue (matrix_stats pair) — text-derived so
+        # the python oracles recompute it without knowing doc_ids
+        .withColumn("prio", (F.length("text") % 5 + 1).cast("long"))
     )
     cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8)
     build_oneshot(spark, pages, index_dir, cfg,
-                  field_cols=("lang", "warc_ts", "n_chars"))
+                  field_cols=("lang", "warc_ts", "n_chars", "prio"))
     return index_dir
 
 
@@ -557,6 +561,206 @@ def test_match_agg_top_hits(spark, agg_index, oracle_tiny, tiny_pages_pd):
         s, "the data", "lang", "n_chars", k=3, ascending=True,
         distributed=True,
     ) == asc
+
+
+def test_match_agg_matrix_stats(spark, agg_index, oracle_tiny,
+                                tiny_pages_pd):
+    """matrix_stats: driver == distributed == a pure-python exact
+    integer-moment oracle (truncate-toward-zero scaled rationals)."""
+    from data_prepper_spark.index.filtered import match_agg_matrix_stats
+
+    def tdiv(a, b):
+        return a // b if (a >= 0) == (b > 0) else -(abs(a) // abs(b))
+
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    prio = {d: v % 5 + 1 for d, v in nchars.items()}
+    s = BM25Searcher(spark, agg_index)
+    matched = set()
+    for t in ("data", "the"):
+        matched |= set(oracle_tiny.postings.get(t, ()))
+    xs = [nchars[d] for d in matched]
+    ys = [prio[d] for d in matched]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    sv = n * sxy - sx * sy
+    want = {
+        "n": n, "sum_x": sx, "sum_y": sy,
+        "mean_x_e6": tdiv(sx * 10**6, n),
+        "mean_y_e6": tdiv(sy * 10**6, n),
+        "var_x_e6": tdiv(vx * 10**6, n * n),
+        "var_y_e6": tdiv(vy * 10**6, n * n),
+        "cov_e6": tdiv(sv * 10**6, n * n),
+        "corr2s_e6": (1 if sv >= 0 else -1) * ((sv * sv * 10**6) // (vx * vy)),
+    }
+    got = match_agg_matrix_stats(s, "the data", "n_chars", "prio")
+    assert got == want
+    assert match_agg_matrix_stats(
+        s, "the data", "n_chars", "prio", distributed=True
+    ) == got
+    # empty match set
+    assert match_agg_matrix_stats(s, "zzznotaterm", "n_chars", "prio")["n"] == 0
+
+
+def test_match_agg_mad(spark, agg_index, oracle_tiny, tiny_pages_pd):
+    """median_absolute_deviation: driver == distributed == a pure-python
+    nearest-rank oracle (the percentiles rank definition, both medians)."""
+    import math
+
+    from data_prepper_spark.index.filtered import (
+        match_agg_median_absolute_deviation,
+    )
+
+    def nr_median(vals):
+        v = sorted(vals)
+        return v[max(1, math.ceil(0.5 * len(v))) - 1]
+
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    s = BM25Searcher(spark, agg_index)
+    matched = set()
+    for t in ("data", "the"):
+        matched |= set(oracle_tiny.postings.get(t, ()))
+    vals = [nchars[d] for d in matched]
+    med = nr_median(vals)
+    want = {
+        "n": len(vals), "median": med,
+        "mad": nr_median([abs(v - med) for v in vals]),
+    }
+    got = match_agg_median_absolute_deviation(s, "the data", "n_chars")
+    assert got == want
+    assert match_agg_median_absolute_deviation(
+        s, "the data", "n_chars", distributed=True
+    ) == got
+    assert match_agg_median_absolute_deviation(
+        s, "zzznotaterm", "n_chars"
+    )["n"] == 0
+
+
+def test_match_agg_adjacency_matrix(spark, agg_index, oracle_tiny,
+                                    tiny_pages_pd):
+    """adjacency_matrix: driver == distributed == brute counts; disjoint
+    pair buckets are dropped, keys sort, intersection keys are `a&b`."""
+    from data_prepper_spark.index.filtered import match_agg_adjacency_matrix
+
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    langs = {
+        xxh64_signed(r.url): r.lang
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    s = BM25Searcher(spark, agg_index)
+    matched = set()
+    for t in ("data", "the"):
+        matched |= set(oracle_tiny.postings.get(t, ()))
+    med = sorted(nchars[d] for d in matched)[len(matched) // 2]
+    named = [
+        ("short", (("n_chars", "<", med),)),
+        ("long", (("n_chars", ">=", med),)),
+        ("en", (("lang", "==", "en"),)),
+    ]
+    conds = {
+        "short": lambda d: nchars[d] < med,
+        "long": lambda d: nchars[d] >= med,
+        "en": lambda d: langs[d] == "en",
+    }
+    conds["en&long"] = lambda d: conds["en"](d) and conds["long"](d)
+    conds["en&short"] = lambda d: conds["en"](d) and conds["short"](d)
+    conds["long&short"] = lambda d: conds["long"](d) and conds["short"](d)
+    want = sorted(
+        (key, sum(1 for d in matched if c(d)))
+        for key, c in conds.items()
+        if sum(1 for d in matched if c(d)) > 0
+    )
+    got = match_agg_adjacency_matrix(s, "the data", named, "n_chars")
+    assert got == want
+    assert ("long&short", 0) not in got  # disjoint bucket dropped
+    assert all(n > 0 for _, n in got)
+    assert match_agg_adjacency_matrix(
+        s, "the data", named, "n_chars", distributed=True
+    ) == got
+
+
+def test_suggest_completion(spark, agg_index, oracle_tiny):
+    """completion suggester: top-k prefix terms by (df DESC, term ASC)
+    vs the oracle index's postings (extracted-text, en-routed — the same
+    doc universe the engine indexes)."""
+    from data_prepper_spark.index.boolquery import suggest_completion
+
+    s = BM25Searcher(spark, agg_index)
+    dfs = {t: len(docs) for t, docs in oracle_tiny.postings.items()}
+    for pref, k in [("t", 3), ("d", 5), ("a", 2), ("zzz", 5)]:
+        want = sorted(
+            ((t, n) for t, n in dfs.items() if t.startswith(pref)),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        assert suggest_completion(s, pref, k=k) == want
+
+
+def test_significant_text(spark, agg_index, oracle_tiny):
+    """significant_text: driver == distributed == a brute python oracle
+    (lowest-docID sample, per-doc distinct terms, exact integer JLH).
+    The doc universe and per-doc terms derive from the oracle index —
+    extracted text, en-routed — and the source table the engine
+    re-tokenizes carries the SAME extracted text (the indexed _source)."""
+    from data_prepper_spark.index.sigtext import significant_text
+
+    def tdiv(a, b):
+        return a // b if (a >= 0) == (b > 0) else -(abs(a) // abs(b))
+
+    toks: dict[int, set] = {}
+    for t, docs in oracle_tiny.postings.items():
+        for d in docs:
+            toks.setdefault(d, set()).add(t)
+    n_docs = oracle_tiny.n_docs
+    bg = {t: len(docs) for t, docs in oracle_tiny.postings.items()}
+    s = BM25Searcher(spark, agg_index)
+    source = spark.createDataFrame(
+        [(xxh64_signed(u), txt) for u, txt in oracle_tiny.extracted.items()],
+        "doc_id long, text string",
+    )
+    for qtext, sample_size in [("the data", 5), ("the data", 1000),
+                               ("spark", 3)]:
+        matched = set()
+        for t in qtext.split():
+            matched |= set(oracle_tiny.postings.get(t, ()))
+        if not matched:
+            continue
+        sample = sorted(matched)[:sample_size]
+        f_tot = len(sample)
+        fg = {}
+        for d in sample:
+            for t in toks[d]:
+                fg[t] = fg.get(t, 0) + 1
+        want = sorted(
+            (
+                (t, tdiv((c * n_docs - bg[t] * f_tot) * c * n_docs * 10**6,
+                         f_tot * f_tot * bg[t] * n_docs), c, bg[t])
+                for t, c in fg.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        got = significant_text(s, source, qtext, k=10,
+                               sample_size=sample_size)
+        assert got == want, (qtext, sample_size)
+        dist = significant_text(s, source, qtext, k=10,
+                                sample_size=sample_size, distributed=True)
+        assert dist == got, (qtext, sample_size)
+    # no matches → empty, filters rejected on the distributed path
+    assert significant_text(s, source, "zzznotaterm", k=5) == []
+    with pytest.raises(ValueError):
+        significant_text(s, source, "the", filters=[("n_chars", "<", 10)],
+                         distributed=True)
 
 
 def test_match_agg_significant_terms(spark, agg_index, oracle_tiny,

@@ -459,6 +459,55 @@ def test_span_not_matches_brute_oracle(spark, pos_index):
         assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(drv, got))
 
 
+def _span_or_oracle(docs, terms, k1=1.2, b=0.75):
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    m = {}
+    for d, seq in toks.items():
+        c = sum(1 for t in seq if t in terms)
+        if c:
+            m[d] = c
+    if not m:
+        return []
+    idf = math.log(1 + (n - len(m) + 0.5) / (len(m) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+def test_span_or_matches_brute_oracle(spark, pos_index):
+    from data_prepper_spark.index.phrase import span_or_topk
+
+    s = BM25Searcher(spark, pos_index)
+    for terms in [["quick", "fox"], ["brown", "dog", "42"],
+                  ["quick", "absent"], ["nothing", "digits", "lazy"]]:
+        want = _span_or_oracle(DOCS, set(terms))
+        got = span_or_topk(s, terms, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], terms
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, terms
+        drv = span_or_topk(s, terms, k=10, distributed=False)
+        assert [d for d, _ in drv] == [d for d, _ in got], terms
+        assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(drv, got))
+
+
+def test_span_or_rejects_bad_clauses(spark, pos_index):
+    from data_prepper_spark.index.phrase import span_or_topk
+
+    s = BM25Searcher(spark, pos_index)
+    with pytest.raises(ValueError):
+        span_or_topk(s, ["quick", "quick"])
+    with pytest.raises(ValueError):
+        span_or_topk(s, ["quick brown", "fox"])
+    # every clause out-of-vocabulary ⇒ empty, not an error
+    assert span_or_topk(s, ["absent", "alsoabsent"], distributed=False) == []
+
+
 def test_span_near_not_partition(spark, pos_index):
     """For any doc, span_near tf + span_not tf = term A's full tf — the
     two queries partition A's occurrences."""
