@@ -2073,6 +2073,121 @@ def sql_ft_suggest_terms() -> str:
 """
 
 
+# span_containing / span_within reference set: (qid, big_a, big_b,
+# little, slop)
+SPAN_BIG_LITTLE_QUERIES: list[tuple[int, str, str, str, int]] = [
+    (0, "data", "table", "scan", 4),
+    (1, "merge", "join", "window", 5),
+    (2, "the", "query", "index", 3),
+    (3, "scan", "filter", "zzznotaterm", 4),
+]
+
+
+def q_ft_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanContainingQuery top-k (Lucene span_containing, index/phrase.py
+    span_containing_topk): big spans — unordered (a, b) pairs within
+    slop — that CONTAIN a little-term occurrence, BM25 with tf =
+    qualifying big-span anchors (distinct a-positions).  Nearest-neighbor
+    decomposition over composite doc×position keys: O(n log n), no pair
+    enumeration (minimal witnesses dominate any other pair).  qid 3's
+    little term is out-of-vocabulary — zero rows, not an error."""
+    from .index.phrase import span_containing_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, ta, tb, tc, slop in SPAN_BIG_LITTLE_QUERIES:
+        hits = span_containing_topk(s, ta, tb, tc, slop, k=FT_K, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def q_ft_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanWithinQuery top-k (Lucene span_within, index/phrase.py
+    span_within_topk): little-term occurrences ENCLOSED by an unordered
+    (a, b) pair within slop — the mirror of ft_span_containing with the
+    little span as the scored anchor, tf = qualifying little
+    occurrences."""
+    from .index.phrase import span_within_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, ta, tb, tc, slop in SPAN_BIG_LITTLE_QUERIES:
+        hits = span_within_topk(s, ta, tb, tc, slop, k=FT_K, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def _sql_span_big_little(anchor: str) -> str:
+    """Shared oracle for the containing/within pair: *anchor* = 'a'
+    scores big-span anchors (containing), 'c' scores little occurrences
+    (within).  The EXISTS is the ALL-PAIRS ground truth the engine's
+    nearest-neighbor decomposition must reproduce."""
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, ta, tb, tc, slop in SPAN_BIG_LITTLE_QUERIES:
+        if anchor == "a":
+            ctes.append(
+                f"sb{qid} AS (SELECT a.doc_id, count(*)::BIGINT AS tfp\n"
+                f"  FROM toks a WHERE a.term = '{ta}' AND EXISTS (\n"
+                f"    SELECT 1 FROM toks b, toks c\n"
+                f"    WHERE b.doc_id = a.doc_id AND c.doc_id = a.doc_id\n"
+                f"      AND b.term = '{tb}' AND c.term = '{tc}'\n"
+                f"      AND abs(a.ord - b.ord) - 1 <= {slop}\n"
+                f"      AND c.ord BETWEEN least(a.ord, b.ord)"
+                f" AND greatest(a.ord, b.ord))\n"
+                f"  GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"sb{qid} AS (SELECT c.doc_id, count(*)::BIGINT AS tfp\n"
+                f"  FROM toks c WHERE c.term = '{tc}' AND EXISTS (\n"
+                f"    SELECT 1 FROM toks a, toks b\n"
+                f"    WHERE a.doc_id = c.doc_id AND b.doc_id = c.doc_id\n"
+                f"      AND a.term = '{ta}' AND b.term = '{tb}'\n"
+                f"      AND abs(a.ord - b.ord) - 1 <= {slop}\n"
+                f"      AND c.ord BETWEEN least(a.ord, b.ord)"
+                f" AND greatest(a.ord, b.ord))\n"
+                f"  GROUP BY 1)"
+            )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM sb{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM sb{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM sb{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+sbscores AS ({union}),
+sbranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM sbscores
+)
+SELECT query_id, doc_id, score_r FROM sbranked WHERE rn <= {FT_K}
+"""
+    )
+
+
+def sql_ft_span_containing() -> str:
+    return _sql_span_big_little("a")
+
+
+def sql_ft_span_within() -> str:
+    return _sql_span_big_little("c")
+
+
 # completion-suggester reference prefixes ("se" is out-of-vocabulary at
 # sf0.001 — must yield no rows, not an error)
 COMPLETION_PREFIXES: list[str] = ["s", "qu", "da", "win", "zzz"]
@@ -7721,6 +7836,8 @@ QUERIES = {
     "ft_span_near": q_ft_span_near,
     "ft_span_not": q_ft_span_not,
     "ft_span_or": q_ft_span_or,
+    "ft_span_containing": q_ft_span_containing,
+    "ft_span_within": q_ft_span_within,
     "ft_snippets": q_ft_snippets,
     "dedup_retained": q_dedup_retained,
     "multimodal_features": q_multimodal_features,
@@ -7900,6 +8017,8 @@ ORACLES = {
     "ft_span_near": sql_ft_span_near(),
     "ft_span_not": sql_ft_span_not(),
     "ft_span_or": sql_ft_span_or(),
+    "ft_span_containing": sql_ft_span_containing(),
+    "ft_span_within": sql_ft_span_within(),
     "ft_snippets": sql_ft_snippets(),
     "dedup_retained": sql_dedup_retained(),
     "multimodal_features": sql_multimodal_features(),

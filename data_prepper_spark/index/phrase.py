@@ -934,6 +934,180 @@ def span_not_topk(
     )
 
 
+def _keyed_positions(T, tids: list[int], stride: int):
+    """(universe, per-term sorted composite key arrays) for the
+    nearest-neighbor span kernels.  Raw docIDs are 64-bit url hashes
+    (negative, overflow under × stride), so keys use each doc's INDEX in
+    the shared sorted universe — the same compaction the span_near
+    kernel applies via its common array."""
+    universe = np.unique(
+        np.concatenate([T[t][0] for t in tids if t in T])
+    )
+    out = []
+    for t in tids:
+        if t not in T:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        docs, tf, _dl, pos = T[t]
+        loc = np.searchsorted(universe, docs)
+        out.append(np.sort(np.repeat(loc, tf) * stride + pos))
+    return universe, out
+
+
+def _nearest_leq(sorted_keys: np.ndarray, queries: np.ndarray):
+    """(values, valid) of the largest sorted key ≤ each query
+    (valid=False where none exists)."""
+    idx = np.searchsorted(sorted_keys, queries, side="right") - 1
+    valid = idx >= 0
+    vals = sorted_keys[np.maximum(idx, 0)]
+    return vals, valid
+
+
+def _nearest_geq(sorted_keys: np.ndarray, queries: np.ndarray):
+    """(values, valid) of the smallest sorted key ≥ each query."""
+    idx = np.searchsorted(sorted_keys, queries, side="left")
+    valid = idx < sorted_keys.size
+    vals = sorted_keys[np.minimum(idx, sorted_keys.size - 1)]
+    return vals, valid
+
+
+def _anchor_rows_out(T, tid_anchor: int, universe: np.ndarray,
+                     keys: np.ndarray, ok: np.ndarray, stride: int):
+    """Fold qualifying anchor-occurrence keys into the match-rows
+    quadruple (docs, tf, dl, first_pos); dl looked up from the anchor
+    term's postings."""
+    starts = keys[ok]
+    if starts.size == 0:
+        return [], [], [], []
+    di = starts // stride
+    ps = starts % stride
+    bounds = np.flatnonzero(np.concatenate(([True], di[1:] != di[:-1])))
+    tfp = np.diff(np.append(bounds, di.size))
+    docs_out = universe[di[bounds]]
+    first = ps[bounds]
+    d0, _, dl0, _ = T[tid_anchor]
+    o = np.argsort(d0, kind="stable")
+    dl_out = dl0[o][np.searchsorted(d0[o], docs_out)]
+    return (
+        docs_out.tolist(), tfp.astype(np.int64).tolist(), dl_out.tolist(),
+        first.astype(np.int64).tolist(),
+    )
+
+
+def _span_containing_match_rows(
+    rows: list[dict], tid_a: int, tid_b: int, tid_c: int, slop: int
+):
+    """SpanContainingQuery match (big = unordered near(A, B) with *slop*,
+    little = term C): occurrences of A anchoring SOME enclosing pair
+    (x∈{A-occurrence}, y∈{B-occurrence}) within slop that CONTAINS a C
+    occurrence — min(pa,pb) ≤ pc ≤ max(pa,pb).  tf = distinct qualifying
+    A-positions (the span family's anchor-counting rule; Lucene iterates
+    minimal intervals lazily — anchor counting is the deterministic,
+    SQL-pinnable twin).  Nearest-neighbor decomposition, O(n log n), no
+    pair enumeration: for anchor pa the right-side test is satisfiable
+    iff b*(c*(pa)) − pa ≤ slop+1 with c* the nearest C ≥ pa and b* the
+    nearest B ≥ c* (minimal choices dominate any other witness pair);
+    mirrored for the left side.  Composite doc×position keys make the
+    same-doc check implicit: any witness within slop+1 key distance is
+    in the anchor's doc because stride > max_pos + slop + 2."""
+    g = _gather(rows, [tid_a, tid_b, tid_c])
+    if g is None:
+        return [], [], [], []
+    T, _common, max_pos = g
+    stride = max_pos + slop + 3
+    uni, (ka, kb, kc) = _keyed_positions(T, [tid_a, tid_b, tid_c], stride)
+    if ka.size == 0 or kb.size == 0 or kc.size == 0:
+        return [], [], [], []
+    # right side: pa ≤ pc ≤ pb, pb − pa ≤ slop+1
+    c_r, c_rv = _nearest_geq(kc, ka)
+    b_r, b_rv = _nearest_geq(kb, c_r)
+    ok_r = c_rv & b_rv & (b_r - ka <= slop + 1)
+    # left side: pb ≤ pc ≤ pa, pa − pb ≤ slop+1
+    c_l, c_lv = _nearest_leq(kc, ka)
+    b_l, b_lv = _nearest_leq(kb, c_l)
+    ok_l = c_lv & b_lv & (ka - b_l <= slop + 1)
+    return _anchor_rows_out(T, tid_a, uni, ka, ok_r | ok_l, stride)
+
+
+def _span_within_match_rows(
+    rows: list[dict], tid_a: int, tid_b: int, tid_c: int, slop: int
+):
+    """SpanWithinQuery match (little = term C within big = unordered
+    near(A, B) with *slop*): occurrences of C enclosed by SOME (A, B)
+    pair within slop — the mirror of span_containing with the LITTLE
+    span as the scored anchor.  tf = distinct qualifying C-positions.
+    For anchor pc, an enclosing pair with the A on the left exists iff
+    b*(pc) − a*(pc) ≤ slop+1 with a* the nearest A ≤ pc and b* the
+    nearest B ≥ pc (the minimal-width enclosing pair); mirrored for
+    B-left/A-right."""
+    g = _gather(rows, [tid_a, tid_b, tid_c])
+    if g is None:
+        return [], [], [], []
+    T, _common, max_pos = g
+    stride = max_pos + slop + 3
+    uni, (ka, kb, kc) = _keyed_positions(T, [tid_a, tid_b, tid_c], stride)
+    if ka.size == 0 or kb.size == 0 or kc.size == 0:
+        return [], [], [], []
+    a_l, a_lv = _nearest_leq(ka, kc)
+    b_r, b_rv = _nearest_geq(kb, kc)
+    ok1 = a_lv & b_rv & (b_r - a_l <= slop + 1)
+    b_l, b_lv = _nearest_leq(kb, kc)
+    a_r, a_rv = _nearest_geq(ka, kc)
+    ok2 = b_lv & a_rv & (a_r - b_l <= slop + 1)
+    return _anchor_rows_out(T, tid_c, uni, kc, ok1 | ok2, stride)
+
+
+def _span_big_little_terms(searcher, term_a, term_b, little, field):
+    ta = _phrase_terms(searcher, term_a, field)
+    tb = _phrase_terms(searcher, term_b, field)
+    tc = _phrase_terms(searcher, little, field)
+    if len(ta) != 1 or len(tb) != 1 or len(tc) != 1:
+        raise ValueError("span_containing/within clauses must be single terms")
+    tids = (xxh64_signed(ta[0]), xxh64_signed(tb[0]), xxh64_signed(tc[0]))
+    if len(set(tids)) != 3:
+        raise ValueError("span_containing/within clauses must be distinct")
+    return tids
+
+
+def span_containing_topk(
+    searcher, term_a: str, term_b: str, little: str, slop: int = 2,
+    k: int = 10, tie_round: int = 4, distributed: bool = True,
+    field: str | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k for a SpanContainingQuery (Lucene ``span_containing``): big
+    spans — unordered (term_a, term_b) pairs within *slop* — that
+    contain an occurrence of *little*, BM25 scored with tf = qualifying
+    big-span anchors (A-positions), df = matching docs."""
+    tid_a, tid_b, tid_c = _span_big_little_terms(
+        searcher, term_a, term_b, little, field
+    )
+    return _span_topk(
+        searcher, [tid_a, tid_b, tid_c],
+        lambda rows: _span_containing_match_rows(
+            rows, tid_a, tid_b, tid_c, slop
+        ),
+        k, tie_round, distributed, field,
+    )
+
+
+def span_within_topk(
+    searcher, term_a: str, term_b: str, little: str, slop: int = 2,
+    k: int = 10, tie_round: int = 4, distributed: bool = True,
+    field: str | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k for a SpanWithinQuery (Lucene ``span_within``): occurrences
+    of *little* enclosed by an unordered (term_a, term_b) pair within
+    *slop*, BM25 scored with tf = qualifying little occurrences."""
+    tid_a, tid_b, tid_c = _span_big_little_terms(
+        searcher, term_a, term_b, little, field
+    )
+    return _span_topk(
+        searcher, [tid_a, tid_b, tid_c],
+        lambda rows: _span_within_match_rows(rows, tid_a, tid_b, tid_c, slop),
+        k, tie_round, distributed, field,
+    )
+
+
 def _span_or_match_rows(rows: list[dict], tids: list[int]):
     """SpanOrQuery match (Lucene ``span_or``, single-term clauses) over
     one docID-range's slice rows: the UNION of every clause term's

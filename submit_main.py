@@ -330,6 +330,22 @@ def cmd_query(args) -> None:
             hits = span_or_topk(
                 s, q.split(), k=args.k, distributed=args.distributed,
             )
+        elif mode == "span-containing":
+            from data_prepper_spark.index.phrase import span_containing_topk
+
+            ta, tb, tc = q.split()
+            hits = span_containing_topk(
+                s, ta, tb, tc, slop=args.slop, k=args.k,
+                distributed=args.distributed,
+            )
+        elif mode == "span-within":
+            from data_prepper_spark.index.phrase import span_within_topk
+
+            ta, tb, tc = q.split()
+            hits = span_within_topk(
+                s, ta, tb, tc, slop=args.slop, k=args.k,
+                distributed=args.distributed,
+            )
         elif mode == "suggest-completion":
             from data_prepper_spark.index.boolquery import suggest_completion
 
@@ -740,7 +756,8 @@ def main() -> None:
                              "rescore", "explain", "agg-composite",
                              "agg-extended-stats", "terms-set",
                              "span-first", "span-near", "span-not",
-                             "span-or", "suggest-completion",
+                             "span-or", "span-containing", "span-within",
+                             "suggest-completion",
                              "agg-matrix-stats", "agg-mad",
                              "agg-adjacency", "significant-text"],
                     help="bool uses Lucene classic syntax (+must -not "

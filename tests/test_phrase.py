@@ -508,6 +508,156 @@ def test_span_or_rejects_bad_clauses(spark, pos_index):
     assert span_or_topk(s, ["absent", "alsoabsent"], distributed=False) == []
 
 
+def _span_containing_oracle(docs, ta, tb, tc, slop, k1=1.2, b=0.75):
+    """ALL-PAIRS ground truth: anchor pa qualifies iff ∃pb within slop
+    and ∃pc with min(pa,pb) ≤ pc ≤ max(pa,pb)."""
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    m = {}
+    for d, seq in toks.items():
+        pa = [i for i, t in enumerate(seq) if t == ta]
+        pb = [i for i, t in enumerate(seq) if t == tb]
+        pc = [i for i, t in enumerate(seq) if t == tc]
+        c = sum(
+            1 for a in pa
+            if any(
+                abs(a - bp) - 1 <= slop
+                and any(min(a, bp) <= cp <= max(a, bp) for cp in pc)
+                for bp in pb
+            )
+        )
+        if c:
+            m[d] = c
+    if not m:
+        return []
+    idf = math.log(1 + (n - len(m) + 0.5) / (len(m) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+def _span_within_oracle(docs, ta, tb, tc, slop, k1=1.2, b=0.75):
+    """ALL-PAIRS ground truth: anchor pc qualifies iff ∃(pa, pb) within
+    slop with min(pa,pb) ≤ pc ≤ max(pa,pb)."""
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    m = {}
+    for d, seq in toks.items():
+        pa = [i for i, t in enumerate(seq) if t == ta]
+        pb = [i for i, t in enumerate(seq) if t == tb]
+        pc = [i for i, t in enumerate(seq) if t == tc]
+        c = sum(
+            1 for cp in pc
+            if any(
+                abs(a - bp) - 1 <= slop and min(a, bp) <= cp <= max(a, bp)
+                for a in pa for bp in pb
+            )
+        )
+        if c:
+            m[d] = c
+    if not m:
+        return []
+    idf = math.log(1 + (n - len(m) + 0.5) / (len(m) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+def test_span_containing_within_match_brute_oracle(spark, pos_index):
+    from data_prepper_spark.index.phrase import (
+        span_containing_topk,
+        span_within_topk,
+    )
+
+    s = BM25Searcher(spark, pos_index)
+    cases = [("quick", "fox", "brown", 2), ("quick", "fox", "brown", 1),
+             ("quick", "dog", "lazy", 4), ("the", "fox", "brown", 3),
+             ("quick", "fox", "absent", 2), ("42", "digits", "and", 3)]
+    for ta, tb, tc, slop in cases:
+        want = _span_containing_oracle(DOCS, ta, tb, tc, slop)
+        got = span_containing_topk(s, ta, tb, tc, slop, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], (ta, tb, tc, slop)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+        drv = span_containing_topk(s, ta, tb, tc, slop, k=10,
+                                   distributed=False)
+        assert drv == got or (
+            [d for d, _ in drv] == [d for d, _ in got]
+            and all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(drv, got))
+        )
+        want_w = _span_within_oracle(DOCS, ta, tb, tc, slop)
+        got_w = span_within_topk(s, ta, tb, tc, slop, k=10)
+        assert [d for d, _ in got_w] == [d for d, _ in want_w], (ta, tb, tc)
+        for (_, gs), (_, ws) in zip(got_w, want_w):
+            assert abs(gs - ws) < 1e-9
+        drv_w = span_within_topk(s, ta, tb, tc, slop, k=10,
+                                 distributed=False)
+        assert [d for d, _ in drv_w] == [d for d, _ in got_w]
+
+
+def test_span_containing_hypothesis_random(spark, pos_index):
+    """Randomized adversarial docs: the nearest-neighbor decomposition
+    must equal the all-pairs oracle on dense repeated-token streams."""
+    import random
+
+    from data_prepper_spark.index.build import build_oneshot
+    from data_prepper_spark.index.config import IndexConfig
+    from data_prepper_spark.index.phrase import (
+        span_containing_topk,
+        span_within_topk,
+    )
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(40):
+        n = rng.randint(3, 30)
+        body = " ".join(rng.choice(vocab) for _ in range(n))
+        docs.append((f"https://r{i}.example/x", body))
+    import os
+
+    pdf = pd.DataFrame({
+        "url": [u for u, _ in docs],
+        "html": [f"<html><body>{t}</body></html>".encode() for _, t in docs],
+        "lang": ["en"] * len(docs),
+        "warc_ts": pd.Timestamp("2025-01-01"),
+    })
+    from data_prepper_spark.hashing import xxh64_signed
+    from data_prepper_spark.textproc import extract_text
+
+    by_id = [(xxh64_signed(u), extract_text(h))
+             for u, h in zip(pdf.url, pdf.html)]
+    d = os.path.join("/tmp", "dps_span_rand_idx")
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d + "_corpus")
+    cfg = IndexConfig(range_bits=2, block_size=8, n_buckets=4, positions=True)
+    build_oneshot(spark, spark.read.parquet(d + "_corpus"), d, cfg)
+    s = BM25Searcher(spark, d)
+    for slop in (0, 1, 3):
+        for ta, tb, tc in [("aa", "bb", "cc"), ("bb", "cc", "dd"),
+                           ("aa", "cc", "bb")]:
+            want = _span_containing_oracle(by_id, ta, tb, tc, slop)[:10]
+            got = span_containing_topk(s, ta, tb, tc, slop, k=10,
+                                       distributed=False)
+            assert [x for x, _ in got] == [x for x, _ in want], (ta, tb, tc, slop)
+            want_w = _span_within_oracle(by_id, ta, tb, tc, slop)[:10]
+            got_w = span_within_topk(s, ta, tb, tc, slop, k=10,
+                                     distributed=False)
+            assert [x for x, _ in got_w] == [x for x, _ in want_w], (ta, tb, tc, slop)
+
+
 def test_span_near_not_partition(spark, pos_index):
     """For any doc, span_near tf + span_not tf = term A's full tf — the
     two queries partition A's occurrences."""
