@@ -1163,6 +1163,45 @@ def q_ft_agg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_agg_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial-differencing pipeline aggregation (OpenSearch serial_diff,
+    index/filtered.py serial_diff_from_buckets): per day bucket of the
+    match set, sum(n_chars) minus the value *lag* buckets earlier (lag=2
+    here; the first lag buckets emit NULL — OpenSearch omits them).
+    Like every pipeline agg it runs over the REDUCED bucket list, so
+    cost is bucket-bounded."""
+    from .index.filtered import serial_diff_from_buckets
+
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for b, n, sv, sd in serial_diff_from_buckets(
+            _day_buckets(spark, sf_dir, qtext), lag=2
+        ):
+            rows.append((
+                qid, b, n, int(sv), None if sd is None else int(sd),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, bucket string, n long, sum_v long, serial_diff long",
+    )
+
+
+def sql_ft_agg_serial_diff() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _DAY_BUCKETS_SQL.format(ts=_TS_SQL, match=_agg_match_where(qtext))
+        selects.append(
+            f"SELECT {qid} AS query_id, bucket, n, sum_v,\n"
+            f"       (sum_v - lag(sum_v, 2) OVER (ORDER BY bucket))::BIGINT"
+            f" AS serial_diff\n"
+            f"FROM ({day})"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 def sql_ft_agg_pipeline() -> str:
     selects = []
     for qid, qtext in AGG_STATS_QUERIES:
@@ -7803,6 +7842,7 @@ QUERIES = {
     "ft_agg_terms_stats": q_ft_agg_terms_stats,
     "ft_agg_top_hits": q_ft_agg_top_hits,
     "ft_agg_pipeline": q_ft_agg_pipeline,
+    "ft_agg_serial_diff": q_ft_agg_serial_diff,
     "ft_agg_stats_bucket": q_ft_agg_stats_bucket,
     "ft_agg_bucket_sort": q_ft_agg_bucket_sort,
     "ft_agg_percentile_ranks": q_ft_agg_percentile_ranks,
@@ -7984,6 +8024,7 @@ ORACLES = {
     "ft_agg_terms_stats": sql_ft_agg_terms_stats(),
     "ft_agg_top_hits": sql_ft_agg_top_hits(),
     "ft_agg_pipeline": sql_ft_agg_pipeline(),
+    "ft_agg_serial_diff": sql_ft_agg_serial_diff(),
     "ft_agg_stats_bucket": sql_ft_agg_stats_bucket(),
     "ft_agg_bucket_sort": sql_ft_agg_bucket_sort(),
     "ft_agg_percentile_ranks": sql_ft_agg_percentile_ranks(),

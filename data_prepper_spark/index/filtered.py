@@ -2147,6 +2147,21 @@ def pipeline_from_buckets(rows, mavg_window: int = 3):
     return out
 
 
+def serial_diff_from_buckets(rows, lag: int = 1):
+    """Serial-differencing pipeline aggregation (OpenSearch
+    ``serial_diff``): per bucket, ``sum − sum(lag buckets earlier)``;
+    the first *lag* buckets emit None (OpenSearch omits them).  Runs
+    over the REDUCED bucket list like every pipeline agg — scale-free.
+    Returns (bucket, n, sum, serial_diff) rows."""
+    if lag < 1:
+        raise ValueError("serial_diff lag must be >= 1")
+    sums = [int(r[2]) for r in rows]
+    return [
+        (r[0], r[1], sums[i], None if i < lag else sums[i] - sums[i - lag])
+        for i, r in enumerate(rows)
+    ]
+
+
 def bucket_stats_from_buckets(rows) -> dict:
     """Sibling pipeline aggregations (OpenSearch ``sum_bucket`` /
     ``min_bucket`` / ``max_bucket`` / ``avg_bucket`` / ``stats_bucket``)

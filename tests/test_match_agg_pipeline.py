@@ -105,6 +105,20 @@ def test_date_histogram_stats_and_pipeline(spark, agg2_index, matched_docs):
     )[:3]
     assert top == kept
 
+    # serial_diff: lag-n difference, first lag buckets None
+    from data_prepper_spark.index.filtered import serial_diff_from_buckets
+
+    for lag in (1, 2, 3):
+        sd = serial_diff_from_buckets(got, lag=lag)
+        assert [r[3] for r in sd[:lag]] == [None] * min(lag, len(sd))
+        assert [r[3] for r in sd[lag:]] == [
+            sums[i] - sums[i - lag] for i in range(lag, len(sums))
+        ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        serial_diff_from_buckets(got, lag=0)
+
 
 def test_percentile_ranks_value_count_weighted_avg(
     spark, agg2_index, matched_docs
