@@ -2112,6 +2112,149 @@ def sql_ft_suggest_terms() -> str:
 """
 
 
+# match_bool_prefix reference set: (qid, text) — last token is the
+# prefix; qid 3's full token also matches its own prefix (set-union rule)
+MBP_QUERIES: list[tuple[int, str]] = [
+    (0, "merge jo"),
+    (1, "the da"),
+    (2, "scan tab"),
+    (3, "data dat"),
+]
+
+
+def q_ft_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_bool_prefix query (OpenSearch search-as-you-type,
+    index/boolquery.py search_match_bool_prefix): every token but the
+    last is a should term, the last expands as a prefix, all scoring
+    through the scoring-boolean rewrite (each expansion its own idf).  A
+    full token matching its own prefix participates once (set-union
+    clause rule, pinned by qid 3)."""
+    from .index.boolquery import search_match_bool_prefix
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, text in MBP_QUERIES:
+        hits = search_match_bool_prefix(s, text, k=FT_K, distributed=True,
+                                        tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_match_bool_prefix() -> str:
+    ctes, selects = [], []
+    for qid, text in MBP_QUERIES:
+        toks = text.split()
+        full, last = toks[:-1], toks[-1]
+        full_in = ", ".join(f"'{t}'" for t in sorted(set(full))) or "''"
+        ctes.append(
+            f"mbp{qid} AS (SELECT DISTINCT term, df FROM df\n"
+            f"  WHERE term IN ({full_in}) OR term LIKE '{last}%')"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score\n"
+            f"FROM mbp{qid} e JOIN tf USING (term)\n"
+            f"JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        _ft_sql_base() + ",\n" + ",\n".join(ctes) + f""",
+mbpscores AS ({union}),
+mbpranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM mbpscores
+)
+SELECT query_id, doc_id, score_r FROM mbpranked WHERE rn <= {FT_K}
+"""
+    )
+
+
+# constant_score reference set: (qid, query, filters, boost)
+CS_QUERIES: list[tuple[int, str, tuple, float]] = [
+    (0, "spark index", (), 2.5),
+    (1, "the", (("n_chars", ">=", 300),), 1.0),
+    (2, "merge join", (("lang", "==", "en"),), 0.5),
+]
+CS_K = 25
+
+
+def q_ft_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """constant_score query (OpenSearch filter context,
+    index/filtered.py search_constant_score): matching docs under the
+    docvalue filters all score exactly the boost, ranked (doc_id ASC).
+    Distributed path: per-range lowest-k partials through one docmeta
+    cogroup — k rows per range cross the shuffle, no scoring work."""
+    from .index.filtered import search_constant_score
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, flt, boost in CS_QUERIES:
+        for did, sc in search_constant_score(
+            s, qtext, filters=flt, boost=boost, k=CS_K, distributed=True
+        ):
+            rows.append((qid, did, sc))
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score double")
+
+
+def sql_ft_constant_score() -> str:
+    selects = []
+    for qid, qtext, flt, boost in CS_QUERIES:
+        where = _agg_match_where(qtext)
+        if flt:
+            where += " AND " + _sql_filter(list(flt))
+        selects.append(
+            f"SELECT * FROM (SELECT {qid} AS query_id, d.doc_id,\n"
+            f"  {boost}::DOUBLE AS score FROM documents d\n"
+            f"  WHERE {where} ORDER BY d.doc_id LIMIT {CS_K})"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+IDS_FAKE = (12345, -98765)  # almost-surely-absent literal docIDs
+
+
+def q_ft_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ids query (OpenSearch fetch-by-identity, index/filtered.py
+    search_ids): the 7 lowest docIDs matching 'merge' plus two absent
+    literals — present ids come back at constant score, absent ones
+    silently drop (OpenSearch behavior).  One bucket-pruned docmeta
+    membership scan."""
+    from .index.filtered import search_constant_score, search_ids
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    seed = [d for d, _ in search_constant_score(s, "merge", k=7)]
+    rows = [
+        (did, sc) for did, sc in search_ids(s, seed + list(IDS_FAKE), k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def sql_ft_ids_query() -> str:
+    fakes = ", ".join(str(v) for v in IDS_FAKE)
+    return _ft_sql_base() + f"""
+SELECT d.doc_id, 1.0::DOUBLE AS score
+FROM documents d
+WHERE d.doc_id IN (
+    SELECT doc_id FROM (
+      SELECT d2.doc_id FROM documents d2
+      WHERE {_agg_match_where('merge').replace('d.doc_id', 'd2.doc_id')}
+      ORDER BY d2.doc_id LIMIT 7))
+   OR d.doc_id IN ({fakes})
+ORDER BY d.doc_id LIMIT 10
+"""
+
+
 # span_containing / span_within reference set: (qid, big_a, big_b,
 # little, slop)
 SPAN_BIG_LITTLE_QUERIES: list[tuple[int, str, str, str, int]] = [
@@ -7878,6 +8021,9 @@ QUERIES = {
     "ft_span_or": q_ft_span_or,
     "ft_span_containing": q_ft_span_containing,
     "ft_span_within": q_ft_span_within,
+    "ft_match_bool_prefix": q_ft_match_bool_prefix,
+    "ft_constant_score": q_ft_constant_score,
+    "ft_ids_query": q_ft_ids_query,
     "ft_snippets": q_ft_snippets,
     "dedup_retained": q_dedup_retained,
     "multimodal_features": q_multimodal_features,
@@ -8060,6 +8206,9 @@ ORACLES = {
     "ft_span_or": sql_ft_span_or(),
     "ft_span_containing": sql_ft_span_containing(),
     "ft_span_within": sql_ft_span_within(),
+    "ft_match_bool_prefix": sql_ft_match_bool_prefix(),
+    "ft_constant_score": sql_ft_constant_score(),
+    "ft_ids_query": sql_ft_ids_query(),
     "ft_snippets": sql_ft_snippets(),
     "dedup_retained": sql_dedup_retained(),
     "multimodal_features": sql_multimodal_features(),

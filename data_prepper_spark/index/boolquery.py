@@ -669,6 +669,37 @@ def suggest_completion(
     return ranked[:k]
 
 
+def search_match_bool_prefix(
+    searcher,
+    text: str,
+    k: int = 10,
+    distributed: bool = False,
+    tie_round: int | None = None,
+    max_expansions: int = 1024,
+) -> list[tuple[int, float]]:
+    """match_bool_prefix query (OpenSearch ``match_bool_prefix`` —
+    search-as-you-type over a bool query): every token but the last is a
+    should term, the LAST token expands as a prefix; the whole set
+    scores through the scoring-boolean rewrite (each term/expansion its
+    own idf).  A full token that also matches the prefix participates
+    once (set-union clause semantics, same rule as phrase_prefix's
+    exact-term inclusion).  Vocabulary-bounded like every MultiTermQuery
+    rewrite."""
+    toks = tokenize(text)
+    if not toks:
+        return []
+    *full, last = toks
+    terms = sorted(set(full) | set(
+        expand_prefix(searcher, last, max_expansions)
+    ))
+    if not terms:
+        return []
+    return search_bool(
+        searcher, should=terms, k=k, distributed=distributed,
+        tie_round=tie_round,
+    )
+
+
 def completion_candidates(searcher, prefix: str) -> list[tuple[str, int]]:
     """ALL (term, df) completions of *prefix* — the UNCUT candidate set
     suggest_completion ranks, and the foldable partial the family

@@ -2222,6 +2222,82 @@ def percentile_ranks_from_hist(vals, counts, values):
     return out
 
 
+def search_constant_score(
+    searcher, query_text: str, filters=(), boost: float = 1.0, k: int = 10,
+    distributed: bool = False,
+) -> list[tuple[int, float]]:
+    """constant_score query (OpenSearch ``constant_score`` — filter
+    context): every doc matching ANY query term and passing *filters*
+    scores exactly *boost*; ranking is therefore (doc_id ASC), fully
+    deterministic.  Driver mode gathers the filtered match union;
+    distributed mode emits per-range lowest-k partials through one
+    docmeta cogroup (the global lowest-k is a subset of their union), so
+    only k rows per range cross the shuffle — no scoring work at all,
+    the point of filter context."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+    if distributed:
+        docs = _lowest_matched_distributed(searcher, ids, buckets, filters, k)
+    else:
+        m_ids, _ = _matched_with_cols(searcher, ids, buckets, filters, [])
+        docs = np.sort(m_ids)[:k]
+    return [(int(d), float(boost)) for d in docs]
+
+
+def _lowest_matched_distributed(searcher, labels, buckets, filters, k: int):
+    """The *k* lowest matched docIDs under *filters*: per-range
+    match ∩ filtered-docmeta → per-range lowest-k partial → one bounded
+    global sort-limit."""
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty or meta_pdf.empty:
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = np.sort(meta_pdf["doc_id"].to_numpy(np.int64))
+        matched = matched[_member(matched, meta_ids)]
+        return pd.DataFrame({"doc_id": np.sort(matched)[:k]})
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(range_id_col(cfg).alias("range_id"), "doc_id")
+    rows = (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema="doc_id long")
+        .orderBy("doc_id")
+        .limit(k)
+        .collect()
+    )
+    return np.array([int(r["doc_id"]) for r in rows], dtype=np.int64)
+
+
+def search_ids(searcher, doc_ids, k: int = 10) -> list[tuple[int, float]]:
+    """ids query (OpenSearch ``ids`` — fetch by document identity):
+    returns the requested docIDs that EXIST in the index (docmeta
+    membership, deletes honored), constant score 1.0, (doc_id ASC).
+    One bucket-pruned docmeta scan — never corpus-bounded."""
+    want = sorted({int(d) for d in doc_ids})
+    if not want:
+        return []
+    ds = pads.dataset(f"{searcher.index_dir}/docmeta")
+    tbl = ds.to_table(columns=["doc_id"],
+                      filter=pads.field("doc_id").isin(want))
+    present = np.unique(tbl["doc_id"].to_numpy(zero_copy_only=False))
+    if searcher.deleted.size and present.size:
+        present = present[~_member(present, searcher.deleted)]
+    return [(int(d), 1.0) for d in present[:k]]
+
+
 def match_agg_adjacency_matrix(
     searcher, query_text: str, named, count_field: str, filters=(),
     distributed: bool = False,

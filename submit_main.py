@@ -346,6 +346,25 @@ def cmd_query(args) -> None:
                 s, ta, tb, tc, slop=args.slop, k=args.k,
                 distributed=args.distributed,
             )
+        elif mode == "match-bool-prefix":
+            from data_prepper_spark.index.boolquery import (
+                search_match_bool_prefix,
+            )
+
+            hits = search_match_bool_prefix(
+                s, q, k=args.k, distributed=args.distributed,
+            )
+        elif mode == "constant-score":
+            from data_prepper_spark.index.filtered import search_constant_score
+
+            hits = search_constant_score(
+                s, q, filters=filters, boost=args.boost, k=args.k,
+                distributed=args.distributed,
+            )
+        elif mode == "ids":
+            from data_prepper_spark.index.filtered import search_ids
+
+            hits = search_ids(s, [int(x) for x in q.split()], k=args.k)
         elif mode == "suggest-completion":
             from data_prepper_spark.index.boolquery import suggest_completion
 
@@ -757,6 +776,7 @@ def main() -> None:
                              "agg-extended-stats", "terms-set",
                              "span-first", "span-near", "span-not",
                              "span-or", "span-containing", "span-within",
+                             "match-bool-prefix", "constant-score", "ids",
                              "suggest-completion",
                              "agg-matrix-stats", "agg-mad",
                              "agg-adjacency", "significant-text"],
@@ -820,6 +840,8 @@ def main() -> None:
     pq.add_argument("--fields", help="x,y docvalue pair for agg-matrix-stats")
     pq.add_argument("--sample-size", type=int, default=200,
                     help="significant-text foreground sample size")
+    pq.add_argument("--boost", type=float, default=1.0,
+                    help="constant-score boost")
     pq.add_argument("--named-filters",
                     help="agg-adjacency buckets: name:col:op:val;name:... ")
     pq.set_defaults(fn=cmd_query)

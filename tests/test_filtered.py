@@ -707,6 +707,61 @@ def test_suggest_completion(spark, agg_index, oracle_tiny):
         assert suggest_completion(s, pref, k=k) == want
 
 
+def test_constant_score_and_ids(spark, agg_index, oracle_tiny):
+    """constant_score: k lowest filtered matched docIDs at the boost,
+    driver == distributed; ids: membership with absent ids dropped."""
+    from data_prepper_spark.index.filtered import (
+        search_constant_score,
+        search_ids,
+    )
+
+    s = BM25Searcher(spark, agg_index)
+    matched = set()
+    for t in ("data", "the"):
+        matched |= set(oracle_tiny.postings.get(t, ()))
+    want = [(d, 2.0) for d in sorted(matched)[:9]]
+    got = search_constant_score(s, "the data", boost=2.0, k=9)
+    assert got == want
+    assert search_constant_score(
+        s, "the data", boost=2.0, k=9, distributed=True
+    ) == got
+    # with a docvalue filter, both modes agree and the set shrinks
+    flt = [("lang", "==", "en")]
+    a = search_constant_score(s, "the data", filters=flt, k=50)
+    b = search_constant_score(s, "the data", filters=flt, k=50,
+                              distributed=True)
+    assert a == b and len(a) <= 50
+    # ids: present come back ascending at 1.0, absent literals drop
+    seed = [d for d, _ in got[:4]]
+    assert search_ids(s, seed + [123456789, -987654321], k=10) == [
+        (d, 1.0) for d in sorted(seed)
+    ]
+    assert search_ids(s, [123456789], k=5) == []
+
+
+def test_match_bool_prefix(spark, agg_index, oracle_tiny):
+    """match_bool_prefix == bool-should over (full terms ∪ prefix
+    expansions), each with its own idf — pinned against search_bool over
+    the oracle-derived expansion set."""
+    from data_prepper_spark.index.boolquery import (
+        search_bool,
+        search_match_bool_prefix,
+    )
+
+    s = BM25Searcher(spark, agg_index)
+    for text in ("the da", "data th", "data dat"):
+        *full, last = text.split()
+        exp = sorted(set(full) | {
+            t for t in oracle_tiny.postings if t.startswith(last)
+        })
+        want = search_bool(s, should=exp, k=10)
+        got = search_match_bool_prefix(s, text, k=10)
+        assert got == want, text
+        assert search_match_bool_prefix(
+            s, text, k=10, distributed=True
+        ) == got
+
+
 def test_significant_text(spark, agg_index, oracle_tiny):
     """significant_text: driver == distributed == a brute python oracle
     (lowest-docID sample, per-doc distinct terms, exact integer JLH).
