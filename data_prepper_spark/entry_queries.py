@@ -8279,12 +8279,15 @@ _DRIVER_WINDOW_R5 = [
     "codec_avro", "codec_ndjson_roundtrip", "codec_compressed",
     "otel_spans_decode", "otel_service_map", "otel_metrics_decode",
     "otel_logs_decode", "geoip_mmdb", "select_entries", "anomaly_rcf",
-    # -- new session-6: pipeline + remaining OpenSearch aggregations
-    # (ft_agg_stats_bucket / date_range / multi_terms ride on the local
-    # sweep — siblings of the window-checked machinery) --
-    "ft_agg_pipeline", "ft_agg_bucket_sort", "ft_agg_percentile_ranks",
-    "ft_agg_weighted_avg", "ft_agg_filters", "ft_agg_rare_terms",
-    "ft_agg_auto_date_histogram",
+    # -- session-6 aggregations (percentile_ranks / weighted_avg /
+    # filters / auto_date_histogram are hist/count-fold siblings of the
+    # windowed ft_agg_stats + ft_agg_pipeline — they ride on the local
+    # sweep) -- and session-7's four genuinely NEW kernels: the sigtext
+    # fetch-join, the six-moment cogroup, the nearest-neighbor span
+    # kernel, and the lowest-k constant_score cogroup --
+    "ft_agg_pipeline", "ft_agg_bucket_sort", "ft_agg_rare_terms",
+    "ft_significant_text", "ft_agg_matrix_stats", "ft_span_containing",
+    "ft_constant_score",
     # -- new this session: aggregations, suggester, highlighting (10) --
     "ft_agg_stats", "ft_agg_percentiles", "ft_agg_cardinality",
     "ft_agg_range", "ft_agg_terms_stats", "ft_agg_top_hits",
