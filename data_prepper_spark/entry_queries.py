@@ -3094,6 +3094,96 @@ def _pos_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _INDEX_CACHE[key]
 
 
+def _pos_family_root(spark: SparkSession, sf_dir: str) -> str:
+    """Cached POSITIONAL time-partitioned family (same deterministic
+    warc_ts periods as _family_root, cfg.positions=True) — the fixture
+    for cross-period phrase search."""
+    key = "posfamily:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
+
+        from .index.family import build_family
+
+        d = tempfile.mkdtemp(prefix="dps_entry_posfamily_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        docs = _docs(spark, sf_dir).withColumn(
+            "warc_ts", _synth_ts(F.col("doc_id"))
+        )
+        cfg = IndexConfig(
+            k1=K1, b=B, range_bits=2, block_size=64, n_buckets=16,
+            positions=True,
+        )
+        build_family(spark, docs, d, cfg, ts_col="warc_ts",
+                     pattern="yyyy.MM.dd")
+        _INDEX_CACHE[key] = d
+    return _INDEX_CACHE[key]
+
+
+def q_ft_family_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-period PHRASE search over a time-partitioned index family
+    (OpenSearch match_phrase against `my-index-*`, index/family.py
+    FamilySearcher.phrase_topk): per-period positional match triples
+    fold under family-global stats (phrase df = total cross-period
+    matches, n/avgdl from the combined corpus) — rank-identical to one
+    positional index over just the covered docs.  Covered range
+    [2025.06.02, 2025.06.03] = doc_id % 96 in [24, 72)."""
+    from .index.family import FamilySearcher
+
+    root = _pos_family_root(spark, sf_dir)
+    fs = FamilySearcher(spark, root)
+    rows = []
+    for qid, ph in PHRASE_QUERIES:
+        hits = fs.phrase_topk(ph, k=FT_K, tie_round=4,
+                              start="2025.06.02", end="2025.06.03")
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_family_phrase() -> str:
+    rng = "(doc_id % 96) >= 24 AND (doc_id % 96) < 72"
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents WHERE {rng}
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, ph in PHRASE_QUERIES:
+        ts = ph.split()
+        joins = "".join(
+            f" JOIN toks t{j} ON t0.doc_id = t{j}.doc_id AND t{j}.ord = t0.ord + {j}"
+            for j in range(1, len(ts))
+        )
+        conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(ts))
+        ctes.append(
+            f"fm{qid} AS (SELECT t0.doc_id, count(*)::BIGINT AS tfp "
+            f"FROM toks t0{joins} WHERE {conds} GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM fm{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM fm{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM fm{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+fmscores AS ({union}),
+fmranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM fmscores
+)
+SELECT query_id, doc_id, score_r FROM fmranked WHERE rn <= {FT_K}
+"""
+    )
+
+
 def q_ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase BM25 top-k over the POSITIONAL index (index/phrase.py:
     per-docID-range positional adjacency kernel → global df → fold idf
@@ -8057,6 +8147,7 @@ QUERIES = {
     "ft_family_bm25_distributed": q_ft_family_bm25_distributed,
     "ft_family_agg_date_histogram": q_ft_family_agg_date_histogram,
     "ft_family_filtered_topk": q_ft_family_filtered_topk,
+    "ft_family_phrase": q_ft_family_phrase,
     "ft_live_family_bm25": q_ft_live_family_bm25,
     "otel_spans_decode": q_otel_spans_decode,
     "otel_service_map": q_otel_service_map,
@@ -8240,6 +8331,7 @@ ORACLES = {
     "ft_family_bm25_distributed": sql_ft_family_bm25_distributed(),
     "ft_family_agg_date_histogram": sql_ft_family_agg_date_histogram(),
     "ft_family_filtered_topk": sql_ft_family_filtered_topk(),
+    "ft_family_phrase": sql_ft_family_phrase(),
     "ft_live_family_bm25": sql_ft_live_family_bm25(),
     "otel_spans_decode": sql_otel_spans_decode(),
     "otel_service_map": sql_otel_service_map(),

@@ -597,6 +597,53 @@ class FamilySearcher:
         ranked = sorted(folded.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def phrase_topk(
+        self, phrase_text: str, slop: int = 0, k: int = 10,
+        tie_round: int = 4, **cover,
+    ) -> list[tuple[int, float]]:
+        """Cross-period phrase search over `my-index-*` (OpenSearch
+        match_phrase against a dynamic index pattern): per-period match
+        triples (doc, phrase-tf, dl) fold under FAMILY-GLOBAL stats —
+        phrase df = total matches across the covered periods, n/avgdl
+        from the combined corpus — so the ranking is identical to one
+        positional index built over the covered docs (the
+        dfs_query_then_fetch guarantee the term path already pins).
+        Positions are required on every covered segment."""
+        import math
+
+        import numpy as np
+
+        from .phrase import phrase_match_triples
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        opened = [self._searcher(p) for p in sel]
+        if not opened:
+            return []
+        n = sum(s.n_docs for s in opened)
+        total_tokens = sum(int(s.stats["total_tokens"]) for s in opened)
+        if n == 0:
+            return []
+        avgdl = total_tokens / n
+        docs, tfs, dls = [], [], []
+        for s in opened:
+            d, tf, dl = phrase_match_triples(s, phrase_text, slop, **cover)
+            docs.extend(d)
+            tfs.extend(tf)
+            dls.extend(dl)
+        if not docs:
+            return []
+        df_p = len(docs)
+        k1, b = opened[0].cfg.k1, opened[0].cfg.b
+        idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+        da = np.asarray(docs, dtype=np.int64)
+        ta = np.asarray(tfs, dtype=np.float64)
+        la = np.asarray(dls, dtype=np.float64)
+        sc = idf * ta * (k1 + 1.0) / (ta + k1 * (1.0 - b + b * la / avgdl))
+        order = np.lexsort((da, -np.round(sc, tie_round)))[:k]
+        return [(int(da[i]), float(sc[i])) for i in order]
+
     def agg_rare_terms(
         self, query_text: str, field: str, max_doc_count: int = 1, **cover
     ):

@@ -337,10 +337,14 @@ def phrase_topk(
     return [(int(r["doc_id"]), float(r["score"])) for r in out]
 
 
-def _phrase_topk_driver(
-    searcher, phrase_text: str, k: int, tie_round: int, slop: int = 0,
-    field: str | None = None,
-) -> list[tuple[int, float]]:
+def phrase_match_triples(
+    searcher, phrase_text: str, slop: int = 0, field: str | None = None,
+) -> tuple[list, list, list]:
+    """(docs, tf_phrase, dls) of every doc matching the phrase (slop=0
+    exact adjacency, slop>0 ordered proximity) — the driver-mode match
+    set WITHOUT scoring, so callers can fold it under different corpus
+    stats (the family cross-period phrase search scores per-period
+    triples under family-global n/avgdl)."""
     import pyarrow.dataset as pads
 
     if not searcher.stats.get("positions"):
@@ -349,7 +353,7 @@ def _phrase_topk_driver(
         )
     terms = _phrase_terms(searcher, phrase_text, field)
     if not terms:
-        return []
+        return [], [], []
     ids = sorted({xxh64_signed(t) for t in terms})
     buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in ids})
     term_seq = [xxh64_signed(t) for t in terms]
@@ -377,6 +381,14 @@ def _phrase_topk_driver(
         docs = [d for d, kp in zip(docs, keep) if kp]
         tfs = [t for t, kp in zip(tfs, keep) if kp]
         dls = [l for l, kp in zip(dls, keep) if kp]
+    return docs, tfs, dls
+
+
+def _phrase_topk_driver(
+    searcher, phrase_text: str, k: int, tie_round: int, slop: int = 0,
+    field: str | None = None,
+) -> list[tuple[int, float]]:
+    docs, tfs, dls = phrase_match_triples(searcher, phrase_text, slop, field)
     if not docs:
         return []
     df_p = len(docs)

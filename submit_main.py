@@ -707,7 +707,7 @@ def cmd_family_build(args) -> None:
     cfg = IndexConfig(
         k1=args.k1, b=args.b, lang=args.lang,
         range_bits=args.range_bits, block_size=args.block_size,
-        n_buckets=args.buckets,
+        n_buckets=args.buckets, positions=args.positions,
     )
     pages = spark.read.parquet(args.input)
     t0 = time.perf_counter()
@@ -728,7 +728,11 @@ def cmd_family_query(args) -> None:
 
     spark = _spark("dps-family-query")
     fs = FamilySearcher(spark, args.index_dir)
-    hits = fs.search(args.q, k=args.k, start=args.start, end=args.end)
+    if args.phrase:
+        hits = fs.phrase_topk(args.q, slop=args.slop, k=args.k,
+                              start=args.start, end=args.end)
+    else:
+        hits = fs.search(args.q, k=args.k, start=args.start, end=args.end)
     print(json.dumps({
         "q": args.q, "periods": fs.covered(args.start, args.end),
         "hits": [{"doc_id": d, "score": round(s, 4)} for d, s in hits],
@@ -900,6 +904,9 @@ def main() -> None:
     pfb.add_argument("--parallelism", type=int, default=4,
                      help="concurrent per-period builds (driver threads)")
     pfb.add_argument("--buckets", type=int, default=256)
+    pfb.add_argument("--positions", action="store_true",
+                     help="store positional postings (enables --phrase "
+                          "on family-query)")
     pfb.add_argument("--range-bits", type=int, default=8)
     pfb.add_argument("--block-size", type=int, default=128)
     pfb.add_argument("--lang", default="en")
@@ -914,6 +921,10 @@ def main() -> None:
     pfq.add_argument("--k", type=int, default=10)
     pfq.add_argument("--start", default=None)
     pfq.add_argument("--end", default=None)
+    pfq.add_argument("--phrase", action="store_true",
+                     help="match_phrase across the covered periods "
+                          "(family segments must store positions)")
+    pfq.add_argument("--slop", type=int, default=0)
     pfq.set_defaults(fn=cmd_family_query)
 
     pp = sub.add_parser("publish")

@@ -398,3 +398,32 @@ def test_family_new_aggs_equal_single_index(spark, family_root_dv,
         assert fs.suggest_completion(pref, k=5) == (
             suggest_completion(s1, pref, k=5)
         )
+
+
+def test_family_phrase_equals_single_positional_index(spark,
+                                                      tiny_corpus_path,
+                                                      workdir):
+    """Cross-period phrase search over ALL periods == phrase_topk over
+    one positional index built from the same docs (family-global stats
+    make the fold rank-identical); slop variant included."""
+    from data_prepper_spark.index.family import FamilySearcher, build_family
+    from data_prepper_spark.index.phrase import phrase_topk
+
+    cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8,
+                      positions=True)
+    pages = spark.read.parquet(tiny_corpus_path)
+    froot = os.path.join(workdir, "index_family_pos")
+    build_family(spark, pages, froot, cfg, ts_col="warc_ts",
+                 pattern=PATTERN, mode="pages")
+    single = os.path.join(workdir, "index_single_pos_for_family")
+    build_oneshot(spark, pages, single, cfg)
+    fs = FamilySearcher(spark, froot)
+    s1 = BM25Searcher(spark, single)
+    assert len(fs.covered()) > 1  # the fold actually crosses periods
+    for ph, slop in [("the data", 0), ("data the", 0), ("the data", 2),
+                     ("merge join", 1), ("zzz absent", 0)]:
+        fam = fs.phrase_topk(ph, slop=slop, k=10)
+        one = phrase_topk(s1, ph, slop=slop, k=10, distributed=False)
+        assert [d for d, _ in fam] == [d for d, _ in one], (ph, slop)
+        assert all(abs(a - b) < 1e-9
+                   for (_, a), (_, b) in zip(fam, one)), (ph, slop)
