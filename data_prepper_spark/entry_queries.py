@@ -80,11 +80,20 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
             # second numeric docvalue (weighted_avg weight, multi_terms
             # key) — doc_id-derived so the SQL oracle recomputes it
             .withColumn("prio", (F.col("doc_id") % 7 + 1).cast("long"))
+            # NULLABLE string docvalue (exists/missing filter ops) —
+            # doc_id-derived null pattern the SQL oracle recomputes;
+            # string, not numeric: a null-bearing int column would come
+            # back float64 from the docvalues cache
+            .withColumn(
+                "category",
+                F.when(F.col("doc_id") % 3 != 0, F.col("source")),
+            )
         )
         build_oneshot_text(
             spark, docs, d, cfg,
             # docvalues (filtered search + date_histogram + metric aggs)
-            field_cols=("lang", "source", "n_chars", "warc_ts", "prio"),
+            field_cols=("lang", "source", "n_chars", "warc_ts", "prio",
+                        "category"),
         )
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
@@ -2856,6 +2865,15 @@ def _sql_filter(filters: list[tuple]) -> str:
         if op == "in":
             vals = ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in val)
             parts.append(f"d.{col} IN ({vals})")
+        elif op in ("exists", "missing"):
+            # category is synthesized at build time; the oracle recomputes
+            # the same doc_id-derived expression inline
+            expr = (
+                "(CASE WHEN d.doc_id % 3 <> 0 THEN d.source END)"
+                if col == "category" else f"d.{col}"
+            )
+            parts.append(
+                f"{expr} IS {'NOT ' if op == 'exists' else ''}NULL")
         else:
             sql_op = {"==": "=", "!=": "<>"}.get(op, op)
             lit = f"'{val}'" if isinstance(val, str) else str(val)
@@ -7985,6 +8003,370 @@ def sql_ft_qs_min_should_match() -> str:
     return _qs_oracle_sql(QSM_QUERIES, "qsm")
 
 
+# ====================================================== session-8 surfaces
+# boxplot / t_test / string_stats / top_metrics / sampler / bucket_script
+# aggregations + the exists query (null-aware filter ops)
+
+
+def q_ft_agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot aggregation over the match set (OpenSearch aggs:boxplot,
+    index/filtered.py match_agg_boxplot): min / nearest-rank quartiles /
+    max of n_chars.  OpenSearch answers from a t-digest sketch; the
+    exact nearest-rank derivation from the folded (value, count)
+    histogram is strictly stronger and SQL-pinnable.  Distributed path
+    folds the same bounded per-range histogram partial as
+    stats/percentiles."""
+    from .index.filtered import match_agg_boxplot
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        b = match_agg_boxplot(s, qtext, "n_chars", distributed=True)
+        rows.append((qid, b["n"], int(b["min"]), int(b["q1"]),
+                     int(b["q2"]), int(b["q3"]), int(b["max"])))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n long, min_v long, q1 long, q2 long, q3 long, "
+        "max_v long",
+    )
+
+
+def sql_ft_agg_boxplot() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        qcase = ", ".join(
+            f"max(CASE WHEN rn = greatest(1, ceil({p} / 100.0 * cnt)::BIGINT)"
+            f" THEN v END)::BIGINT AS q{i}"
+            for i, p in enumerate((25.0, 50.0, 75.0), 1)
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, max(cnt)::BIGINT AS n,\n"
+            f"       min(v)::BIGINT AS min_v, {qcase},\n"
+            f"       max(v)::BIGINT AS max_v\n"
+            f"FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn,\n"
+            f"             count(*) OVER () AS cnt\n"
+            f"      FROM (SELECT d.n_chars AS v FROM documents d\n"
+            f"            WHERE {_agg_match_where(qtext)}))"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpaired heteroscedastic t-test aggregation (OpenSearch
+    aggs:t_test, index/filtered.py match_agg_t_test): Welch's t between
+    the n_chars of two filtered populations (prio ≤ 3 vs prio ≥ 4),
+    emitted as the SIGNED SQUARED t scaled 1e6 in EXACT integer
+    arithmetic — with S=Σv, Q=Σv², t² is the rational
+    (S_a·n_b − S_b·n_a)²(n_a−1)(n_b−1) / D — so engine and oracle agree
+    bit-for-bit with no float sqrt.  Two bounded histogram folds."""
+    from .index.filtered import match_agg_t_test
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        t = match_agg_t_test(
+            s, qtext, "n_chars", (("prio", "<=", 3),), (("prio", ">=", 4),),
+            distributed=True,
+        )
+        rows.append((qid, t["n_a"], t["n_b"], t["sum_a"], t["sum_b"],
+                     t["t2s_e6"]))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n_a long, n_b long, sum_a long, sum_b long, "
+        "t2s_e6 long",
+    )
+
+
+def sql_ft_agg_t_test() -> str:
+    p = "(d.doc_id % 7 + 1)"
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        pops = []
+        for tag, cond in (("a", f"{p} <= 3"), ("b", f"{p} >= 4")):
+            pops.append(
+                f"(SELECT count(*)::HUGEINT AS n, sum(d.n_chars)::HUGEINT AS s,\n"
+                f"        sum(d.n_chars::HUGEINT * d.n_chars) AS q\n"
+                f" FROM documents d WHERE {_agg_match_where(qtext)}\n"
+                f"   AND {cond}) {tag}"
+            )
+        diff = "(a.s * b.n - b.s * a.n)"
+        den = ("((a.n * a.q - a.s * a.s) * b.n * b.n * (b.n - 1)"
+               " + (b.n * b.q - b.s * b.s) * a.n * a.n * (a.n - 1))")
+        selects.append(
+            f"SELECT {qid} AS query_id, a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,\n"
+            f"       a.s::BIGINT AS sum_a, b.s::BIGINT AS sum_b,\n"
+            f"       (CASE WHEN a.n < 2 OR b.n < 2 OR {den} = 0 THEN NULL\n"
+            f"             ELSE (CASE WHEN {diff} > 0 THEN 1\n"
+            f"                        WHEN {diff} < 0 THEN -1 ELSE 0 END)\n"
+            f"                  * (({diff} * {diff} * (a.n - 1) * (b.n - 1)\n"
+            f"                      * 1000000) // {den})\n"
+            f"        END)::BIGINT AS t2s_e6\n"
+            f"FROM {pops[0]}, {pops[1]}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-stats aggregation (OpenSearch aggs:string_stats with
+    show_distribution, index/filtered.py match_agg_string_stats) on the
+    source docvalue: length stats + ⌊avg·10⁴⌋ exact integers; Shannon
+    character entropy at 6 dp via the numerically stable
+    H = log2(N) − (Σ c·log2 c)/N over exact integer character counts —
+    the only float steps are the final log2/divide, identical in SQL."""
+    from .index.filtered import match_agg_string_stats
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        g = match_agg_string_stats(s, qtext, "source", distributed=True)
+        rows.append((qid, g["n"], g["min_len"], g["max_len"], g["sum_len"],
+                     g["avg_len_e4"], g["entropy6"]))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n long, min_len long, max_len long, sum_len long, "
+        "avg_len_e4 long, entropy6 double",
+    )
+
+
+def sql_ft_agg_string_stats() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        match = _agg_match_where(qtext)
+        selects.append(
+            f"SELECT {qid} AS query_id,\n"
+            f"       (SELECT count(*) FROM documents d WHERE {match})::BIGINT AS n,\n"
+            f"       (SELECT min(len(d.source)) FROM documents d WHERE {match})::BIGINT AS min_len,\n"
+            f"       (SELECT max(len(d.source)) FROM documents d WHERE {match})::BIGINT AS max_len,\n"
+            f"       (SELECT sum(len(d.source)) FROM documents d WHERE {match})::BIGINT AS sum_len,\n"
+            f"       (SELECT sum(len(d.source))::HUGEINT * 10000 // count(*)\n"
+            f"        FROM documents d WHERE {match})::BIGINT AS avg_len_e4,\n"
+            f"       (SELECT round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)\n"
+            f"        FROM (SELECT count(*)::BIGINT AS c FROM (\n"
+            f"              SELECT unnest(regexp_extract_all(d.source, '.')) AS ch\n"
+            f"              FROM documents d WHERE {match}) GROUP BY ch))\n"
+            f"         AS entropy6"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-metrics aggregation (OpenSearch aggs:top_metrics,
+    index/filtered.py match_agg_top_metrics): the prio metric of the
+    top-4 matching docs by (n_chars, doc_id), both directions.
+    Distributed mode emits per-range top-k partials — only k rows per
+    range cross the shuffle."""
+    from .index.filtered import match_agg_top_metrics
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for direction, asc in (("desc", False), ("asc", True)):
+            hits = match_agg_top_metrics(
+                s, qtext, "n_chars", ["prio"], k=4, ascending=asc,
+                distributed=True,
+            )
+            for rank, (did, sv, pv) in enumerate(hits, 1):
+                rows.append((qid, direction, rank, did, int(sv), int(pv)))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, direction string, rank int, doc_id long, "
+        "sort_v long, prio long",
+    )
+
+
+def sql_ft_agg_top_metrics() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for direction in ("desc", "asc"):
+            selects.append(
+                f"SELECT {qid} AS query_id, '{direction}' AS direction,\n"
+                f"       row_number() OVER (ORDER BY d.n_chars {direction},\n"
+                f"                          d.doc_id)::INT AS rank,\n"
+                f"       d.doc_id, d.n_chars::BIGINT AS sort_v,\n"
+                f"       (d.doc_id % 7 + 1)::BIGINT AS prio\n"
+                f"FROM documents d WHERE {_agg_match_where(qtext)}\n"
+                f"QUALIFY rank <= 4"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampler + diversified-sampler aggregations (OpenSearch
+    aggs:sampler / diversified_sampler with a stats sub-agg,
+    index/filtered.py match_agg_sampler): stats of n_chars over the
+    deterministic lowest-docID sample of 50 matched docs — the
+    diversified form first caps each lang value at 3 docs in docID
+    order.  Distributed mode ships bounded per-range candidate partials
+    that provably superset the global sample."""
+    from .index.filtered import match_agg_sampler
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for mode, dv in (("plain", None), ("diversified", "lang")):
+            g = match_agg_sampler(
+                s, qtext, 50, "n_chars", diversify_field=dv,
+                max_per_value=3, distributed=True,
+            )
+            rows.append((qid, mode, g["n"], g["min"], g["max"], g["sum"]))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, mode string, n long, min_v long, max_v long, "
+        "sum_v long",
+    )
+
+
+def sql_ft_agg_sampler() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        match = _agg_match_where(qtext)
+        plain = (
+            f"SELECT d.n_chars AS v FROM documents d WHERE {match}\n"
+            f"ORDER BY d.doc_id LIMIT 50"
+        )
+        div = (
+            f"SELECT v FROM (\n"
+            f"  SELECT d.n_chars AS v, d.doc_id FROM documents d\n"
+            f"  WHERE {match}\n"
+            f"  QUALIFY row_number() OVER (PARTITION BY d.lang\n"
+            f"          ORDER BY d.doc_id) <= 3)\n"
+            f"ORDER BY doc_id LIMIT 50"
+        )
+        for mode, sub in (("plain", plain), ("diversified", div)):
+            selects.append(
+                f"SELECT {qid} AS query_id, '{mode}' AS mode,\n"
+                f"       count(*)::BIGINT AS n, min(v)::BIGINT AS min_v,\n"
+                f"       max(v)::BIGINT AS max_v, sum(v)::BIGINT AS sum_v\n"
+                f"FROM ({sub})"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-script pipeline aggregation (OpenSearch aggs:bucket_script,
+    index/filtered.py bucket_script_from_buckets): per-lang-bucket mean
+    (⌊sum·10⁴/n⌋) and share of the grand total (⌊sum·10⁶/Σsum⌋) over
+    terms→stats parent buckets — exact integer rationals computed over
+    the REDUCED bucket list (the OpenSearch coordinating-node step)."""
+    from .index.filtered import (
+        bucket_script_from_buckets,
+        match_agg_terms_stats,
+    )
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        buckets = match_agg_terms_stats(
+            s, qtext, "lang", "n_chars", distributed=True)
+        scripted = bucket_script_from_buckets(
+            [(b, n, sm) for b, n, sm, _, _ in buckets])
+        for b, n, sm, mean_e4, share_e6 in scripted:
+            rows.append((qid, str(b), n, sm, mean_e4, share_e6))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, bucket string, n long, sum_v long, mean_e4 long, "
+        "share_e6 long",
+    )
+
+
+def sql_ft_agg_bucket_script() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, bucket, n, sum_v,\n"
+            f"       (sum_v::HUGEINT * 10000 // n)::BIGINT AS mean_e4,\n"
+            f"       (sum_v::HUGEINT * 1000000\n"
+            f"        // sum(sum_v) OVER ())::BIGINT AS share_e6\n"
+            f"FROM (SELECT d.lang::VARCHAR AS bucket, count(*)::BIGINT AS n,\n"
+            f"             sum(d.n_chars)::BIGINT AS sum_v\n"
+            f"      FROM documents d WHERE {_agg_match_where(qtext)}\n"
+            f"      GROUP BY 1)"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+# exists-query reference set: (qid, query_text, filters) — category is a
+# NULLABLE docvalue (NULL iff doc_id % 3 == 0)
+EXISTS_QUERIES: list[tuple[int, str, list[tuple]]] = [
+    (0, "spark index", [("category", "exists", None)]),
+    (1, "spark index", [("category", "missing", None)]),
+    (2, "the data", [("category", "exists", None), ("lang", "==", "en")]),
+    (3, "merge join window", [("category", "missing", None)]),
+]
+
+
+def q_ft_exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exists query (OpenSearch exists / must_not-exists — Lucene
+    FieldExistsQuery; index/filtered.py `exists`/`missing` filter ops):
+    filtered BM25 where the filter clause is null-awareness of a
+    NULLABLE docvalue, alone and composed with a value filter.  Serves
+    through the same cached-mask / pushdown-scan / distributed-cogroup
+    machinery as every other filter op."""
+    from .index.filtered import search_filtered
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, filters in EXISTS_QUERIES:
+        hits = search_filtered(
+            s, qtext, filters, k=FT_K, distributed=True, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_exists_query() -> str:
+    selects = []
+    for qid, qtext, filters in EXISTS_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"JOIN documents d ON d.doc_id = tf.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({terms}) AND {_sql_filter(filters)}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+ex_scores AS ({union}),
+ex_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM ex_scores
+)
+SELECT query_id, doc_id, score_r FROM ex_ranked WHERE rn <= {FT_K}
+"""
+
+
 QUERIES = {
     # fulltext index engine (north star)
     "ft_token_counts": q_ft_token_counts,
@@ -8083,6 +8465,13 @@ QUERIES = {
     "ft_agg_filters": q_ft_agg_filters,
     "ft_agg_matrix_stats": q_ft_agg_matrix_stats,
     "ft_agg_mad": q_ft_agg_mad,
+    "ft_agg_boxplot": q_ft_agg_boxplot,
+    "ft_agg_t_test": q_ft_agg_t_test,
+    "ft_agg_string_stats": q_ft_agg_string_stats,
+    "ft_agg_top_metrics": q_ft_agg_top_metrics,
+    "ft_agg_sampler": q_ft_agg_sampler,
+    "ft_agg_bucket_script": q_ft_agg_bucket_script,
+    "ft_exists_query": q_ft_exists_query,
     "ft_agg_adjacency_matrix": q_ft_agg_adjacency_matrix,
     "ft_agg_date_range": q_ft_agg_date_range,
     "ft_agg_rare_terms": q_ft_agg_rare_terms,
@@ -8269,6 +8658,13 @@ ORACLES = {
     "ft_agg_filters": sql_ft_agg_filters(),
     "ft_agg_matrix_stats": sql_ft_agg_matrix_stats(),
     "ft_agg_mad": sql_ft_agg_mad(),
+    "ft_agg_boxplot": sql_ft_agg_boxplot(),
+    "ft_agg_t_test": sql_ft_agg_t_test(),
+    "ft_agg_string_stats": sql_ft_agg_string_stats(),
+    "ft_agg_top_metrics": sql_ft_agg_top_metrics(),
+    "ft_agg_sampler": sql_ft_agg_sampler(),
+    "ft_agg_bucket_script": sql_ft_agg_bucket_script(),
+    "ft_exists_query": sql_ft_exists_query(),
     "ft_agg_adjacency_matrix": sql_ft_agg_adjacency_matrix(),
     "ft_agg_date_range": sql_ft_agg_date_range(),
     "ft_agg_rare_terms": sql_ft_agg_rare_terms(),
@@ -8380,9 +8776,14 @@ _DRIVER_WINDOW_R5 = [
     "ft_agg_pipeline", "ft_agg_bucket_sort", "ft_agg_rare_terms",
     "ft_significant_text", "ft_agg_matrix_stats", "ft_span_containing",
     "ft_constant_score",
-    # -- new this session: aggregations, suggester, highlighting (10) --
-    "ft_agg_stats", "ft_agg_percentiles", "ft_agg_cardinality",
-    "ft_agg_range", "ft_agg_terms_stats", "ft_agg_top_hits",
+    # -- session-3 aggregations (percentiles / cardinality / range are
+    # hist/count-fold siblings of the windowed ft_agg_stats — they ride
+    # on the local sweep) and session-8's three genuinely NEW kernels:
+    # the null-aware filter ops through every serving path, the bounded
+    # sampler candidate partials, and the bucket-free top-metrics
+    # cogroup --
+    "ft_agg_stats", "ft_exists_query", "ft_agg_sampler",
+    "ft_agg_top_metrics", "ft_agg_terms_stats", "ft_agg_top_hits",
     "ft_agg_significant_terms", "ft_suggest_terms", "ft_highlight",
     "ft_family_agg_metrics",
     # -- new session-4: score-shaping + paging serving surfaces (7) --

@@ -555,6 +555,121 @@ class FamilySearcher:
 
         return mad_from_hist(*self.agg_value_hist(query_text, field, **cover))
 
+    def agg_boxplot(self, query_text: str, field: str, **cover) -> dict:
+        """boxplot over `my-index-*` — min/quartiles/max derive from the
+        folded value histogram (nearest-rank, exact at any period
+        count)."""
+        from .filtered import boxplot_from_hist
+
+        return boxplot_from_hist(
+            *self.agg_value_hist(query_text, field, **cover))
+
+    def agg_string_stats(self, query_text: str, field: str, **cover) -> dict:
+        """string_stats over `my-index-*` — length stats and character
+        entropy derive from the folded (string value, count) histogram;
+        character counting runs once per distinct value after the
+        fold."""
+        from .filtered import string_stats_from_hist
+
+        return string_stats_from_hist(
+            *self.agg_value_hist(query_text, field, **cover))
+
+    def agg_t_test(
+        self, query_text: str, field: str, filter_a, filter_b,
+        filters=(), **cover,
+    ) -> dict:
+        """t_test over `my-index-*` — Welch's t² from the two folded
+        population histograms, exact integer arithmetic end-to-end."""
+        from .filtered import t_test_from_hists
+
+        va, ca = self.agg_value_hist(
+            query_text, field,
+            filters=tuple(filters) + tuple(filter_a), **cover)
+        vb, cb = self.agg_value_hist(
+            query_text, field,
+            filters=tuple(filters) + tuple(filter_b), **cover)
+        return t_test_from_hists(va, ca, vb, cb)
+
+    def agg_top_metrics(
+        self, query_text: str, sort_field: str, metric_fields,
+        k: int = 3, ascending: bool = False, filters=(), **cover,
+    ) -> list[tuple]:
+        """top_metrics over `my-index-*`: per-period top-k partials
+        provably superset the global top-k (subset ranks only shrink);
+        the fold is one bounded re-rank of periods × k rows."""
+        from .filtered import match_agg_top_metrics
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        rows: list[tuple] = []
+        for p in sel:
+            rows.extend(match_agg_top_metrics(
+                self._searcher(p), query_text, sort_field, metric_fields,
+                k=k, ascending=ascending, filters=filters,
+            ))
+        # (sort value ASC|DESC, doc_id ASC) via two stable passes —
+        # values may be non-numeric (datetime/str), so no sign trick
+        rows.sort(key=lambda r: r[0])
+        rows.sort(key=lambda r: r[1], reverse=not ascending)
+        return rows[:k]
+
+    def agg_sampler(
+        self, query_text: str, shard_size: int, metric_field: str,
+        filters=(), diversify_field: str | None = None,
+        max_per_value: int = 1, **cover,
+    ) -> dict:
+        """sampler / diversified_sampler over `my-index-*`: per-period
+        candidates built by the SAME selection rule superset the global
+        sample (plain: per-period lowest shard_size; diversified:
+        per-period value cap, uncut — see filtered.sampler_candidates
+        for why a local shard cut after capping is unsound); the global
+        rule re-applies over the bounded union."""
+        import numpy as np
+
+        from .filtered import (
+            _sampler_select,
+            _sampler_stats,
+            sampler_candidates,
+        )
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        id_parts, mv_parts, dv_parts = [], [], []
+        for p in sel:
+            ids, mv, dv = sampler_candidates(
+                self._searcher(p), query_text, shard_size, metric_field,
+                filters, diversify_field, max_per_value,
+            )
+            if ids.size:
+                id_parts.append(ids)
+                mv_parts.append(mv)
+                if diversify_field:
+                    dv_parts.append(dv)
+        if not id_parts:
+            e = np.empty(0, dtype=np.int64)
+            return _sampler_stats(e, e)
+        ids = np.concatenate(id_parts)
+        mv = np.concatenate(mv_parts)
+        dv = np.concatenate(dv_parts) if diversify_field else None
+        ids, mv = _sampler_select(ids, mv, dv, shard_size, max_per_value)
+        return _sampler_stats(ids, mv)
+
+    def agg_bucket_script(
+        self, query_text: str, ts_field: str, interval: str,
+        value_field: str, **cover,
+    ) -> list[tuple]:
+        """bucket_script over `my-index-*` — the per-bucket script runs
+        over the FOLDED parent buckets (the coordinating-node step);
+        running it per period would divide by per-period grand totals."""
+        from .filtered import bucket_script_from_buckets
+
+        return bucket_script_from_buckets([
+            (b, n, s) for b, n, s, _, _ in self.agg_date_histogram_stats(
+                query_text, ts_field, interval, value_field, **cover)
+        ])
+
     def agg_adjacency_matrix(
         self, query_text: str, named, count_field: str, **cover
     ) -> list[tuple[str, int]]:

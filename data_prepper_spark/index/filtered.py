@@ -51,7 +51,7 @@ from .scoring import (
     topk_select,
 )
 
-_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
+_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "exists", "missing")
 
 # candidate-block coverage above which the driver path switches from
 # candidate-driven decode to filter-during-WAND (see search_filtered);
@@ -171,7 +171,13 @@ class _DocValues:
                 except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
                     return pa.scalar(v)
 
-            if op == "in":
+            if op == "exists":
+                # null-aware ops (OpenSearch exists query / missing agg):
+                # the filter value is ignored by convention
+                m = pc.is_valid(arr)
+            elif op == "missing":
+                m = pc.is_null(arr)
+            elif op == "in":
                 # same fallback contract as _scalar: a value-set type the
                 # pushdown-scan path accepted must not raise from the
                 # cached path — pc.is_in auto-casts an uncast array.
@@ -251,7 +257,9 @@ def pa_filter_expr(filters):
     for col, op, val in filters:
         f = pads.field(col)
         c = (
-            f.isin(list(val)) if op == "in"
+            f.is_valid() if op == "exists"
+            else f.is_null() if op == "missing"
+            else f.isin(list(val)) if op == "in"
             else f == val if op == "=="
             else f != val if op == "!="
             else f < val if op == "<"
@@ -269,7 +277,9 @@ def spark_filter_col(filters):
     for col, op, val in filters:
         f = F.col(col)
         c = (
-            f.isin(*list(val)) if op == "in"
+            f.isNotNull() if op == "exists"
+            else f.isNull() if op == "missing"
+            else f.isin(*list(val)) if op == "in"
             else f == val if op == "=="
             else f != val if op == "!="
             else f < val if op == "<"
@@ -2765,3 +2775,451 @@ def auto_dh_from_hist(vals, counts, max_buckets):
     n = np.zeros(uniq_dt.size, dtype=np.int64)
     np.add.at(n, inv, counts)
     return chosen, [(str(u), int(c)) for u, c in zip(labels, n)]
+
+
+# -------------------------------------------------- round-5 session-8 aggs
+
+def boxplot_from_hist(vals: np.ndarray, counts: np.ndarray) -> dict:
+    """min/q1/q2/q3/max from a sorted (value, count) histogram —
+    nearest-rank quartiles (the percentiles' rank rule), exact for
+    integral fields.  The foldable form family serving reuses."""
+    if vals.size == 0:
+        return {"n": 0, "min": None, "q1": None, "q2": None, "q3": None,
+                "max": None}
+    qs = percentiles_from_hist(vals, counts, (25.0, 50.0, 75.0))
+    return {
+        "n": int(counts.sum()),
+        "min": vals[0].item(),
+        "q1": qs[0][1], "q2": qs[1][1], "q3": qs[2][1],
+        "max": vals[-1].item(),
+    }
+
+
+def match_agg_boxplot(
+    searcher, query_text: str, field: str, filters=(),
+    distributed: bool = False,
+) -> dict:
+    """Boxplot aggregation over the match set (OpenSearch
+    ``aggs:boxplot``): min, nearest-rank quartiles, max of a docvalues
+    field.  OpenSearch answers from a t-digest sketch; the exact
+    nearest-rank derivation from the (value, count) histogram is
+    strictly stronger and SQL-pinnable.  Distributed mode folds the same
+    bounded per-range histogram partial as stats/percentiles."""
+    _check_filters(filters)
+    return boxplot_from_hist(
+        *match_value_hist(searcher, query_text, field, filters, distributed)
+    )
+
+
+def t_test_from_hists(va, ca, vb, cb) -> dict:
+    """Welch's unpaired two-sample t statistic from two sorted
+    (value, count) histograms, in EXACT integer arithmetic: emits the
+    SIGNED SQUARED t scaled 1e6 (sign(m_a−m_b)·⌊t²·10⁶⌋ — the same
+    no-float-sqrt contract as matrix_stats' corr2s_e6), plus the exact
+    per-population n and sum.  With S=Σv, Q=Σv², t² reduces to the
+    rational  (S_a·n_b − S_b·n_a)²·(n_a−1)(n_b−1) / D,
+    D = (n_a·Q_a − S_a²)·n_b²·(n_b−1) + (n_b·Q_b − S_b²)·n_a²·(n_a−1);
+    numerator and D are non-negative so DuckDB's truncating ``//``
+    equals python's floor."""
+    def moments(vs, cs):
+        n = s = q = 0
+        for v, c in zip(vs.tolist(), cs.tolist()):
+            v, c = int(v), int(c)
+            n += c
+            s += v * c
+            q += v * v * c
+        return n, s, q
+
+    na, sa, qa = moments(va, ca)
+    nb, sb, qb = moments(vb, cb)
+    out = {"n_a": na, "n_b": nb, "sum_a": sa, "sum_b": sb, "t2s_e6": None}
+    if na < 2 or nb < 2:
+        return out
+    diff = sa * nb - sb * na
+    num = diff * diff * (na - 1) * (nb - 1)
+    d = ((na * qa - sa * sa) * nb * nb * (nb - 1)
+         + (nb * qb - sb * sb) * na * na * (na - 1))
+    if d == 0:
+        return out
+    sign = 1 if diff > 0 else (-1 if diff < 0 else 0)
+    out["t2s_e6"] = sign * (num * 1_000_000 // d)
+    return out
+
+
+def match_agg_t_test(
+    searcher, query_text: str, field: str, filter_a, filter_b, filters=(),
+    distributed: bool = False,
+) -> dict:
+    """Unpaired heteroscedastic t-test aggregation over the match set
+    (OpenSearch ``aggs:t_test`` with two filtered populations): Welch's
+    t between the *field* values of the docs passing *filter_a* vs
+    *filter_b* (each ANDed with the shared *filters*).  Two bounded
+    histogram folds — the scale shape of every other metric agg — and
+    exact integer arithmetic end-to-end (see t_test_from_hists)."""
+    _check_filters(filters)
+    va, ca = match_value_hist(
+        searcher, query_text, field, tuple(filters) + tuple(filter_a),
+        distributed)
+    vb, cb = match_value_hist(
+        searcher, query_text, field, tuple(filters) + tuple(filter_b),
+        distributed)
+    return t_test_from_hists(va, ca, vb, cb)
+
+
+def string_stats_from_hist(vals: np.ndarray, counts: np.ndarray) -> dict:
+    """count / min_len / max_len / sum_len (exact ints), avg_len_e4
+    (⌊avg·10⁴⌋ exact) and 6-dp Shannon character entropy from a sorted
+    (string value, count) histogram.  Entropy uses the numerically
+    stable  H = log2(N) − (Σ c_ch·log2(c_ch))/N  over the EXACT integer
+    character counts — the only float steps are the final log2/divide,
+    identical on the SQL side."""
+    if vals.size == 0:
+        return {"n": 0, "min_len": None, "max_len": None, "sum_len": 0,
+                "avg_len_e4": None, "entropy6": None}
+    from collections import Counter
+
+    n = 0
+    sum_len = 0
+    min_len = max_len = None
+    chars: Counter = Counter()
+    for v, c in zip(vals.tolist(), counts.tolist()):
+        v, c = str(v), int(c)
+        n += c
+        ln = len(v)
+        sum_len += ln * c
+        min_len = ln if min_len is None else min(min_len, ln)
+        max_len = ln if max_len is None else max(max_len, ln)
+        for ch in v:
+            chars[ch] += c
+    total_chars = sum(chars.values())
+    if total_chars == 0:
+        ent = 0.0
+    else:
+        acc = sum(c * math.log2(c) for c in chars.values())
+        ent = math.log2(total_chars) - acc / total_chars
+    return {
+        "n": n, "min_len": min_len, "max_len": max_len, "sum_len": sum_len,
+        "avg_len_e4": sum_len * 10000 // n,
+        "entropy6": round(ent, 6),
+    }
+
+
+def match_agg_string_stats(
+    searcher, query_text: str, field: str, filters=(),
+    distributed: bool = False,
+) -> dict:
+    """String-stats aggregation over the match set (OpenSearch
+    ``aggs:string_stats`` with show_distribution's entropy): length
+    stats exact, Shannon character entropy at 6 dp.  Same bounded
+    (value, count) histogram partial as every metric agg — character
+    counting happens once per DISTINCT value on the driver, cost ∝
+    field cardinality."""
+    _check_filters(filters)
+    return string_stats_from_hist(
+        *match_value_hist(searcher, query_text, field, filters, distributed)
+    )
+
+
+def match_agg_top_metrics(
+    searcher, query_text: str, sort_field: str, metric_fields, k: int = 3,
+    ascending: bool = False, filters=(), distributed: bool = False,
+) -> list[tuple]:
+    """Top-metrics aggregation over the match set (OpenSearch
+    ``aggs:top_metrics``): the metric fields of the top-*k* matching
+    docs by (*sort_field*, doc_id ASC).  Returns (doc_id, sort_value,
+    *metrics) rows in rank order.  Distributed mode emits per-range
+    top-k partials (the global top-k is a subset of their union) — only
+    k rows per range cross the shuffle."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+    fields = [sort_field, *metric_fields]
+    if distributed:
+        return _top_metrics_distributed(
+            searcher, ids, buckets, fields, k, ascending, filters)
+    m_ids, cols = _matched_with_cols(searcher, ids, buckets, filters, fields)
+    if m_ids.size == 0:
+        return []
+    i_b, _ = _topk_by_field(m_ids, cols[0], k, ascending)
+    pos_all = np.argsort(m_ids, kind="stable")
+    pos = pos_all[np.searchsorted(m_ids[pos_all], i_b)]
+
+    def _py(v):
+        if isinstance(v, np.datetime64):
+            return pd.Timestamp(v).to_pydatetime()
+        return v.item() if hasattr(v, "item") else v
+
+    return [
+        (int(d), *[_py(c[p]) for c in cols])
+        for d, p in zip(i_b.tolist(), pos.tolist())
+    ]
+
+
+def _top_metrics_distributed(
+    searcher, labels, buckets, fields, k, ascending, filters
+):
+    """Per-range top-k partial → one bounded global re-rank (the
+    bucket-free sibling of _top_hits_distributed)."""
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+    ncols = len(fields)
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], **{f"c{j}": [] for j in range(ncols)}})
+        if post_pdf.empty or meta_pdf.empty:
+            return empty
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(meta_ids)
+        meta_ids = meta_ids[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return empty
+        pos = np.searchsorted(meta_ids, matched)
+        cols = [meta_pdf[f"c{j}"].to_numpy()[order][pos] for j in range(ncols)]
+        i_b, _ = _topk_by_field(matched, cols[0], k, ascending)
+        sel = np.argsort(matched, kind="stable")
+        sp = sel[np.searchsorted(matched[sel], i_b)]
+        return pd.DataFrame({
+            "doc_id": i_b,
+            **{f"c{j}": cols[j][sp] for j in range(ncols)},
+        })
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id",
+        *[F.col(f).alias(f"c{j}") for j, f in enumerate(fields)],
+    )
+    ts = dict(meta.dtypes)
+    schema = "doc_id long, " + ", ".join(
+        f"c{j} {ts[f'c{j}']}" for j in range(ncols))
+    sort0 = F.asc("c0") if ascending else F.desc("c0")
+    rows = (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema=schema)
+        .orderBy(sort0, F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+
+    def _pyr(v):
+        return v.item() if hasattr(v, "item") else v
+
+    return [
+        (int(r["doc_id"]), *[_pyr(r[f"c{j}"]) for j in range(ncols)])
+        for r in rows
+    ]
+
+
+def match_agg_sampler(
+    searcher, query_text: str, shard_size: int, metric_field: str,
+    filters=(), diversify_field: str | None = None,
+    max_per_value: int = 1, distributed: bool = False,
+) -> dict:
+    """Sampler / diversified-sampler aggregation over the match set
+    (OpenSearch ``aggs:sampler`` / ``aggs:diversified_sampler`` with a
+    stats sub-aggregation): restrict the sub-agg to a deterministic
+    sample — the *shard_size* LOWEST matched docIDs (OpenSearch samples
+    the top-scoring N per shard; in filter context every doc scores
+    equally and the docID order is the deterministic analog, the same
+    rule as constant_score ranking).  Diversified form: a doc enters the
+    candidate stream only while fewer than *max_per_value* docs sharing
+    its *diversify_field* value precede it in docID order — walking docs
+    ascending, the selected set is exactly {rank ≤ max_per_value within
+    its value group}, so the sample is the lowest shard_size of those
+    candidates (SQL-pinnable via row_number).  Returns exact
+    count/min/max/sum of *metric_field* over the sample.  Distributed
+    mode: per-range candidates are pre-cut to the per-range lowest
+    shard_size (plain) or per-(range, value) lowest max_per_value
+    (diversified) — both provably superset the global sample — so only
+    bounded partials cross the shuffle."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return _sampler_stats(
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    fields = [metric_field] + ([diversify_field] if diversify_field else [])
+    if distributed:
+        rows = _sampler_candidates_distributed(
+            searcher, ids, buckets, fields, shard_size, max_per_value,
+            filters)
+        m_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mvals = np.array([r[1] for r in rows])
+        dvals = np.array([r[2] for r in rows]) if diversify_field else None
+    else:
+        m_ids, cols = _matched_with_cols(
+            searcher, ids, buckets, filters, fields)
+        mvals = cols[0]
+        dvals = cols[1] if diversify_field else None
+    m_ids, mvals = _sampler_select(
+        m_ids, mvals, dvals, shard_size, max_per_value)
+    return _sampler_stats(m_ids, mvals)
+
+
+def _sampler_select(m_ids, mvals, dvals, shard_size, max_per_value):
+    """Apply the sampler selection rule over candidate arrays: docID
+    order, diversify cap (when *dvals* given), cut to *shard_size* —
+    the same function selects globally and per shard/period (a candidate
+    set built per shard with this rule provably supersets the global
+    selection)."""
+    if m_ids.size == 0:
+        return m_ids, mvals
+    order = np.argsort(m_ids, kind="stable")
+    m_ids, mvals = m_ids[order], mvals[order]
+    if dvals is not None:
+        dvals = dvals[order]
+        # rank within value group, docID order: selected iff rank ≤ cap
+        uniq, inv = np.unique(dvals, return_inverse=True)
+        seen = np.zeros(uniq.size, dtype=np.int64)
+        keep = np.zeros(m_ids.size, dtype=bool)
+        for i, g in enumerate(inv.tolist()):
+            if seen[g] < max_per_value:
+                seen[g] += 1
+                keep[i] = True
+        m_ids, mvals = m_ids[keep], mvals[keep]
+    return m_ids[:shard_size], mvals[:shard_size]
+
+
+def _sampler_stats(m_ids, mvals) -> dict:
+    if m_ids.size == 0:
+        return {"n": 0, "min": None, "max": None, "sum": 0}
+    return {
+        "n": int(m_ids.size),
+        "min": int(mvals.min()),
+        "max": int(mvals.max()),
+        "sum": int(mvals.sum()),
+    }
+
+
+def sampler_candidates(
+    searcher, query_text: str, shard_size: int, metric_field: str,
+    filters=(), diversify_field: str | None = None, max_per_value: int = 1,
+):
+    """Per-shard bounded sampler candidates — the cross-period family
+    fold unit: (doc_ids, metric values, diversify values | None) that
+    provably SUPERSET the global sample.  Plain form cuts to the local
+    lowest *shard_size* (subset docID ranks only shrink).  Diversified
+    form applies the local cap but does NOT cut to shard_size: the local
+    capped set supersets the global capped set, so extra low-docID
+    locals could push a globally-selected doc past a local shard cut —
+    the cut is only sound after the global re-cap."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    e = np.empty(0, dtype=np.int64)
+    if not ids:
+        return e, e, (e if diversify_field else None)
+    fields = [metric_field] + ([diversify_field] if diversify_field else [])
+    m_ids, cols = _matched_with_cols(searcher, ids, buckets, filters, fields)
+    mvals = cols[0]
+    dvals = cols[1] if diversify_field else None
+    order = np.argsort(m_ids, kind="stable")
+    m_ids, mvals = m_ids[order], mvals[order]
+    if dvals is None:
+        return m_ids[:shard_size], mvals[:shard_size], None
+    dvals = dvals[order]
+    uniq, inv = np.unique(dvals, return_inverse=True)
+    seen = np.zeros(uniq.size, dtype=np.int64)
+    keep = np.zeros(m_ids.size, dtype=bool)
+    for i, g in enumerate(inv.tolist()):
+        if seen[g] < max_per_value:
+            seen[g] += 1
+            keep[i] = True
+    return m_ids[keep], mvals[keep], dvals[keep]
+
+
+def _sampler_candidates_distributed(
+    searcher, labels, buckets, fields, shard_size, max_per_value, filters
+):
+    """Per-range bounded candidate partials for sampler: lowest
+    shard_size docs per range (plain) or lowest max_per_value per
+    (range, value) (diversified) — every globally selected doc is
+    guaranteed present (a global candidate is a per-range candidate of
+    the same rule), rows crossing the shuffle bounded by
+    ranges × shard_size (plain) / ranges × values × cap (diversified)."""
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+    diversified = len(fields) == 2
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": [], "mv": [], **({"dv": []} if diversified else {})}
+        empty = pd.DataFrame(cols)
+        if post_pdf.empty or meta_pdf.empty:
+            return empty
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(meta_ids)
+        meta_ids = meta_ids[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return empty
+        matched = np.sort(matched)
+        pos = np.searchsorted(meta_ids, matched)
+        mv = meta_pdf["mv"].to_numpy()[order][pos]
+        if not diversified:
+            return pd.DataFrame({
+                "doc_id": matched[:shard_size], "mv": mv[:shard_size]})
+        dv = meta_pdf["dv"].to_numpy()[order][pos]
+        uniq, inv = np.unique(dv, return_inverse=True)
+        seen = np.zeros(uniq.size, dtype=np.int64)
+        keep = np.zeros(matched.size, dtype=bool)
+        for i, g in enumerate(inv.tolist()):
+            if seen[g] < max_per_value:
+                seen[g] += 1
+                keep[i] = True
+        return pd.DataFrame({
+            "doc_id": matched[keep], "mv": mv[keep], "dv": dv[keep]})
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    sel = [F.col(fields[0]).alias("mv")]
+    if diversified:
+        sel.append(F.col(fields[1]).alias("dv"))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id", *sel)
+    ts = dict(meta.dtypes)
+    schema = f"doc_id long, mv {ts['mv']}" + (
+        f", dv {ts['dv']}" if diversified else "")
+    rows = (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema=schema)
+        .collect()
+    )
+    return [
+        (int(r["doc_id"]), r["mv"], r["dv"] if diversified else None)
+        for r in rows
+    ]
+
+
+def bucket_script_from_buckets(rows):
+    """Bucket-script pipeline aggregation (OpenSearch ``bucket_script``
+    — per-bucket arithmetic across the parent's sibling metrics): for
+    each (bucket, n, sum, …) row, emit the canonical mean script
+    ``sum / n`` as an exact scaled integer (⌊sum·10⁴ / n⌋) plus the
+    bucket's share of the grand total (⌊sum·10⁶ / Σsum⌋) — both pure
+    integer rationals so engine and SQL agree bit-for-bit.  Runs over
+    the REDUCED bucket list (the OpenSearch coordinating-node step) —
+    scale-free.  Returns (bucket, n, sum, mean_e4, share_e6)."""
+    grand = sum(int(r[2]) for r in rows)
+    out = []
+    for r in rows:
+        bucket, n, s = r[0], int(r[1]), int(r[2])
+        mean_e4 = s * 10**4 // n if n else None
+        share_e6 = s * 10**6 // grand if grand else None
+        out.append((bucket, n, s, mean_e4, share_e6))
+    return out

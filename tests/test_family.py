@@ -390,6 +390,45 @@ def test_family_new_aggs_equal_single_index(spark, family_root_dv,
         assert fs.agg_adjacency_matrix(qtext, named, "n_chars") == (
             match_agg_adjacency_matrix(s1, qtext, named, "n_chars")
         )
+        # session-8 additions: boxplot / string_stats / t_test /
+        # top_metrics / sampler / bucket_script
+        from data_prepper_spark.index.filtered import (
+            bucket_script_from_buckets,
+            match_agg_boxplot,
+            match_agg_sampler,
+            match_agg_string_stats,
+            match_agg_t_test,
+            match_agg_top_metrics,
+        )
+
+        assert fs.agg_boxplot(qtext, "n_chars") == (
+            match_agg_boxplot(s1, qtext, "n_chars")
+        )
+        assert fs.agg_string_stats(qtext, "lang") == (
+            match_agg_string_stats(s1, qtext, "lang")
+        )
+        fa, fb = (("n_chars", "<", 1500),), (("n_chars", ">=", 1500),)
+        assert fs.agg_t_test(qtext, "n_chars", fa, fb) == (
+            match_agg_t_test(s1, qtext, "n_chars", fa, fb)
+        )
+        for asc in (False, True):
+            assert fs.agg_top_metrics(
+                qtext, "n_chars", ["n_chars"], k=4, ascending=asc
+            ) == match_agg_top_metrics(
+                s1, qtext, "n_chars", ["n_chars"], k=4, ascending=asc
+            )
+        for dvf in (None, "lang"):
+            assert fs.agg_sampler(
+                qtext, 6, "n_chars", diversify_field=dvf, max_per_value=2
+            ) == match_agg_sampler(
+                s1, qtext, 6, "n_chars", diversify_field=dvf,
+                max_per_value=2,
+            )
+        assert fs.agg_bucket_script(
+            qtext, "warc_ts", "minute", "n_chars"
+        ) == bucket_script_from_buckets(
+            [(b, n, sm) for b, n, sm, _, _ in parent_s]
+        )
 
     # completion suggester: uncut per-period candidates fold by df sum
     from data_prepper_spark.index.boolquery import suggest_completion

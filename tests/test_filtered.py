@@ -423,10 +423,17 @@ def agg_index(spark, tiny_corpus_path, workdir):
         # second numeric docvalue (matrix_stats pair) — text-derived so
         # the python oracles recompute it without knowing doc_ids
         .withColumn("prio", (F.length("text") % 5 + 1).cast("long"))
+        # NULLABLE string docvalue (exists/missing filter ops) — string,
+        # not numeric: a null-bearing int column would come back float64
+        # from the docvalues cache (round-4 gotcha)
+        .withColumn(
+            "alt",
+            F.when(F.length("text") % 3 != 0, F.col("lang")),
+        )
     )
     cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8)
     build_oneshot(spark, pages, index_dir, cfg,
-                  field_cols=("lang", "warc_ts", "n_chars", "prio"))
+                  field_cols=("lang", "warc_ts", "n_chars", "prio", "alt"))
     return index_dir
 
 
@@ -937,3 +944,252 @@ def test_union_cache_identity(spark, agg_index):
             ), q
     assert s_on._union_cache_bytes > 0
     assert s_off._union_cache_bytes == 0
+
+
+def _agg_matched(oracle_tiny, query_text="the data"):
+    matched = set()
+    for t in set(tokenize(query_text)):
+        matched |= set(oracle_tiny.postings.get(t, ()))
+    return matched
+
+
+def test_match_agg_boxplot(spark, agg_index, oracle_tiny, tiny_pages_pd):
+    """boxplot: min / nearest-rank quartiles / max — driver ==
+    distributed == a direct sorted-list oracle."""
+    import math
+
+    from data_prepper_spark.index.filtered import match_agg_boxplot
+
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    s = BM25Searcher(spark, agg_index)
+    vals = sorted(nchars[d] for d in _agg_matched(oracle_tiny))
+
+    def nr(p):
+        return vals[max(1, math.ceil(p / 100 * len(vals))) - 1]
+
+    got = match_agg_boxplot(s, "the data", "n_chars")
+    assert got == {
+        "n": len(vals), "min": vals[0], "q1": nr(25), "q2": nr(50),
+        "q3": nr(75), "max": vals[-1],
+    }
+    assert match_agg_boxplot(
+        s, "the data", "n_chars", distributed=True
+    ) == got
+    assert match_agg_boxplot(s, "zzznotaterm", "n_chars")["n"] == 0
+
+
+def test_match_agg_t_test(spark, agg_index, oracle_tiny, tiny_pages_pd):
+    """Welch's t between two filtered populations: the engine's exact
+    scaled-integer t² vs an independent FLOAT Welch computation (sample
+    variances, the textbook formula) — sign must match, value within
+    float tolerance; driver == distributed."""
+    from data_prepper_spark.index.filtered import match_agg_t_test
+
+    nchars, prio = {}, {}
+    for r in tiny_pages_pd.itertuples(index=False):
+        d = xxh64_signed(r.url)
+        nchars[d] = len(r.text)
+        prio[d] = len(r.text) % 5 + 1
+    s = BM25Searcher(spark, agg_index)
+    matched = _agg_matched(oracle_tiny)
+    a = [nchars[d] for d in matched if prio[d] <= 2]
+    b = [nchars[d] for d in matched if prio[d] >= 3]
+
+    fa = (("prio", "<=", 2),)
+    fb = (("prio", ">=", 3),)
+    got = match_agg_t_test(s, "the data", "n_chars", fa, fb)
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    assert (got["sum_a"], got["sum_b"]) == (sum(a), sum(b))
+
+    def var(v):
+        m = sum(v) / len(v)
+        return sum((x - m) ** 2 for x in v) / (len(v) - 1)
+
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    t = (ma - mb) / (var(a) / len(a) + var(b) / len(b)) ** 0.5
+    want = (1 if t > 0 else -1) * t * t
+    assert abs(got["t2s_e6"] / 1e6 - want) < max(1e-4, abs(want) * 1e-6)
+    assert match_agg_t_test(
+        s, "the data", "n_chars", fa, fb, distributed=True
+    ) == got
+    # degenerate: n<2 population → no statistic, counts still exact
+    empty = match_agg_t_test(
+        s, "the data", "n_chars", (("n_chars", "<", -1),), fb)
+    assert empty["t2s_e6"] is None and empty["n_a"] == 0
+
+
+def test_match_agg_string_stats(spark, agg_index, oracle_tiny,
+                                tiny_pages_pd):
+    """string_stats over a string docvalue: length stats exact, Shannon
+    character entropy vs a direct per-doc Counter oracle (NOT the
+    histogram route)."""
+    import math
+    from collections import Counter
+
+    from data_prepper_spark.index.filtered import match_agg_string_stats
+
+    langs = {
+        xxh64_signed(r.url): r.lang
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    s = BM25Searcher(spark, agg_index)
+    vals = [langs[d] for d in _agg_matched(oracle_tiny)]
+    chars = Counter()
+    for v in vals:
+        chars.update(v)
+    n_ch = sum(chars.values())
+    ent = math.log2(n_ch) - sum(
+        c * math.log2(c) for c in chars.values()
+    ) / n_ch
+    lens = [len(v) for v in vals]
+
+    got = match_agg_string_stats(s, "the data", "lang")
+    assert got == {
+        "n": len(vals), "min_len": min(lens), "max_len": max(lens),
+        "sum_len": sum(lens), "avg_len_e4": sum(lens) * 10000 // len(lens),
+        "entropy6": round(ent, 6),
+    }
+    assert match_agg_string_stats(
+        s, "the data", "lang", distributed=True
+    ) == got
+
+
+def test_match_agg_top_metrics(spark, agg_index, oracle_tiny,
+                               tiny_pages_pd):
+    """top_metrics: metric fields of the top-k docs by (sort_field,
+    doc_id) — both directions, driver == distributed == python sort."""
+    from data_prepper_spark.index.filtered import match_agg_top_metrics
+
+    nchars, prio = {}, {}
+    for r in tiny_pages_pd.itertuples(index=False):
+        d = xxh64_signed(r.url)
+        nchars[d] = len(r.text)
+        prio[d] = len(r.text) % 5 + 1
+    s = BM25Searcher(spark, agg_index)
+    matched = _agg_matched(oracle_tiny)
+
+    for ascending in (False, True):
+        sign = 1 if ascending else -1
+        want = sorted(
+            ((d, nchars[d], prio[d]) for d in matched),
+            key=lambda t: (sign * t[1], t[0]),
+        )[:4]
+        got = match_agg_top_metrics(
+            s, "the data", "n_chars", ["prio"], k=4, ascending=ascending)
+        assert got == want, f"ascending={ascending}"
+        assert match_agg_top_metrics(
+            s, "the data", "n_chars", ["prio"], k=4, ascending=ascending,
+            distributed=True,
+        ) == want
+    assert match_agg_top_metrics(s, "zzznotaterm", "n_chars", ["prio"]) == []
+
+
+def test_match_agg_sampler(spark, agg_index, oracle_tiny, tiny_pages_pd):
+    """sampler / diversified_sampler: stats over the deterministic
+    lowest-docID sample (diversified: rank-within-value cap first) —
+    driver == distributed == python walk."""
+    from data_prepper_spark.index.filtered import match_agg_sampler
+
+    nchars, langs = {}, {}
+    for r in tiny_pages_pd.itertuples(index=False):
+        d = xxh64_signed(r.url)
+        nchars[d] = len(r.text)
+        langs[d] = r.lang
+    s = BM25Searcher(spark, agg_index)
+    matched = sorted(_agg_matched(oracle_tiny))
+
+    def stats(sample):
+        v = [nchars[d] for d in sample]
+        return {"n": len(v), "min": min(v), "max": max(v), "sum": sum(v)}
+
+    shard = 7
+    got = match_agg_sampler(s, "the data", shard, "n_chars")
+    assert got == stats(matched[:shard])
+    assert match_agg_sampler(
+        s, "the data", shard, "n_chars", distributed=True
+    ) == got
+
+    cap = 2
+    seen, cand = {}, []
+    for d in matched:
+        g = langs[d]
+        if seen.get(g, 0) < cap:
+            seen[g] = seen.get(g, 0) + 1
+            cand.append(d)
+    want_div = stats(cand[:shard])
+    got_div = match_agg_sampler(
+        s, "the data", shard, "n_chars",
+        diversify_field="lang", max_per_value=cap)
+    assert got_div == want_div
+    assert match_agg_sampler(
+        s, "the data", shard, "n_chars",
+        diversify_field="lang", max_per_value=cap, distributed=True,
+    ) == want_div
+    assert match_agg_sampler(s, "zzznotaterm", shard, "n_chars")["n"] == 0
+
+
+def test_bucket_script(spark, agg_index, oracle_tiny, tiny_pages_pd):
+    """bucket_script pipeline: per-bucket mean (⌊sum·10⁴/n⌋) and share of
+    grand total (⌊sum·10⁶/Σsum⌋) over terms_stats buckets."""
+    from data_prepper_spark.index.filtered import (
+        bucket_script_from_buckets,
+        match_agg_terms_stats,
+    )
+
+    s = BM25Searcher(spark, agg_index)
+    buckets = match_agg_terms_stats(s, "the data", "prio", "n_chars")
+    # rows are (bucket, n, sum, min, max); script reads (bucket, n, sum)
+    rows = [(b, n, sm) for b, n, sm, _, _ in buckets]
+    got = bucket_script_from_buckets(rows)
+    grand = sum(sm for _, _, sm in rows)
+    for (bk, n, sm), (gbk, gn, gsm, mean_e4, share_e6) in zip(rows, got):
+        assert (bk, n, sm) == (gbk, gn, gsm)
+        assert mean_e4 == sm * 10**4 // n
+        assert share_e6 == sm * 10**6 // grand
+    assert bucket_script_from_buckets([]) == []
+
+
+def test_exists_missing_filters(spark, agg_index, oracle_tiny,
+                                tiny_pages_pd):
+    """exists/missing filter ops (OpenSearch exists query) over a
+    NULL-bearing string docvalue: search + aggregation paths, cached
+    mask == pushdown-scan fallback == distributed."""
+    from data_prepper_spark.index.filtered import (
+        match_agg_stats,
+        search_filtered,
+    )
+
+    have_alt = {
+        xxh64_signed(r.url)
+        for r in tiny_pages_pd.itertuples(index=False)
+        if len(r.text) % 3 != 0
+    }
+    s = BM25Searcher(spark, agg_index)
+    matched = _agg_matched(oracle_tiny)
+
+    st_e = match_agg_stats(
+        s, "the data", "n_chars", filters=[("alt", "exists", None)])
+    st_m = match_agg_stats(
+        s, "the data", "n_chars", filters=[("alt", "missing", None)])
+    assert st_e["count"] == len(matched & have_alt)
+    assert st_m["count"] == len(matched - have_alt)
+    assert st_e["count"] + st_m["count"] == len(matched)
+    for flt, want_allowed in (
+        ([("alt", "exists", None)], have_alt),
+        ([("alt", "missing", None)], None),
+    ):
+        allowed = want_allowed if want_allowed is not None else (
+            set(oracle_tiny.doc_len) - have_alt)
+        want = _filtered_oracle(oracle_tiny, "the data", allowed, k=10)
+        got = search_filtered(s, "the data", flt, k=10)
+        _assert_rank_identical(got, want, f"exists/missing {flt}")
+        dst = search_filtered(s, "the data", flt, k=10, distributed=True)
+        _assert_rank_identical(dst, want, f"exists/missing dist {flt}")
+    # distributed aggregation path composes the same ops
+    assert match_agg_stats(
+        s, "the data", "n_chars", filters=[("alt", "exists", None)],
+        distributed=True,
+    ) == st_e
