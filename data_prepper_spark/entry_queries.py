@@ -88,12 +88,30 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
                 "category",
                 F.when(F.col("doc_id") % 3 != 0, F.col("source")),
             )
+            # geo-point (microdegrees) + ip docvalues — doc_id-derived
+            # so the SQL oracle recomputes them; testdata doc_ids are
+            # SEQUENTIAL, so Knuth multiplicative constants spread the
+            # values over the full globe / address space first
+            .withColumn(
+                "lat_e6",
+                (F.pmod(F.col("doc_id") * 2654435761, F.lit(180000000))
+                 - 90000000).cast("long"),
+            )
+            .withColumn(
+                "lon_e6",
+                (F.pmod(F.col("doc_id") * 1099087573, F.lit(359999999))
+                 - 180000000).cast("long"),
+            )
+            .withColumn(
+                "ip_int",
+                F.pmod(F.col("doc_id") * 2654435761, F.lit(4294967296)),
+            )
         )
         build_oneshot_text(
             spark, docs, d, cfg,
             # docvalues (filtered search + date_histogram + metric aggs)
             field_cols=("lang", "source", "n_chars", "warc_ts", "prio",
-                        "category"),
+                        "category", "lat_e6", "lon_e6", "ip_int"),
         )
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
@@ -8367,6 +8385,455 @@ SELECT query_id, doc_id, score_r FROM ex_ranked WHERE rn <= {FT_K}
 """
 
 
+# =================================================== geo / ip / paired-t
+# geo-point docvalues are integer microdegrees (lat_e6, lon_e6), ip is a
+# uint32-valued long — all doc_id-derived, recomputed by this CTE on the
+# oracle side
+
+_GEO_CTE = """g AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761 % 180000000) + 180000000) % 180000000
+           - 90000000 AS lat_e6,
+         ((doc_id * 1099087573 % 359999999) + 359999999) % 359999999
+           - 180000000 AS lon_e6,
+         ((doc_id * 2654435761 % 4294967296) + 4294967296)
+           % 4294967296 AS ip_int
+  FROM documents
+)"""
+
+
+def _sql_haversine(clat_e6: int, clon_e6: int) -> str:
+    """DuckDB haversine mirroring geo.haversine_m's formula text
+    term-for-term (same association order, squares as self-products)."""
+    p1 = "radians(g.lat_e6 / 1000000.0)"
+    l1 = "radians(g.lon_e6 / 1000000.0)"
+    p2 = f"radians({clat_e6} / 1000000.0)"
+    l2 = f"radians({clon_e6} / 1000000.0)"
+    s_lat = f"sin(({p2} - {p1}) / 2.0)"
+    s_lon = f"sin(({l2} - {l1}) / 2.0)"
+    return (
+        f"2.0 * 6371000.0 * asin(least(1.0, sqrt("
+        f"{s_lat} * {s_lat} + cos({p1}) * cos({p2})"
+        f" * {s_lon} * {s_lon})))"
+    )
+
+
+# (qid, query_text, cidr)
+IP_QUERIES: list[tuple[int, str, str]] = [
+    (0, "spark index", "0.0.0.0/1"),
+    (1, "the data", "128.0.0.0/2"),
+    (2, "merge join window", "192.0.0.0/3"),
+    (3, "the", "128.0.0.0/1"),
+]
+
+
+def q_ft_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ip term/CIDR query (OpenSearch ip-field term query — Lucene
+    compiles the CIDR to a sortable range scan; index/filtered.py
+    cidr_to_range/cidr_filters): filtered BM25 where the filter is CIDR
+    membership of the integer ip docvalue, served by the whole existing
+    range machinery (two filter tuples — nothing ip-specific below the
+    sugar)."""
+    from .index.filtered import cidr_filters, search_filtered
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, cidr in IP_QUERIES:
+        hits = search_filtered(
+            s, qtext, cidr_filters("ip_int", cidr), k=FT_K,
+            distributed=True, tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_ip_cidr() -> str:
+    from .index.filtered import cidr_to_range
+
+    selects = []
+    for qid, qtext, cidr in IP_QUERIES:
+        lo, hi = cidr_to_range(cidr)
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"JOIN g ON g.doc_id = tf.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({terms})\n"
+            f"  AND g.ip_int >= {lo} AND g.ip_int <= {hi}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""", {_GEO_CTE},
+ip_scores AS ({union}),
+ip_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM ip_scores
+)
+SELECT query_id, doc_id, score_r FROM ip_ranked WHERE rn <= {FT_K}
+"""
+
+
+IP_RANGE_CIDRS = ["0.0.0.0/1", "128.0.0.0/2", "192.0.0.0/2", "10.0.0.0/8"]
+
+
+def q_ft_agg_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ip_range aggregation (OpenSearch aggs:ip_range with CIDR masks,
+    index/filtered.py match_agg_ip_range): per-CIDR match counts from
+    the folded integer-ip histogram — overlapping buckets allowed, zero
+    buckets emitted."""
+    from .index.filtered import match_agg_ip_range
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for cidr, n in match_agg_ip_range(
+            s, qtext, "ip_int", IP_RANGE_CIDRS, distributed=True
+        ):
+            rows.append((qid, cidr, n))
+    return spark.createDataFrame(rows, "query_id int, cidr string, n long")
+
+
+def sql_ft_agg_ip_range() -> str:
+    from .index.filtered import cidr_to_range
+
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for cidr in IP_RANGE_CIDRS:
+            lo, hi = cidr_to_range(cidr)
+            selects.append(
+                f"SELECT {qid} AS query_id, '{cidr}' AS cidr,\n"
+                f"       (SELECT count(*) FROM documents d\n"
+                f"        JOIN g ON g.doc_id = d.doc_id\n"
+                f"        WHERE {_agg_match_where(qtext)}\n"
+                f"          AND g.ip_int >= {lo} AND g.ip_int <= {hi}"
+                f")::BIGINT AS n"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""", {_GEO_CTE}
+{union}
+"""
+
+
+def q_ft_agg_t_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t_test aggregation (OpenSearch aggs:t_test type=paired,
+    index/filtered.py match_agg_t_test_paired): Welch's paired t over
+    the per-doc (n_chars, prio) pair — t² = S²(n−1)/(nQ−S²) with
+    S=Σd, Q=Σd², d=x−y, exact integers from the SAME six-moment partial
+    matrix_stats folds (one bounded row per docID range)."""
+    from .index.filtered import match_agg_t_test_paired
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        t = match_agg_t_test_paired(
+            s, qtext, "n_chars", "prio", distributed=True)
+        rows.append((qid, t["n"], t["sum_d"], t["t2s_e6"]))
+    return spark.createDataFrame(
+        rows, "query_id int, n long, sum_d long, t2s_e6 long")
+
+
+def sql_ft_agg_t_test_paired() -> str:
+    p = "(d.doc_id % 7 + 1)"
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        mom = (
+            f"(SELECT count(*)::HUGEINT AS n,\n"
+            f"        sum(d.n_chars - {p})::HUGEINT AS s,\n"
+            f"        sum((d.n_chars - {p})::HUGEINT * (d.n_chars - {p})) AS q\n"
+            f" FROM documents d WHERE {_agg_match_where(qtext)}) m"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.n::BIGINT AS n, m.s::BIGINT AS sum_d,\n"
+            f"       (CASE WHEN m.n < 2 OR m.n * m.q - m.s * m.s = 0 THEN NULL\n"
+            f"             ELSE (CASE WHEN m.s > 0 THEN 1\n"
+            f"                        WHEN m.s < 0 THEN -1 ELSE 0 END)\n"
+            f"                  * ((m.s * m.s * (m.n - 1) * 1000000)\n"
+            f"                     // (m.n * m.q - m.s * m.s))\n"
+            f"        END)::BIGINT AS t2s_e6\n"
+            f"FROM {mom}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+# (qid, query_text, center lat_e6, center lon_e6, radius m)
+GEO_QUERIES: list[tuple[int, str, int, int, float]] = [
+    (0, "spark index", 12_000_000, 34_000_000, 9_000_000.0),
+    (1, "the data", -40_000_000, 150_000_000, 7_000_000.0),
+    (2, "merge join window", 0, 0, 11_000_000.0),
+    (3, "the", 66_000_000, -100_000_000, 5_000_000.0),
+]
+
+
+def q_ft_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance query + sort (OpenSearch GeoDistanceQuery with a
+    _geo_distance sort; index/geo.py search_geo_distance): matching docs
+    within the radius, ranked (round(distance m, 2) ASC, doc_id ASC) —
+    an integer bounding-box prefilter prunes before any trig; per-range
+    top-k partials cross the shuffle.  2-dp (centimeter) rank contract:
+    numpy and DuckDB libm agree far below it."""
+    from .index.geo import search_geo_distance
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, clat, clon, radius in GEO_QUERIES:
+        hits = search_geo_distance(
+            s, qtext, "lat_e6", "lon_e6", clat, clon, radius, k=FT_K,
+            distributed=True, round_dp=2,
+        )
+        rows.extend((qid, did, dist) for did, dist in hits)
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, dist_r double")
+
+
+def sql_ft_geo_distance() -> str:
+    selects = []
+    for qid, qtext, clat, clon, radius in GEO_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        hav = _sql_haversine(clat, clon)
+        selects.append(
+            f"SELECT {qid} AS query_id, g.doc_id,\n"
+            f"       round({hav}, 2) AS dist_r\n"
+            f"FROM g\n"
+            f"WHERE g.doc_id IN (SELECT DISTINCT doc_id FROM tf\n"
+            f"                   WHERE term IN ({terms}))\n"
+            f"  AND round({hav}, 2) <= {radius}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""", {_GEO_CTE},
+geo_hits AS ({union}),
+geo_ranked AS (
+  SELECT query_id, doc_id, dist_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist_r, doc_id) AS rn
+  FROM geo_hits
+)
+SELECT query_id, doc_id, dist_r FROM geo_ranked WHERE rn <= {FT_K}
+"""
+
+
+# (qid, query_text, south, west, north, east) — microdegrees
+BBOX_QUERIES: list[tuple[int, str, int, int, int, int]] = [
+    (0, "spark index", -45_000_000, -120_000_000, 60_000_000, 150_000_000),
+    (1, "the data", 0, 0, 90_000_000, 179_000_000),
+    (2, "the", -90_000_000, -180_000_000, 0, 0),
+]
+
+
+def q_ft_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_bounding_box query (OpenSearch GeoBoundingBoxQuery;
+    index/geo.py search_geo_bbox): BM25 over docs whose point lies in
+    the box — pure sugar over four docvalue range filters, so the
+    filtered-BM25 machinery (cached masks, pushdown, distributed
+    cogroup) serves it unchanged."""
+    from .index.geo import search_geo_bbox
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, s_, w, n, e in BBOX_QUERIES:
+        hits = search_geo_bbox(
+            s, qtext, "lat_e6", "lon_e6", s_, w, n, e, k=FT_K,
+            distributed=True, tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_geo_bbox() -> str:
+    selects = []
+    for qid, qtext, s_, w, n, e in BBOX_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"JOIN g ON g.doc_id = tf.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({terms})\n"
+            f"  AND g.lat_e6 >= {s_} AND g.lat_e6 <= {n}\n"
+            f"  AND g.lon_e6 >= {w} AND g.lon_e6 <= {e}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""", {_GEO_CTE},
+bb_scores AS ({union}),
+bb_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM bb_scores
+)
+SELECT query_id, doc_id, score_r FROM bb_ranked WHERE rn <= {FT_K}
+"""
+
+
+def q_ft_agg_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_bounds + geo_centroid aggregations (OpenSearch
+    aggs:geo_bounds / aggs:geo_centroid; index/geo.py): the tight
+    integer bounding box and coordinate centroid of the match set —
+    exact extremal/moment folds of the microdegree docvalues (only the
+    bounded histogram / six-moment partials cross the shuffle)."""
+    from .index.geo import match_agg_geo_bounds, match_agg_geo_centroid
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        b = match_agg_geo_bounds(
+            s, qtext, "lat_e6", "lon_e6", distributed=True)
+        c = match_agg_geo_centroid(
+            s, qtext, "lat_e6", "lon_e6", distributed=True)
+        rows.append((qid, b["n"], b["min_lat_e6"], b["max_lat_e6"],
+                     b["min_lon_e6"], b["max_lon_e6"],
+                     c["lat_e6"], c["lon_e6"]))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n long, min_lat_e6 long, max_lat_e6 long, "
+        "min_lon_e6 long, max_lon_e6 long, cent_lat_e6 long, "
+        "cent_lon_e6 long",
+    )
+
+
+def sql_ft_agg_geo() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, count(*)::BIGINT AS n,\n"
+            f"       min(g.lat_e6)::BIGINT AS min_lat_e6,\n"
+            f"       max(g.lat_e6)::BIGINT AS max_lat_e6,\n"
+            f"       min(g.lon_e6)::BIGINT AS min_lon_e6,\n"
+            f"       max(g.lon_e6)::BIGINT AS max_lon_e6,\n"
+            f"       (sum(g.lat_e6)::HUGEINT // count(*))::BIGINT AS cent_lat_e6,\n"
+            f"       (sum(g.lon_e6)::HUGEINT // count(*))::BIGINT AS cent_lon_e6\n"
+            f"FROM documents d JOIN g ON g.doc_id = d.doc_id\n"
+            f"WHERE {_agg_match_where(qtext)}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""", {_GEO_CTE}
+{union}
+"""
+
+
+GEO_RINGS: list[tuple[str, float | None, float | None]] = [
+    ("near", None, 5_000_000.0),
+    ("mid", 5_000_000.0, 12_000_000.0),
+    ("far", 12_000_000.0, None),
+]
+
+
+def q_ft_agg_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance aggregation (OpenSearch aggs:geo_distance;
+    index/geo.py match_agg_geo_distance): [from, to) meter rings around
+    an origin — ring membership tests the 4-dp-rounded haversine so
+    engine and SQL bucket identically; per-range (ring, count) partials
+    cross the shuffle."""
+    from .index.geo import match_agg_geo_distance
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for ring, n in match_agg_geo_distance(
+            s, qtext, "lat_e6", "lon_e6", 0, 0, GEO_RINGS,
+            distributed=True,
+        ):
+            rows.append((qid, ring, n))
+    return spark.createDataFrame(rows, "query_id int, ring string, n long")
+
+
+def sql_ft_agg_geo_distance() -> str:
+    hav = _sql_haversine(0, 0)
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for ring, lo, hi in GEO_RINGS:
+            conds = []
+            if lo is not None:
+                conds.append(f"round({hav}, 4) >= {lo}")
+            if hi is not None:
+                conds.append(f"round({hav}, 4) < {hi}")
+            cond = " AND ".join(conds) if conds else "TRUE"
+            selects.append(
+                f"SELECT {qid} AS query_id, '{ring}' AS ring,\n"
+                f"       (SELECT count(*) FROM documents d\n"
+                f"        JOIN g ON g.doc_id = d.doc_id\n"
+                f"        WHERE {_agg_match_where(qtext)}\n"
+                f"          AND {cond})::BIGINT AS n"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""", {_GEO_CTE}
+{union}
+"""
+
+
+GEOTILE_ZOOM = 3
+
+
+def q_ft_agg_geotile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geotile_grid aggregation (OpenSearch aggs:geotile_grid;
+    index/geo.py match_agg_geotile): match counts per Web-Mercator
+    "z/x/y" tile — the x tile is exact integer arithmetic on the
+    microdegree grid; y shares the Mercator ln(tan φ + sec φ) formula
+    text with the SQL oracle.  Per-range (tile, count) partials cross
+    the shuffle."""
+    from .index.geo import match_agg_geotile
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for tile, n in match_agg_geotile(
+            s, qtext, "lat_e6", "lon_e6", GEOTILE_ZOOM, distributed=True
+        ):
+            rows.append((qid, tile, n))
+    return spark.createDataFrame(rows, "query_id int, tile string, n long")
+
+
+def sql_ft_agg_geotile() -> str:
+    z = GEOTILE_ZOOM
+    n_t = 1 << z
+    xexpr = (
+        f"least(greatest((g.lon_e6 + 180000000) * {n_t} // 360000000,"
+        f" 0), {n_t - 1})"
+    )
+    r = ("radians(least(greatest(g.lat_e6 / 1000000.0, -85.05112878),"
+         " 85.05112878))")
+    yexpr = (
+        f"least(greatest(floor((1.0 - ln(tan({r}) + 1.0 / cos({r}))"
+        f" / pi()) / 2.0 * {n_t})::BIGINT, 0), {n_t - 1})"
+    )
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id,\n"
+            f"       '{z}/' || {xexpr} || '/' || {yexpr} AS tile,\n"
+            f"       count(*)::BIGINT AS n\n"
+            f"FROM documents d JOIN g ON g.doc_id = d.doc_id\n"
+            f"WHERE {_agg_match_where(qtext)}\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""", {_GEO_CTE}
+{union}
+"""
+
+
 QUERIES = {
     # fulltext index engine (north star)
     "ft_token_counts": q_ft_token_counts,
@@ -8472,6 +8939,14 @@ QUERIES = {
     "ft_agg_sampler": q_ft_agg_sampler,
     "ft_agg_bucket_script": q_ft_agg_bucket_script,
     "ft_exists_query": q_ft_exists_query,
+    "ft_ip_cidr": q_ft_ip_cidr,
+    "ft_agg_ip_range": q_ft_agg_ip_range,
+    "ft_agg_t_test_paired": q_ft_agg_t_test_paired,
+    "ft_geo_distance": q_ft_geo_distance,
+    "ft_geo_bbox": q_ft_geo_bbox,
+    "ft_agg_geo": q_ft_agg_geo,
+    "ft_agg_geo_distance": q_ft_agg_geo_distance,
+    "ft_agg_geotile": q_ft_agg_geotile,
     "ft_agg_adjacency_matrix": q_ft_agg_adjacency_matrix,
     "ft_agg_date_range": q_ft_agg_date_range,
     "ft_agg_rare_terms": q_ft_agg_rare_terms,
@@ -8665,6 +9140,14 @@ ORACLES = {
     "ft_agg_sampler": sql_ft_agg_sampler(),
     "ft_agg_bucket_script": sql_ft_agg_bucket_script(),
     "ft_exists_query": sql_ft_exists_query(),
+    "ft_ip_cidr": sql_ft_ip_cidr(),
+    "ft_agg_ip_range": sql_ft_agg_ip_range(),
+    "ft_agg_t_test_paired": sql_ft_agg_t_test_paired(),
+    "ft_geo_distance": sql_ft_geo_distance(),
+    "ft_geo_bbox": sql_ft_geo_bbox(),
+    "ft_agg_geo": sql_ft_agg_geo(),
+    "ft_agg_geo_distance": sql_ft_agg_geo_distance(),
+    "ft_agg_geotile": sql_ft_agg_geotile(),
     "ft_agg_adjacency_matrix": sql_ft_agg_adjacency_matrix(),
     "ft_agg_date_range": sql_ft_agg_date_range(),
     "ft_agg_rare_terms": sql_ft_agg_rare_terms(),

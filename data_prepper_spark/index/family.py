@@ -555,6 +555,20 @@ class FamilySearcher:
 
         return mad_from_hist(*self.agg_value_hist(query_text, field, **cover))
 
+    def agg_ip_range(
+        self, query_text: str, field: str, cidrs, **cover
+    ) -> list[tuple[str, int]]:
+        """ip_range over `my-index-*` — CIDR bucket counts derive from
+        the folded integer-ip histogram, exact at any period count."""
+        from .filtered import cidr_to_range, range_from_hist
+
+        rngs = []
+        for c in cidrs:
+            lo, hi = cidr_to_range(c)
+            rngs.append((c, lo, hi + 1))
+        return range_from_hist(
+            *self.agg_value_hist(query_text, field, **cover), rngs)
+
     def agg_boxplot(self, query_text: str, field: str, **cover) -> dict:
         """boxplot over `my-index-*` — min/quartiles/max derive from the
         folded value histogram (nearest-rank, exact at any period
@@ -589,6 +603,85 @@ class FamilySearcher:
             query_text, field,
             filters=tuple(filters) + tuple(filter_b), **cover)
         return t_test_from_hists(va, ca, vb, cb)
+
+    def agg_t_test_paired(
+        self, query_text: str, field_x: str, field_y: str, **cover
+    ) -> dict:
+        """paired t_test over `my-index-*` — derives from the folded
+        six-moment matrix_stats partial (additive over disjoint doc
+        spaces), exact integer arithmetic end-to-end."""
+        from .filtered import match_matrix_moments, paired_t_test_from_moments
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        tot = [0, 0, 0, 0, 0, 0]
+        for p in sel:
+            m = match_matrix_moments(
+                self._searcher(p), query_text, field_x, field_y, **cover)
+            for i in range(6):
+                tot[i] += m[i]
+        return paired_t_test_from_moments(*tot)
+
+    def agg_geo_bounds(
+        self, query_text: str, lat_field: str, lon_field: str, **cover
+    ) -> dict:
+        """geo_bounds over `my-index-*` — exact extremal folds of the
+        two microdegree histograms."""
+        lat_v, lat_c = self.agg_value_hist(query_text, lat_field, **cover)
+        lon_v, _ = self.agg_value_hist(query_text, lon_field, **cover)
+        if lat_v.size == 0:
+            return {"n": 0, "min_lat_e6": None, "max_lat_e6": None,
+                    "min_lon_e6": None, "max_lon_e6": None}
+        return {
+            "n": int(lat_c.sum()),
+            "min_lat_e6": int(lat_v[0]), "max_lat_e6": int(lat_v[-1]),
+            "min_lon_e6": int(lon_v[0]), "max_lon_e6": int(lon_v[-1]),
+        }
+
+    def agg_geo_centroid(
+        self, query_text: str, lat_field: str, lon_field: str, **cover
+    ) -> dict:
+        """geo_centroid over `my-index-*` — coordinate sums fold
+        additively (the matrix_stats moment shape), exact integers."""
+        from .filtered import _tdiv, match_matrix_moments
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        n = slat = slon = 0
+        for p in sel:
+            m = match_matrix_moments(
+                self._searcher(p), query_text, lat_field, lon_field, **cover)
+            n += m[0]
+            slat += m[1]
+            slon += m[2]
+        if n == 0:
+            return {"n": 0, "lat_e6": None, "lon_e6": None}
+        return {"n": n, "lat_e6": _tdiv(slat, n), "lon_e6": _tdiv(slon, n)}
+
+    def agg_geo_distance(
+        self, query_text: str, lat_field: str, lon_field: str,
+        clat_e6: int, clon_e6: int, ranges_m, **cover,
+    ) -> list[tuple[str, int]]:
+        """geo_distance rings over `my-index-*` — per-period ring counts
+        fold additively, in the caller's ring order (zero rings kept)."""
+        from collections import Counter
+
+        from .geo import match_agg_geo_distance
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        folded: Counter = Counter()
+        for p in sel:
+            for lbl, n in match_agg_geo_distance(
+                self._searcher(p), query_text, lat_field, lon_field,
+                clat_e6, clon_e6, ranges_m, **cover,
+            ):
+                folded[lbl] += n
+        return [(str(lbl), folded.get(str(lbl), 0))
+                for lbl, _, _ in ranges_m]
 
     def agg_top_metrics(
         self, query_text: str, sort_field: str, metric_fields,

@@ -2866,6 +2866,44 @@ def match_agg_t_test(
     return t_test_from_hists(va, ca, vb, cb)
 
 
+def paired_t_test_from_moments(
+    n: int, sx: int, sy: int, sxx: int, syy: int, sxy: int
+) -> dict:
+    """Paired two-sample t (OpenSearch ``aggs:t_test`` type=paired) from
+    the SAME six additive moment sums matrix_stats folds: with
+    d = x − y, S = Σd = Σx − Σy and Q = Σd² = Σx² − 2Σxy + Σy², the
+    statistic reduces to  t² = S²(n−1) / (nQ − S²)  — emitted as the
+    signed squared t scaled 1e6 in exact integer arithmetic (sign =
+    sign of S; nQ − S² ≥ 0 by Cauchy–Schwarz, so DuckDB's truncating
+    ``//`` equals python's floor)."""
+    out = {"n": n, "sum_d": sx - sy, "t2s_e6": None}
+    if n < 2:
+        return out
+    s = sx - sy
+    q = sxx - 2 * sxy + syy
+    den = n * q - s * s
+    if den == 0:
+        return out
+    sign = 1 if s > 0 else (-1 if s < 0 else 0)
+    out["t2s_e6"] = sign * (s * s * (n - 1) * 1_000_000 // den)
+    return out
+
+
+def match_agg_t_test_paired(
+    searcher, query_text: str, field_x: str, field_y: str, filters=(),
+    distributed: bool = False,
+) -> dict:
+    """Paired t_test aggregation over the match set (OpenSearch
+    ``aggs:t_test`` with type=paired — both samples are fields of the
+    SAME doc): derives exactly from the six-moment matrix_stats partial,
+    so the distributed and cross-period fold shapes are matrix_stats'
+    (one bounded moment row per docID range / period)."""
+    return paired_t_test_from_moments(
+        *match_matrix_moments(
+            searcher, query_text, field_x, field_y, filters, distributed)
+    )
+
+
 def string_stats_from_hist(vals: np.ndarray, counts: np.ndarray) -> dict:
     """count / min_len / max_len / sum_len (exact ints), avg_len_e4
     (⌊avg·10⁴⌋ exact) and 6-dp Shannon character entropy from a sorted
@@ -3204,6 +3242,58 @@ def _sampler_candidates_distributed(
         (int(r["doc_id"]), r["mv"], r["dv"] if diversified else None)
         for r in rows
     ]
+
+
+# ------------------------------------------------------------- ip docvalues
+
+def cidr_to_range(cidr: str) -> tuple[int, int]:
+    """IPv4 CIDR (or bare address) → inclusive [lo, hi] integer bounds.
+    OpenSearch compiles an ip term/range query to exactly this sortable
+    range scan, so the entire existing range machinery (filters, zone-
+    free hist folds, pushdown) serves ip fields once they're stored as
+    uint32-valued longs.  IPv6 stays on the expression-processor path
+    (expression.py cidrContains handles both families for routing)."""
+    ip, _, bits_s = cidr.partition("/")
+    bits = int(bits_s) if bits_s else 32
+    if not 0 <= bits <= 32:
+        raise ValueError(f"bad prefix length in {cidr!r}")
+    parts = ip.split(".")
+    if len(parts) != 4:
+        raise ValueError(f"bad IPv4 address in {cidr!r}")
+    v = 0
+    for p in parts:
+        b = int(p)
+        if not 0 <= b <= 255:
+            raise ValueError(f"bad IPv4 octet in {cidr!r}")
+        v = (v << 8) | b
+    host = (1 << (32 - bits)) - 1
+    lo = v & ~host & 0xFFFFFFFF
+    return lo, lo | host
+
+
+def cidr_filters(field: str, cidr: str) -> list[tuple]:
+    """An OpenSearch ip term/CIDR query as two ordinary range filter
+    tuples over the integer ip docvalue."""
+    lo, hi = cidr_to_range(cidr)
+    return [(field, ">=", lo), (field, "<=", hi)]
+
+
+def match_agg_ip_range(
+    searcher, query_text: str, field: str, cidrs, filters=(),
+    distributed: bool = False,
+) -> list[tuple[str, int]]:
+    """ip_range aggregation (OpenSearch ``aggs:ip_range`` with CIDR
+    masks): per-CIDR match counts of the integer ip docvalue — derived
+    from the same folded (value, count) histogram as the range agg
+    (buckets may overlap; every bucket emitted, zero counts kept)."""
+    rngs = []
+    for c in cidrs:
+        lo, hi = cidr_to_range(c)
+        rngs.append((c, lo, hi + 1))  # range_from_hist buckets are [lo, hi)
+    return range_from_hist(
+        *match_value_hist(searcher, query_text, field, filters, distributed),
+        rngs,
+    )
 
 
 def bucket_script_from_buckets(rows):

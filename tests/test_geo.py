@@ -1,0 +1,390 @@
+"""Geo-point queries/aggregations (index/geo.py) and ip-field surfaces
+(index/filtered.py cidr_*) vs independent pure-python oracles — the
+python sides use the math/ipaddress stdlib, NOT the engine's numpy
+kernels."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from data_prepper_spark.hashing import xxh64_signed
+from data_prepper_spark.index.query import BM25Searcher
+from data_prepper_spark.textproc import tokenize
+
+K1, B = 1.2, 0.75
+
+LAT_MOD = 180_000_000
+LON_MOD = 359_999_999
+IP_MASK = 0xFFFFFFFF
+
+
+def _lat_e6(d: int) -> int:
+    return d % LAT_MOD - 90_000_000
+
+
+def _lon_e6(d: int) -> int:
+    return d % LON_MOD - 180_000_000
+
+
+def _ip_int(d: int) -> int:
+    return d & IP_MASK
+
+
+def _hav_m(lat_e6, lon_e6, clat_e6, clon_e6) -> float:
+    """Independent haversine — math stdlib, per scalar."""
+    p1 = math.radians(lat_e6 / 1e6)
+    l1 = math.radians(lon_e6 / 1e6)
+    p2 = math.radians(clat_e6 / 1e6)
+    l2 = math.radians(clon_e6 / 1e6)
+    a = (
+        math.sin((p2 - p1) / 2) ** 2
+        + math.cos(p1) * math.cos(p2) * math.sin((l2 - l1) / 2) ** 2
+    )
+    return 2 * 6371000.0 * math.asin(min(1.0, math.sqrt(a)))
+
+
+@pytest.fixture(scope="session")
+def geo_index(spark, tiny_corpus_path, workdir):
+    """Index with geo (microdegree), ip, and numeric docvalues — all
+    derived from xxhash64(url) == doc_id, so python oracles recompute
+    them without reading the index."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.index.build import build_oneshot
+    from data_prepper_spark.index.config import IndexConfig
+
+    index_dir = os.path.join(workdir, "index_geo")
+    h = F.xxhash64(F.col("url"))
+    pages = (
+        spark.read.parquet(tiny_corpus_path)
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("lat_e6",
+                    (F.pmod(h, F.lit(LAT_MOD)) - 90_000_000).cast("long"))
+        .withColumn("lon_e6",
+                    (F.pmod(h, F.lit(LON_MOD)) - 180_000_000).cast("long"))
+        .withColumn("ip_int", h.bitwiseAND(F.lit(IP_MASK)))
+    )
+    cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8)
+    build_oneshot(
+        spark, pages, index_dir, cfg,
+        field_cols=("lang", "n_chars", "lat_e6", "lon_e6", "ip_int"),
+    )
+    return index_dir
+
+
+def _matched(oracle, query_text):
+    out = set()
+    for t in set(tokenize(query_text)):
+        out |= set(oracle.postings.get(t, ()))
+    return out
+
+
+def _bm25_oracle(oracle, query_text, allowed, k=10):
+    scores = {}
+    for t in sorted(set(tokenize(query_text))):
+        idf = oracle.idf(t)
+        for d, tf in oracle.postings.get(t, {}).items():
+            if d not in allowed:
+                continue
+            dl = oracle.doc_len[d]
+            denom = tf + K1 * (1.0 - B + B * dl / oracle.avgdl)
+            scores[d] = scores.get(d, 0.0) + idf * tf * (K1 + 1.0) / denom
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_cidr_to_range_vs_ipaddress():
+    import ipaddress
+
+    from data_prepper_spark.index.filtered import cidr_to_range
+
+    cases = [
+        "10.0.0.0/8", "192.168.1.0/24", "0.0.0.0/0", "255.255.255.255/32",
+        "172.16.0.0/12", "203.0.113.7", "128.0.0.0/1", "1.2.3.4/30",
+    ]
+    for c in cases:
+        lo, hi = cidr_to_range(c)
+        net = ipaddress.ip_network(c if "/" in c else c + "/32",
+                                   strict=False)
+        assert lo == int(net.network_address), c
+        assert hi == int(net.broadcast_address), c
+    for bad in ("1.2.3/8", "1.2.3.999/8", "1.2.3.4/33", "1.2.3.4/-1"):
+        with pytest.raises(ValueError):
+            cidr_to_range(bad)
+
+
+def test_ip_cidr_query_and_range_agg(spark, geo_index, oracle_tiny,
+                                     tiny_pages_pd):
+    from data_prepper_spark.index.filtered import (
+        cidr_filters,
+        match_agg_ip_range,
+        search_filtered,
+    )
+
+    ips = {
+        xxh64_signed(r.url): _ip_int(xxh64_signed(r.url))
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    s = BM25Searcher(spark, geo_index)
+    matched = _matched(oracle_tiny, "the data")
+
+    cidr = "128.0.0.0/2"  # ips are hash-uniform → ~quarter match
+    lo, hi = (0x80000000, 0xBFFFFFFF)
+    allowed = {d for d, ip in ips.items() if lo <= ip <= hi}
+    want = _bm25_oracle(oracle_tiny, "the data", allowed)
+    flt = cidr_filters("ip_int", cidr)
+    got = search_filtered(s, "the data", flt, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    dst = search_filtered(s, "the data", flt, k=10, distributed=True)
+    assert [d for d, _ in dst] == [d for d, _ in want]
+
+    cidrs = ["0.0.0.0/1", "128.0.0.0/2", "192.0.0.0/2", "10.0.0.0/8"]
+    got_rg = match_agg_ip_range(s, "the data", "ip_int", cidrs)
+    import ipaddress
+
+    for (lbl, n), c in zip(got_rg, cidrs):
+        net = ipaddress.ip_network(c)
+        want_n = sum(
+            1 for d in matched
+            if int(net.network_address) <= ips[d]
+            <= int(net.broadcast_address)
+        )
+        assert (lbl, n) == (c, want_n)
+    assert match_agg_ip_range(
+        s, "the data", "ip_int", cidrs, distributed=True
+    ) == got_rg
+
+
+def test_paired_t_test(spark, geo_index, oracle_tiny, tiny_pages_pd):
+    """paired t_test from the matrix moments vs an independent float
+    computation of the textbook paired formula."""
+    from data_prepper_spark.index.filtered import match_agg_t_test_paired
+
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    lats = {d: _lat_e6(d) for d in nchars}
+    s = BM25Searcher(spark, geo_index)
+    matched = sorted(_matched(oracle_tiny, "the data"))
+    # pair (n_chars, n_chars) is degenerate (zero variance of d) → None;
+    # pair (n_chars, lat_e6/1000-ish) varies — use two real fields
+    got = match_agg_t_test_paired(s, "the data", "n_chars", "lat_e6")
+    diffs = [nchars[d] - lats[d] for d in matched]
+    n = len(diffs)
+    mean = sum(diffs) / n
+    var = sum((x - mean) ** 2 for x in diffs) / (n - 1)
+    t = mean / math.sqrt(var / n)
+    want = (1 if t > 0 else -1) * t * t
+    assert got["n"] == n and got["sum_d"] == sum(diffs)
+    assert abs(got["t2s_e6"] / 1e6 - want) < max(1e-4, abs(want) * 1e-6)
+    assert match_agg_t_test_paired(
+        s, "the data", "n_chars", "lat_e6", distributed=True
+    ) == got
+    # identical fields → zero variance of d → no statistic
+    degen = match_agg_t_test_paired(s, "the data", "n_chars", "n_chars")
+    assert degen["t2s_e6"] is None and degen["sum_d"] == 0
+
+
+def test_geo_distance_search(spark, geo_index, oracle_tiny, tiny_pages_pd):
+    from data_prepper_spark.index.geo import search_geo_distance
+
+    docs = [xxh64_signed(r.url) for r in tiny_pages_pd.itertuples(index=False)]
+    coords = {d: (_lat_e6(d), _lon_e6(d)) for d in docs}
+    s = BM25Searcher(spark, geo_index)
+    matched = _matched(oracle_tiny, "the data")
+
+    center = (12_000_000, 34_000_000)
+    radius = 6_000_000.0  # ~6000 km of a hash-uniform globe
+    want = []
+    for d in matched:
+        dist = _hav_m(*coords[d], *center)
+        if dist <= radius + 1e-3:
+            want.append((d, dist))
+    want.sort(key=lambda t: (round(t[1], 4), t[0]))
+    got = search_geo_distance(
+        s, "the data", "lat_e6", "lon_e6", *center, radius, k=15)
+    assert len(got) == min(15, len(want))
+    assert [d for d, _ in got] == [d for d, _ in want[:15]]
+    np.testing.assert_allclose(
+        [v for _, v in got], [v for _, v in want[:15]], rtol=1e-9)
+    dst = search_geo_distance(
+        s, "the data", "lat_e6", "lon_e6", *center, radius, k=15,
+        distributed=True)
+    assert dst == got
+    # tiny radius → empty
+    assert search_geo_distance(
+        s, "the data", "lat_e6", "lon_e6", *center, 0.5, k=5) == []
+
+
+def test_geo_bbox(spark, geo_index, oracle_tiny, tiny_pages_pd):
+    from data_prepper_spark.index.geo import search_geo_bbox
+
+    docs = [xxh64_signed(r.url) for r in tiny_pages_pd.itertuples(index=False)]
+    coords = {d: (_lat_e6(d), _lon_e6(d)) for d in docs}
+    s = BM25Searcher(spark, geo_index)
+    box = (-45_000_000, -120_000_000, 60_000_000, 150_000_000)
+    allowed = {
+        d for d, (la, lo) in coords.items()
+        if box[0] <= la <= box[2] and box[1] <= lo <= box[3]
+    }
+    want = _bm25_oracle(oracle_tiny, "the data", allowed)
+    got = search_geo_bbox(s, "the data", "lat_e6", "lon_e6", *box, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    dst = search_geo_bbox(
+        s, "the data", "lat_e6", "lon_e6", *box, k=10, distributed=True)
+    assert [d for d, _ in dst] == [d for d, _ in want]
+
+
+def test_geo_bounds_and_centroid(spark, geo_index, oracle_tiny,
+                                 tiny_pages_pd):
+    from data_prepper_spark.index.geo import (
+        match_agg_geo_bounds,
+        match_agg_geo_centroid,
+    )
+
+    docs = [xxh64_signed(r.url) for r in tiny_pages_pd.itertuples(index=False)]
+    coords = {d: (_lat_e6(d), _lon_e6(d)) for d in docs}
+    s = BM25Searcher(spark, geo_index)
+    matched = _matched(oracle_tiny, "the data")
+    las = [coords[d][0] for d in matched]
+    los = [coords[d][1] for d in matched]
+
+    got_b = match_agg_geo_bounds(s, "the data", "lat_e6", "lon_e6")
+    assert got_b == {
+        "n": len(las), "min_lat_e6": min(las), "max_lat_e6": max(las),
+        "min_lon_e6": min(los), "max_lon_e6": max(los),
+    }
+    assert match_agg_geo_bounds(
+        s, "the data", "lat_e6", "lon_e6", distributed=True) == got_b
+
+    got_c = match_agg_geo_centroid(s, "the data", "lat_e6", "lon_e6")
+    n = len(las)
+
+    def tdiv(a, b):  # truncate toward zero, DuckDB's // on signed
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    assert got_c == {"n": n, "lat_e6": tdiv(sum(las), n),
+                     "lon_e6": tdiv(sum(los), n)}
+    assert match_agg_geo_centroid(
+        s, "the data", "lat_e6", "lon_e6", distributed=True) == got_c
+
+
+def test_geo_distance_agg_and_geotile(spark, geo_index, oracle_tiny,
+                                      tiny_pages_pd):
+    from data_prepper_spark.index.geo import (
+        match_agg_geo_distance,
+        match_agg_geotile,
+    )
+
+    docs = [xxh64_signed(r.url) for r in tiny_pages_pd.itertuples(index=False)]
+    coords = {d: (_lat_e6(d), _lon_e6(d)) for d in docs}
+    s = BM25Searcher(spark, geo_index)
+    matched = _matched(oracle_tiny, "the data")
+    center = (0, 0)
+    rings = [("near", None, 5_000_000), ("mid", 5_000_000, 12_000_000),
+             ("far", 12_000_000, None), ("all", None, None),
+             ("none", 30_000_000, None)]
+
+    want = {lbl: 0 for lbl, _, _ in rings}
+    for d in matched:
+        dist = round(_hav_m(*coords[d], *center), 4)
+        for lbl, lo, hi in rings:
+            if (lo is None or dist >= lo) and (hi is None or dist < hi):
+                want[lbl] += 1
+    got = match_agg_geo_distance(
+        s, "the data", "lat_e6", "lon_e6", *center, rings)
+    assert got == [(lbl, want[lbl]) for lbl, _, _ in rings]
+    assert match_agg_geo_distance(
+        s, "the data", "lat_e6", "lon_e6", *center, rings,
+        distributed=True) == got
+
+    zoom = 3
+    n_t = 1 << zoom
+    want_tiles = {}
+    for d in matched:
+        la, lo = coords[d]
+        x = (lo + 180_000_000) * n_t // 360_000_000
+        x = min(max(x, 0), n_t - 1)
+        lat = min(max(la / 1e6, -85.05112878), 85.05112878)
+        r = math.radians(lat)
+        merc = math.log(math.tan(r) + 1.0 / math.cos(r))
+        y = math.floor((1.0 - merc / math.pi) / 2.0 * n_t)
+        y = min(max(y, 0), n_t - 1)
+        key = f"{zoom}/{x}/{y}"
+        want_tiles[key] = want_tiles.get(key, 0) + 1
+    got_t = match_agg_geotile(s, "the data", "lat_e6", "lon_e6", zoom)
+    assert got_t == sorted(want_tiles.items())
+    assert match_agg_geotile(
+        s, "the data", "lat_e6", "lon_e6", zoom, distributed=True
+    ) == got_t
+
+
+@pytest.fixture(scope="session")
+def geo_family_root(spark, tiny_corpus_path, workdir):
+    """Time-partitioned family over the SAME docs/docvalues as
+    geo_index — the cross-period folds must equal the single index."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.index.config import IndexConfig
+    from data_prepper_spark.index.family import build_family
+
+    root = os.path.join(workdir, "index_geo_family")
+    h = F.xxhash64(F.col("url"))
+    pages = (
+        spark.read.parquet(tiny_corpus_path)
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("lat_e6",
+                    (F.pmod(h, F.lit(LAT_MOD)) - 90_000_000).cast("long"))
+        .withColumn("lon_e6",
+                    (F.pmod(h, F.lit(LON_MOD)) - 180_000_000).cast("long"))
+        .withColumn("ip_int", h.bitwiseAND(F.lit(IP_MASK)))
+    )
+    cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8)
+    build_family(
+        spark, pages, root, cfg, ts_col="warc_ts", pattern="mm",
+        mode="pages",
+        field_cols=("lang", "n_chars", "lat_e6", "lon_e6", "ip_int"),
+    )
+    return root
+
+
+def test_family_geo_ip_folds(spark, geo_index, geo_family_root):
+    """Cross-period geo/ip/paired-t folds over ALL periods == the
+    single-index aggregations over the same docs."""
+    from data_prepper_spark.index.family import FamilySearcher
+    from data_prepper_spark.index.filtered import (
+        match_agg_ip_range,
+        match_agg_t_test_paired,
+    )
+    from data_prepper_spark.index.geo import (
+        match_agg_geo_bounds,
+        match_agg_geo_centroid,
+        match_agg_geo_distance,
+    )
+
+    s1 = BM25Searcher(spark, geo_index)
+    fs = FamilySearcher(spark, geo_family_root)
+    rings = [("near", None, 5_000_000.0), ("mid", 5_000_000.0, 12_000_000.0),
+             ("far", 12_000_000.0, None)]
+    cidrs = ["0.0.0.0/1", "128.0.0.0/2", "10.0.0.0/8"]
+    for qtext in ("the data", "spark index"):
+        assert fs.agg_geo_bounds(qtext, "lat_e6", "lon_e6") == (
+            match_agg_geo_bounds(s1, qtext, "lat_e6", "lon_e6")
+        )
+        assert fs.agg_geo_centroid(qtext, "lat_e6", "lon_e6") == (
+            match_agg_geo_centroid(s1, qtext, "lat_e6", "lon_e6")
+        )
+        assert fs.agg_geo_distance(
+            qtext, "lat_e6", "lon_e6", 0, 0, rings
+        ) == match_agg_geo_distance(
+            s1, qtext, "lat_e6", "lon_e6", 0, 0, rings
+        )
+        assert fs.agg_ip_range(qtext, "ip_int", cidrs) == (
+            match_agg_ip_range(s1, qtext, "ip_int", cidrs)
+        )
+        assert fs.agg_t_test_paired(qtext, "n_chars", "lat_e6") == (
+            match_agg_t_test_paired(s1, qtext, "n_chars", "lat_e6")
+        )
