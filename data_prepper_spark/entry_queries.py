@@ -8782,6 +8782,88 @@ def sql_ft_agg_geo_distance() -> str:
 """
 
 
+# phrase-suggester reference set: (qid, text) — typo'd multi-token
+# queries over the documents vocabulary; qid 3 is all in-vocabulary
+# (suggestions still require ≥1 edit)
+PSG_QUERIES: list[tuple[int, str]] = [
+    (0, "past scan"),       # 'past' has THREE neighbors — pins df rank
+    (1, "thz data"),        # correction composed with an identity token
+    (2, "rou grouq"),       # max_errors drops the all-corrected combo
+    (3, "table scan"),      # all in-vocabulary → only ≥1-edit phrases
+]
+PSG_G, PSG_MAX_EDITS, PSG_MAX_ERRORS, PSG_K = 3, 2, 2, 5
+
+
+def q_ft_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase suggester (OpenSearch suggest:phrase — whole-query "did
+    you mean"; index/boolquery.py suggest_phrase): per-token candidates
+    (the token itself at distance 0 ∪ top-3 corrections at distance 1,
+    ranked dist/df DESC/term) composed into whole phrases with
+    1 ≤ Σedits ≤ 2, ranked (Σedits ASC, Πdf DESC, phrase ASC) — with a
+    fixed token count the exact integer df-product orders identically
+    to OpenSearch's unigram log-likelihood, no floats anywhere."""
+    from .index.boolquery import suggest_phrase
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, text in PSG_QUERIES:
+        hits = suggest_phrase(
+            s, text, max_edits=PSG_MAX_EDITS, per_token=PSG_G,
+            max_errors=PSG_MAX_ERRORS, k=PSG_K,
+        )
+        for rank, (phrase, total, prod) in enumerate(hits, 1):
+            rows.append((qid, rank, phrase, total, prod))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, rank int, phrase string, total_edits long, "
+        "df_product long",
+    )
+
+
+def sql_ft_suggest_phrase() -> str:
+    ctes, selects = [], []
+    for qid, text in PSG_QUERIES:
+        toks = text.split()
+        refs = []
+        for i, tok in enumerate(toks):
+            name = f"psg{qid}_{i}"
+            refs.append(name)
+            ctes.append(
+                f"{name} AS (\n"
+                f"  SELECT term, df, 0::BIGINT AS dist FROM df\n"
+                f"  WHERE term = '{tok}'\n"
+                f"  UNION ALL\n"
+                f"  SELECT term, df, levenshtein(term, '{tok}')::BIGINT AS dist\n"
+                f"  FROM df\n"
+                f"  WHERE levenshtein(term, '{tok}')"
+                f" BETWEEN 1 AND {PSG_MAX_EDITS}\n"
+                f"  QUALIFY row_number() OVER (\n"
+                f"    ORDER BY levenshtein(term, '{tok}'), df DESC, term)"
+                f" <= {PSG_G}\n"
+                f")"
+            )
+        froms = ", ".join(f"{r} c{i}" for i, r in enumerate(refs))
+        phrase = " || ' ' || ".join(f"c{i}.term" for i in range(len(toks)))
+        total = " + ".join(f"c{i}.dist" for i in range(len(toks)))
+        prod = " * ".join(f"c{i}.df" for i in range(len(toks)))
+        selects.append(
+            f"SELECT {qid} AS query_id,\n"
+            f"       row_number() OVER (ORDER BY {total},"
+            f" {prod} DESC, {phrase})::INT AS rank,\n"
+            f"       {phrase} AS phrase,\n"
+            f"       ({total})::BIGINT AS total_edits,\n"
+            f"       ({prod})::BIGINT AS df_product\n"
+            f"FROM {froms}\n"
+            f"WHERE {total} BETWEEN 1 AND {PSG_MAX_ERRORS}\n"
+            f"QUALIFY rank <= {PSG_K}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + ",\n" + ",\n".join(ctes) + f"""
+{union}
+"""
+
+
 GEOTILE_ZOOM = 3
 
 
@@ -8947,6 +9029,7 @@ QUERIES = {
     "ft_agg_geo": q_ft_agg_geo,
     "ft_agg_geo_distance": q_ft_agg_geo_distance,
     "ft_agg_geotile": q_ft_agg_geotile,
+    "ft_suggest_phrase": q_ft_suggest_phrase,
     "ft_agg_adjacency_matrix": q_ft_agg_adjacency_matrix,
     "ft_agg_date_range": q_ft_agg_date_range,
     "ft_agg_rare_terms": q_ft_agg_rare_terms,
@@ -9148,6 +9231,7 @@ ORACLES = {
     "ft_agg_geo": sql_ft_agg_geo(),
     "ft_agg_geo_distance": sql_ft_agg_geo_distance(),
     "ft_agg_geotile": sql_ft_agg_geotile(),
+    "ft_suggest_phrase": sql_ft_suggest_phrase(),
     "ft_agg_adjacency_matrix": sql_ft_agg_adjacency_matrix(),
     "ft_agg_date_range": sql_ft_agg_date_range(),
     "ft_agg_rare_terms": sql_ft_agg_rare_terms(),

@@ -669,6 +669,82 @@ def suggest_completion(
     return ranked[:k]
 
 
+def phrase_token_candidates(
+    searcher, toks, max_edits: int = 1, per_token: int = 3,
+) -> list[list[tuple[str, int, int]]]:
+    """Per-token correction candidates for the phrase suggester: for
+    each input token, (term, distance, df) rows — the token itself at
+    distance 0 when it's in the vocabulary, plus the top *per_token*
+    corrections at distance ∈ [1, max_edits] ranked (distance ASC,
+    df DESC, term ASC).  The cross-period family fold re-ranks these
+    after summing per-period dfs (UNCUT per period would be exact; the
+    per-token cut is the deterministic generator cap OpenSearch's
+    direct_generator applies per shard)."""
+    ds = pads.dataset(f"{searcher.index_dir}/termdict", partitioning="hive")
+    vocab = sorted(set(ds.to_table(columns=["term"])["term"].to_pylist()))
+    from ..hashing import pmod
+
+    out: list[list[tuple[str, int, int]]] = []
+    for tok in toks:
+        idx, dist = levenshtein_within(vocab, tok, max_edits)
+        cands = [vocab[i] for i in idx]
+        ids = {xxh64_signed(t): t for t in cands}
+        buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in ids})
+        dfs = searcher.term_stats(ids, buckets) if ids else {}
+        rows: list[tuple[str, int, int]] = []
+        corr: list[tuple[int, int, str]] = []
+        for t, d in zip(cands, dist):
+            df = dfs.get(xxh64_signed(t), 0)
+            if df <= 0:
+                continue
+            if int(d) == 0 and t == tok:
+                rows.append((t, 0, df))
+            elif int(d) > 0:
+                corr.append((int(d), -df, t))
+        rows.extend(
+            (t, d, -negdf) for d, negdf, t in sorted(corr)[:per_token]
+        )
+        out.append(rows)
+    return out
+
+
+def suggest_phrase(
+    searcher, text: str, max_edits: int = 1, per_token: int = 3,
+    max_errors: int = 2, k: int = 5,
+) -> list[tuple[str, int, int]]:
+    """Phrase suggester (OpenSearch ``suggest: {phrase}`` — whole-query
+    "did you mean"): candidate corrections are generated per token
+    (the term-suggester machinery, capped at *per_token* per position),
+    composed into whole phrases with 1 ≤ total edits ≤ *max_errors*,
+    and ranked by (total edits ASC, Π df DESC, phrase ASC).  OpenSearch
+    ranks by a smoothed unigram/bigram LM score; with a FIXED token
+    count the exact integer df-product orders identically to the
+    unigram log-likelihood sum — deterministic and SQL-pinnable with no
+    float in sight.  Returns (phrase, total_edits, df_product) rows.
+    Vocabulary-bounded: one termdict scan, ≤ per_token+1 candidates per
+    position, ≤ Π(per_token+1) composed phrases."""
+    import itertools
+
+    toks = tokenize(text)
+    if not toks:
+        return []
+    per_tok = phrase_token_candidates(searcher, toks, max_edits, per_token)
+    if any(not rows for rows in per_tok):
+        return []  # an uncorrectable position → no whole-phrase suggestion
+    ranked = []
+    for combo in itertools.product(*per_tok):
+        total = sum(d for _, d, _ in combo)
+        if not 1 <= total <= max_errors:
+            continue
+        prod = 1
+        for _, _, df in combo:
+            prod *= df
+        phrase = " ".join(t for t, _, _ in combo)
+        ranked.append((total, -prod, phrase))
+    ranked.sort()
+    return [(p, t, -negprod) for t, negprod, p in ranked[:k]]
+
+
 def search_match_bool_prefix(
     searcher,
     text: str,

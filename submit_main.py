@@ -371,6 +371,118 @@ def cmd_query(args) -> None:
             out = suggest_completion(s, q, k=args.k)
             print(json.dumps({"prefix": q, "completions": out}))
             continue
+        elif mode == "suggest-phrase":
+            from data_prepper_spark.index.boolquery import suggest_phrase
+
+            out = suggest_phrase(
+                s, q, max_edits=args.max_edits, k=args.k,
+                max_errors=args.max_errors,
+            )
+            print(json.dumps({"text": q, "phrases": out}))
+            continue
+        elif mode == "geo-distance":
+            from data_prepper_spark.index.geo import search_geo_distance
+
+            clat, clon = (int(x) for x in args.center.split(","))
+            hits = search_geo_distance(
+                s, q, args.lat_field, args.lon_field, clat, clon,
+                args.radius, k=args.k, filters=filters,
+                distributed=args.distributed,
+            )
+        elif mode == "geo-bbox":
+            from data_prepper_spark.index.geo import search_geo_bbox
+
+            sw_s, sw_w, ne_n, ne_e = (int(x) for x in args.box.split(","))
+            hits = search_geo_bbox(
+                s, q, args.lat_field, args.lon_field, sw_s, sw_w, ne_n,
+                ne_e, k=args.k, filters=filters,
+                distributed=args.distributed,
+            )
+        elif mode == "agg-geo":
+            from data_prepper_spark.index.geo import (
+                match_agg_geo_bounds,
+                match_agg_geo_centroid,
+            )
+
+            out = {
+                "bounds": match_agg_geo_bounds(
+                    s, q, args.lat_field, args.lon_field, filters=filters,
+                    distributed=args.distributed),
+                "centroid": match_agg_geo_centroid(
+                    s, q, args.lat_field, args.lon_field, filters=filters,
+                    distributed=args.distributed),
+            }
+            print(json.dumps({"query": q, "agg": "geo_bounds+centroid",
+                              "result": out}))
+            continue
+        elif mode == "agg-geotile":
+            from data_prepper_spark.index.geo import match_agg_geotile
+
+            out = match_agg_geotile(
+                s, q, args.lat_field, args.lon_field, args.zoom,
+                filters=filters, distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "geotile_grid",
+                              "zoom": args.zoom, "buckets": out}))
+            continue
+        elif mode == "ip-cidr":
+            from data_prepper_spark.index.filtered import (
+                cidr_filters,
+                search_filtered,
+            )
+
+            hits = search_filtered(
+                s, q, filters + cidr_filters(args.agg_field or "ip_int",
+                                             args.cidr),
+                k=args.k, distributed=args.distributed,
+            )
+        elif mode == "agg-boxplot":
+            from data_prepper_spark.index.filtered import match_agg_boxplot
+
+            out = match_agg_boxplot(
+                s, q, args.agg_field, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "boxplot",
+                              "field": args.agg_field, "result": out}))
+            continue
+        elif mode == "agg-string-stats":
+            from data_prepper_spark.index.filtered import (
+                match_agg_string_stats,
+            )
+
+            out = match_agg_string_stats(
+                s, q, args.agg_field, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "string_stats",
+                              "field": args.agg_field, "result": out}))
+            continue
+        elif mode == "agg-top-metrics":
+            from data_prepper_spark.index.filtered import (
+                match_agg_top_metrics,
+            )
+
+            out = match_agg_top_metrics(
+                s, q, args.sort_field, (args.fields or "").split(","),
+                k=args.k, ascending=args.asc, filters=filters,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "top_metrics",
+                              "rows": [[str(x) for x in r] for r in out]}))
+            continue
+        elif mode == "agg-sampler":
+            from data_prepper_spark.index.filtered import match_agg_sampler
+
+            out = match_agg_sampler(
+                s, q, args.sample_size, args.agg_field, filters=filters,
+                diversify_field=args.key_field,
+                max_per_value=args.max_per_value,
+                distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "sampler",
+                              "result": out}))
+            continue
         elif mode == "agg-matrix-stats":
             from data_prepper_spark.index.filtered import (
                 match_agg_matrix_stats,
@@ -781,6 +893,10 @@ def main() -> None:
                              "span-first", "span-near", "span-not",
                              "span-or", "span-containing", "span-within",
                              "match-bool-prefix", "constant-score", "ids",
+                             "suggest-phrase", "geo-distance", "geo-bbox",
+                             "agg-geo", "agg-geotile", "ip-cidr",
+                             "agg-boxplot", "agg-string-stats",
+                             "agg-top-metrics", "agg-sampler",
                              "suggest-completion",
                              "agg-matrix-stats", "agg-mad",
                              "agg-adjacency", "significant-text"],
@@ -846,6 +962,20 @@ def main() -> None:
                     help="significant-text foreground sample size")
     pq.add_argument("--boost", type=float, default=1.0,
                     help="constant-score boost")
+    pq.add_argument("--center", help="lat_e6,lon_e6 for geo-distance")
+    pq.add_argument("--radius", type=float, default=1_000_000.0,
+                    help="geo-distance radius in meters")
+    pq.add_argument("--box", help="south,west,north,east microdegrees "
+                    "for geo-bbox")
+    pq.add_argument("--zoom", type=int, default=5,
+                    help="agg-geotile zoom level")
+    pq.add_argument("--lat-field", default="lat_e6")
+    pq.add_argument("--lon-field", default="lon_e6")
+    pq.add_argument("--cidr", help="IPv4 CIDR for --mode ip-cidr")
+    pq.add_argument("--max-errors", type=int, default=2,
+                    help="suggest-phrase total-edit cap")
+    pq.add_argument("--max-per-value", type=int, default=1,
+                    help="agg-sampler diversify cap (with --key-field)")
     pq.add_argument("--named-filters",
                     help="agg-adjacency buckets: name:col:op:val;name:... ")
     pq.set_defaults(fn=cmd_query)

@@ -529,3 +529,64 @@ def test_suggest_terms(spark, tiny_index, oracle_tiny):
     )[:5]
     assert alw == [(t0, u, d, -negdf) for d, negdf, u in want_alw]
     assert suggest_terms(s, t0, max_edits=2, k=5) == []  # mode=missing skips
+
+
+def test_suggest_phrase(spark, tiny_index, oracle_tiny):
+    """Phrase suggester: whole-phrase corrections match a brute python
+    oracle — per-token candidates (token@0 ∪ top-G corrections by
+    (dist, df DESC, term)), composed with 1 ≤ Σedits ≤ max_errors,
+    ranked (Σedits ASC, Πdf DESC, phrase ASC)."""
+    import itertools
+
+    from data_prepper_spark.index.boolquery import suggest_phrase
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    vocab = {t: len(d) for t, d in oracle_tiny.postings.items()}
+    G, max_edits, max_errors, k = 3, 1, 2, 5
+
+    def tok_cands(tok):
+        rows = []
+        if tok in vocab:
+            rows.append((tok, 0, vocab[tok]))
+        corr = sorted(
+            ((lev(t, tok), -df, t) for t, df in vocab.items()
+             if lev(t, tok) == 1),
+        )[:G]
+        rows.extend((t, d, -negdf) for d, negdf, t in corr)
+        return rows
+
+    for text in ("thz data", "tablz scqn", "the data"):
+        toks = text.split()
+        per_tok = [tok_cands(t) for t in toks]
+        if any(not r for r in per_tok):
+            want = []
+        else:
+            ranked = []
+            for combo in itertools.product(*per_tok):
+                total = sum(d for _, d, _ in combo)
+                if not 1 <= total <= max_errors:
+                    continue
+                prod = 1
+                for _, _, df in combo:
+                    prod *= df
+                ranked.append((total, -prod,
+                               " ".join(t for t, _, _ in combo)))
+            ranked.sort()
+            want = [(p, t, -np_) for t, np_, p in ranked[:k]]
+        got = suggest_phrase(
+            s, text, max_edits=max_edits, per_token=G,
+            max_errors=max_errors, k=k)
+        assert got == want, text
+    # an uncorrectable token → no whole-phrase suggestion
+    assert suggest_phrase(s, "zzqqxxyy data", max_edits=1) == []
