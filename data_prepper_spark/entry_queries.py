@@ -8864,6 +8864,150 @@ def sql_ft_suggest_phrase() -> str:
 """
 
 
+# percolator registered-query set over the documents vocabulary:
+# (query_id, must, should, must_not, min_should)
+PERC_SPECS: list[tuple] = [
+    (0, ["table"], [], [], 0),
+    (1, ["table", "scan"], [], [], 0),
+    (2, [], ["merge", "join", "window"], [], 2),
+    (3, ["data"], ["fast", "slow"], [], 1),
+    (4, ["query"], [], ["slow"], 0),
+    (5, ["spark"], ["spark"], [], 1),    # same term in two roles
+]
+
+
+def q_ft_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percolate query — reverse search (OpenSearch percolator:
+    "which registered queries match this document?", the alerting /
+    saved-search engine; index/percolate.py): six registered bool
+    queries evaluated against every document through ONE term equi-join
+    + ONE (doc, query) aggregation, requirements broadcast — shuffle ∝
+    term overlap, never |docs| × |queries|."""
+    from .index.percolate import percolate, queries_from_specs
+
+    q = queries_from_specs(spark, PERC_SPECS)
+    return percolate(q, _docs(spark, sf_dir))
+
+
+def sql_ft_percolate() -> str:
+    terms_vals, req_vals = [], []
+    for qid, must, should, must_not, ms in PERC_SPECS:
+        for role, ts in (("must", must), ("should", should),
+                         ("must_not", must_not)):
+            for t in sorted(set(ts)):
+                terms_vals.append(f"({qid}, '{t}', '{role}')")
+        req_vals.append(f"({qid}, {len(set(must))}, {ms})")
+    return _ft_sql_base() + f""",
+pq(query_id, term, role) AS (VALUES {", ".join(terms_vals)}),
+preq(query_id, n_must, min_should) AS (VALUES {", ".join(req_vals)}),
+dterms AS (SELECT DISTINCT doc_id, term FROM tf),
+ph AS (
+  SELECT dt.doc_id, pq.query_id,
+         sum(CASE WHEN pq.role = 'must' THEN 1 ELSE 0 END) AS must_hits,
+         sum(CASE WHEN pq.role = 'should' THEN 1 ELSE 0 END) AS should_hits,
+         sum(CASE WHEN pq.role = 'must_not' THEN 1 ELSE 0 END) AS not_hits
+  FROM dterms dt JOIN pq USING (term)
+  GROUP BY 1, 2
+)
+SELECT doc_id, query_id
+FROM ph JOIN preq USING (query_id)
+WHERE must_hits = n_must AND not_hits = 0 AND should_hits >= min_should
+"""
+
+
+def q_ft_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-relevance evaluation (OpenSearch _rank_eval;
+    index/rankeval.py): precision@k / recall@k / MRR of the engine's
+    BM25 ranking against deterministic judgments (relevant = docs
+    containing ALL query terms, the conjunctive match) — every metric
+    an exact scaled integer, so the oracle recomputes BOTH the ranking
+    AND the metric arithmetic."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from .index.rankeval import rank_eval
+    from .trainprep.textstats import tokens_array
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    docs = _docs(spark, sf_dir)
+    toks = tokens_array(F.col("text"))
+    rel_by: dict[int, list[int]] = {}
+    for qid, qtext in FT_QUERIES:
+        cond = None
+        for t in sorted(set(qtext.split())):
+            c = F.array_contains(toks, t)
+            cond = c if cond is None else (cond & c)
+        rel_by[qid] = [
+            r["doc_id"] for r in docs.filter(cond).select("doc_id").collect()
+        ]
+    rows = []
+    for rid, m in rank_eval(
+        s, FT_QUERIES, rel_by, k=FT_K, distributed=True, tie_round=4
+    ):
+        rows.append((rid, m["n_relevant"], m["hits"], m["precision_e6"],
+                     m["recall_e6"], m["first_rank"], m["mrr_e6"]))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n_relevant long, hits long, precision_e6 long, "
+        "recall_e6 long, first_rank int, mrr_e6 long",
+    )
+
+
+def sql_ft_rank_eval() -> str:
+    return _ft_sql_base() + f""",
+re_scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+re_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM re_scores
+),
+re_nq AS (SELECT query_id, count(DISTINCT term) AS n_terms FROM q GROUP BY 1),
+re_rel AS (
+  SELECT q.query_id, tf.doc_id
+  FROM q JOIN tf USING (term)
+  JOIN re_nq n ON n.query_id = q.query_id
+  GROUP BY 1, 2, n.n_terms
+  HAVING count(DISTINCT term) = n.n_terms
+),
+re_met AS (
+  SELECT n.query_id,
+         (SELECT count(*) FROM re_rel r
+          WHERE r.query_id = n.query_id)::BIGINT AS n_relevant,
+         (SELECT count(*) FROM re_ranked rk
+          JOIN re_rel r ON r.query_id = rk.query_id
+                       AND r.doc_id = rk.doc_id
+          WHERE rk.query_id = n.query_id
+            AND rk.rn <= {FT_K})::BIGINT AS hits,
+         (SELECT min(rk.rn) FROM re_ranked rk
+          JOIN re_rel r ON r.query_id = rk.query_id
+                       AND r.doc_id = rk.doc_id
+          WHERE rk.query_id = n.query_id
+            AND rk.rn <= {FT_K}) AS first_rank
+  FROM re_nq n
+)
+SELECT query_id, n_relevant, hits,
+       (hits * 1000000 // {FT_K})::BIGINT AS precision_e6,
+       (CASE WHEN n_relevant > 0
+             THEN hits * 1000000 // n_relevant END)::BIGINT AS recall_e6,
+       first_rank::INT AS first_rank,
+       (CASE WHEN first_rank IS NULL THEN 0
+             ELSE 1000000 // first_rank END)::BIGINT AS mrr_e6
+FROM re_met
+"""
+
+
 GEOTILE_ZOOM = 3
 
 
@@ -9030,6 +9174,8 @@ QUERIES = {
     "ft_agg_geo_distance": q_ft_agg_geo_distance,
     "ft_agg_geotile": q_ft_agg_geotile,
     "ft_suggest_phrase": q_ft_suggest_phrase,
+    "ft_percolate": q_ft_percolate,
+    "ft_rank_eval": q_ft_rank_eval,
     "ft_agg_adjacency_matrix": q_ft_agg_adjacency_matrix,
     "ft_agg_date_range": q_ft_agg_date_range,
     "ft_agg_rare_terms": q_ft_agg_rare_terms,
@@ -9232,6 +9378,8 @@ ORACLES = {
     "ft_agg_geo_distance": sql_ft_agg_geo_distance(),
     "ft_agg_geotile": sql_ft_agg_geotile(),
     "ft_suggest_phrase": sql_ft_suggest_phrase(),
+    "ft_percolate": sql_ft_percolate(),
+    "ft_rank_eval": sql_ft_rank_eval(),
     "ft_agg_adjacency_matrix": sql_ft_agg_adjacency_matrix(),
     "ft_agg_date_range": sql_ft_agg_date_range(),
     "ft_agg_rare_terms": sql_ft_agg_rare_terms(),
@@ -9328,12 +9476,17 @@ ORACLES = {
 # re-check pressure stays on whatever has gone longest unverified.  After
 # this round every one of the queries() entries has had a driver row.
 _DRIVER_WINDOW_R5 = [
-    # -- never driver-checked (17) --
+    # -- never driver-checked (14 of the r4 17; codec_json_array /
+    # codec_csv_out / codec_compressed are pure codec siblings of the
+    # windowed codec_newline/csv/ndjson AND were locally verified by the
+    # r4 review — they yield their slots to session-8's genuinely new
+    # kernels (haversine cogroup, Mercator bucketer, phrase composer) --
     "ft_family_bm25", "ft_live_family_bm25", "ft_agg_date_histogram",
-    "codec_newline", "codec_json_array", "codec_csv", "codec_csv_out",
-    "codec_avro", "codec_ndjson_roundtrip", "codec_compressed",
+    "codec_newline", "codec_csv",
+    "codec_avro", "codec_ndjson_roundtrip",
     "otel_spans_decode", "otel_service_map", "otel_metrics_decode",
     "otel_logs_decode", "geoip_mmdb", "select_entries", "anomaly_rcf",
+    "ft_geo_distance", "ft_agg_geotile", "ft_suggest_phrase",
     # -- session-6 aggregations (percentile_ranks / weighted_avg /
     # filters / auto_date_histogram are hist/count-fold siblings of the
     # windowed ft_agg_stats + ft_agg_pipeline — they ride on the local
