@@ -106,12 +106,19 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
                 "ip_int",
                 F.pmod(F.col("doc_id") * 2654435761, F.lit(4294967296)),
             )
+            # join field: parent = doc_id // 10 (testdata ids are
+            # sequential, so every parent is a real doc)
+            .withColumn(
+                "parent_id",
+                F.floor(F.col("doc_id") / F.lit(10)).cast("long"),
+            )
         )
         build_oneshot_text(
             spark, docs, d, cfg,
             # docvalues (filtered search + date_histogram + metric aggs)
             field_cols=("lang", "source", "n_chars", "warc_ts", "prio",
-                        "category", "lat_e6", "lon_e6", "ip_int"),
+                        "category", "lat_e6", "lon_e6", "ip_int",
+                        "parent_id"),
         )
         _INDEX_CACHE[key] = d
     return _INDEX_CACHE[key]
@@ -9008,6 +9015,152 @@ FROM re_met
 """
 
 
+def q_ft_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_child query (OpenSearch join field, score_mode=none;
+    index/filtered.py search_has_child): parent docs with ≥2 children
+    matching the child query, where parenthood is a parent-docID
+    docvalue — the distributed path IS the terms-agg fold on the parent
+    field (only (parent, count) partials cross the shuffle), with
+    live-parent membership enforced."""
+    from .index.filtered import search_has_child
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for pid, n in search_has_child(
+            s, qtext, "parent_id", k=FT_K, min_children=2,
+            distributed=True,
+        ):
+            rows.append((qid, pid, n))
+    return spark.createDataFrame(
+        rows, "query_id int, parent_id long, n_children long")
+
+
+def sql_ft_has_child() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, parent_id, n_children FROM (\n"
+            f"  SELECT (d.doc_id // 10) AS parent_id,\n"
+            f"         count(*)::BIGINT AS n_children,\n"
+            f"         row_number() OVER (ORDER BY d.doc_id // 10) AS rn\n"
+            f"  FROM documents d WHERE {_agg_match_where(qtext)}\n"
+            f"  GROUP BY 1 HAVING count(*) >= 2\n"
+            f"     AND (d.doc_id // 10) IN (SELECT doc_id FROM documents)\n"
+            f") WHERE rn <= {FT_K}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_parent query (OpenSearch join field, score_mode=none;
+    index/filtered.py search_has_parent): child docs whose PARENT
+    matches the parent query — the bounded matched-parent set restricts
+    children through their parent-docID docvalue (broadcast-in filter),
+    ranked child doc_id ASC."""
+    from .index.filtered import search_has_parent
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for child, pid in search_has_parent(
+            s, qtext, "parent_id", k=FT_K, distributed=True
+        ):
+            rows.append((qid, child, pid))
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, parent_id long")
+
+
+def sql_ft_has_parent() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, doc_id, parent_id FROM (\n"
+            f"  SELECT d.doc_id, (d.doc_id // 10) AS parent_id,\n"
+            f"         row_number() OVER (ORDER BY d.doc_id) AS rn\n"
+            f"  FROM documents d\n"
+            f"  WHERE (d.doc_id // 10) IN (\n"
+            f"    SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))\n"
+            f") WHERE rn <= {FT_K}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+# SynonymQuery reference set: (qid, groups) — qid 3 carries a fully
+# dead group (no member in the vocabulary → contributes nothing)
+SYN_QUERIES: list[tuple[int, list[list[str]]]] = [
+    (0, [["table", "scan"], ["data"]]),
+    (1, [["merge", "join", "window"]]),
+    (2, [["fast", "slow"], ["query"], ["the"]]),
+    (3, [["spark"], ["zzindex", "zzmissing"]]),
+]
+
+
+def q_ft_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonyms (Lucene SynonymQuery — what OpenSearch's
+    synonym / synonym_graph token filters emit; index/boolquery.py
+    search_synonyms): each group scores as ONE pseudo-term with
+    tf = Σ member tfs and df = MAX member df — a common synonym doesn't
+    get the inflated per-term idf·tf sum a bool-should would give it.
+    Distributed path merges + brute-scores per docID range in one
+    applyInPandas."""
+    from .index.boolquery import search_synonyms
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, groups in SYN_QUERIES:
+        hits = search_synonyms(
+            s, groups, k=FT_K, distributed=True, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_synonyms() -> str:
+    q_selects = []
+    for qid, groups in SYN_QUERIES:
+        parts = []
+        for g in groups:
+            terms = ", ".join(f"'{t}'" for t in sorted(set(g)))
+            parts.append(
+                f"SELECT ts.doc_id,\n"
+                f"  ln(1 + (s.n_docs - g.dfg + 0.5) / (g.dfg + 0.5))\n"
+                f"  * ts.tfsum * ({K1} + 1)\n"
+                f"  / (ts.tfsum + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))"
+                f" AS c\n"
+                f"FROM (SELECT doc_id, sum(tf)::BIGINT AS tfsum FROM tf\n"
+                f"      WHERE term IN ({terms}) GROUP BY 1) ts\n"
+                f"JOIN dl ON dl.doc_id = ts.doc_id\n"
+                f"CROSS JOIN (SELECT max(df) AS dfg FROM df\n"
+                f"            WHERE term IN ({terms})) g\n"
+                f"CROSS JOIN stats s\n"
+                f"WHERE g.dfg IS NOT NULL"
+            )
+        union = "\nUNION ALL\n".join(parts)
+        q_selects.append(
+            f"SELECT {qid} AS query_id, doc_id, score_r FROM (\n"
+            f"  SELECT doc_id, round(sum(c), 4) AS score_r,\n"
+            f"         row_number() OVER (ORDER BY round(sum(c), 4) DESC,\n"
+            f"                            doc_id) AS rn\n"
+            f"  FROM ({union}) GROUP BY doc_id\n"
+            f") WHERE rn <= {FT_K}"
+        )
+    full = "\nUNION ALL\n".join(q_selects)
+    return _ft_sql_base() + f"""
+{full}
+"""
+
+
 GEOTILE_ZOOM = 3
 
 
@@ -9176,6 +9329,9 @@ QUERIES = {
     "ft_suggest_phrase": q_ft_suggest_phrase,
     "ft_percolate": q_ft_percolate,
     "ft_rank_eval": q_ft_rank_eval,
+    "ft_has_child": q_ft_has_child,
+    "ft_has_parent": q_ft_has_parent,
+    "ft_synonyms": q_ft_synonyms,
     "ft_agg_adjacency_matrix": q_ft_agg_adjacency_matrix,
     "ft_agg_date_range": q_ft_agg_date_range,
     "ft_agg_rare_terms": q_ft_agg_rare_terms,
@@ -9380,6 +9536,9 @@ ORACLES = {
     "ft_suggest_phrase": sql_ft_suggest_phrase(),
     "ft_percolate": sql_ft_percolate(),
     "ft_rank_eval": sql_ft_rank_eval(),
+    "ft_has_child": sql_ft_has_child(),
+    "ft_has_parent": sql_ft_has_parent(),
+    "ft_synonyms": sql_ft_synonyms(),
     "ft_agg_adjacency_matrix": sql_ft_agg_adjacency_matrix(),
     "ft_agg_date_range": sql_ft_agg_date_range(),
     "ft_agg_rare_terms": sql_ft_agg_rare_terms(),

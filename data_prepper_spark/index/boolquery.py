@@ -443,6 +443,117 @@ def search_bool(
     return list(zip(ids_k.tolist(), sc_k.tolist()))
 
 
+def _merge_synonym_slices(slices: list, idf: float, label: str):
+    """Member TermSlices (any ranges, any duplicates) → ONE pseudo-term
+    slice: docID union, per-doc tf SUM, dl carried, the GROUP idf.
+    Block metadata is dropped — synonym scoring is brute (the blended
+    tf has no stored per-block upper bound)."""
+    union = np.unique(np.concatenate([s.doc_ids for s in slices]))
+    tfs = np.zeros(union.size, dtype=np.int64)
+    dls = np.zeros(union.size, dtype=np.int64)
+    for s in slices:
+        idx = np.searchsorted(union, s.doc_ids)
+        np.add.at(tfs, idx, s.tfs)
+        dls[idx] = s.dls
+    return TermSlice(
+        label, idf, union, tfs, dls,
+        np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32),
+    )
+
+
+def search_synonyms(
+    searcher, groups, k: int = 10, distributed: bool = False,
+    tie_round: int | None = None,
+) -> list[tuple[int, float]]:
+    """SynonymQuery scoring (Lucene SynonymQuery — what OpenSearch's
+    query-time ``synonym`` / ``synonym_graph`` analysis emits): each
+    *group* of synonymous terms scores as ONE pseudo-term — per-doc
+    tf = Σ member tfs, df = MAX member df (one idf per group, so a
+    common synonym doesn't get the inflated per-term idf·tf sum a
+    bool-should would give it), one tf-normalization per doc.  *groups*
+    is a list of term lists; a single-term group is a plain term clause;
+    a group none of whose members exist contributes nothing.  Rank:
+    (score DESC, doc_id ASC), tie_round per the oracle contract.
+
+    Scale shape: docID ranges partition docs, so the global pseudo-term
+    merge equals per-range merges — the distributed path merges + brute-
+    scores per range inside ONE applyInPandas and global-top-k's the
+    bounded per-range results, the _search_bool_distributed shape."""
+    from ..hashing import pmod
+
+    groups = [sorted(set(g)) for g in groups if g]
+    if not groups:
+        return []
+    ids = {xxh64_signed(t): t for g in groups for t in g}
+    buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in ids})
+    dfs = searcher.term_stats(ids, buckets)
+    live_groups = []   # (label, group idf, member term_ids)
+    for g in groups:
+        members = [xxh64_signed(t) for t in g if dfs.get(xxh64_signed(t), 0) > 0]
+        if not members:
+            continue
+        df_g = max(dfs[i] for i in members)
+        live_groups.append((
+            "syn:" + "|".join(g),
+            idf_value(searcher.n_docs, df_g),
+            members,
+        ))
+    if not live_groups:
+        return []
+    live_ids = {i: ids[i] for _, _, ms in live_groups for i in ms}
+    group_of = {i: gi for gi, (_, _, ms) in enumerate(live_groups)
+                for i in ms}
+    cfg, legacy, deleted = searcher.cfg, searcher.legacy_codec, searcher.deleted
+    avgdl = searcher.avgdl  # hoisted: the worker closure must not
+    #                         capture the searcher (it holds the session)
+
+    def merge_and_score(rows) -> tuple[np.ndarray, np.ndarray]:
+        from .deletes import mask_term_slice
+
+        by_group: dict[int, list] = {}
+        for row in rows:
+            tid = int(row["term_id"])
+            s = decode_slice(row, 0.0, label=live_ids[tid], legacy=legacy)
+            if deleted.size:
+                s = mask_term_slice(s, deleted)
+            by_group.setdefault(group_of[tid], []).append(s)
+        pseudo = [
+            _merge_synonym_slices(ss, live_groups[gi][1], live_groups[gi][0])
+            for gi, ss in sorted(by_group.items())
+        ]
+        return score_brute(pseudo, cfg.k1, cfg.b, avgdl)
+
+    if distributed:
+        def eval_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            i_r, s_r = merge_and_score(pdf.to_dict("records"))
+            return pd.DataFrame({"doc_id": i_r, "score": s_r})
+
+        scored = (
+            searcher._pruned_slices(list(live_ids), buckets)
+            .groupBy("range_id")
+            .applyInPandas(eval_range, schema="doc_id long, score double")
+        )
+        if tie_round is not None:
+            r = F.round(F.col("score"), tie_round)
+            ordered = scored.orderBy(r.desc(), F.asc("doc_id"))
+        else:
+            ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        out = ordered.limit(k).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in out]
+
+    rows = searcher._pruned_slice_rows(list(live_ids), buckets)
+    da, sc = merge_and_score(rows)
+    if da.size == 0:
+        return []
+    if tie_round is not None:
+        key = np.round(sc, tie_round)
+        order = np.lexsort((da, -key))[:k]
+    else:
+        da, sc = topk_select(da, sc, k)
+        return [(int(d), float(s)) for d, s in zip(da, sc)]
+    return [(int(d), float(s)) for d, s in zip(da[order], sc[order])]
+
+
 def _search_bool_distributed(
     searcher, labels, live_ids, buckets, must_ids, not_ids, scoring, idf,
     k, tie_round, after=None, should_ids=(), msm=0,

@@ -3244,6 +3244,118 @@ def _sampler_candidates_distributed(
     ]
 
 
+# ------------------------------------------------------- join-field queries
+
+def search_has_child(
+    searcher, child_query: str, parent_field: str, k: int = 10,
+    min_children: int = 1, filters=(), distributed: bool = False,
+) -> list[tuple[int, int]]:
+    """has_child query (OpenSearch join field, score_mode=none — the
+    filter-context default): parent docs with ≥ *min_children* children
+    matching *child_query*, where parenthood is a parent-docID docvalue
+    on the child.  Rank is parent doc_id ASC (constant-score rule);
+    returns (parent_doc_id, n_matching_children).  Parents must be live
+    docs (deletes honored).  Distributed mode IS the terms-agg fold on
+    the parent field — only (parent_id, count) partials cross the
+    shuffle."""
+    counts = match_agg_terms(
+        searcher, child_query, parent_field, filters, distributed)
+    if not counts:
+        return []
+    pids = np.array([int(p) for p, n in counts], dtype=np.int64)
+    ns = np.array([n for _, n in counts], dtype=np.int64)
+    keep = ns >= min_children
+    pids, ns = pids[keep], ns[keep]
+    if pids.size == 0:
+        return []
+    # parenthood requires a LIVE parent doc
+    live = _docvalues_ids(searcher)
+    m = _member(pids, live)
+    if searcher.deleted.size:
+        m &= ~_member(pids, searcher.deleted)
+    pids, ns = pids[m], ns[m]
+    order = np.argsort(pids)[:k]
+    return [(int(p), int(n)) for p, n in zip(pids[order], ns[order])]
+
+
+def _docvalues_ids(searcher) -> np.ndarray:
+    """Sorted live docIDs from the docvalues cache (or one narrow
+    docmeta scan on cache-budget overflow)."""
+    try:
+        return _docvalues(searcher).ids()
+    except _DVOverBudget:
+        ds = pads.dataset(f"{searcher.index_dir}/docmeta")
+        ids = ds.to_table(columns=["doc_id"])["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return np.sort(ids)
+
+
+def search_has_parent(
+    searcher, parent_query: str, parent_field: str, k: int = 10,
+    filters=(), distributed: bool = False,
+) -> list[tuple[int, int]]:
+    """has_parent query (OpenSearch join field, score_mode=none):
+    child docs whose PARENT matches *parent_query* — the parent match
+    set restricts children through their parent-docID docvalue.  Rank is
+    child doc_id ASC; returns (child_doc_id, parent_doc_id).  The parent
+    set is bounded by the parent query's match set (broadcast-join scale
+    shape: the 'in' filter ships the matched-parent list, the child scan
+    stays distributed)."""
+    ids, buckets = _match_query_ids(searcher, parent_query)
+    if not ids:
+        return []
+    parents = _matched_union(searcher, ids, buckets)
+    if parents.size == 0:
+        return []
+    flt = list(filters) + [(parent_field, "in", [int(p) for p in parents])]
+    if distributed:
+        meta = searcher.spark.read.parquet(
+            f"{searcher.index_dir}/docmeta"
+        ).filter(spark_filter_col(flt))
+        if searcher.deleted.size:
+            # exclude tombstones BEFORE the k-cut (bounded list)
+            meta = meta.filter(
+                ~F.col("doc_id").isin(
+                    [int(x) for x in searcher.deleted.tolist()])
+            )
+        rows = (
+            meta.select("doc_id", F.col(parent_field).alias("pid"))
+            .orderBy("doc_id")
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), int(r["pid"])) for r in rows]
+    try:
+        dv = _docvalues(searcher)
+        m = dv.mask(flt)
+        child_ids = dv.ids()[m]
+        pid = dv.np_col(parent_field)[m]
+    except _DVOverBudget:
+        searcher._dv_cache = _DV_DISABLED
+        ds = pads.dataset(f"{searcher.index_dir}/docmeta")
+        tbl = ds.to_table(columns=["doc_id", parent_field],
+                          filter=pa_filter_expr(flt))
+        child_ids = tbl["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pid = tbl[parent_field].to_numpy(zero_copy_only=False)
+    if searcher.deleted.size:
+        keep = ~_member(child_ids, searcher.deleted)
+        child_ids, pid = child_ids[keep], pid[keep]
+    order = np.argsort(child_ids)[:k]
+    return [(int(c), int(p))
+            for c, p in zip(child_ids[order], pid[order])]
+
+
+def _matched_union(searcher, ids, buckets) -> np.ndarray:
+    """Sorted matched docIDs (any-term union), deletes honored."""
+    rows = searcher._pruned_slice_rows(list(ids), buckets,
+                                       columns=_UNION_COLS)
+    matched = _union_docids_rows(rows, searcher.legacy_codec)
+    if searcher.deleted.size:
+        matched = matched[~_member(matched, searcher.deleted)]
+    return np.sort(matched)
+
+
 # ------------------------------------------------------------- ip docvalues
 
 def cidr_to_range(cidr: str) -> tuple[int, int]:

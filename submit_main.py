@@ -371,6 +371,34 @@ def cmd_query(args) -> None:
             out = suggest_completion(s, q, k=args.k)
             print(json.dumps({"prefix": q, "completions": out}))
             continue
+        elif mode == "has-child":
+            from data_prepper_spark.index.filtered import search_has_child
+
+            hits = search_has_child(
+                s, q, args.parent_field, k=args.k,
+                min_children=args.min_children, filters=filters,
+                distributed=args.distributed,
+            )
+        elif mode == "has-parent":
+            from data_prepper_spark.index.filtered import search_has_parent
+
+            hits = search_has_parent(
+                s, q, args.parent_field, k=args.k, filters=filters,
+                distributed=args.distributed,
+            )
+        elif mode == "synonyms":
+            from data_prepper_spark.index.boolquery import search_synonyms
+
+            # groups separated by ';', members by whitespace
+            groups = [grp.split() for grp in q.split(";") if grp.strip()]
+            hits = search_synonyms(
+                s, groups, k=args.k, distributed=args.distributed,
+            )
+        elif mode == "percolate":
+            raise SystemExit(
+                "percolate runs over a query table — use the library "
+                "(data_prepper_spark.index.percolate.percolate)"
+            )
         elif mode == "suggest-phrase":
             from data_prepper_spark.index.boolquery import suggest_phrase
 
@@ -897,6 +925,7 @@ def main() -> None:
                              "agg-geo", "agg-geotile", "ip-cidr",
                              "agg-boxplot", "agg-string-stats",
                              "agg-top-metrics", "agg-sampler",
+                             "has-child", "has-parent", "synonyms",
                              "suggest-completion",
                              "agg-matrix-stats", "agg-mad",
                              "agg-adjacency", "significant-text"],
@@ -976,6 +1005,9 @@ def main() -> None:
                     help="suggest-phrase total-edit cap")
     pq.add_argument("--max-per-value", type=int, default=1,
                     help="agg-sampler diversify cap (with --key-field)")
+    pq.add_argument("--parent-field", default="parent_id",
+                    help="join-field docvalue for has-child/has-parent")
+    pq.add_argument("--min-children", type=int, default=1)
     pq.add_argument("--named-filters",
                     help="agg-adjacency buckets: name:col:op:val;name:... ")
     pq.set_defaults(fn=cmd_query)

@@ -590,3 +590,63 @@ def test_suggest_phrase(spark, tiny_index, oracle_tiny):
         assert got == want, text
     # an uncorrectable token → no whole-phrase suggestion
     assert suggest_phrase(s, "zzqqxxyy data", max_edits=1) == []
+
+
+def test_search_synonyms(spark, tiny_index, oracle_tiny):
+    """SynonymQuery semantics: per group, tf = sum of member tfs, ONE
+    idf from the max member df — vs a pure-python oracle; driver ==
+    distributed; and provably different from the bool-should per-term
+    idf sum."""
+    import math
+
+    from data_prepper_spark.index.boolquery import (
+        search_bool,
+        search_synonyms,
+    )
+
+    K1, B = 1.2, 0.75
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    n = len(oracle_tiny.doc_len)
+    groups = [["spark", "query"], ["data"], ["merge", "zzznotaterm"]]
+
+    scores = {}
+    for g in groups:
+        members = [t for t in g if t in oracle_tiny.postings]
+        if not members:
+            continue
+        df_g = max(len(oracle_tiny.postings[t]) for t in members)
+        idf = math.log(1 + (n - df_g + 0.5) / (df_g + 0.5))
+        tf_by_doc = {}
+        for t in members:
+            for d, tf in oracle_tiny.postings[t].items():
+                tf_by_doc[d] = tf_by_doc.get(d, 0) + tf
+        for d, tf in tf_by_doc.items():
+            dl = oracle_tiny.doc_len[d]
+            denom = tf + K1 * (1 - B + B * dl / oracle_tiny.avgdl)
+            scores[d] = scores.get(d, 0.0) + idf * tf * (K1 + 1) / denom
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = search_synonyms(s, groups, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    import numpy as np
+
+    np.testing.assert_allclose(
+        [v for _, v in got], [v for _, v in want], rtol=1e-9)
+    dst = search_synonyms(s, groups, k=10, distributed=True, tie_round=4)
+    assert [d for d, _ in dst] == [d for d, _ in want]
+
+    # a dead group is a no-op; all-dead → empty
+    assert search_synonyms(s, [["zzz1"], ["zzz2"]]) == []
+    assert search_synonyms(
+        s, [["spark", "query"], ["data"]], k=10
+    ) == search_synonyms(
+        s, [["spark", "query", "zzz"], ["data"]], k=10
+    )
+
+    # synonym != bool-should: shared-df terms score identically only in
+    # degenerate cases; assert the SCORES differ for the blended group
+    bs = dict(search_bool(s, should=["spark", "query", "data"], k=10**6))
+    sy = dict(search_synonyms(s, [["spark", "query"], ["data"]], k=10**6))
+    diff = [d for d in sy if d in bs and abs(sy[d] - bs[d]) > 1e-9]
+    assert diff, "synonym blending should change scores vs bool-should"

@@ -66,10 +66,20 @@ def geo_index(spark, tiny_corpus_path, workdir):
                     (F.pmod(h, F.lit(LON_MOD)) - 180_000_000).cast("long"))
         .withColumn("ip_int", h.bitwiseAND(F.lit(IP_MASK)))
     )
+    # join field: parent = the smallest doc_id in the doc's hash group
+    # (a real, recomputable parent-child relation over live docs)
+    from pyspark.sql import Window
+
+    pages = (
+        pages.withColumn("grp", F.pmod(h, F.lit(37)))
+        .withColumn("parent_id", F.min(h).over(Window.partitionBy("grp")))
+        .drop("grp")
+    )
     cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8)
     build_oneshot(
         spark, pages, index_dir, cfg,
-        field_cols=("lang", "n_chars", "lat_e6", "lon_e6", "ip_int"),
+        field_cols=("lang", "n_chars", "lat_e6", "lon_e6", "ip_int",
+                    "parent_id"),
     )
     return index_dir
 
@@ -388,3 +398,61 @@ def test_family_geo_ip_folds(spark, geo_index, geo_family_root):
         assert fs.agg_t_test_paired(qtext, "n_chars", "lat_e6") == (
             match_agg_t_test_paired(s1, qtext, "n_chars", "lat_e6")
         )
+
+
+def test_has_child_has_parent(spark, geo_index, oracle_tiny,
+                              tiny_pages_pd):
+    """Join-field queries (score_mode=none): has_child (parents with
+    >= min_children matching children) and has_parent (children whose
+    parent matches) vs a brute python oracle over the recomputable
+    parent relation."""
+    from data_prepper_spark.index.filtered import (
+        search_has_child,
+        search_has_parent,
+    )
+
+    docs = [xxh64_signed(r.url)
+            for r in tiny_pages_pd.itertuples(index=False)]
+    parent = {}
+    by_grp = {}
+    for d in docs:
+        by_grp.setdefault(d % 37, []).append(d)
+    for g, members in by_grp.items():
+        p = min(members)
+        for d in members:
+            parent[d] = p
+    live = set(oracle_tiny.doc_len)
+    s = BM25Searcher(spark, geo_index)
+
+    # has_child: parents of >=2 matching children, parent must be live
+    matched = _matched(oracle_tiny, "the data")
+    counts = {}
+    for d in matched:
+        counts[parent[d]] = counts.get(parent[d], 0) + 1
+    want_hc = sorted(
+        (p, n) for p, n in counts.items() if n >= 2 and p in live
+    )[:10]
+    got = search_has_child(s, "the data", "parent_id", k=10,
+                           min_children=2)
+    assert got == want_hc
+    assert search_has_child(
+        s, "the data", "parent_id", k=10, min_children=2,
+        distributed=True,
+    ) == want_hc
+    # min_children=1 supersets min_children=2's parents
+    loose = search_has_child(s, "the data", "parent_id", k=10**6,
+                             min_children=1)
+    assert {p for p, _ in want_hc} <= {p for p, _ in loose}
+
+    # has_parent: children whose parent matches "spark index"
+    pmatch = _matched(oracle_tiny, "spark index")
+    want_hp = sorted(
+        (d, parent[d]) for d in live if parent[d] in pmatch
+    )[:15]
+    got_hp = search_has_parent(s, "spark index", "parent_id", k=15)
+    assert got_hp == want_hp
+    assert search_has_parent(
+        s, "spark index", "parent_id", k=15, distributed=True
+    ) == want_hp
+    assert search_has_child(s, "zzznotaterm", "parent_id") == []
+    assert search_has_parent(s, "zzznotaterm", "parent_id") == []
