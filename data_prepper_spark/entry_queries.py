@@ -9213,6 +9213,265 @@ def sql_ft_agg_geotile() -> str:
 """
 
 
+# ---------------- session-9 serving surfaces: span_multi, distance_feature,
+# ---------------- random_score, pinned
+
+# span_multi reference set: (qid, prefix, literal term, slop) — qid 2's
+# expansion includes the literal term itself (degenerate-overlap semantics
+# pinned); qid 3's prefix matches nothing in the vocabulary
+SPAN_MULTI_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "qu", "table", 3),
+    (1, "s", "data", 2),
+    (2, "ta", "table", 2),
+    (3, "zzzz", "data", 2),
+]
+
+
+def q_ft_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_multi query (Lucene SpanMultiTermQueryWrapper around a
+    PrefixQuery, paired with a literal clause in an unordered span_near;
+    index/phrase.py span_multi_near_topk): the prefix rewrites to its
+    concrete termdict terms (top_terms span rewrite) and a doc matches
+    when ANY expanded term occurs within slop of the literal term.  BM25
+    with tf = distinct qualifying expanded-term positions under ONE
+    shared idf over the union df.  qid 2's expansion contains the
+    literal term itself — a shared position self-matches, same as the
+    SQL ground truth.  Per-range union-key kernel: expansion width costs
+    one concat + sort, not a per-term pass."""
+    from .index.phrase import span_multi_near_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, pref, tb, slop in SPAN_MULTI_QUERIES:
+        hits = span_multi_near_topk(s, pref, tb, slop, k=FT_K, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_span_multi() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, pref, tb, slop in SPAN_MULTI_QUERIES:
+        ctes.append(
+            f"sm{qid} AS (SELECT a.doc_id, count(DISTINCT a.ord)::BIGINT AS tfp\n"
+            f"  FROM toks a JOIN toks b ON a.doc_id = b.doc_id\n"
+            f"  WHERE a.term LIKE '{pref}%' AND b.term = '{tb}'\n"
+            f"    AND abs(a.ord - b.ord) - 1 <= {slop}\n"
+            f"  GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM sm{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM sm{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM sm{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+smscores AS ({union}),
+smranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM smscores
+)
+SELECT query_id, doc_id, score_r FROM smranked WHERE rn <= {FT_K}
+"""
+    )
+
+
+# distance_feature reference set: (qid, qtext, origin, pivot, boost) on the
+# n_chars docvalue (numeric distance — datetime origins take the ns path)
+DISTFEAT_QUERIES: list[tuple[int, str, int, int, float]] = [
+    (0, "spark index", 300, 150, 2.0),
+    (1, "table scan", 1000, 400, 5.0),
+    (2, "the", 50, 25, 1.5),
+]
+
+
+def q_ft_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distance_feature query (OpenSearch ``distance_feature``;
+    index/filtered.py search_distance_feature): score = BM25 + boost ·
+    pivot / (pivot + |n_chars − origin|) — the ADDITIVE recency/
+    proximity booster, distinct from function_score's multiplicative
+    factors (a far-from-origin doc still ranks on pure relevance; the
+    factor decays, not the score).  Distributed cogroup path."""
+    from .index.filtered import search_distance_feature
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, origin, pivot, boost in DISTFEAT_QUERIES:
+        hits = search_distance_feature(
+            s, qtext, "n_chars", origin, pivot, boost, k=FT_K,
+            distributed=True, tie_round=4,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_distance_feature() -> str:
+    selects = []
+    for qid, qtext, origin, pivot, boost in DISTFEAT_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        factor = (
+            f"{boost} * {pivot}.0 / ({pivot}.0 + "
+            f"abs(d.n_chars - {origin})::DOUBLE)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) )\n"
+            f"  + any_value({factor}) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"JOIN documents d ON d.doc_id = tf.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({terms})\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+dfeat_scores AS ({union}),
+dfeat_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM dfeat_scores
+)
+SELECT query_id, doc_id, score_r FROM dfeat_ranked WHERE rn <= {FT_K}
+"""
+
+
+# random_score reference set: (qid, qtext, seed)
+RANDSCORE_QUERIES: list[tuple[int, str, str]] = [
+    (0, "spark index", "s1"),
+    (1, "the", "acorn"),
+    (2, "merge join window", "s2"),
+]
+
+
+def q_ft_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score random_score with a seed (OpenSearch;
+    index/filtered.py search_random_score): matched docs score a
+    deterministic uniform [0,1) = first 60 bits of md5(seed:doc_id) /
+    2^60 — reproducible sampling-style ranking, consistent across
+    replicas.  Distributed path computes the hash JVM-side (md5 →
+    conv(hex,16,10), whole-stage codegen) and ranks via
+    TakeOrderedAndProject — k rows per partition cross the gather."""
+    from .index.filtered import search_random_score
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, seed in RANDSCORE_QUERIES:
+        hits = search_random_score(
+            s, qtext, seed, k=FT_K, distributed=True, tie_round=6
+        )
+        rows.extend((qid, did, round(sc, 6)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_random_score() -> str:
+    selects = []
+    for qid, qtext, seed in RANDSCORE_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, d.doc_id,\n"
+            f"  ('0x' || substr(md5('{seed}:' || d.doc_id::VARCHAR), 1, 15))"
+            f"::BIGINT / 1152921504606846976.0 AS score\n"
+            f"FROM documents d\n"
+            f"WHERE {_agg_match_where(qtext)}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+rs_scores AS ({union}),
+rs_ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rn
+  FROM rs_scores
+)
+SELECT query_id, doc_id, score_r FROM rs_ranked WHERE rn <= {FT_K}
+"""
+
+
+# pinned reference set: (qid, qtext, promoted docIDs in promotion order) —
+# qid 2 carries an id absent from the corpus (skipped, as OpenSearch does)
+PINNED_QUERIES: list[tuple[int, str, list[int]]] = [
+    (0, "table scan", [7, 3, 11]),
+    (1, "spark index", [5]),
+    (2, "the", [999999999, 2]),
+]
+
+
+def q_ft_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pinned query (OpenSearch ``pinned``; index/filtered.py
+    search_pinned): promoted docIDs rank first IN THE GIVEN ORDER
+    (existence checked against docmeta, deletes honored, absent ids
+    skipped), then the organic BM25 ranking with pinned docs removed
+    fills to k.  Rank is the contract — Lucene synthesizes sentinel
+    scores above any organic score for the pinned block."""
+    from .index.filtered import search_pinned
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, pins in PINNED_QUERIES:
+        for rank, did in search_pinned(s, qtext, pins, k=FT_K, tie_round=4):
+            rows.append((qid, rank, did))
+    return spark.createDataFrame(rows, "query_id int, rank int, doc_id long")
+
+
+def sql_ft_pinned() -> str:
+    parts = []
+    for qid, qtext, pins in PINNED_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        pvals = ", ".join(f"({d}, {i})" for i, d in enumerate(pins, start=1))
+        parts.append(f"""
+pin{qid} AS (
+  SELECT v.doc_id, v.ord FROM (VALUES {pvals}) v(doc_id, ord)
+  WHERE v.doc_id IN (SELECT doc_id FROM documents)
+),
+phead{qid} AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ord)::INT AS rank FROM pin{qid}
+),
+org{qid} AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ({terms})
+    AND tf.doc_id NOT IN (SELECT doc_id FROM pin{qid})
+  GROUP BY 1
+),
+orgrk{qid} AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY round(score, 4) DESC, doc_id)::INT AS rn
+  FROM org{qid}
+)""")
+    selects = [
+        f"SELECT {qid} AS query_id, rank, doc_id FROM phead{qid}\n"
+        f"UNION ALL\n"
+        f"SELECT {qid}, (SELECT count(*) FROM pin{qid})::INT + rn, doc_id\n"
+        f"FROM orgrk{qid}\n"
+        f"WHERE (SELECT count(*) FROM pin{qid}) + rn <= {FT_K}"
+        for qid, _qtext, _pins in PINNED_QUERIES
+    ]
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + "," + ",".join(parts) + f"\n{union}\n"
+
+
 QUERIES = {
     # fulltext index engine (north star)
     "ft_token_counts": q_ft_token_counts,
@@ -9422,6 +9681,11 @@ QUERIES = {
     "ft_min_should_match": q_ft_min_should_match,
     "ft_terms_set": q_ft_terms_set,
     "ft_qs_min_should_match": q_ft_qs_min_should_match,
+    # round-5 session-9: span_multi, distance_feature, random_score, pinned
+    "ft_span_multi": q_ft_span_multi,
+    "ft_distance_feature": q_ft_distance_feature,
+    "ft_random_score": q_ft_random_score,
+    "ft_pinned": q_ft_pinned,
     # rows-only by design: sequential per-key forest state, non-relational
     "anomaly_rcf": q_anomaly_rcf,
 }
@@ -9625,6 +9889,10 @@ ORACLES = {
     "ft_min_should_match": sql_ft_min_should_match(),
     "ft_terms_set": sql_ft_terms_set(),
     "ft_qs_min_should_match": sql_ft_qs_min_should_match(),
+    "ft_span_multi": sql_ft_span_multi(),
+    "ft_distance_feature": sql_ft_distance_feature(),
+    "ft_random_score": sql_ft_random_score(),
+    "ft_pinned": sql_ft_pinned(),
 }
 
 # The driver's correctness harness checks exactly the FIRST 50 entries of

@@ -638,7 +638,15 @@ def _factor_fn(spec: dict):
       modifier ∈ {none, log1p, sqrt}: value → modifier(f · value);
     - ``{"exp_decay": {"origin": o, "scale" : s}}``: exp(ln(0.5) ·
       |value − origin| / scale) — 1.0 at the origin, 0.5 at one scale
-      away (datetime origins/scales work via int64-ns arithmetic).
+      away (datetime origins/scales work via int64-ns arithmetic);
+    - ``{"distance_feature": {"origin": o, "pivot": p, "boost": b}}``:
+      b · p / (p + |value − origin|) — OpenSearch's ``distance_feature``
+      shape (Lucene LongField#newDistanceFeatureQuery), b at the origin,
+      b/2 at one pivot away.  Additive: callers combine it with
+      ``combine="sum"`` (the query ADDS to the relevance score — it can
+      only promote near-origin docs, never zero out a match, unlike the
+      multiplicative factors above).  Datetime origin + timedelta pivot
+      measure distance in seconds via int64-ns arithmetic.
     """
     if "field_value_factor" in spec:
         p = spec["field_value_factor"]
@@ -669,6 +677,24 @@ def _factor_fn(spec: dict):
         return lambda v: np.exp(
             np.log(0.5) * np.abs(v.astype(np.float64) - o) / sc
         )
+    if "distance_feature" in spec:
+        p = spec["distance_feature"]
+        origin, pivot = p["origin"], p["pivot"]
+        boost = float(p.get("boost", 1.0))
+        if hasattr(origin, "timestamp"):  # datetime origin → ns arithmetic
+            o_ns = int(origin.timestamp() * 1e9)
+            piv_s = float(pivot.total_seconds())
+
+            def fn(v):
+                ns = v.astype("datetime64[ns]").astype(np.int64)
+                dist_s = np.abs(ns - o_ns).astype(np.float64) / 1e9
+                return boost * piv_s / (piv_s + dist_s)
+
+            return fn
+        o, piv = float(origin), float(pivot)
+        return lambda v: (
+            boost * piv / (piv + np.abs(v.astype(np.float64) - o))
+        )
     raise ValueError(f"unknown function_score spec {sorted(spec)}")
 
 
@@ -681,14 +707,20 @@ def search_function_score(
     filters=(),
     distributed: bool = False,
     tie_round: int | None = None,
+    combine: str = "multiply",
 ) -> list[tuple[int, float]]:
     """function_score (OpenSearch): final score = BM25 × factor(field
     docvalue) — field_value_factor modifiers or exponential recency
     decay.  The classic relevance-times-freshness ranking; the factor
-    multiplies AFTER the full BM25 sum, so term accumulation order stays
-    the oracle's.  Distributed mode cogroups the scored match set with
-    docvalues per docID range (the factor never sees another range)."""
+    combines AFTER the full BM25 sum, so term accumulation order stays
+    the oracle's.  combine="multiply" (default) is function_score's
+    boost_mode=multiply; combine="sum" is the additive shape
+    distance_feature uses.  Distributed mode cogroups the scored match
+    set with docvalues per docID range (the factor never sees another
+    range)."""
     _check_filters(filters)
+    if combine not in ("multiply", "sum"):
+        raise ValueError(f"unknown combine {combine!r}")
     fn = _factor_fn(spec)
     _, ids, buckets = searcher._terms_buckets(query_text)
     dfs = searcher.term_stats(ids, buckets)
@@ -701,7 +733,7 @@ def search_function_score(
     if distributed:
         return _function_score_distributed(
             searcher, ids, buckets, scoring, idf, fn, field, filters, k,
-            tie_round,
+            tie_round, combine,
         )
     meta_ids, meta_vals = _meta_ids_vals(searcher, filters, field)
     rows = searcher._pruned_slice_rows(list(ids), buckets)
@@ -726,7 +758,8 @@ def search_function_score(
         i_r, s_r = i_r[keep], s_r[keep]
         if i_r.size == 0:
             continue
-        s_r = s_r * fn(meta_vals[np.searchsorted(meta_ids, i_r)])
+        fv = fn(meta_vals[np.searchsorted(meta_ids, i_r)])
+        s_r = s_r * fv if combine == "multiply" else s_r + fv
         out_ids.append(i_r)
         out_sc.append(s_r)
     if not out_ids:
@@ -741,7 +774,8 @@ def search_function_score(
 
 
 def _function_score_distributed(
-    searcher, labels, buckets, scoring, idf, fn, field, filters, k, tie_round
+    searcher, labels, buckets, scoring, idf, fn, field, filters, k,
+    tie_round, combine="multiply",
 ):
     from .tokenize import range_id_col
 
@@ -771,7 +805,8 @@ def _function_score_distributed(
         i_r, s_r = i_r[keep], s_r[keep]
         if i_r.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
-        s_r = s_r * fn(meta_vals[np.searchsorted(meta_ids, i_r)])
+        fv = fn(meta_vals[np.searchsorted(meta_ids, i_r)])
+        s_r = s_r * fv if combine == "multiply" else s_r + fv
         return pd.DataFrame({"doc_id": i_r, "score": s_r})
 
     meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
@@ -796,6 +831,177 @@ def _function_score_distributed(
         (int(r["doc_id"]), float(r["score"]))
         for r in ordered.limit(k).collect()
     ]
+
+
+def search_distance_feature(
+    searcher,
+    query_text: str,
+    field: str,
+    origin,
+    pivot,
+    boost: float = 1.0,
+    k: int = 10,
+    filters=(),
+    distributed: bool = False,
+    tie_round: int | None = None,
+) -> list[tuple[int, float]]:
+    """distance_feature query (OpenSearch ``distance_feature``; Lucene
+    ``LongField#newDistanceFeatureQuery``): final score = BM25(query) +
+    boost · pivot / (pivot + |docvalue − origin|) — the additive
+    recency/proximity booster.  Unlike function_score's multiplicative
+    factors it can only PROMOTE near-origin docs, never zero out a
+    match, and a doc still ranks on pure relevance when it sits far from
+    the origin (the factor decays toward 0, not the score).  Datetime
+    origins take a timedelta pivot (distance in seconds via int64-ns
+    arithmetic); numeric docvalues take numeric origin/pivot.  Same
+    per-range cogroup scale path as function_score.
+
+    Reference behavior being matched: the sink's OpenSearch side serves
+    ``distance_feature`` over any date/numeric docvalues field
+    (opensearch/.../OpenSearchSink.java index mapping passthrough)."""
+    return search_function_score(
+        searcher, query_text, field,
+        {"distance_feature": {"origin": origin, "pivot": pivot,
+                              "boost": boost}},
+        k=k, filters=filters, distributed=distributed, tie_round=tie_round,
+        combine="sum",
+    )
+
+
+def _random_score_values(seed: str, doc_ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-doc uniform [0,1): the first 60 bits of
+    md5("{seed}:{doc_id}") divided by 2^60 — the exact expression both
+    DuckDB (``('0x'||substr(md5(..),1,15))::BIGINT``) and Spark
+    (``F.conv(F.substring(F.md5(..),1,15),16,10)``) compute, so the
+    driver path, the distributed path, and the oracle agree
+    bit-for-bit (value = integer / power-of-two is exact in float64)."""
+    import hashlib
+
+    return np.array(
+        [
+            int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:15], 16)
+            for d in doc_ids.tolist()
+        ],
+        dtype=np.float64,
+    ) / float(1 << 60)
+
+
+def _matched_docids_df(searcher, labels, buckets, filters):
+    """ALL matched docIDs under *filters* as a DataFrame (docID streams
+    only — no tf/dl decode): per-range match ∩ filtered-docmeta.  The
+    downstream top-k runs JVM-side (TakeOrderedAndProject keeps per-
+    partition partial top-k, so only k rows per task cross the final
+    gather)."""
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        if post_pdf.empty or meta_pdf.empty:
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = np.sort(meta_pdf["doc_id"].to_numpy(np.int64))
+        matched = matched[_member(matched, meta_ids)]
+        return pd.DataFrame({"doc_id": matched})
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(range_id_col(cfg).alias("range_id"), "doc_id")
+    return (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema="doc_id long")
+    )
+
+
+def search_random_score(
+    searcher,
+    query_text: str,
+    seed: str,
+    k: int = 10,
+    filters=(),
+    distributed: bool = False,
+    tie_round: int = 6,
+) -> list[tuple[int, float]]:
+    """function_score ``random_score`` with a seed (OpenSearch): every
+    doc matching ANY query term (and passing *filters*) scores a
+    deterministic uniform [0,1) that is a pure function of
+    (seed, doc_id) — reproducible sampling-style ranking that is
+    consistent across replicas and re-runs, which is the reason
+    OpenSearch seeds it on a field rather than RNG state.  No relevance
+    scoring at all: the posting decode touches only docID streams.
+
+    Distributed mode computes the hash JVM-side (md5 → first 60 bits /
+    2^60, whole-stage-codegen expressions, no Python in the hot path)
+    over the per-range match sets; orderBy().limit(k) compiles to
+    TakeOrderedAndProject, so each partition contributes at most k rows
+    to the final gather — the 10^12-doc shape."""
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+    if distributed:
+        df = _matched_docids_df(searcher, list(ids), buckets, filters)
+        sc = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"),
+                                   F.col("doc_id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            / F.lit(float(1 << 60))
+        )
+        rows = (
+            df.withColumn("score", sc)
+            .orderBy(F.round(F.col("score"), tie_round).desc(),
+                     F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+    m_ids, _ = _matched_with_cols(searcher, ids, buckets, filters, [])
+    if m_ids.size == 0:
+        return []
+    scores = _random_score_values(seed, m_ids)
+    order = np.lexsort((m_ids, -np.round(scores, tie_round)))[:k]
+    return [(int(m_ids[i]), float(scores[i])) for i in order]
+
+
+def search_pinned(
+    searcher,
+    query_text: str,
+    pinned: list[int],
+    k: int = 10,
+    tie_round: int = 4,
+) -> list[tuple[int, int]]:
+    """pinned query (OpenSearch ``pinned``): the promoted docIDs rank
+    first IN THE GIVEN ORDER — provided they exist in the index (docmeta
+    membership, deletes honored; absent ids are skipped, as OpenSearch
+    drops unknown ids) — then the organic BM25 ranking, with pinned docs
+    removed, fills the remainder up to *k*.  Returns (rank, doc_id)
+    pairs; pinned docs carry no meaningful relevance score (Lucene
+    synthesizes descending sentinel scores above any organic score), so
+    the rank IS the contract."""
+    present = {d for d, _ in search_ids(searcher, pinned, k=len(pinned))}
+    head = [int(d) for d in pinned if int(d) in present][:k]
+    organic = searcher.search(
+        query_text, k=k + len(head), distributed=False, tie_round=tie_round
+    )
+    out = list(head)
+    head_set = set(head)
+    for did, _sc in organic:
+        if len(out) >= k:
+            break
+        if did not in head_set:
+            out.append(int(did))
+    return list(enumerate(out, start=1))
 
 
 def search_terms_set(

@@ -1189,3 +1189,114 @@ def span_or_topk(
         lambda rows: _span_or_match_rows(rows, tids),
         k, tie_round, distributed, field,
     )
+
+def _span_multi_near_match_rows(
+    rows: list[dict], tids_a: list[int], tid_b: int, slop: int
+):
+    """span_multi clause inside an unordered span_near, over one
+    docID-range's slice rows: an A-occurrence is a position of ANY term
+    the wrapped multi-term query expanded to; the pair matches when some
+    B position lies in the window |pa − pb| − 1 ≤ slop (either order).
+    tf = distinct qualifying A positions, mirroring the single-term
+    span_near kernel.  Expanded terms absent from the range contribute
+    nothing (union semantics — _gather with required=False); the doc
+    universe is (∪A docs) ∩ B docs.
+
+    Vectorized exactly like the single-term kernel: all expanded terms'
+    occurrences fold into ONE sorted composite doc×position key array
+    (the tokenizer emits one token per position, so distinct terms never
+    collide on a key), and two searchsorteds over B's keys answer every
+    A-position's window test at once — expansion width costs one concat
+    + sort, not a per-term pass."""
+    g = _gather(rows, list(tids_a) + [tid_b], required=False)
+    if g is None:
+        return [], [], [], []
+    T, _none, max_pos = g
+    if tid_b not in T:
+        return [], [], [], []
+    present = [t for t in tids_a if t in T]
+    if not present:
+        return [], [], [], []
+    docs_a = np.unique(np.concatenate([T[t][0] for t in present]))
+    docs_b = np.sort(T[tid_b][0])
+    common = np.intersect1d(docs_a, docs_b, assume_unique=True)
+    if common.size == 0:
+        return [], [], [], []
+    stride = max_pos + slop + 3
+
+    def keyed(ts):
+        parts = []
+        for t in ts:
+            docs, tf, _dl, pos = T[t]
+            loc = np.searchsorted(common, docs)
+            loc_c = np.minimum(loc, common.size - 1)
+            in_common = common[loc_c] == docs
+            di = np.repeat(loc_c, tf)
+            keep = np.repeat(in_common, tf)
+            parts.append(di[keep] * stride + pos[keep])
+        return np.sort(np.concatenate(parts))
+
+    ka, kb = keyed(present), keyed([tid_b])
+    if ka.size == 0 or kb.size == 0:
+        return [], [], [], []
+    lo = np.searchsorted(kb, ka - (slop + 1), side="left")
+    hi = np.searchsorted(kb, ka + (slop + 1), side="right")
+    starts = ka[hi > lo]
+    if starts.size == 0:
+        return [], [], [], []
+    di = starts // stride
+    ps = starts % stride
+    bounds = np.flatnonzero(np.concatenate(([True], di[1:] != di[:-1])))
+    tfp = np.diff(np.append(bounds, di.size))
+    docs_out = common[di[bounds]]
+    first = ps[bounds]
+    d0, _, dl0, _ = T[tid_b]
+    o = np.argsort(d0, kind="stable")
+    dl_out = dl0[o][np.searchsorted(d0[o], docs_out)]
+    return (
+        docs_out.tolist(),
+        tfp.tolist(),
+        dl_out.tolist(),
+        first.tolist(),
+    )
+
+
+def span_multi_near_topk(
+    searcher, prefix_a: str, term_b: str, slop: int, k: int = 10,
+    tie_round: int = 4, distributed: bool = True,
+    field: str | None = None, max_expansions: int = 1024,
+) -> list[tuple[int, float]]:
+    """Top-k for a SpanMultiTermQueryWrapper clause inside an unordered
+    SpanNearQuery (Lucene ``span_multi`` wrapping a PrefixQuery, paired
+    with a single-term clause): the wrapper rewrites the prefix to its
+    concrete terms from the term dictionary (Lucene's top_terms span
+    rewrite), and a doc matches when ANY expanded term occurs within
+    *slop* intervening positions of *term_b*, either order.  BM25 with
+    tf = distinct qualifying expanded-term positions and ONE shared idf
+    over the union df — span queries score the composite span, not the
+    per-term contributions.  If the expansion happens to include
+    *term_b* itself, a shared position self-matches (|p − p| − 1 < 0 ≤
+    slop) — same degenerate-overlap semantics the SQL ground truth
+    yields.  Same two-pass per-range kernel + global-df shape as the
+    rest of the span family.
+
+    Reference behavior: OpenSearch ``span_multi`` in the span query DSL
+    (the sink's OpenSearch side); expansion cap mirrors
+    indices.query.bool.max_clause_count."""
+    from .boolquery import expand_prefix
+
+    terms_a = expand_prefix(searcher, prefix_a, max_expansions)
+    tb = _phrase_terms(searcher, term_b, field)
+    if len(tb) != 1:
+        raise ValueError("span_multi_near's literal clause must be one term")
+    if not terms_a:
+        return []
+    # dedupe: a merged index's termdict can carry a term once per source
+    # segment, and a duplicate tid would double-count its position keys
+    tids_a = [xxh64_signed(t) for t in sorted(set(terms_a))]
+    tid_b = xxh64_signed(tb[0])
+    return _span_topk(
+        searcher, tids_a + [tid_b],
+        lambda rows: _span_multi_near_match_rows(rows, tids_a, tid_b, slop),
+        k, tie_round, distributed, field,
+    )

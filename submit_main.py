@@ -346,6 +346,48 @@ def cmd_query(args) -> None:
                 s, ta, tb, tc, slop=args.slop, k=args.k,
                 distributed=args.distributed,
             )
+        elif mode == "span-multi":
+            from data_prepper_spark.index.phrase import span_multi_near_topk
+
+            prefix_a, tb = q.split()
+            hits = span_multi_near_topk(
+                s, prefix_a, tb, slop=args.slop, k=args.k,
+                distributed=args.distributed,
+            )
+        elif mode == "distance-feature":
+            import datetime as _dt
+
+            from data_prepper_spark.index.filtered import (
+                search_distance_feature,
+            )
+
+            try:
+                origin = float(args.origin)
+                pivot = float(args.pivot)
+            except ValueError:
+                origin = _dt.datetime.fromisoformat(args.origin)
+                pivot = _dt.timedelta(seconds=float(args.pivot))
+            hits = search_distance_feature(
+                s, q, args.agg_field, origin, pivot, boost=args.boost,
+                k=args.k, filters=filters, distributed=args.distributed,
+            )
+        elif mode == "random-score":
+            from data_prepper_spark.index.filtered import search_random_score
+
+            hits = search_random_score(
+                s, q, args.seed, k=args.k, filters=filters,
+                distributed=args.distributed,
+            )
+        elif mode == "pinned":
+            from data_prepper_spark.index.filtered import search_pinned
+
+            ranked = search_pinned(
+                s, q, [int(x) for x in args.pinned_ids.split(",")],
+                k=args.k,
+            )
+            print(json.dumps({"query": q, "pinned": args.pinned_ids,
+                              "ranks": ranked}))
+            continue
         elif mode == "match-bool-prefix":
             from data_prepper_spark.index.boolquery import (
                 search_match_bool_prefix,
@@ -928,7 +970,9 @@ def main() -> None:
                              "has-child", "has-parent", "synonyms",
                              "suggest-completion",
                              "agg-matrix-stats", "agg-mad",
-                             "agg-adjacency", "significant-text"],
+                             "agg-adjacency", "significant-text",
+                             "span-multi", "distance-feature",
+                             "random-score", "pinned"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); query-string is the full DSL "
                          "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "
@@ -1010,6 +1054,15 @@ def main() -> None:
     pq.add_argument("--min-children", type=int, default=1)
     pq.add_argument("--named-filters",
                     help="agg-adjacency buckets: name:col:op:val;name:... ")
+    pq.add_argument("--origin", help="distance-feature origin (float or "
+                    "ISO datetime matched against --agg-field docvalues)")
+    pq.add_argument("--pivot", default="1.0",
+                    help="distance-feature pivot (float; seconds when "
+                    "--origin is a datetime)")
+    pq.add_argument("--seed", default="0",
+                    help="random-score seed (deterministic per-doc hash)")
+    pq.add_argument("--pinned-ids",
+                    help="comma-separated promoted docIDs for --mode pinned")
     pq.set_defaults(fn=cmd_query)
 
     pn = sub.add_parser("bench")

@@ -1193,3 +1193,102 @@ def test_exists_missing_filters(spark, agg_index, oracle_tiny,
         s, "the data", "n_chars", filters=[("alt", "exists", None)],
         distributed=True,
     ) == st_e
+
+
+def test_distance_feature(spark, filtered_index, oracle_tiny, ts_by_doc):
+    """distance_feature: BM25 + boost·pivot/(pivot+|ts−origin|) — the
+    ADDITIVE recency booster (function_score combine="sum"), driver ==
+    distributed == python oracle (index/filtered.py
+    search_distance_feature)."""
+    from data_prepper_spark.index.filtered import search_distance_feature
+
+    s = BM25Searcher(spark, filtered_index)
+    origin = _ts(999)
+    pivot = datetime.timedelta(seconds=300)
+    boost = 2.5
+
+    def oracle_fn(qtext, k=10):
+        base = dict(oracle_tiny.topk(qtext, 10**9))
+        scores = {
+            d: sc + boost * 300.0
+            / (300.0 + abs((ts_by_doc[d] - origin).total_seconds()))
+            for d, sc in base.items()
+        }
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for qtext in ["the data", "spark index"]:
+        want = oracle_fn(qtext)
+        got = search_distance_feature(
+            s, qtext, "warc_ts", origin, pivot, boost, k=10)
+        _assert_rank_identical(got, want, qtext)
+        dst = search_distance_feature(
+            s, qtext, "warc_ts", origin, pivot, boost, k=10,
+            distributed=True)
+        assert [d for d, _ in dst] == [d for d, _ in got], qtext
+    # additive: a far-from-origin doc keeps its full BM25 score (factor
+    # → 0, never multiplies the match away); numeric origin/pivot too
+    got_num = search_distance_feature(
+        s, "the data", "warc_ts",
+        origin=float(int(origin.timestamp() * 1e9)), pivot=1.0, k=10)
+    assert got_num  # numeric path runs (ns-int docvalues vs float origin)
+
+
+def test_random_score(spark, filtered_index, oracle_tiny, ts_by_doc):
+    """random_score(seed): deterministic uniform [0,1) per matched doc —
+    pure function of (seed, doc_id), identical across driver /
+    distributed / repeated runs; filters respected (index/filtered.py
+    search_random_score)."""
+    from data_prepper_spark.index.filtered import (
+        _random_score_values,
+        search_random_score,
+    )
+
+    s = BM25Searcher(spark, filtered_index)
+    qtext, seed = "the data", "fixture-seed"
+    matched = set()
+    for t in set(tokenize(qtext)):
+        matched |= set(oracle_tiny.postings.get(t, {}))
+
+    def oracle_fn(allowed, k=10):
+        ids = np.sort(np.array(sorted(allowed), dtype=np.int64))
+        sc = _random_score_values(seed, ids)
+        order = np.lexsort((ids, -np.round(sc, 6)))[:k]
+        return [(int(ids[i]), float(sc[i])) for i in order]
+
+    want = oracle_fn(matched)
+    got = search_random_score(s, qtext, seed, k=10)
+    _assert_rank_identical(got, want, "unfiltered")
+    assert search_random_score(s, qtext, seed, k=10) == got  # reproducible
+    dst = search_random_score(s, qtext, seed, k=10, distributed=True)
+    _assert_rank_identical(dst, want, "distributed")
+    # a different seed reshuffles
+    assert [d for d, _ in search_random_score(s, qtext, "other", k=10)] \
+        != [d for d, _ in got]
+    # filters restrict the matched universe on both paths
+    flt = [("warc_ts", "<", _ts(500))]
+    allowed = {d for d in matched if ts_by_doc[d] < _ts(500)}
+    want_f = oracle_fn(allowed)
+    got_f = search_random_score(s, qtext, seed, k=10, filters=flt)
+    _assert_rank_identical(got_f, want_f, "filtered")
+    dst_f = search_random_score(s, qtext, seed, k=10, filters=flt,
+                                distributed=True)
+    _assert_rank_identical(dst_f, want_f, "filtered distributed")
+
+
+def test_pinned(spark, filtered_index):
+    """pinned query: promoted ids rank first IN GIVEN ORDER (absent ids
+    skipped), organic BM25 minus the pinned set fills to k
+    (index/filtered.py search_pinned)."""
+    from data_prepper_spark.index.filtered import search_pinned
+
+    s = BM25Searcher(spark, filtered_index)
+    organic = [d for d, _ in s.search("the data", k=20, distributed=False)]
+    assert len(organic) >= 6
+    pinned = [organic[3], 123456789, organic[0]]  # middle, absent, head
+    got = search_pinned(s, "the data", pinned, k=8)
+    want_head = [organic[3], organic[0]]
+    want_tail = [d for d in organic if d not in want_head][: 8 - 2]
+    assert got == list(enumerate(want_head + want_tail, start=1))
+    # k smaller than the pinned list truncates the promoted head itself
+    got2 = search_pinned(s, "the data", pinned, k=1)
+    assert got2 == [(1, organic[3])]

@@ -675,3 +675,53 @@ def test_span_near_not_partition(spark, pos_index):
         n_near = sum(1 for a in pa if any(abs(a - b_) - 1 <= slop for b_ in pb))
         n_not = sum(1 for a in pa if not any(abs(a - b_) - 1 <= slop for b_ in pb))
         assert n_near + n_not == len(pa)
+
+
+def _span_multi_oracle(docs, prefix, tb, slop, k1=1.2, b=0.75):
+    """Brute span_multi(prefix)-in-span_near oracle: an A position is a
+    position of ANY token starting with *prefix*; tf = distinct A
+    positions with some *tb* position within slop (either order); one
+    idf over the composite df."""
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    m = {}
+    for d, seq in toks.items():
+        pa = [i for i, t in enumerate(seq) if t.startswith(prefix)]
+        pb = [i for i, t in enumerate(seq) if t == tb]
+        c = sum(1 for a in pa if any(abs(a - bp) - 1 <= slop for bp in pb))
+        if c:
+            m[d] = c
+    if not m:
+        return []
+    idf = math.log(1 + (n - len(m) + 0.5) / (len(m) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+def test_span_multi_near_matches_brute_oracle(spark, pos_index):
+    from data_prepper_spark.index.phrase import span_multi_near_topk
+
+    s = BM25Searcher(spark, pos_index)
+    cases = [
+        ("qu", "fox", 0), ("qu", "fox", 2), ("b", "fox", 0),
+        ("d", "42", 1),          # expansion {dog, digits} near a digit
+        ("a", "quick", 3),       # wide expansion {a, and, another, at, all}
+        ("4", "42", 0),          # expansion includes tb → self-match
+        ("zz", "fox", 1),        # empty expansion → no hits
+    ]
+    for prefix, tb, slop in cases:
+        want = _span_multi_oracle(DOCS, prefix, tb, slop)
+        got = span_multi_near_topk(s, prefix, tb, slop, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], (prefix, tb, slop)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (prefix, tb, slop)
+        drv = span_multi_near_topk(s, prefix, tb, slop, k=10,
+                                   distributed=False)
+        assert [d for d, _ in drv] == [d for d, _ in got], (prefix, tb, slop)
+        assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(drv, got))
