@@ -1333,6 +1333,266 @@ def sql_ft_agg_bucket_sort() -> str:
 """
 
 
+def q_ft_agg_bucket_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_bucket / max_bucket sibling pipeline aggregations (OpenSearch;
+    index/filtered.py extremal_bucket_from_buckets): the extremal
+    per-day n_chars sum AND the bucket keys attaining it — OpenSearch
+    emits ``keys`` as a list because ties are real; one row per
+    (mode, key), keys sorted."""
+    from .index.filtered import extremal_bucket_from_buckets
+
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _day_buckets(spark, sf_dir, qtext)
+        for mode in ("min", "max"):
+            v, keys = extremal_bucket_from_buckets(day, mode)
+            for kx in keys:
+                rows.append((qid, mode, int(v), kx))
+    return spark.createDataFrame(
+        rows, "query_id int, mode string, value long, key string"
+    )
+
+
+def sql_ft_agg_bucket_extremes() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _DAY_BUCKETS_SQL.format(ts=_TS_SQL, match=_agg_match_where(qtext))
+        for mode, fn in (("min", "min"), ("max", "max")):
+            selects.append(
+                f"SELECT {qid} AS query_id, '{mode}' AS mode,\n"
+                f"       sum_v AS value, bucket AS key\n"
+                f"FROM ({day})\n"
+                f"WHERE sum_v = (SELECT {fn}(sum_v) FROM ({day}))"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+AGG_BUCKET_PCTS: tuple[float, ...] = (25.0, 50.0, 75.0, 100.0)
+
+
+def q_ft_agg_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentiles_bucket sibling pipeline aggregation (OpenSearch;
+    index/filtered.py percentiles_bucket_from_buckets): nearest-rank
+    percentiles OF the per-day n_chars sums — 1-based rank
+    ceil(p/100·n), the same deterministic rule as the percentiles
+    aggregation (OpenSearch interpolates; nearest-rank is
+    SQL-pinnable)."""
+    from .index.filtered import percentiles_bucket_from_buckets
+
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for p, v in percentiles_bucket_from_buckets(
+            _day_buckets(spark, sf_dir, qtext), AGG_BUCKET_PCTS
+        ):
+            rows.append((qid, float(p), int(v)))
+    return spark.createDataFrame(
+        rows, "query_id int, pct double, value long"
+    )
+
+
+def sql_ft_agg_percentiles_bucket() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _DAY_BUCKETS_SQL.format(ts=_TS_SQL, match=_agg_match_where(qtext))
+        for p in AGG_BUCKET_PCTS:
+            selects.append(
+                f"SELECT {qid} AS query_id, CAST({p} AS DOUBLE) AS pct,\n"
+                f"       sum_v AS value FROM (\n"
+                f"  SELECT sum_v, row_number() OVER (ORDER BY sum_v) AS rk,\n"
+                f"         count(*) OVER () AS n FROM ({day}))\n"
+                f"WHERE rk = greatest(1, CAST(ceil({p} * n / 100.0) AS BIGINT))"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_extended_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extended_stats_bucket sibling pipeline aggregation (OpenSearch;
+    index/filtered.py extended_stats_bucket_from_buckets): count / sum /
+    min / max / sum_of_squares / population variance OF the per-day
+    n_chars sums, exact integer arithmetic — variance as a scaled int
+    ((n·Σs² − (Σs)²)·10⁴ // n², HUGEINT-exact in the oracle)."""
+    from .index.filtered import extended_stats_bucket_from_buckets
+
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        st = extended_stats_bucket_from_buckets(
+            _day_buckets(spark, sf_dir, qtext)
+        )
+        rows.append((
+            qid, st["n_buckets"], int(st["sum"]), int(st["min"]),
+            int(st["max"]), int(st["sum_sq"]), int(st["var_e4"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, n_buckets long, sum_b long, min_b long, max_b long,"
+        " sum_sq long, var_e4 long",
+    )
+
+
+def sql_ft_agg_extended_stats_bucket() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _DAY_BUCKETS_SQL.format(ts=_TS_SQL, match=_agg_match_where(qtext))
+        selects.append(
+            f"SELECT {qid} AS query_id, count(*)::BIGINT AS n_buckets,\n"
+            f"       sum(sum_v)::BIGINT AS sum_b, min(sum_v)::BIGINT AS min_b,\n"
+            f"       max(sum_v)::BIGINT AS max_b,\n"
+            f"       sum(sum_v * sum_v)::BIGINT AS sum_sq,\n"
+            f"       ((count(*) * sum(sum_v * sum_v) - sum(sum_v) * sum(sum_v))\n"
+            f"        * 10000 // (count(*) * count(*)))::BIGINT AS var_e4\n"
+            f"FROM ({day})"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize pipeline aggregation (OpenSearch; index/filtered.py
+    normalize_from_buckets): per day bucket, the n_chars sum rescaled as
+    percent_of_sum AND rescale_0_1, both exact scaled integers ·10⁶
+    (rescale NULL when max == min — OpenSearch skips the value)."""
+    from .index.filtered import normalize_from_buckets
+
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _day_buckets(spark, sf_dir, qtext)
+        ps = normalize_from_buckets(day, "percent_of_sum")
+        rs = normalize_from_buckets(day, "rescale_0_1")
+        for (b, n, sv, p6), (_b2, _n2, _s2, r6) in zip(ps, rs):
+            rows.append((
+                qid, str(b), int(n), int(sv), int(p6),
+                None if r6 is None else int(r6),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, bucket string, n long, sum_v long, pct_e6 long,"
+        " rescale_e6 long",
+    )
+
+
+def sql_ft_agg_normalize() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _DAY_BUCKETS_SQL.format(ts=_TS_SQL, match=_agg_match_where(qtext))
+        selects.append(
+            f"SELECT {qid} AS query_id, bucket, n, sum_v,\n"
+            f"       (sum_v * 1000000 // sum(sum_v) OVER ())::BIGINT AS pct_e6,\n"
+            f"       CASE WHEN max(sum_v) OVER () = min(sum_v) OVER () THEN NULL\n"
+            f"            ELSE ((sum_v - min(sum_v) OVER ()) * 1000000\n"
+            f"                  // (max(sum_v) OVER () - min(sum_v) OVER ()))\n"
+            f"       END::BIGINT AS rescale_e6\n"
+            f"FROM ({day})"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving_percentiles pipeline aggregation (OpenSearch;
+    index/filtered.py moving_percentiles_from_buckets): per day bucket,
+    the nearest-rank MEDIAN of the trailing-3-bucket n_chars sums
+    (OpenSearch moves a t-digest; the exact variant is deterministic —
+    for a full window of 3 the median is the middle value, for shorter
+    leading windows nearest-rank picks the lower element)."""
+    from .index.filtered import moving_percentiles_from_buckets
+
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for b, n, sv, d in moving_percentiles_from_buckets(
+            _day_buckets(spark, sf_dir, qtext), window=3, percents=(50.0,)
+        ):
+            rows.append((qid, str(b), int(n), int(sv), int(d[50.0])))
+    return spark.createDataFrame(
+        rows, "query_id int, bucket string, n long, sum_v long, p50 long"
+    )
+
+
+def sql_ft_agg_moving_percentiles() -> str:
+    # trailing window of ≤3 sums; nearest-rank median = middle of 3,
+    # lower of 2, the single element of 1 — expressible with lag()
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        day = _DAY_BUCKETS_SQL.format(ts=_TS_SQL, match=_agg_match_where(qtext))
+        selects.append(
+            f"SELECT {qid} AS query_id, bucket, n, sum_v,\n"
+            f"       (CASE WHEN l2 IS NOT NULL\n"
+            f"             THEN sum_v + l1 + l2 - greatest(sum_v, l1, l2)\n"
+            f"                  - least(sum_v, l1, l2)\n"
+            f"             WHEN l1 IS NOT NULL THEN least(sum_v, l1)\n"
+            f"             ELSE sum_v END)::BIGINT AS p50\n"
+            f"FROM (SELECT bucket, n, sum_v,\n"
+            f"             lag(sum_v, 1) OVER (ORDER BY bucket) AS l1,\n"
+            f"             lag(sum_v, 2) OVER (ORDER BY bucket) AS l2\n"
+            f"      FROM ({day}))"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
+def q_ft_agg_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumulative_cardinality pipeline aggregation (OpenSearch;
+    index/filtered.py match_agg_cumulative_cardinality): per day bucket
+    of the match set, the DISTINCT n_chars values seen up to and
+    including that bucket — exact first-bucket attribution + running
+    accumulation (OpenSearch folds HLL sketches; the exact variant is
+    deterministic).  Distributed: only per-range DISTINCT (bucket,
+    value) pairs cross the shuffle — bucket count × field cardinality,
+    never match count."""
+    from .index.filtered import match_agg_cumulative_cardinality
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for b, c in match_agg_cumulative_cardinality(
+            s, qtext, "warc_ts", "day", "n_chars", distributed=True
+        ):
+            rows.append((qid, str(b), int(c)))
+    return spark.createDataFrame(
+        rows, "query_id int, bucket string, cum_card long"
+    )
+
+
+def sql_ft_agg_cumulative_cardinality() -> str:
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        match = _agg_match_where(qtext)
+        pairs = (
+            f"SELECT strftime(date_trunc('day', {_TS_SQL}), '%Y-%m-%d')"
+            f" AS bucket, d.n_chars AS v\n"
+            f"      FROM documents d WHERE {match}"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, bucket, cum_card FROM (\n"
+            f"  SELECT bl.bucket,\n"
+            f"         sum(coalesce(nc.c, 0)) OVER (ORDER BY bl.bucket)"
+            f"::BIGINT AS cum_card\n"
+            f"  FROM (SELECT DISTINCT bucket FROM ({pairs})) bl\n"
+            f"  LEFT JOIN (\n"
+            f"    SELECT bucket, count(*)::BIGINT AS c FROM (\n"
+            f"      SELECT v, min(bucket) AS bucket FROM ({pairs})\n"
+            f"      GROUP BY v) f\n"
+            f"    GROUP BY bucket) nc\n"
+            f"  ON bl.bucket = nc.bucket)"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f"""
+{union}
+"""
+
+
 AGG_PCT_RANK_PROBES: tuple[int, ...] = (150, 300, 450)
 
 
@@ -9686,6 +9946,13 @@ QUERIES = {
     "ft_distance_feature": q_ft_distance_feature,
     "ft_random_score": q_ft_random_score,
     "ft_pinned": q_ft_pinned,
+    # round-5 session-9: pipeline/sibling aggregation completions
+    "ft_agg_bucket_extremes": q_ft_agg_bucket_extremes,
+    "ft_agg_percentiles_bucket": q_ft_agg_percentiles_bucket,
+    "ft_agg_extended_stats_bucket": q_ft_agg_extended_stats_bucket,
+    "ft_agg_normalize": q_ft_agg_normalize,
+    "ft_agg_moving_percentiles": q_ft_agg_moving_percentiles,
+    "ft_agg_cumulative_cardinality": q_ft_agg_cumulative_cardinality,
     # rows-only by design: sequential per-key forest state, non-relational
     "anomaly_rcf": q_anomaly_rcf,
 }
@@ -9893,6 +10160,12 @@ ORACLES = {
     "ft_distance_feature": sql_ft_distance_feature(),
     "ft_random_score": sql_ft_random_score(),
     "ft_pinned": sql_ft_pinned(),
+    "ft_agg_bucket_extremes": sql_ft_agg_bucket_extremes(),
+    "ft_agg_percentiles_bucket": sql_ft_agg_percentiles_bucket(),
+    "ft_agg_extended_stats_bucket": sql_ft_agg_extended_stats_bucket(),
+    "ft_agg_normalize": sql_ft_agg_normalize(),
+    "ft_agg_moving_percentiles": sql_ft_agg_moving_percentiles(),
+    "ft_agg_cumulative_cardinality": sql_ft_agg_cumulative_cardinality(),
 }
 
 # The driver's correctness harness checks exactly the FIRST 50 entries of

@@ -2405,6 +2405,233 @@ def bucket_sort_buckets(rows, min_n: int = 0, k: int = 5):
     return kept[:k]
 
 
+def extremal_bucket_from_buckets(rows, mode: str = "max"):
+    """``min_bucket`` / ``max_bucket`` sibling pipeline aggregations
+    (OpenSearch): the extremal per-bucket metric value AND the bucket
+    keys attaining it — OpenSearch emits ``keys`` as a LIST because ties
+    are real; keys come back sorted.  Scale-free: runs over the REDUCED
+    bucket list like every pipeline agg."""
+    if mode not in ("min", "max"):
+        raise ValueError(f"unknown extremal mode {mode!r}")
+    if not rows:
+        return None, []
+    sums = [int(r[2]) for r in rows]
+    ext = max(sums) if mode == "max" else min(sums)
+    keys = sorted(str(r[0]) for r, s in zip(rows, sums) if s == ext)
+    return ext, keys
+
+
+def percentiles_bucket_from_buckets(rows, percents=(25.0, 50.0, 75.0)):
+    """``percentiles_bucket`` sibling pipeline aggregation (OpenSearch):
+    nearest-rank-exact percentiles OF the parent histogram's per-bucket
+    sums — the same 1-based ceil(p/100·n) rank rule as
+    ``percentiles_from_hist`` (OpenSearch interpolates over the sorted
+    bucket values; nearest-rank is the deterministic SQL-pinnable
+    variant).  Returns (percent, value) pairs."""
+    if not rows:
+        return [(float(p), None) for p in percents]
+    sums = np.sort(np.array([int(r[2]) for r in rows], dtype=np.int64))
+    return percentiles_from_hist(
+        sums, np.ones(sums.size, dtype=np.int64), percents
+    )
+
+
+def extended_stats_bucket_from_buckets(rows) -> dict:
+    """``extended_stats_bucket`` sibling pipeline aggregation
+    (OpenSearch): count / min / max / sum / sum_of_squares / population
+    variance OF the per-bucket sums, in EXACT integer arithmetic —
+    variance emitted as a scaled integer ((n·Σs² − (Σs)²)·10⁴ // n²,
+    always ≥ 0) so engine and SQL oracle agree bit-for-bit."""
+    if not rows:
+        return {"n_buckets": 0, "sum": 0, "min": None, "max": None,
+                "sum_sq": 0, "var_e4": None}
+    sums = [int(r[2]) for r in rows]
+    n, s = len(sums), sum(sums)
+    ss = sum(v * v for v in sums)
+    return {"n_buckets": n, "sum": s, "min": min(sums), "max": max(sums),
+            "sum_sq": ss, "var_e4": ((n * ss - s * s) * 10**4) // (n * n)}
+
+
+def normalize_from_buckets(rows, method: str = "percent_of_sum"):
+    """``normalize`` pipeline aggregation (OpenSearch): per parent
+    bucket, the metric rescaled — ``percent_of_sum`` (fraction of the
+    total) or ``rescale_0_1`` ((s − min)/(max − min)) — as exact scaled
+    integers ·10⁶ with truncate-toward-zero division (the DuckDB ``//``
+    twin on negatives).  A degenerate rescale window (max == min) emits
+    None per bucket, mirroring OpenSearch's skipped value.  Returns
+    (bucket, n, sum, norm_e6) rows over the REDUCED bucket list."""
+    def _tdiv(a: int, b: int) -> int:
+        return a // b if (a >= 0) == (b > 0) else -((-a) // b) if a < 0 \
+            else -(a // -b)
+
+    sums = [int(r[2]) for r in rows]
+    if method == "percent_of_sum":
+        total = sum(sums)
+        return [
+            (r[0], r[1], s,
+             None if total == 0 else _tdiv(s * 10**6, total))
+            for r, s in zip(rows, sums)
+        ]
+    if method == "rescale_0_1":
+        if not rows:
+            return []
+        lo, hi = min(sums), max(sums)
+        return [
+            (r[0], r[1], s,
+             None if hi == lo else _tdiv((s - lo) * 10**6, hi - lo))
+            for r, s in zip(rows, sums)
+        ]
+    raise ValueError(f"unknown normalize method {method!r}")
+
+
+def moving_percentiles_from_buckets(rows, window: int = 3,
+                                    percents=(50.0,)):
+    """``moving_percentiles`` pipeline aggregation (OpenSearch): per
+    parent bucket, nearest-rank-exact percentiles of the TRAILING
+    *window* bucket sums ending at the current bucket (OpenSearch moves
+    a t-digest; the exact variant is deterministic).  Returns
+    (bucket, n, sum, {percent: value}) rows."""
+    if window < 1:
+        raise ValueError("moving_percentiles window must be >= 1")
+    sums = [int(r[2]) for r in rows]
+    out = []
+    for i, r in enumerate(rows):
+        w = np.sort(np.array(sums[max(0, i - window + 1): i + 1],
+                             dtype=np.int64))
+        pcts = percentiles_from_hist(
+            w, np.ones(w.size, dtype=np.int64), percents
+        )
+        out.append((r[0], r[1], sums[i], {p: v for p, v in pcts}))
+    return out
+
+
+def cumulative_cardinality_from_pairs(pairs, buckets_all):
+    """Exact cumulative-cardinality fold: attribute each distinct value
+    to its FIRST bucket, then accumulate new-value counts over the
+    sorted bucket list — the foldable form family serving reuses
+    (per-period distinct pairs union exactly; per-period cardinalities
+    would not)."""
+    from collections import Counter
+
+    first: dict = {}
+    for b, v in pairs:
+        if v is None:
+            continue
+        if v not in first or b < first[v]:
+            first[v] = b
+    counts = Counter(first.values())
+    out, cum = [], 0
+    for b in sorted(str(x) for x in buckets_all):
+        cum += counts.get(b, 0)
+        out.append((b, cum))
+    return out
+
+
+def _distinct_pairs_distributed(
+    searcher, labels, buckets, key_field, value_field, filters,
+    key_bucketer=None, key_type=None,
+):
+    """DISTINCT (bucket, value) pairs of the match set, plus one
+    (bucket, NULL) presence marker per bucket with ≥1 matching doc: the
+    shuffle partial for exact distinct-per-bucket aggregations — only
+    per-range DISTINCT pairs cross the Exchange (bounded by bucket
+    count × field cardinality, never match count), a global
+    ``distinct()`` removes cross-range duplicates."""
+    from .tokenize import range_id_col
+
+    cfg, legacy = searcher.cfg, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bucket": [], "v": []})
+        if post_pdf.empty or meta_pdf.empty:
+            return empty
+        matched = _union_docids_rows(post_pdf.to_dict("records"), legacy)
+        if deleted.size:
+            matched = matched[~_member(matched, deleted)]
+        meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(meta_ids)
+        meta_ids = meta_ids[order]
+        keys = meta_pdf["k"].to_numpy()[order]
+        vals = meta_pdf["v"].to_numpy()[order]
+        matched = matched[_member(matched, meta_ids)]
+        if matched.size == 0:
+            return empty
+        pos = np.searchsorted(meta_ids, matched)
+        k_matched = keys[pos]
+        if key_bucketer is not None:
+            k_matched = key_bucketer(k_matched)
+        pdf = pd.DataFrame({"bucket": k_matched, "v": vals[pos]})
+        markers = pd.DataFrame({"bucket": pdf["bucket"].unique()})
+        markers["v"] = None
+        pdf = pdf[~pd.isna(pdf["v"])].drop_duplicates()
+        return pd.concat([pdf, markers], ignore_index=True)
+
+    meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+    if filters:
+        meta = meta.filter(spark_filter_col(filters))
+    meta = meta.select(
+        range_id_col(cfg).alias("range_id"), "doc_id",
+        F.col(key_field).alias("k"), F.col(value_field).alias("v"),
+    )
+    ts = dict(meta.dtypes)
+    k_t = key_type if key_type is not None else (
+        "string" if ts["k"] == "string" else "bigint")
+    v_t = "string" if ts["v"] == "string" else "bigint" if ts["v"] in (
+        "bigint", "int", "smallint", "tinyint") else "double"
+    rows = (
+        searcher._pruned_slices(list(labels), buckets, columns=_UNION_COLS)
+        .groupBy("range_id")
+        .cogroup(meta.groupBy("range_id"))
+        .applyInPandas(eval_cog, schema=f"bucket {k_t}, v {v_t}")
+        .distinct()
+        .collect()
+    )
+    return [(r["bucket"], r["v"]) for r in rows]
+
+
+def match_agg_cumulative_cardinality(
+    searcher, query_text: str, ts_field: str, interval: str,
+    value_field: str, filters=(), distributed: bool = False,
+) -> list[tuple[str, int]]:
+    """``cumulative_cardinality`` pipeline aggregation (OpenSearch): per
+    calendar bucket of *ts_field* over the match set, the number of
+    DISTINCT *value_field* values seen in any bucket up to and
+    including this one — "accumulated new users per day".  Exact: each
+    distinct value is attributed to its first bucket and new-value
+    counts accumulate over the sorted bucket list (OpenSearch folds HLL
+    sketches; the exact variant is deterministic and SQL-pinnable).
+    NULL values don't count toward cardinality but their docs still
+    define parent buckets.  Distributed mode ships only per-range
+    DISTINCT (bucket, value) pairs across the shuffle."""
+    unit = _DATE_UNITS[interval]
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+    if distributed:
+        rows = _distinct_pairs_distributed(
+            searcher, ids, buckets, ts_field, value_field, filters,
+            key_bucketer=_date_bucketer(unit), key_type="string",
+        )
+        pairs = [(b, v) for b, v in rows if v is not None]
+        return cumulative_cardinality_from_pairs(
+            pairs, {b for b, _ in rows}
+        )
+    _, (keys, vals) = _matched_with_cols(
+        searcher, ids, buckets, filters, [ts_field, value_field]
+    )
+    if keys.size == 0:
+        return []
+    uniq_dt, inv = np.unique(
+        np.asarray(keys).astype(f"datetime64[{unit}]"), return_inverse=True
+    )
+    labels_s = np.datetime_as_string(uniq_dt)
+    mask = ~pd.isna(vals)
+    pairs = set(zip(labels_s[inv[mask]].tolist(), vals[mask].tolist()))
+    return cumulative_cardinality_from_pairs(pairs, set(labels_s.tolist()))
+
+
 def match_agg_percentile_ranks(
     searcher, query_text: str, field: str, values, filters=(),
     distributed: bool = False,

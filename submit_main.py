@@ -594,6 +594,19 @@ def cmd_query(args) -> None:
             print(json.dumps({"query": q, "agg": "significant_text",
                               "rows": out}))
             continue
+        elif mode == "agg-cumulative-cardinality":
+            from data_prepper_spark.index.filtered import (
+                match_agg_cumulative_cardinality,
+            )
+
+            out = match_agg_cumulative_cardinality(
+                s, q, args.ts_field, args.interval, args.agg_field,
+                filters=filters, distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "cumulative_cardinality",
+                              "field": args.agg_field,
+                              "buckets": [[b, c] for b, c in out]}))
+            continue
         elif mode == "agg-adjacency":
             from data_prepper_spark.index.filtered import (
                 match_agg_adjacency_matrix,
@@ -972,7 +985,8 @@ def main() -> None:
                              "agg-matrix-stats", "agg-mad",
                              "agg-adjacency", "significant-text",
                              "span-multi", "distance-feature",
-                             "random-score", "pinned"],
+                             "random-score", "pinned",
+                             "agg-cumulative-cardinality"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); query-string is the full DSL "
                          "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "
@@ -1063,6 +1077,10 @@ def main() -> None:
                     help="random-score seed (deterministic per-doc hash)")
     pq.add_argument("--pinned-ids",
                     help="comma-separated promoted docIDs for --mode pinned")
+    pq.add_argument("--ts-field", default="warc_ts",
+                    help="date docvalue for agg-cumulative-cardinality")
+    pq.add_argument("--interval", default="day",
+                    help="calendar interval for agg-cumulative-cardinality")
     pq.set_defaults(fn=cmd_query)
 
     pn = sub.add_parser("bench")

@@ -263,3 +263,97 @@ def test_auto_date_histogram(spark, agg2_index, matched_docs):
     assert match_agg_auto_date_histogram(
         s, QTEXT, "warc_ts", max_buckets=10, distributed=True
     ) == (iv, buckets)
+
+
+def test_sibling_pipeline_completions(spark, agg2_index, matched_docs):
+    """min/max_bucket (tie keys), percentiles_bucket,
+    extended_stats_bucket, normalize, moving_percentiles — pure folds
+    over the parent buckets, each vs direct arithmetic."""
+    import math
+
+    from data_prepper_spark.index.filtered import (
+        extended_stats_bucket_from_buckets,
+        extremal_bucket_from_buckets,
+        match_agg_date_histogram_stats,
+        moving_percentiles_from_buckets,
+        normalize_from_buckets,
+        percentiles_bucket_from_buckets,
+    )
+
+    s = BM25Searcher(spark, agg2_index)
+    got = match_agg_date_histogram_stats(
+        s, QTEXT, "warc_ts", "minute", "n_chars"
+    )
+    sums = [r[2] for r in got]
+    n, tot = len(sums), sum(sums)
+
+    mx, keys = extremal_bucket_from_buckets(got, "max")
+    assert mx == max(sums)
+    assert keys == sorted(str(r[0]) for r in got if r[2] == mx)
+    mn, keys_n = extremal_bucket_from_buckets(got, "min")
+    assert mn == min(sums)
+    assert keys_n == sorted(str(r[0]) for r in got if r[2] == mn)
+    with pytest.raises(ValueError):
+        extremal_bucket_from_buckets(got, "median")
+
+    ss = sorted(sums)
+    for p, v in percentiles_bucket_from_buckets(
+        got, (25.0, 50.0, 75.0, 100.0)
+    ):
+        assert v == ss[max(1, math.ceil(p / 100 * n)) - 1], p
+
+    st = extended_stats_bucket_from_buckets(got)
+    ssq = sum(v * v for v in sums)
+    assert st == {
+        "n_buckets": n, "sum": tot, "min": min(sums), "max": max(sums),
+        "sum_sq": ssq, "var_e4": ((n * ssq - tot * tot) * 10**4) // (n * n),
+    }
+
+    for _b, _cnt, sv, e6 in normalize_from_buckets(got, "percent_of_sum"):
+        assert e6 == sv * 10**6 // tot
+    lo, hi = min(sums), max(sums)
+    for _b, _cnt, sv, e6 in normalize_from_buckets(got, "rescale_0_1"):
+        assert e6 == (sv - lo) * 10**6 // (hi - lo)
+    with pytest.raises(ValueError):
+        normalize_from_buckets(got, "softmax")
+    one = [got[0]]
+    assert normalize_from_buckets(one, "rescale_0_1")[0][3] is None
+
+    mp = moving_percentiles_from_buckets(got, window=3, percents=(50.0,))
+    for i, (_b, _cnt, _sv, d) in enumerate(mp):
+        w = sorted(sums[max(0, i - 2): i + 1])
+        assert d[50.0] == w[max(1, math.ceil(0.5 * len(w))) - 1], i
+
+
+def test_cumulative_cardinality(spark, agg2_index, matched_docs):
+    """cumulative_cardinality: first-bucket attribution + accumulation
+    vs a brute per-bucket distinct-set fold; driver == distributed."""
+    from collections import Counter
+
+    from data_prepper_spark.index.filtered import (
+        match_agg_cumulative_cardinality,
+    )
+
+    s = BM25Searcher(spark, agg2_index)
+    by_bucket = {}
+    for rec in matched_docs.values():
+        b = rec["ts"].strftime("%Y-%m-%dT%H:%M")
+        by_bucket.setdefault(b, set()).add(rec["prio"])
+    first = {}
+    for b in sorted(by_bucket):
+        for v in by_bucket[b]:
+            if v not in first:
+                first[v] = b
+    cnts = Counter(first.values())
+    want, cum = [], 0
+    for b in sorted(by_bucket):
+        cum += cnts.get(b, 0)
+        want.append((b, cum))
+    got = match_agg_cumulative_cardinality(
+        s, QTEXT, "warc_ts", "minute", "prio"
+    )
+    assert got == want
+    assert want[-1][1] == len({v for vs in by_bucket.values() for v in vs})
+    assert match_agg_cumulative_cardinality(
+        s, QTEXT, "warc_ts", "minute", "prio", distributed=True
+    ) == want
