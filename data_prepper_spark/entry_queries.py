@@ -8114,6 +8114,74 @@ def sql_ft_query_string() -> str:
     return _qs_oracle_sql(QS_FT, "qs")
 
 
+SQS_FT: list[tuple[int, str]] = [
+    (0, "spark qu* | table merge"),
+    (1, '"the data" | fast^2 window -batch'),
+    (2, "quer~1 the | big small | slow"),
+    (3, 'customer value | "scan the table"~1'),
+    (4, "the | the"),               # identical groups double the score
+]
+
+
+def q_ft_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string (OpenSearch; Lucene SimpleQueryParser with
+    default_operator=AND — index/querystring.py
+    search_simple_query_string): `|`-separated OR groups of AND'd atoms,
+    `-` negating within its group; score(doc) = Σ over fully-matched
+    groups of the group's clause-score sum (the outer BooleanQuery sums
+    every matching should group, so a doc matched by two groups — or by
+    the same group written twice — sums them all).  Distributed: each
+    group folds through the same bounded per-clause frames + ONE
+    groupBy(doc_id) as query_string, then one more groupBy(doc_id).sum
+    across groups."""
+    from .index.querystring import search_simple_query_string
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qs in SQS_FT:
+        hits = search_simple_query_string(
+            s, qs, k=FT_K, tie_round=4, distributed=True
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_simple_query_string() -> str:
+    """Per-group reuse of the shared per-clause SQL: each OR group
+    renders back to classic syntax with every positive atom required
+    (clause_to_qs round-trip), gets its own CTE namespace (qid·10+gi),
+    and the outer select sums the group scores per doc."""
+    from .index.querystring import clause_to_qs, parse_simple_query_string
+
+    ctes, selects = [], []
+    for qid, qs in SQS_FT:
+        group_sels = []
+        for gi, group in enumerate(parse_simple_query_string(qs)):
+            if not any(c.occur == "must" for c in group):
+                continue
+            gq = " ".join(clause_to_qs(c) for c in group)
+            c, sel = _qs_clause_sql(qid * 10 + gi, gq)
+            ctes.extend(c)
+            group_sels.append(sel)
+        inner = "\nUNION ALL\n".join(group_sels)
+        selects.append(
+            f"SELECT {qid} AS query_id, t.doc_id, sum(t.score) AS score\n"
+            f"FROM (\n{inner}\n) t\nGROUP BY t.doc_id"
+        )
+    union_all = "\nUNION ALL\n".join(selects)
+    return _QS_SQL_BASE + ",\n" + ",\n".join(ctes) + f""",
+sqs_scores AS ({union_all}),
+sqs_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM sqs_scores
+)
+SELECT query_id, doc_id, score_r FROM sqs_ranked WHERE rn <= {FT_K}
+"""
+
+
 # minimum_should_match reference sets
 # (qid, must, should, must_not, msm) — the bool-core parameter
 MSM_QUERIES: list[tuple[int, list, list, list, int]] = [
@@ -9946,6 +10014,7 @@ QUERIES = {
     "ft_distance_feature": q_ft_distance_feature,
     "ft_random_score": q_ft_random_score,
     "ft_pinned": q_ft_pinned,
+    "ft_simple_query_string": q_ft_simple_query_string,
     # round-5 session-9: pipeline/sibling aggregation completions
     "ft_agg_bucket_extremes": q_ft_agg_bucket_extremes,
     "ft_agg_percentiles_bucket": q_ft_agg_percentiles_bucket,
@@ -10160,6 +10229,7 @@ ORACLES = {
     "ft_distance_feature": sql_ft_distance_feature(),
     "ft_random_score": sql_ft_random_score(),
     "ft_pinned": sql_ft_pinned(),
+    "ft_simple_query_string": sql_ft_simple_query_string(),
     "ft_agg_bucket_extremes": sql_ft_agg_bucket_extremes(),
     "ft_agg_percentiles_bucket": sql_ft_agg_percentiles_bucket(),
     "ft_agg_extended_stats_bucket": sql_ft_agg_extended_stats_bucket(),

@@ -934,6 +934,38 @@ class FamilySearcher:
             mavg_window=mavg_window,
         )
 
+    def agg_cumulative_cardinality(
+        self, query_text: str, ts_field: str, interval: str,
+        value_field: str, **cover,
+    ) -> list[tuple[str, int]]:
+        """cumulative_cardinality over `my-index-*`: per-period DISTINCT
+        (bucket, value) pairs UNION exactly BEFORE first-bucket
+        attribution — folding per-period cumulative counts would
+        double-count a value seen in two periods (the same reason
+        OpenSearch merges HLL sketches, not cardinalities; the exact
+        pair union is the deterministic analog)."""
+        from .filtered import (
+            cumulative_cardinality_from_pairs,
+            match_bucket_value_pairs,
+        )
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None),
+                               cover.pop("end", None))
+        pairs: set = set()
+        buckets_all: set = set()
+        for p in sel:
+            pp, bb = match_bucket_value_pairs(
+                self._searcher(p), query_text, ts_field, interval,
+                value_field, **cover,
+            )
+            pairs |= pp
+            buckets_all |= bb
+        if not buckets_all:
+            return []
+        return cumulative_cardinality_from_pairs(pairs, buckets_all)
+
     def search_distributed(
         self,
         query_text: str,

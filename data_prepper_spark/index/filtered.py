@@ -2590,6 +2590,43 @@ def _distinct_pairs_distributed(
     return [(r["bucket"], r["v"]) for r in rows]
 
 
+def match_bucket_value_pairs(
+    searcher, query_text: str, ts_field: str, interval: str,
+    value_field: str, filters=(), distributed: bool = False,
+) -> tuple[set, set]:
+    """(DISTINCT (bucket, value) pairs, all parent buckets) of the match
+    set — the foldable partial behind exact distinct-per-bucket
+    aggregations: per-period/per-range distinct pairs UNION exactly
+    (per-period cumulative counts would double-count a value seen in
+    two periods), so family serving folds these before attribution."""
+    unit = _DATE_UNITS[interval]
+    _check_filters(filters)
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return set(), set()
+    if distributed:
+        rows = _distinct_pairs_distributed(
+            searcher, ids, buckets, ts_field, value_field, filters,
+            key_bucketer=_date_bucketer(unit), key_type="string",
+        )
+        return (
+            {(b, v) for b, v in rows if v is not None},
+            {b for b, _ in rows},
+        )
+    _, (keys, vals) = _matched_with_cols(
+        searcher, ids, buckets, filters, [ts_field, value_field]
+    )
+    if keys.size == 0:
+        return set(), set()
+    uniq_dt, inv = np.unique(
+        np.asarray(keys).astype(f"datetime64[{unit}]"), return_inverse=True
+    )
+    labels_s = np.datetime_as_string(uniq_dt)
+    mask = ~pd.isna(vals)
+    pairs = set(zip(labels_s[inv[mask]].tolist(), vals[mask].tolist()))
+    return pairs, set(labels_s.tolist())
+
+
 def match_agg_cumulative_cardinality(
     searcher, query_text: str, ts_field: str, interval: str,
     value_field: str, filters=(), distributed: bool = False,
@@ -2604,32 +2641,13 @@ def match_agg_cumulative_cardinality(
     NULL values don't count toward cardinality but their docs still
     define parent buckets.  Distributed mode ships only per-range
     DISTINCT (bucket, value) pairs across the shuffle."""
-    unit = _DATE_UNITS[interval]
-    _check_filters(filters)
-    ids, buckets = _match_query_ids(searcher, query_text)
-    if not ids:
-        return []
-    if distributed:
-        rows = _distinct_pairs_distributed(
-            searcher, ids, buckets, ts_field, value_field, filters,
-            key_bucketer=_date_bucketer(unit), key_type="string",
-        )
-        pairs = [(b, v) for b, v in rows if v is not None]
-        return cumulative_cardinality_from_pairs(
-            pairs, {b for b, _ in rows}
-        )
-    _, (keys, vals) = _matched_with_cols(
-        searcher, ids, buckets, filters, [ts_field, value_field]
+    pairs, buckets_all = match_bucket_value_pairs(
+        searcher, query_text, ts_field, interval, value_field, filters,
+        distributed,
     )
-    if keys.size == 0:
+    if not buckets_all:
         return []
-    uniq_dt, inv = np.unique(
-        np.asarray(keys).astype(f"datetime64[{unit}]"), return_inverse=True
-    )
-    labels_s = np.datetime_as_string(uniq_dt)
-    mask = ~pd.isna(vals)
-    pairs = set(zip(labels_s[inv[mask]].tolist(), vals[mask].tolist()))
-    return cumulative_cardinality_from_pairs(pairs, set(labels_s.tolist()))
+    return cumulative_cardinality_from_pairs(pairs, buckets_all)
 
 
 def match_agg_percentile_ranks(

@@ -513,3 +513,128 @@ def search_query_string(
         np.add.at(total, pos_c[valid], sc[valid])
     order = np.lexsort((cand, -np.round(total, tie_round)))[:k]
     return [(int(cand[i]), float(total[i])) for i in order]
+
+
+# ------------------------------------------------- simple_query_string
+
+def parse_simple_query_string(q: str) -> list[list[Clause]]:
+    """Lucene SimpleQueryParser subset (OpenSearch
+    ``simple_query_string`` with default_operator=AND): ``|`` separates
+    OR groups; within a group every positive atom is REQUIRED and ``-``
+    negates; atoms are the classic bodies (term, prefix*, fuzzy~N,
+    "phrase"[~slop], each with an optional ^boost).  Unlike the classic
+    QueryParser, malformed syntax never raises — unparseable fragments
+    are simply dropped (SimpleQueryParser's design contract)."""
+    groups = []
+    for part in q.split("|"):
+        cls = parse_query_string(part)
+        if not cls:
+            continue
+        groups.append([
+            Clause("must_not" if c.occur == "must_not" else "must",
+                   c.kind, c.text, c.boost, c.slop, c.edits)
+            for c in cls
+        ])
+    return groups
+
+
+def clause_to_qs(c: Clause) -> str:
+    """Render a Clause back to classic query_string syntax — exact
+    round-trip through parse_query_string (the oracle generator rebuilds
+    per-group strings for the shared per-clause SQL)."""
+    sign = "-" if c.occur == "must_not" else "+"
+    if c.kind == "phrase":
+        body = f'"{c.text}"' + (f"~{c.slop}" if c.slop else "")
+    elif c.kind == "prefix":
+        body = f"{c.text}*"
+    elif c.kind == "fuzzy":
+        body = f"{c.text}~{c.edits}"
+    else:
+        body = c.text
+    boost = f"^{c.boost:g}" if c.boost != 1.0 else ""
+    return sign + body + boost
+
+
+def search_simple_query_string(
+    searcher,
+    query_string: str,
+    k: int = 10,
+    tie_round: int = 4,
+    distributed: bool = False,
+    max_expansions: int = 1024,
+) -> list[tuple[int, float]]:
+    """Top-k for a ``simple_query_string`` (OpenSearch; Lucene
+    SimpleQueryParser with default_operator=AND): ``|``-separated OR
+    groups of AND'd atoms, ``-`` negating within its group.  Lucene
+    compiles this to a BooleanQuery of per-group BooleanQueries, so
+    score(doc) = Σ over groups whose positive atoms ALL match (and
+    negated atoms none) of the group's clause-score sum — a doc matched
+    by several groups sums them all.  Per-atom scoring is identical to
+    query_string's (expansions each with their own idf, phrases BM25 on
+    phrase-tf).
+
+    Scale shape (distributed=True): each group folds through the same
+    bounded per-clause DataFrames + ONE groupBy(doc_id) as
+    query_string; groups then union into one more groupBy(doc_id).sum —
+    shuffle traffic stays bounded by match-set sizes.
+
+    Reference behavior: the sink's OpenSearch side serves
+    simple_query_string over indexed docs (OpenSearchSink.java index
+    passthrough); syntax per Lucene SimpleQueryParser."""
+    groups = parse_simple_query_string(query_string)
+    groups = [g for g in groups if any(c.occur == "must" for c in g)]
+    if not groups:
+        return []
+    if distributed:
+        frames = []
+        for g in groups:
+            pos = [c for c in g if c.occur != "must_not"]
+            neg = [c for c in g if c.occur == "must_not"]
+            d = _qs_fold(searcher, pos, neg, max_expansions)
+            if d is not None:
+                frames.append(d.select("doc_id", "score"))
+        if not frames:
+            return []
+        u = reduce(DataFrame.unionByName, frames)
+        agg = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        r = F.round(F.col("score"), tie_round)
+        out = agg.orderBy(r.desc(), F.asc("doc_id")).limit(k).collect()
+        return [(int(row["doc_id"]), float(row["score"])) for row in out]
+    folded: dict[int, float] = {}
+    for g in groups:
+        pos = [c for c in g if c.occur != "must_not"]
+        neg = [c for c in g if c.occur == "must_not"]
+        das, scs, ok = [], [], True
+        for c in pos:
+            da, sc = _clause_scores_driver(searcher, c, max_expansions)
+            if da.size == 0:
+                ok = False
+                break
+            das.append(da)
+            scs.append(sc)
+        if not ok:
+            continue
+        common = das[0]
+        for da in das[1:]:
+            common = np.intersect1d(common, da, assume_unique=True)
+            if common.size == 0:
+                break
+        for c in neg:
+            if common.size == 0:
+                break
+            nd = _clause_docs_driver(searcher, c, max_expansions)
+            if nd.size:
+                common = common[~_member(common, np.sort(nd))]
+        if common.size == 0:
+            continue
+        total = np.zeros(common.size, dtype=np.float64)
+        for da, sc in zip(das, scs):
+            total += sc[np.searchsorted(da, common)]
+        for d, s in zip(common.tolist(), total.tolist()):
+            folded[d] = folded.get(d, 0.0) + s
+    if not folded:
+        return []
+    ids = np.fromiter(folded.keys(), np.int64, len(folded))
+    sc = np.fromiter(folded.values(), np.float64, len(folded))
+    order = np.lexsort((ids, -np.round(sc, tie_round)))[:k]
+    return [(int(ids[i]), float(sc[i])) for i in order]

@@ -346,6 +346,14 @@ def cmd_query(args) -> None:
                 s, ta, tb, tc, slop=args.slop, k=args.k,
                 distributed=args.distributed,
             )
+        elif mode == "simple-query-string":
+            from data_prepper_spark.index.querystring import (
+                search_simple_query_string,
+            )
+
+            hits = search_simple_query_string(
+                s, q, k=args.k, distributed=args.distributed,
+            )
         elif mode == "span-multi":
             from data_prepper_spark.index.phrase import span_multi_near_topk
 
@@ -986,7 +994,8 @@ def main() -> None:
                              "agg-adjacency", "significant-text",
                              "span-multi", "distance-feature",
                              "random-score", "pinned",
-                             "agg-cumulative-cardinality"],
+                             "agg-cumulative-cardinality",
+                             "simple-query-string"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); query-string is the full DSL "
                          "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "

@@ -429,6 +429,21 @@ def test_family_new_aggs_equal_single_index(spark, family_root_dv,
         ) == bucket_script_from_buckets(
             [(b, n, sm) for b, n, sm, _, _ in parent_s]
         )
+        # session-9 additions: cumulative_cardinality (pair union BEFORE
+        # first-bucket attribution) + sibling folds over the folded parent
+        from data_prepper_spark.index.filtered import (
+            extremal_bucket_from_buckets,
+            match_agg_cumulative_cardinality,
+        )
+
+        assert fs.agg_cumulative_cardinality(
+            qtext, "warc_ts", "minute", "n_chars"
+        ) == match_agg_cumulative_cardinality(
+            s1, qtext, "warc_ts", "minute", "n_chars"
+        )
+        assert extremal_bucket_from_buckets(parent_f, "max") == (
+            extremal_bucket_from_buckets(parent_s, "max")
+        )
 
     # completion suggester: uncut per-period candidates fold by df sum
     from data_prepper_spark.index.boolquery import suggest_completion

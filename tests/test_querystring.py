@@ -317,3 +317,68 @@ def test_query_string_bool_route_identical(spark, qs_index):
         np.testing.assert_allclose(
             [v for _, v in a], [v for _, v in b], rtol=1e-9, err_msg=q
         )
+
+
+# ------------------------------------------------- simple_query_string
+
+def test_simple_parser_groups():
+    from data_prepper_spark.index.querystring import (
+        parse_simple_query_string,
+    )
+
+    got = parse_simple_query_string('spark qu* -batch | "the data"~2 fast^2')
+    assert got == [
+        [Clause("must", "term", "spark"),
+         Clause("must", "prefix", "qu"),
+         Clause("must_not", "term", "batch")],
+        [Clause("must", "phrase", "the data", slop=2),
+         Clause("must", "term", "fast", boost=2.0)],
+    ]
+
+
+SQS_CASES = [
+    "tok0010 tok0011 | tok0020",
+    '"of the" | tok001* -tok0015',
+    "tok0042 -of | tok0031 tok0032 | zzqq*",
+    "tok0030^3 | tok0030",            # a doc matched by both groups sums
+    "the | the",                      # identical groups double the score
+    "zzqq* | qqzz",                   # nothing matches anywhere
+]
+
+
+def test_simple_query_string_matches_oracle(spark, qs_index, oracle_tiny,
+                                            positions_by_doc):
+    """simple_query_string == Σ over fully-matched OR groups of the
+    group's clause-sum — oracle evaluates each group independently
+    (all-must semantics) with the scoring oracle that does NOT share
+    the engine's evaluation path; driver == distributed."""
+    from data_prepper_spark.index.querystring import (
+        clause_to_qs,
+        parse_simple_query_string,
+        search_simple_query_string,
+    )
+
+    s = BM25Searcher(spark, qs_index)
+    for q in SQS_CASES:
+        total = {}
+        for g in parse_simple_query_string(q):
+            if not any(c.occur == "must" for c in g):
+                continue
+            gq = " ".join(clause_to_qs(c) for c in g)
+            for d, v in _oracle_qs(oracle_tiny, positions_by_doc,
+                                   gq).items():
+                total[d] = total.get(d, 0.0) + v
+        want = _rank(total, 10)
+        got = search_simple_query_string(s, q, k=10, tie_round=TIE)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose(
+            [v for _, v in got], [v for _, v in want], rtol=1e-9,
+            err_msg=q,
+        )
+        dst = search_simple_query_string(s, q, k=10, tie_round=TIE,
+                                         distributed=True)
+        assert [d for d, _ in dst] == [d for d, _ in got], q
+        np.testing.assert_allclose(
+            [v for _, v in dst], [v for _, v in got], rtol=1e-12,
+            err_msg=q,
+        )
