@@ -2978,6 +2978,78 @@ SELECT query_id, doc_id, score_r FROM fs_ranked WHERE rn <= {FT_K}
 """
 
 
+# function_score boost_mode completion: (qid, query, mode) — multiply
+# and sum are covered by ft_function_score / ft_distance_feature; these
+# pin the other four reference modes under one fixed log1p factor
+FS_MODE_QUERIES: list[tuple[int, str, str]] = [
+    (0, "spark index", "replace"),
+    (1, "spark index", "avg"),
+    (2, "the data", "max"),
+    (3, "the data", "min"),
+]
+_FS_MODE_FACTOR = {"field_value_factor": {"factor": 0.1, "modifier": "log1p"}}
+_FS_MODE_FACTOR_SQL = "ln(1 + 0.1 * d.n_chars)"
+_FS_MODE_EXPR = {
+    "replace": "f",
+    "avg": "(s + f) / 2",
+    "max": "greatest(s, f)",
+    "min": "least(s, f)",
+}
+
+
+def q_ft_function_score_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score boost_mode variants (OpenSearch: replace / avg /
+    max / min — multiply and sum live in ft_function_score /
+    ft_distance_feature; index/filtered.py _COMBINE_MODES): the same
+    log1p(n_chars) factor folded into BM25 four different ways.
+    ``replace`` ranks the match set purely by the function (the
+    script-score shape); avg/max/min blend.  Same distributed per-range
+    cogroup path."""
+    from .index.filtered import search_function_score
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, mode in FS_MODE_QUERIES:
+        hits = search_function_score(
+            s, qtext, "n_chars", _FS_MODE_FACTOR, k=FT_K,
+            distributed=True, tie_round=4, combine=mode,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_function_score_modes() -> str:
+    selects = []
+    for qid, qtext, mode in FS_MODE_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, doc_id, {_FS_MODE_EXPR[mode]} AS score\n"
+            f"FROM (\n"
+            f"  SELECT tf.doc_id,\n"
+            f"    sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"         * tf.tf * ({K1} + 1)\n"
+            f"         / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS s,\n"
+            f"    any_value({_FS_MODE_FACTOR_SQL}) AS f\n"
+            f"  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"  JOIN documents d ON d.doc_id = tf.doc_id\n"
+            f"  CROSS JOIN stats s\n"
+            f"  WHERE tf.term IN ({terms})\n"
+            f"  GROUP BY 1)"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+fsm_scores AS ({union}),
+fsm_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM fsm_scores
+)
+SELECT query_id, doc_id, score_r FROM fsm_ranked WHERE rn <= {FT_K}
+"""
+
+
 # dis-max reference set: (qid, {field: query}, tie_breaker)
 DISMAX_QUERIES: list[tuple[int, dict, float]] = [
     (0, {"body": "spark index", "head": "spark index"}, 0.0),
@@ -3749,6 +3821,76 @@ snranked AS (
   FROM snscores
 )
 SELECT query_id, doc_id, score_r FROM snranked WHERE rn <= {FT_K}
+"""
+    )
+
+
+# ordered span_near: direction matters, so qids 2/3 are the SAME pair
+# reversed — the oracle pins that "a before b" ≠ "b before a"
+SPAN_NEAR_ORD_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "data", "query", 2),
+    (1, "merge", "join", 3),
+    (2, "scan", "table", 2),
+    (3, "table", "scan", 2),
+]
+
+
+def q_ft_span_near_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered SpanNearQuery top-k (Lucene span_near in_order=true —
+    the DSL default — index/phrase.py span_near_topk in_order=True):
+    term_b must FOLLOW term_a within slop intervening positions
+    (pa < pb ≤ pa + slop + 1), so clause order is part of the query
+    (qids 2/3 are the same pair reversed).  BM25 with tf = distinct
+    qualifying a-positions; same composite doc×position searchsorted
+    kernel as the unordered sibling with a one-sided window."""
+    from .index.phrase import span_near_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, ta, tb, slop in SPAN_NEAR_ORD_QUERIES:
+        hits = span_near_topk(s, ta, tb, slop, k=FT_K, tie_round=4,
+                              in_order=True)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_span_near_ordered() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes, selects = [], []
+    for qid, ta, tb, slop in SPAN_NEAR_ORD_QUERIES:
+        ctes.append(
+            f"sno{qid} AS (SELECT a.doc_id, count(DISTINCT a.ord)::BIGINT AS tfp\n"
+            f"  FROM toks a JOIN toks b ON a.doc_id = b.doc_id\n"
+            f"  WHERE a.term = '{ta}' AND b.term = '{tb}'\n"
+            f"    AND b.ord > a.ord AND b.ord - a.ord - 1 <= {slop}\n"
+            f"  GROUP BY 1)"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM sno{qid}) + 0.5)"
+            f" / ((SELECT count(*) FROM sno{qid}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score\n"
+            f"FROM sno{qid} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+snoscores AS ({union}),
+snoranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM snoscores
+)
+SELECT query_id, doc_id, score_r FROM snoranked WHERE rn <= {FT_K}
 """
     )
 
@@ -10015,6 +10157,8 @@ QUERIES = {
     "ft_random_score": q_ft_random_score,
     "ft_pinned": q_ft_pinned,
     "ft_simple_query_string": q_ft_simple_query_string,
+    "ft_span_near_ordered": q_ft_span_near_ordered,
+    "ft_function_score_modes": q_ft_function_score_modes,
     # round-5 session-9: pipeline/sibling aggregation completions
     "ft_agg_bucket_extremes": q_ft_agg_bucket_extremes,
     "ft_agg_percentiles_bucket": q_ft_agg_percentiles_bucket,
@@ -10230,6 +10374,8 @@ ORACLES = {
     "ft_random_score": sql_ft_random_score(),
     "ft_pinned": sql_ft_pinned(),
     "ft_simple_query_string": sql_ft_simple_query_string(),
+    "ft_span_near_ordered": sql_ft_span_near_ordered(),
+    "ft_function_score_modes": sql_ft_function_score_modes(),
     "ft_agg_bucket_extremes": sql_ft_agg_bucket_extremes(),
     "ft_agg_percentiles_bucket": sql_ft_agg_percentiles_bucket(),
     "ft_agg_extended_stats_bucket": sql_ft_agg_extended_stats_bucket(),

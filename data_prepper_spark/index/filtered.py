@@ -698,6 +698,19 @@ def _factor_fn(spec: dict):
     raise ValueError(f"unknown function_score spec {sorted(spec)}")
 
 
+# function_score boost_mode (OpenSearch): how the function value folds
+# into the BM25 relevance score.  All six reference modes; each is a
+# pure elementwise combine, identical on the driver and per-range paths.
+_COMBINE_MODES = {
+    "multiply": lambda s, fv: s * fv,
+    "sum": lambda s, fv: s + fv,
+    "replace": lambda s, fv: fv + 0.0 * s,  # keep array shape
+    "avg": lambda s, fv: (s + fv) / 2.0,
+    "max": lambda s, fv: np.maximum(s, fv),
+    "min": lambda s, fv: np.minimum(s, fv),
+}
+
+
 def search_function_score(
     searcher,
     query_text: str,
@@ -713,13 +726,14 @@ def search_function_score(
     docvalue) — field_value_factor modifiers or exponential recency
     decay.  The classic relevance-times-freshness ranking; the factor
     combines AFTER the full BM25 sum, so term accumulation order stays
-    the oracle's.  combine="multiply" (default) is function_score's
-    boost_mode=multiply; combine="sum" is the additive shape
-    distance_feature uses.  Distributed mode cogroups the scored match
-    set with docvalues per docID range (the factor never sees another
-    range)."""
+    the oracle's.  *combine* is function_score's boost_mode — all six
+    reference modes (multiply / sum / replace / avg / max / min);
+    "sum" is also the additive shape distance_feature uses, "replace"
+    drops relevance entirely (the script-score shape).  Distributed
+    mode cogroups the scored match set with docvalues per docID range
+    (the factor never sees another range)."""
     _check_filters(filters)
-    if combine not in ("multiply", "sum"):
+    if combine not in _COMBINE_MODES:
         raise ValueError(f"unknown combine {combine!r}")
     fn = _factor_fn(spec)
     _, ids, buckets = searcher._terms_buckets(query_text)
@@ -759,7 +773,7 @@ def search_function_score(
         if i_r.size == 0:
             continue
         fv = fn(meta_vals[np.searchsorted(meta_ids, i_r)])
-        s_r = s_r * fv if combine == "multiply" else s_r + fv
+        s_r = _COMBINE_MODES[combine](s_r, fv)
         out_ids.append(i_r)
         out_sc.append(s_r)
     if not out_ids:
@@ -806,7 +820,7 @@ def _function_score_distributed(
         if i_r.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
         fv = fn(meta_vals[np.searchsorted(meta_ids, i_r)])
-        s_r = s_r * fv if combine == "multiply" else s_r + fv
+        s_r = _COMBINE_MODES[combine](s_r, fv)
         return pd.DataFrame({"doc_id": i_r, "score": s_r})
 
     meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")

@@ -651,15 +651,18 @@ def _span_first_match_rows(rows: list[dict], tid: int, end: int):
 
 
 def _span_near_unordered_match_rows(
-    rows: list[dict], tid_a: int, tid_b: int, slop: int
+    rows: list[dict], tid_a: int, tid_b: int, slop: int,
+    in_order: bool = False,
 ):
-    """Unordered SpanNearQuery (two distinct single-term clauses) over
-    one docID-range's slice rows: an occurrence is a position a of term
-    A with SOME position b of term B in the window |a − b| − 1 ≤ slop
-    (the positions between the two spans, either order — Lucene's
-    in_order=false).  tf = count of distinct qualifying A-positions
-    (mirrors the ordered kernel's valid-start counting); df = matching
-    docs; BM25-scored like phrases.
+    """SpanNearQuery (two distinct single-term clauses) over one
+    docID-range's slice rows.  ``in_order=False``: an occurrence is a
+    position a of term A with SOME position b of term B in the window
+    |a − b| − 1 ≤ slop (the positions between the two spans, either
+    order).  ``in_order=True`` (Lucene's span_near DEFAULT): b must
+    FOLLOW a — the window becomes a < b ≤ a + slop + 1, so "a near b"
+    and "b near a" are different queries.  tf = count of distinct
+    qualifying A-positions (mirrors the ordered kernel's valid-start
+    counting); df = matching docs; BM25-scored like phrases.
 
     Vectorized via the same composite doc×position keys as the ordered
     kernel: with stride > max_pos + slop + 1 the window
@@ -684,7 +687,8 @@ def _span_near_unordered_match_rows(
     ka, kb = keyed(tid_a), keyed(tid_b)
     if ka.size == 0 or kb.size == 0:
         return [], [], [], []
-    lo = np.searchsorted(kb, ka - (slop + 1), side="left")
+    lo = np.searchsorted(kb, ka + 1 if in_order else ka - (slop + 1),
+                         side="left")
     hi = np.searchsorted(kb, ka + (slop + 1), side="right")
     starts = ka[hi > lo]
     if starts.size == 0:
@@ -828,13 +832,15 @@ def span_first_topk(
 def span_near_topk(
     searcher, term_a: str, term_b: str, slop: int, k: int = 10,
     tie_round: int = 4, distributed: bool = True,
-    field: str | None = None,
+    field: str | None = None, in_order: bool = False,
 ) -> list[tuple[int, float]]:
-    """Top-k for an unordered SpanNearQuery (Lucene ``span_near`` with
-    ``in_order=false``, two single-term clauses): docs where *term_a*
-    and *term_b* occur within *slop* intervening positions in EITHER
-    order (|pa − pb| − 1 ≤ slop), BM25 scored with tf = distinct
-    qualifying A-positions."""
+    """Top-k for a SpanNearQuery (Lucene ``span_near``, two single-term
+    clauses): docs where *term_a* and *term_b* occur within *slop*
+    intervening positions — in EITHER order when ``in_order=False``
+    (|pa − pb| − 1 ≤ slop), or with *term_b* FOLLOWING *term_a* when
+    ``in_order=True`` (pa < pb ≤ pa + slop + 1 — OpenSearch's span_near
+    DEFAULT, where clause order is part of the query).  BM25 scored
+    with tf = distinct qualifying A-positions."""
     ta = _phrase_terms(searcher, term_a, field)
     tb = _phrase_terms(searcher, term_b, field)
     if len(ta) != 1 or len(tb) != 1:
@@ -844,7 +850,9 @@ def span_near_topk(
     tid_a, tid_b = xxh64_signed(ta[0]), xxh64_signed(tb[0])
     return _span_topk(
         searcher, [tid_a, tid_b],
-        lambda rows: _span_near_unordered_match_rows(rows, tid_a, tid_b, slop),
+        lambda rows: _span_near_unordered_match_rows(
+            rows, tid_a, tid_b, slop, in_order
+        ),
         k, tie_round, distributed, field,
     )
 

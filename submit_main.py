@@ -314,7 +314,7 @@ def cmd_query(args) -> None:
             ta, tb = q.split()
             hits = span_near_topk(
                 s, ta, tb, slop=args.slop, k=args.k,
-                distributed=args.distributed,
+                distributed=args.distributed, in_order=args.in_order,
             )
         elif mode == "span-not":
             from data_prepper_spark.index.phrase import span_not_topk
@@ -1007,6 +1007,9 @@ def main() -> None:
                     help="span-first: match within the first N positions")
     pq.add_argument("--slop", type=int, default=2,
                     help="span-near: max intervening positions, any order")
+    pq.add_argument("--in-order", action="store_true",
+                    help="span-near: second term must FOLLOW the first "
+                    "(Lucene's span_near default)")
     pq.add_argument("--lower", help="termrange lower bound")
     pq.add_argument("--upper", help="termrange upper bound")
     pq.add_argument("--exclude-lower", action="store_true")

@@ -1292,3 +1292,47 @@ def test_pinned(spark, filtered_index):
     # k smaller than the pinned list truncates the promoted head itself
     got2 = search_pinned(s, "the data", pinned, k=1)
     assert got2 == [(1, organic[3])]
+
+
+def test_function_score_boost_modes(spark, filtered_index, oracle_tiny,
+                                    ts_by_doc):
+    """boost_mode completion (replace / avg / max / min): the decay
+    factor folds into BM25 per mode, driver == distributed == python
+    fold (index/filtered.py _COMBINE_MODES)."""
+    import math as _math
+
+    from data_prepper_spark.index.filtered import search_function_score
+
+    s = BM25Searcher(spark, filtered_index)
+    origin = _ts(999)
+    spec = {"exp_decay": {"origin": origin,
+                          "scale": datetime.timedelta(seconds=200)}}
+
+    def fv(d):
+        return _math.exp(
+            _math.log(0.5)
+            * abs((ts_by_doc[d] - origin).total_seconds()) / 200.0
+        )
+
+    folds = {
+        "replace": lambda sc, f: f,
+        "avg": lambda sc, f: (sc + f) / 2.0,
+        "max": max,
+        "min": min,
+    }
+    for mode, fold in folds.items():
+        for qtext in ["the data", "spark index"]:
+            base = dict(oracle_tiny.topk(qtext, 10**9))
+            want = sorted(
+                ((d, fold(sc, fv(d))) for d, sc in base.items()),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:10]
+            got = search_function_score(
+                s, qtext, "warc_ts", spec, k=10, combine=mode)
+            _assert_rank_identical(got, want, (mode, qtext))
+            dst = search_function_score(
+                s, qtext, "warc_ts", spec, k=10, combine=mode,
+                distributed=True)
+            assert [d for d, _ in dst] == [d for d, _ in got], (mode, qtext)
+    with pytest.raises(ValueError):
+        search_function_score(s, "the", "warc_ts", spec, combine="nope")

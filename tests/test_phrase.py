@@ -725,3 +725,51 @@ def test_span_multi_near_matches_brute_oracle(spark, pos_index):
                                    distributed=False)
         assert [d for d, _ in drv] == [d for d, _ in got], (prefix, tb, slop)
         assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(drv, got))
+
+
+def _span_near_ordered_oracle(docs, ta, tb, slop, k1=1.2, b=0.75):
+    """in_order=true: b must FOLLOW a within the window (pa < pb ≤
+    pa + slop + 1); tf = qualifying a-positions."""
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    m = {}
+    for d, seq in toks.items():
+        pa = [i for i, t in enumerate(seq) if t == ta]
+        pb = [i for i, t in enumerate(seq) if t == tb]
+        c = sum(1 for a in pa if any(a < bp <= a + slop + 1 for bp in pb))
+        if c:
+            m[d] = c
+    if not m:
+        return []
+    idf = math.log(1 + (n - len(m) + 0.5) / (len(m) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+def test_span_near_in_order_matches_brute_oracle(spark, pos_index):
+    from data_prepper_spark.index.phrase import span_near_topk
+
+    s = BM25Searcher(spark, pos_index)
+    for ta, tb, slop in [("quick", "fox", 0), ("quick", "fox", 2),
+                         ("fox", "quick", 2),   # direction now matters
+                         ("brown", "quick", 1), ("quick", "brown", 0),
+                         ("digits", "42", 0), ("42", "digits", 0)]:
+        want = _span_near_ordered_oracle(DOCS, ta, tb, slop)
+        got = span_near_topk(s, ta, tb, slop, k=10, in_order=True)
+        assert [d for d, _ in got] == [d for d, _ in want], (ta, tb, slop)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (ta, tb, slop)
+        drv = span_near_topk(s, ta, tb, slop, k=10, in_order=True,
+                             distributed=False)
+        assert [d for d, _ in drv] == [d for d, _ in got], (ta, tb, slop)
+        assert all(abs(x - y) < 1e-12 for (_, x), (_, y) in zip(drv, got))
+    # ordered is strictly a subset of unordered matches
+    un = dict(span_near_topk(s, "quick", "fox", 2, k=100))
+    od = dict(span_near_topk(s, "quick", "fox", 2, k=100, in_order=True))
+    assert set(od) <= set(un)
