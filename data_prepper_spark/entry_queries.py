@@ -7884,6 +7884,81 @@ def sql_ft_explain() -> str:
 """
 
 
+# _termvectors: (qid, query) — vectors fetched for the query's top docs
+TV_FT: list[tuple[int, str]] = [
+    (0, "spark index"),
+    (1, "merge join"),
+    (2, "customer value"),
+]
+TV_K = 3
+
+
+def q_ft_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_termvectors API, on-the-fly mode (index/highlight.py
+    term_vectors): for each query's top-TV_K docs, every term of the doc
+    with tf, 0-based first position (re-tokenized from _source — what
+    OpenSearch does when vectors aren't stored), and the term's
+    index-wide df (term_statistics=true).  The fetch is one
+    k-doc-restricted source scan; df lookups are bucket-pruned
+    termstats reads."""
+    from .index.highlight import term_vectors
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    docs = _docs(spark, sf_dir)
+    rows = []
+    for qid, qtext in TV_FT:
+        hits = s.search(qtext, k=TV_K, tie_round=4)
+        for d, t, tfv, first, dfv in term_vectors(
+            s, docs, [did for did, _ in hits]
+        ):
+            rows.append((qid, d, t, tfv, first, dfv))
+    return spark.createDataFrame(
+        rows,
+        "query_id int, doc_id long, term string, tf long, first_pos long,"
+        " df long",
+    )
+
+
+def sql_ft_term_vectors() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)"""
+    ctes, selects = [], []
+    for qid, qtext in TV_FT:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        ctes.append(
+            f"tv_s{qid} AS (SELECT tf.doc_id, sum( {_BM25_TERM} ) AS score\n"
+            f"  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"  CROSS JOIN stats s WHERE tf.term IN ({terms}) GROUP BY 1)"
+        )
+        ctes.append(
+            f"tv_t{qid} AS (SELECT doc_id FROM (\n"
+            f"  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rn\n"
+            f"  FROM tv_s{qid}) WHERE rn <= {TV_K})"
+        )
+        selects.append(
+            f"SELECT {qid} AS query_id, p.doc_id, p.term, p.tf,\n"
+            f"       p.first_pos, df.df\n"
+            f"FROM (SELECT doc_id, term, count(*)::BIGINT AS tf,\n"
+            f"             (min(ord) - 1)::BIGINT AS first_pos\n"
+            f"      FROM toks GROUP BY 1, 2) p\n"
+            f"JOIN df USING (term)\n"
+            f"WHERE p.doc_id IN (SELECT doc_id FROM tv_t{qid})"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return base + ",\n" + ",\n".join(ctes) + f"""
+{union}
+"""
+
+
 # composite aggregation: (qid, query); sources fixed (lang, source)
 COMPOSITE_FT: list[tuple[int, str]] = [
     (0, "the"),
@@ -10159,6 +10234,7 @@ QUERIES = {
     "ft_simple_query_string": q_ft_simple_query_string,
     "ft_span_near_ordered": q_ft_span_near_ordered,
     "ft_function_score_modes": q_ft_function_score_modes,
+    "ft_term_vectors": q_ft_term_vectors,
     # round-5 session-9: pipeline/sibling aggregation completions
     "ft_agg_bucket_extremes": q_ft_agg_bucket_extremes,
     "ft_agg_percentiles_bucket": q_ft_agg_percentiles_bucket,
@@ -10376,6 +10452,7 @@ ORACLES = {
     "ft_simple_query_string": sql_ft_simple_query_string(),
     "ft_span_near_ordered": sql_ft_span_near_ordered(),
     "ft_function_score_modes": sql_ft_function_score_modes(),
+    "ft_term_vectors": sql_ft_term_vectors(),
     "ft_agg_bucket_extremes": sql_ft_agg_bucket_extremes(),
     "ft_agg_percentiles_bucket": sql_ft_agg_percentiles_bucket(),
     "ft_agg_extended_stats_bucket": sql_ft_agg_extended_stats_bucket(),

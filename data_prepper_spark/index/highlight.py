@@ -93,3 +93,64 @@ def highlight_hits(
     )
     by_id = {int(r["doc_id"]): r["snippet"] for r in snip}
     return [(d, by_id[d]) for d in ids if d in by_id]
+
+
+def term_vectors(
+    searcher,
+    source_df: DataFrame,
+    doc_ids: list[int],
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    term_statistics: bool = True,
+) -> list[tuple[int, str, int, int, int]]:
+    """OpenSearch ``_termvectors`` API, on-the-fly mode: per requested
+    doc, its terms with tf and FIRST position (0-based) from a
+    re-tokenization of ``_source`` — exactly what OpenSearch does when
+    term vectors aren't stored at index time — plus each term's
+    index-wide df when *term_statistics* (the API's
+    ``term_statistics=true``).  Returns (doc_id, term, tf, first_pos,
+    df) rows sorted by (doc_id, term); absent doc ids are skipped (the
+    API returns found=false).
+
+    Scale shape: the fetch is one k-doc-restricted scan of the source
+    table (broadcastable ids, never a full scan); tokenization runs on
+    the driver over k bounded texts; df lookups hit termstats
+    bucket-pruned via term_stats.  Reference behavior: the sink's
+    OpenSearch side serves _termvectors over indexed docs
+    (OpenSearchSink.java index passthrough)."""
+    from ..hashing import pmod, xxh64_signed
+    from ..textproc import tokenize
+
+    ids = [int(d) for d in doc_ids]
+    if not ids:
+        return []
+    fetched = (
+        source_df.filter(F.col(doc_id_col).isin(ids))
+        .select(F.col(doc_id_col).alias("doc_id"), F.col(text_col))
+        .collect()
+    )
+    texts = {int(r["doc_id"]): r[text_col] for r in fetched}
+    per_doc: dict[int, dict[str, tuple[int, int]]] = {}
+    vocab: set[str] = set()
+    for d in ids:
+        if d not in texts or d in per_doc:
+            continue
+        tfs: dict[str, tuple[int, int]] = {}
+        for i, t in enumerate(tokenize(texts[d] or "")):
+            n, first = tfs.get(t, (0, i))
+            tfs[t] = (n + 1, first)
+        per_doc[d] = tfs
+        vocab |= set(tfs)
+    dfs: dict[str, int] = {}
+    if term_statistics and vocab:
+        tid_by_term = {t: xxh64_signed(t) for t in vocab}
+        tids = {tid: t for t, tid in tid_by_term.items()}
+        buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in tids})
+        stats = searcher.term_stats(tids, buckets)
+        dfs = {t: int(stats.get(tid, 0)) for t, tid in tid_by_term.items()}
+    out = []
+    for d in sorted(per_doc):
+        for t in sorted(per_doc[d]):
+            n, first = per_doc[d][t]
+            out.append((d, t, n, first, dfs.get(t, 0)))
+    return out

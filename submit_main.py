@@ -346,6 +346,16 @@ def cmd_query(args) -> None:
                 s, ta, tb, tc, slop=args.slop, k=args.k,
                 distributed=args.distributed,
             )
+        elif mode == "term-vectors":
+            from data_prepper_spark.index.highlight import term_vectors
+
+            src = _read_source(spark, args.highlight_source)
+            tv = term_vectors(s, src, [int(x) for x in q.split()])
+            print(json.dumps({"doc_ids": q, "vectors": [
+                {"doc_id": d, "term": t, "tf": tf, "first_pos": fp,
+                 "df": dfv} for d, t, tf, fp, dfv in tv
+            ]}))
+            continue
         elif mode == "simple-query-string":
             from data_prepper_spark.index.querystring import (
                 search_simple_query_string,
@@ -995,7 +1005,7 @@ def main() -> None:
                              "span-multi", "distance-feature",
                              "random-score", "pinned",
                              "agg-cumulative-cardinality",
-                             "simple-query-string"],
+                             "simple-query-string", "term-vectors"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); query-string is the full DSL "
                          "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "

@@ -57,3 +57,40 @@ def test_highlight_hits_rank_order(spark, tiny_corpus_path, tiny_index,
 def test_highlight_pattern_rejects_empty():
     with pytest.raises(ValueError):
         highlight_pattern("!!!")
+
+
+def test_term_vectors_matches_oracle(spark, tiny_corpus_path, tiny_index,
+                                     oracle_tiny, tiny_pages_pd):
+    """_termvectors on-the-fly: tf/df against the OracleIndex postings,
+    first_pos against a direct tokenization; absent ids skipped."""
+    from data_prepper_spark.hashing import xxh64_signed
+    from data_prepper_spark.index.highlight import term_vectors
+    from data_prepper_spark.index.query import BM25Searcher
+    from data_prepper_spark.textproc import extract_text, tokenize
+
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    texts = {
+        xxh64_signed(r.url): extract_text(r.html)
+        for r in tiny_pages_pd.itertuples(index=False)
+        if r.lang == "en"
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    ids = sorted(texts)[:4] + [123456789]  # + one absent id
+    got = term_vectors(s, docs, ids)
+    by_doc = {}
+    for d, t, tf, first, dfv in got:
+        by_doc.setdefault(d, {})[t] = (tf, first, dfv)
+    assert set(by_doc) == set(ids[:4])
+    for d in ids[:4]:
+        toks = tokenize(texts[d])
+        want_first = {}
+        for i, t in enumerate(toks):
+            want_first.setdefault(t, i)
+        assert set(by_doc[d]) == set(want_first)
+        for t, (tf, first, dfv) in by_doc[d].items():
+            assert tf == oracle_tiny.postings[t][d], (d, t)
+            assert first == want_first[t], (d, t)
+            assert dfv == len(oracle_tiny.postings[t]), (d, t)
