@@ -224,6 +224,29 @@ def main():
                 qlat[len(qlat) // 2] * 1000, 1
             )
 
+            # simple_query_string probe (OR groups of AND'd atoms —
+            # same term-family machinery, per-group fold + union)
+            from data_prepper_spark.index.querystring import (
+                search_simple_query_string,
+            )
+
+            sqs_probes = [
+                f"{RARE_TERMS[i % 5]} {MID_TERMS[i % 8]} | "
+                f"{qs_prefixes[i % 5]}* -{MID_TERMS[(i + 3) % 8]} | "
+                f"{RARE_TERMS[(i + 2) % 5]}"
+                for i in range(10)
+            ]
+            sqlat: list[float] = []
+            for _ in range(3):
+                for q in sqs_probes:
+                    t0 = time.perf_counter()
+                    search_simple_query_string(s1m, q, k=10)
+                    sqlat.append(time.perf_counter() - t0)
+            sqlat.sort()
+            extras["simple_qs_p50_ms"] = round(
+                sqlat[len(sqlat) // 2] * 1000, 1
+            )
+
             # filtered + sort-by-field probes need docvalues in docmeta
             # (caches built before field_cols lack them — skip gracefully;
             # a fresh driver-round build always has them)
