@@ -9949,6 +9949,143 @@ SELECT query_id, doc_id, score_r FROM rs_ranked WHERE rn <= {FT_K}
 """
 
 
+# rank_feature reference set: (qid, qtext, field, shape spec, SQL factor)
+# — the three reference shapes over the n_chars feature docvalue
+RANKFEAT_QUERIES: list[tuple[int, str, dict, str]] = [
+    (0, "spark index",
+     {"saturation": {"pivot": 2000}, "boost": 2.0},
+     "2.0 * (d.n_chars / (d.n_chars + 2000.0))"),
+    (1, "the data",
+     {"log": {"scaling_factor": 0.004}, "boost": 1.5},
+     "1.5 * ln(1 + 0.004 * d.n_chars)"),
+    (2, "merge join window",
+     {"sigmoid": {"pivot": 3000, "exponent": 0.6}, "boost": 3.0},
+     "3.0 * (pow(d.n_chars, 0.6) "
+     "/ (pow(d.n_chars, 0.6) + pow(3000.0, 0.6)))"),
+]
+
+
+def q_ft_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature query in a bool should (OpenSearch ``rank_feature``;
+    Lucene FeatureField; index/filtered.py search_rank_feature): score =
+    BM25 + boost · S(n_chars) with S ∈ {saturation v/(v+p), log
+    ln(1+a·v), sigmoid vᵉ/(vᵉ+pᵉ)} — bounded monotone feature boosts
+    that promote featured docs without drowning relevance, distinct from
+    distance_feature's decay-from-origin.  Distributed cogroup path."""
+    from .index.filtered import search_rank_feature
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, shape, _sql in RANKFEAT_QUERIES:
+        hits = search_rank_feature(
+            s, qtext, "n_chars", shape, k=FT_K, distributed=True, tie_round=4
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_rank_feature() -> str:
+    selects = []
+    for qid, qtext, _shape, factor_sql in RANKFEAT_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, tf.doc_id,\n"
+            f"  sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"       * tf.tf * ({K1} + 1)\n"
+            f"       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) )\n"
+            f"  + any_value({factor_sql}) AS score\n"
+            f"FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"JOIN documents d ON d.doc_id = tf.doc_id\n"
+            f"CROSS JOIN stats s\n"
+            f"WHERE tf.term IN ({terms})\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+rf_scores AS ({union}),
+rf_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM rf_scores
+)
+SELECT query_id, doc_id, score_r FROM rf_ranked WHERE rn <= {FT_K}
+"""
+
+
+# script_score reference set: (qid, qtext, painless-lite script, SQL
+# twin over the folded columns (doc_id, n_chars, s=BM25 sum)) — prio is
+# the doc_id-derived docvalue the fixture synthesizes (doc_id % 7 + 1)
+SCRIPT_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "spark index",
+     "_score * (1 + ln(1 + doc['n_chars'].value / 100))",
+     "s * (1 + ln(1 + n_chars / 100.0))"),
+    (1, "the data",
+     "0.5 * _score + sqrt(doc['prio'].value)",
+     "0.5 * s + sqrt((doc_id % 7 + 1)::DOUBLE)"),
+    (2, "merge join window",
+     "_score / (1 + abs(doc['prio'].value - 4))",
+     "s / (1 + abs((doc_id % 7 + 1)::DOUBLE - 4))"),
+    (3, "table scan",
+     "max(_score, saturation(doc['n_chars'].value, 2500)) * 2",
+     "greatest(s, n_chars / (n_chars + 2500.0)) * 2"),
+]
+
+
+def q_ft_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_score query (OpenSearch ``script_score``; index/script.py
+    compile_script + index/filtered.py search_script_score): the BM25
+    match set re-scored by a Painless-lite expression over ``_score``
+    and a docvalue — compiled once to a vectorized numpy closure (closed
+    grammar, no eval) and applied elementwise inside each docID range's
+    cogroup kernel, so only (doc, score) partials cross the gather.
+    Covers the documented scoring helpers (ln/sqrt/abs/max/saturation)
+    across the four scripts."""
+    from .index.filtered import search_script_score
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, script, _sql in SCRIPT_QUERIES:
+        hits = search_script_score(
+            s, qtext, script, k=FT_K, distributed=True, tie_round=4
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_script_score() -> str:
+    selects = []
+    for qid, qtext, _script, expr_sql in SCRIPT_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, doc_id, {expr_sql} AS score\n"
+            f"FROM (\n"
+            f"  SELECT tf.doc_id, any_value(d.n_chars) AS n_chars,\n"
+            f"    sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"         * tf.tf * ({K1} + 1)\n"
+            f"         / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) )"
+            f" AS s\n"
+            f"  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"  JOIN documents d ON d.doc_id = tf.doc_id\n"
+            f"  CROSS JOIN stats s\n"
+            f"  WHERE tf.term IN ({terms})\n"
+            f"  GROUP BY 1)"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+ss_scores AS ({union}),
+ss_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM ss_scores
+)
+SELECT query_id, doc_id, score_r FROM ss_ranked WHERE rn <= {FT_K}
+"""
+
+
 # pinned reference set: (qid, qtext, promoted docIDs in promotion order) —
 # qid 2 carries an id absent from the corpus (skipped, as OpenSearch does)
 PINNED_QUERIES: list[tuple[int, str, list[int]]] = [
@@ -10230,6 +10367,8 @@ QUERIES = {
     "ft_span_multi": q_ft_span_multi,
     "ft_distance_feature": q_ft_distance_feature,
     "ft_random_score": q_ft_random_score,
+    "ft_rank_feature": q_ft_rank_feature,
+    "ft_script_score": q_ft_script_score,
     "ft_pinned": q_ft_pinned,
     "ft_simple_query_string": q_ft_simple_query_string,
     "ft_span_near_ordered": q_ft_span_near_ordered,
@@ -10448,6 +10587,8 @@ ORACLES = {
     "ft_span_multi": sql_ft_span_multi(),
     "ft_distance_feature": sql_ft_distance_feature(),
     "ft_random_score": sql_ft_random_score(),
+    "ft_rank_feature": sql_ft_rank_feature(),
+    "ft_script_score": sql_ft_script_score(),
     "ft_pinned": sql_ft_pinned(),
     "ft_simple_query_string": sql_ft_simple_query_string(),
     "ft_span_near_ordered": sql_ft_span_near_ordered(),

@@ -695,6 +695,39 @@ def _factor_fn(spec: dict):
         return lambda v: (
             boost * piv / (piv + np.abs(v.astype(np.float64) - o))
         )
+    if "rank_feature" in spec:
+        # OpenSearch rank_feature query shapes (FeatureField scoring):
+        # saturation  v/(v+pivot), log  ln(1 + a·v), sigmoid
+        # v^e/(v^e + pivot^e) — all monotone in the (positive) feature,
+        # each scaled by the query boost.  Additive: the rank_feature
+        # query contributes boost·S(v) to the surrounding bool's score
+        # (combine="sum"), promoting featured docs without ever zeroing
+        # a relevance match.
+        p = spec["rank_feature"]
+        boost = float(p.get("boost", 1.0))
+        if "saturation" in p:
+            piv = float(p["saturation"]["pivot"])
+            return lambda v: boost * (
+                v.astype(np.float64) / (v.astype(np.float64) + piv)
+            )
+        if "log" in p:
+            a = float(p["log"]["scaling_factor"])
+            return lambda v: boost * np.log1p(a * v.astype(np.float64))
+        if "sigmoid" in p:
+            piv = float(p["sigmoid"]["pivot"])
+            e = float(p["sigmoid"]["exponent"])
+            pe = piv ** e
+
+            def fn(v):
+                ve = np.power(v.astype(np.float64), e)
+                return boost * ve / (ve + pe)
+
+            return fn
+        raise ValueError(f"unknown rank_feature shape {sorted(p)}")
+    if "raw" in spec:
+        # identity — callers that combine with a callable (script_score)
+        # want the raw docvalue array, not a pre-shaped factor
+        return lambda v: v.astype(np.float64)
     raise ValueError(f"unknown function_score spec {sorted(spec)}")
 
 
@@ -733,7 +766,7 @@ def search_function_score(
     mode cogroups the scored match set with docvalues per docID range
     (the factor never sees another range)."""
     _check_filters(filters)
-    if combine not in _COMBINE_MODES:
+    if not callable(combine) and combine not in _COMBINE_MODES:
         raise ValueError(f"unknown combine {combine!r}")
     fn = _factor_fn(spec)
     _, ids, buckets = searcher._terms_buckets(query_text)
@@ -773,7 +806,8 @@ def search_function_score(
         if i_r.size == 0:
             continue
         fv = fn(meta_vals[np.searchsorted(meta_ids, i_r)])
-        s_r = _COMBINE_MODES[combine](s_r, fv)
+        s_r = (combine if callable(combine)
+               else _COMBINE_MODES[combine])(s_r, fv)
         out_ids.append(i_r)
         out_sc.append(s_r)
     if not out_ids:
@@ -820,7 +854,8 @@ def _function_score_distributed(
         if i_r.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
         fv = fn(meta_vals[np.searchsorted(meta_ids, i_r)])
-        s_r = _COMBINE_MODES[combine](s_r, fv)
+        s_r = (combine if callable(combine)
+               else _COMBINE_MODES[combine])(s_r, fv)
         return pd.DataFrame({"doc_id": i_r, "score": s_r})
 
     meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
@@ -879,6 +914,77 @@ def search_distance_feature(
                               "boost": boost}},
         k=k, filters=filters, distributed=distributed, tie_round=tie_round,
         combine="sum",
+    )
+
+
+def search_rank_feature(
+    searcher,
+    query_text: str,
+    field: str,
+    shape: dict,
+    k: int = 10,
+    filters=(),
+    distributed: bool = False,
+    tie_round: int | None = None,
+) -> list[tuple[int, float]]:
+    """rank_feature query inside a bool should (OpenSearch
+    ``rank_feature``; Lucene FeatureField): final score = BM25(query) +
+    boost · S(feature docvalue) where S is one of the three reference
+    shapes — ``{"saturation": {"pivot": p}}`` → v/(v+p),
+    ``{"log": {"scaling_factor": a}}`` → ln(1+a·v), ``{"sigmoid":
+    {"pivot": p, "exponent": e}}`` → vᵉ/(vᵉ+pᵉ) — each monotone in the
+    positive feature and bounded (saturation/sigmoid < 1), so a strong
+    feature can only PROMOTE a relevance match, never drown the
+    ranking.  *shape* carries the shape key (+ optional "boost").
+    Distinct from distance_feature (distance DECAY from an origin) and
+    from function_score's multiplicative factors.  Same per-range
+    cogroup scale path.
+
+    Reference behavior being matched: the sink's OpenSearch index
+    serves ``rank_feature`` over any stored numeric docvalue
+    (opensearch/.../OpenSearchSink.java mapping passthrough)."""
+    return search_function_score(
+        searcher, query_text, field, {"rank_feature": shape},
+        k=k, filters=filters, distributed=distributed, tie_round=tie_round,
+        combine="sum",
+    )
+
+
+def search_script_score(
+    searcher,
+    query_text: str,
+    script: str,
+    k: int = 10,
+    filters=(),
+    distributed: bool = False,
+    tie_round: int | None = None,
+) -> list[tuple[int, float]]:
+    """script_score query (OpenSearch ``script_score``): the match
+    set's BM25 score re-shaped by a Painless-lite expression over
+    ``_score`` and ONE ``doc['field'].value`` docvalue (index/script.py
+    compile_script — closed arithmetic grammar + the documented scoring
+    helpers, compiled to a vectorized numpy closure; no eval()).  The
+    script applies AFTER the full BM25 term accumulation, elementwise,
+    so it composes with the existing per-range cogroup distributed path
+    unchanged: the scripted map runs inside each range's kernel and
+    only (doc, score) partials cross the gather.
+
+    Reference behavior being matched: script-based re-scoring on the
+    sink's OpenSearch index (OpenSearchSink.java passthrough; the
+    reference pipeline itself defers scoring entirely to OpenSearch)."""
+    from .script import compile_script
+
+    fn, fields = compile_script(script)
+    if len(fields) != 1:
+        raise ValueError(
+            "script_score serving path supports exactly one "
+            f"doc[...] field per script, got {fields or 'none'}"
+        )
+    field = fields[0]
+    return search_function_score(
+        searcher, query_text, field, {"raw": {}},
+        k=k, filters=filters, distributed=distributed, tie_round=tie_round,
+        combine=lambda s, v, fn=fn, field=field: fn(s, {field: v}),
     )
 
 

@@ -1336,3 +1336,115 @@ def test_function_score_boost_modes(spark, filtered_index, oracle_tiny,
             assert [d for d, _ in dst] == [d for d, _ in got], (mode, qtext)
     with pytest.raises(ValueError):
         search_function_score(s, "the", "warc_ts", spec, combine="nope")
+
+
+def test_rank_feature(spark, agg_index, oracle_tiny, tiny_pages_pd):
+    """rank_feature query shapes (OpenSearch saturation / log /
+    sigmoid): score = BM25 + boost·S(n_chars), driver == distributed ==
+    python oracle (index/filtered.py search_rank_feature)."""
+    import math
+
+    from data_prepper_spark.index.filtered import search_rank_feature
+
+    s = BM25Searcher(spark, agg_index)
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    shapes = {
+        "saturation": (
+            {"saturation": {"pivot": 40}, "boost": 2.0},
+            lambda v: 2.0 * v / (v + 40.0),
+        ),
+        "log": (
+            {"log": {"scaling_factor": 0.05}, "boost": 1.5},
+            lambda v: 1.5 * math.log1p(0.05 * v),
+        ),
+        "sigmoid": (
+            {"sigmoid": {"pivot": 60, "exponent": 0.7}, "boost": 3.0},
+            lambda v: 3.0 * v**0.7 / (v**0.7 + 60**0.7),
+        ),
+    }
+    for name, (spec, sfn) in shapes.items():
+        for qtext in ["the data", "spark index"]:
+            base = dict(oracle_tiny.topk(qtext, 10**9))
+            want = sorted(
+                ((d, sc + sfn(nchars[d])) for d, sc in base.items()),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:10]
+            got = search_rank_feature(s, qtext, "n_chars", spec, k=10)
+            _assert_rank_identical(got, want, (name, qtext))
+            # bounded shapes promote, never drown: score ≥ pure BM25
+            for d, sc in got:
+                assert sc >= base[d] - 1e-9
+            dst = search_rank_feature(
+                s, qtext, "n_chars", spec, k=10, distributed=True)
+            assert [d for d, _ in dst] == [d for d, _ in got], (name, qtext)
+    with pytest.raises(ValueError):
+        search_rank_feature(s, "the", "n_chars", {"nope": {}})
+
+
+def test_compile_script():
+    """Painless-lite compiler: precedence, unary minus, helpers, field
+    capture, and rejection of unknown syntax (index/script.py)."""
+    from data_prepper_spark.index.script import compile_script
+
+    fn, fields = compile_script(
+        "_score * (1 + ln(1 + doc['n_chars'].value / 100)) - 2")
+    assert fields == ["n_chars"]
+    out = fn(np.array([10.0]), {"n_chars": np.array([100.0])})
+    assert abs(out[0] - (10.0 * (1 + np.log(2.0)) - 2)) < 1e-12
+    # precedence + unary minus
+    fn2, f2 = compile_script("-2 + 3 * 4")
+    assert f2 == [] and float(fn2(np.array([0.0]), {})) == 10.0
+    # two-arg and three-arg helpers
+    fn3, _ = compile_script("max(_score, 5) + sigmoid(4, 4, 1)")
+    assert abs(fn3(np.array([3.0]), {})[0] - 5.5) < 1e-12
+    fn4, _ = compile_script("saturation(6, 2)")
+    assert abs(float(fn4(np.array([0.0]), {})) - 0.75) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        compile_script("system('x')")
+    with _pt.raises(ValueError):
+        compile_script("ln(1, 2)")
+    with _pt.raises(ValueError):
+        compile_script("_score +")
+
+
+def test_script_score(spark, agg_index, oracle_tiny, tiny_pages_pd):
+    """script_score query: BM25 match set re-scored by a compiled
+    Painless-lite expression, driver == distributed == python oracle
+    (index/filtered.py search_script_score)."""
+    import math
+
+    from data_prepper_spark.index.filtered import search_script_score
+
+    s = BM25Searcher(spark, agg_index)
+    nchars = {
+        xxh64_signed(r.url): len(r.text)
+        for r in tiny_pages_pd.itertuples(index=False)
+    }
+    cases = [
+        ("_score * (1 + ln(1 + doc['n_chars'].value / 100))",
+         lambda sc, v: sc * (1 + math.log1p(v / 100.0))),
+        ("0.5 * _score + sqrt(doc['n_chars'].value)",
+         lambda sc, v: 0.5 * sc + math.sqrt(v)),
+        ("max(_score, saturation(doc['n_chars'].value, 50)) * 2",
+         lambda sc, v: max(sc, v / (v + 50.0)) * 2),
+    ]
+    for script, mirror in cases:
+        for qtext in ["the data", "spark index"]:
+            base = dict(oracle_tiny.topk(qtext, 10**9))
+            want = sorted(
+                ((d, mirror(sc, nchars[d])) for d, sc in base.items()),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:10]
+            got = search_script_score(s, qtext, script, k=10)
+            _assert_rank_identical(got, want, (script, qtext))
+            dst = search_script_score(
+                s, qtext, script, k=10, distributed=True)
+            assert [d for d, _ in dst] == [d for d, _ in got], script
+    # scripts must read exactly one docvalue field
+    with pytest.raises(ValueError):
+        search_script_score(s, "the", "_score * 2")
