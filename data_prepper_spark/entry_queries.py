@@ -9640,6 +9640,78 @@ def sql_ft_has_parent() -> str:
 """
 
 
+# has_child score_mode reference set: (qid, child qtext, mode,
+# min_children) — the four relevance folds over BM25 child scores
+HASCHILD_SCORED_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "spark index", "avg", 1),
+    (1, "the data", "sum", 2),
+    (2, "merge join window", "max", 1),
+    (3, "table scan", "min", 2),
+]
+
+
+def q_ft_has_child_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_child query with relevance score_mode (OpenSearch join
+    field, score_mode ∈ sum/avg/max/min — the nested-relevance fold;
+    index/filtered.py search_has_child_scored): parents rank by a fold
+    of their matching children's FULL BM25 scores.  Children score per
+    docID range; each range emits one associative (parent, Σ, n, max,
+    min) partial per distinct parent, so the global fold is exact and
+    only partials cross the shuffle — never per-child rows."""
+    from .index.filtered import search_has_child_scored
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext, mode, mc in HASCHILD_SCORED_QUERIES:
+        for pid, sc in search_has_child_scored(
+            s, qtext, "parent_id", k=FT_K, score_mode=mode,
+            min_children=mc, distributed=True, tie_round=4,
+        ):
+            rows.append((qid, pid, round(sc, 4)))
+    return spark.createDataFrame(
+        rows, "query_id int, parent_id long, score_r double")
+
+
+def sql_ft_has_child_scored() -> str:
+    folds = {
+        "sum": "sum(s)",
+        "avg": "sum(s) / count(*)",
+        "max": "max(s)",
+        "min": "min(s)",
+    }
+    selects = []
+    for qid, qtext, mode, mc in HASCHILD_SCORED_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        selects.append(
+            f"SELECT {qid} AS query_id, parent_id, {folds[mode]} AS score\n"
+            f"FROM (\n"
+            f"  SELECT tf.doc_id, (any_value(d.doc_id) // 10) AS parent_id,\n"
+            f"    sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+            f"         * tf.tf * ({K1} + 1)\n"
+            f"         / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) )"
+            f" AS s\n"
+            f"  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+            f"  JOIN documents d ON d.doc_id = tf.doc_id\n"
+            f"  CROSS JOIN stats s\n"
+            f"  WHERE tf.term IN ({terms})\n"
+            f"  GROUP BY 1)\n"
+            f"GROUP BY 1, 2 HAVING count(*) >= {mc}\n"
+            f"  AND parent_id IN (SELECT doc_id FROM documents)"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""",
+hcs_scores AS ({union}),
+hcs_ranked AS (
+  SELECT query_id, parent_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, parent_id) AS rn
+  FROM hcs_scores
+)
+SELECT query_id, parent_id, score_r FROM hcs_ranked WHERE rn <= {FT_K}
+"""
+
+
 # SynonymQuery reference set: (qid, groups) — qid 3 carries a fully
 # dead group (no member in the vocabulary → contributes nothing)
 SYN_QUERIES: list[tuple[int, list[list[str]]]] = [
@@ -10271,6 +10343,7 @@ QUERIES = {
     "ft_percolate": q_ft_percolate,
     "ft_rank_eval": q_ft_rank_eval,
     "ft_has_child": q_ft_has_child,
+    "ft_has_child_scored": q_ft_has_child_scored,
     "ft_has_parent": q_ft_has_parent,
     "ft_synonyms": q_ft_synonyms,
     "ft_agg_adjacency_matrix": q_ft_agg_adjacency_matrix,
@@ -10496,6 +10569,7 @@ ORACLES = {
     "ft_percolate": sql_ft_percolate(),
     "ft_rank_eval": sql_ft_rank_eval(),
     "ft_has_child": sql_ft_has_child(),
+    "ft_has_child_scored": sql_ft_has_child_scored(),
     "ft_has_parent": sql_ft_has_parent(),
     "ft_synonyms": sql_ft_synonyms(),
     "ft_agg_adjacency_matrix": sql_ft_agg_adjacency_matrix(),

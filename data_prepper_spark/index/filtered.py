@@ -3849,6 +3849,185 @@ def search_has_child(
     return [(int(p), int(n)) for p, n in zip(pids[order], ns[order])]
 
 
+_CHILD_FOLDS = {
+    "sum": lambda s, n, mx, mn: s,
+    "avg": lambda s, n, mx, mn: s / n,
+    "max": lambda s, n, mx, mn: mx,
+    "min": lambda s, n, mx, mn: mn,
+}
+
+
+def search_has_child_scored(
+    searcher, child_query: str, parent_field: str, k: int = 10,
+    score_mode: str = "avg", min_children: int = 1, filters=(),
+    distributed: bool = False, tie_round: int = 4,
+) -> list[tuple[int, float]]:
+    """has_child query with relevance folding (OpenSearch join field,
+    ``score_mode`` ∈ sum/avg/max/min — the nested-relevance semantics:
+    parents rank by a fold of their matching children's FULL BM25
+    scores, not by child count).  Parenthood is a parent-docID docvalue
+    on the child; parents must be live docs; ``min_children`` gates the
+    fold.  Rank is (score DESC, parent ASC).
+
+    Scale shape: children are scored per docID range (the usual posting
+    cogroup), each range emits ONE (parent, Σscore, n, max, min) partial
+    row per distinct parent it saw — all four fold components are
+    associative, so the global groupBy(parent) fold is exact no matter
+    how a parent's children scatter across ranges, and only partials
+    cross the shuffle (never per-child rows).
+
+    Reference behavior being matched: OpenSearch ``has_child`` with
+    score_mode on the sink's join-field mapping
+    (opensearch/.../OpenSearchSink.java mapping passthrough)."""
+    if score_mode not in _CHILD_FOLDS:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    _check_filters(filters)
+    labels, buckets = _match_query_ids(searcher, child_query)
+    if not labels:
+        return []
+    dfs = searcher.term_stats(labels, buckets)
+    idf = {i: idf_value(searcher.n_docs, dfs[i]) for i in labels}
+    cfg, avgdl, legacy = searcher.cfg, searcher.avgdl, searcher.legacy_codec
+    deleted = searcher.deleted
+
+    def _score_range(rows):
+        """(child_ids, scores) for one docID range's slice rows."""
+        slices_by_id, is_lazy = _decode_range(
+            rows, labels, idf, legacy, deleted, cfg.block_size)
+        if is_lazy:
+            slices_by_id = {
+                i: s.to_term_slice() for i, s in slices_by_id.items() if s.n
+            }
+        subs = [s for s in slices_by_id.values() if s.doc_ids.size]
+        if not subs:
+            return None
+        return score_brute(subs, cfg.k1, cfg.b, avgdl)
+
+    if distributed:
+        from .tokenize import range_id_col
+
+        def eval_cog(post_pdf: pd.DataFrame, meta_pdf: pd.DataFrame
+                     ) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"parent": [], "s": [], "n": [], "mx": [], "mn": []}
+            ).astype({"parent": "int64", "s": "float64", "n": "int64",
+                      "mx": "float64", "mn": "float64"})
+            if post_pdf.empty or meta_pdf.empty:
+                return empty
+            scored = _score_range(post_pdf.to_dict("records"))
+            if scored is None:
+                return empty
+            i_r, s_r = scored
+            meta_ids = meta_pdf["doc_id"].to_numpy(np.int64)
+            meta_p = meta_pdf["p"].to_numpy(np.int64)
+            order = np.argsort(meta_ids)
+            meta_ids, meta_p = meta_ids[order], meta_p[order]
+            keep = _member(i_r, meta_ids)
+            i_r, s_r = i_r[keep], s_r[keep]
+            if i_r.size == 0:
+                return empty
+            par = meta_p[np.searchsorted(meta_ids, i_r)]
+            o = np.argsort(par, kind="stable")
+            par, s_r = par[o], s_r[o]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], par[1:] != par[:-1])))
+            ends = np.append(bounds[1:], par.size)
+            return pd.DataFrame({
+                "parent": par[bounds],
+                "s": np.add.reduceat(s_r, bounds),
+                "n": (ends - bounds).astype(np.int64),
+                "mx": np.maximum.reduceat(s_r, bounds),
+                "mn": np.minimum.reduceat(s_r, bounds),
+            })
+
+        meta = searcher.spark.read.parquet(f"{searcher.index_dir}/docmeta")
+        if filters:
+            meta = meta.filter(spark_filter_col(filters))
+        meta = meta.select(
+            range_id_col(cfg).alias("range_id"), "doc_id",
+            F.col(parent_field).alias("p"),
+        )
+        partials = (
+            searcher._pruned_slices(list(labels), buckets)
+            .groupBy("range_id")
+            .cogroup(meta.groupBy("range_id"))
+            .applyInPandas(
+                eval_cog,
+                schema="parent long, s double, n long, mx double, mn double",
+            )
+        )
+        folded = partials.groupBy("parent").agg(
+            F.sum("s").alias("s"), F.sum("n").alias("n"),
+            F.max("mx").alias("mx"), F.min("mn").alias("mn"),
+        ).filter(F.col("n") >= min_children)
+        # parenthood requires a LIVE parent doc (semi join on docmeta)
+        live = searcher.spark.read.parquet(
+            f"{searcher.index_dir}/docmeta").select(
+            F.col("doc_id").alias("parent"))
+        if deleted.size:
+            live = live.filter(
+                ~F.col("parent").isin([int(x) for x in deleted.tolist()]))
+        folded = folded.join(live, "parent", "left_semi")
+        score_col = {
+            "sum": F.col("s"),
+            "avg": F.col("s") / F.col("n"),
+            "max": F.col("mx"),
+            "min": F.col("mn"),
+        }[score_mode]
+        rows = (
+            folded.withColumn("score", score_col)
+            .orderBy(F.round(F.col("score"), tie_round).desc(),
+                     F.asc("parent"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["parent"]), float(r["score"])) for r in rows]
+    # driver path: numpy fold over the docvalues cache
+    meta_ids, meta_p = _meta_ids_vals(searcher, filters, parent_field)
+    rows = searcher._pruned_slice_rows(list(labels), buckets)
+    by_range: dict[int, list] = {}
+    for r in rows:
+        by_range.setdefault(int(r["range_id"]), []).append(r)
+    all_par, all_sc = [], []
+    for rr in by_range.values():
+        scored = _score_range(rr)
+        if scored is None:
+            continue
+        i_r, s_r = scored
+        keep = _member(i_r, meta_ids)
+        i_r, s_r = i_r[keep], s_r[keep]
+        if i_r.size == 0:
+            continue
+        all_par.append(
+            np.asarray(meta_p, dtype=np.int64)[
+                np.searchsorted(meta_ids, i_r)])
+        all_sc.append(s_r)
+    if not all_par:
+        return []
+    par = np.concatenate(all_par)
+    sc = np.concatenate(all_sc)
+    o = np.argsort(par, kind="stable")
+    par, sc = par[o], sc[o]
+    bounds = np.flatnonzero(np.concatenate(([True], par[1:] != par[:-1])))
+    ends = np.append(bounds[1:], par.size)
+    s_f = np.add.reduceat(sc, bounds)
+    n_f = (ends - bounds).astype(np.int64)
+    mx_f = np.maximum.reduceat(sc, bounds)
+    mn_f = np.minimum.reduceat(sc, bounds)
+    pids = par[bounds]
+    keep = n_f >= min_children
+    pids, s_f, n_f, mx_f, mn_f = (
+        pids[keep], s_f[keep], n_f[keep], mx_f[keep], mn_f[keep])
+    live = _docvalues_ids(searcher)
+    m = _member(pids, live)
+    if deleted.size:
+        m &= ~_member(pids, deleted)
+    pids = pids[m]
+    score = _CHILD_FOLDS[score_mode](s_f[m], n_f[m], mx_f[m], mn_f[m])
+    order = np.lexsort((pids, -np.round(score, tie_round)))[:k]
+    return [(int(pids[i]), float(score[i])) for i in order]
+
+
 def _docvalues_ids(searcher) -> np.ndarray:
     """Sorted live docIDs from the docvalues cache (or one narrow
     docmeta scan on cache-budget overflow)."""

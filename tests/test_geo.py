@@ -456,3 +456,59 @@ def test_has_child_has_parent(spark, geo_index, oracle_tiny,
     ) == want_hp
     assert search_has_child(s, "zzznotaterm", "parent_id") == []
     assert search_has_parent(s, "zzznotaterm", "parent_id") == []
+
+
+def test_has_child_scored(spark, geo_index, oracle_tiny, tiny_pages_pd):
+    """has_child score_mode sum/avg/max/min: parents ranked by the fold
+    of their matching children's FULL BM25 scores, driver ==
+    distributed == brute python oracle (index/filtered.py
+    search_has_child_scored)."""
+    from data_prepper_spark.index.filtered import search_has_child_scored
+
+    docs = [xxh64_signed(r.url)
+            for r in tiny_pages_pd.itertuples(index=False)]
+    parent = {}
+    by_grp = {}
+    for d in docs:
+        by_grp.setdefault(d % 37, []).append(d)
+    for g, members in by_grp.items():
+        p = min(members)
+        for d in members:
+            parent[d] = p
+    live = set(oracle_tiny.doc_len)
+    s = BM25Searcher(spark, geo_index)
+
+    for qtext in ("the data", "spark index"):
+        base = dict(oracle_tiny.topk(qtext, 10**9))
+        groups = {}
+        for d, sc in base.items():
+            groups.setdefault(parent[d], []).append(sc)
+        for mode, fold in [
+            ("sum", sum),
+            ("avg", lambda v: sum(v) / len(v)),
+            ("max", max),
+            ("min", min),
+        ]:
+            for mc in (1, 2):
+                want = sorted(
+                    ((p, fold(v)) for p, v in groups.items()
+                     if len(v) >= mc and p in live),
+                    key=lambda kv: (-round(kv[1], 4), kv[0]),
+                )[:10]
+                got = search_has_child_scored(
+                    s, qtext, "parent_id", k=10, score_mode=mode,
+                    min_children=mc)
+                assert [p for p, _ in got] == [p for p, _ in want], (
+                    mode, mc, qtext)
+                for (p1, s1), (p2, s2) in zip(got, want):
+                    assert abs(s1 - s2) < 1e-9, (mode, mc, qtext)
+                dst = search_has_child_scored(
+                    s, qtext, "parent_id", k=10, score_mode=mode,
+                    min_children=mc, distributed=True)
+                assert [p for p, _ in dst] == [p for p, _ in got], (
+                    mode, mc, qtext)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        search_has_child_scored(s, "the", "parent_id", score_mode="nope")
+    assert search_has_child_scored(s, "zzznotaterm", "parent_id") == []
