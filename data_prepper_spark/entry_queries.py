@@ -10021,6 +10021,139 @@ SELECT query_id, doc_id, score_r FROM rs_ranked WHERE rn <= {FT_K}
 """
 
 
+# intervals reference set: each qid pairs an OpenSearch-shaped spec
+# with a hand-mirrored SQL candidate pipeline (candidates → minimality
+# EXISTS filter → gap filter), composed bottom-up exactly as the engine
+# composes nodes
+INTERVALS_QUERIES: list[tuple[int, dict]] = [
+    (0, {"match": {"query": "the fast", "ordered": True, "max_gaps": 2}}),
+    (1, {"match": {"query": "table scan", "ordered": False,
+                   "max_gaps": 3}}),
+    (2, {"any_of": {"intervals": [
+        {"match": {"query": "merge group", "ordered": True, "max_gaps": 0}},
+        {"match": {"query": "table hash", "ordered": True, "max_gaps": 0}},
+    ]}}),
+    (3, {"all_of": {"ordered": True, "max_gaps": 4, "intervals": [
+        {"match": {"query": "the"}},
+        {"match": {"query": "fast join", "ordered": True, "max_gaps": 1}},
+    ]}}),
+]
+
+
+def q_ft_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals query (OpenSearch ``intervals``; Lucene IntervalQuery
+    minimal-interval semantics; index/phrase.py intervals_topk): match
+    (ordered / unordered + max_gaps), any_of, and all_of sources —
+    every node yields its MINIMAL candidate intervals (no result
+    properly contains another), gap-filtered as width − leaf-count ≤
+    max_gaps, before the parent composes.  BM25 with tf =
+    minimal-interval count, df = matching docs; same two-pass per-range
+    kernel as the span family."""
+    from .index.phrase import intervals_topk
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, spec in INTERVALS_QUERIES:
+        hits = intervals_topk(s, spec, k=FT_K, tie_round=4)
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def _sql_iv_minimal(src: str) -> str:
+    """Minimality EXISTS filter over a candidate CTE (doc_id, s, e)."""
+    return (
+        f"SELECT doc_id, s, e FROM {src} c WHERE NOT EXISTS (\n"
+        f"    SELECT 1 FROM {src} c2 WHERE c2.doc_id = c.doc_id\n"
+        f"      AND c2.s >= c.s AND c2.e <= c.e\n"
+        f"      AND (c2.s <> c.s OR c2.e <> c.e))"
+    )
+
+
+def sql_ft_intervals() -> str:
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)"""
+    ctes = [
+        # q0: match "the fast" ordered max_gaps=2
+        "iv0c AS (SELECT DISTINCT a.doc_id, a.ord AS s, b.ord AS e\n"
+        "  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord > a.ord\n"
+        "  WHERE a.term = 'the' AND b.term = 'fast')",
+        "iv0m AS (" + _sql_iv_minimal("iv0c") + ")",
+        "iv0 AS (SELECT doc_id, count(*)::BIGINT AS tfp FROM iv0m\n"
+        "  WHERE e - s + 1 - 2 <= 2 GROUP BY 1)",
+        # q1: match "table scan" unordered max_gaps=3
+        "iv1c AS (SELECT DISTINCT a.doc_id, least(a.ord, b.ord) AS s,\n"
+        "    greatest(a.ord, b.ord) AS e\n"
+        "  FROM toks a JOIN toks b ON a.doc_id = b.doc_id\n"
+        "  WHERE a.term = 'table' AND b.term = 'scan')",
+        "iv1m AS (" + _sql_iv_minimal("iv1c") + ")",
+        "iv1 AS (SELECT doc_id, count(*)::BIGINT AS tfp FROM iv1m\n"
+        "  WHERE e - s + 1 - 2 <= 3 GROUP BY 1)",
+        # q2: any_of of two gap-0 ordered bigrams — each child is
+        # minimalized + gap-filtered BEFORE the union, then the union
+        # is minimalized (the composition rule)
+        "iv2ca AS (SELECT DISTINCT a.doc_id, a.ord AS s, b.ord AS e\n"
+        "  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord > a.ord\n"
+        "  WHERE a.term = 'merge' AND b.term = 'group')",
+        "iv2ma AS (SELECT * FROM (" + _sql_iv_minimal("iv2ca") + ")\n"
+        "  WHERE e - s + 1 - 2 <= 0)",
+        "iv2cb AS (SELECT DISTINCT a.doc_id, a.ord AS s, b.ord AS e\n"
+        "  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord > a.ord\n"
+        "  WHERE a.term = 'table' AND b.term = 'hash')",
+        "iv2mb AS (SELECT * FROM (" + _sql_iv_minimal("iv2cb") + ")\n"
+        "  WHERE e - s + 1 - 2 <= 0)",
+        "iv2u AS (SELECT * FROM iv2ma UNION SELECT * FROM iv2mb)",
+        "iv2m AS (" + _sql_iv_minimal("iv2u") + ")",
+        "iv2 AS (SELECT doc_id, count(*)::BIGINT AS tfp FROM iv2m\n"
+        "  GROUP BY 1)",
+        # q3: all_of ordered max_gaps=4 [the, match("fast join",
+        # ordered, max_gaps=1)] — the sub-phrase minimal+gapped set
+        # chains strictly after each 'the' position
+        "iv3cs AS (SELECT DISTINCT a.doc_id, a.ord AS s, b.ord AS e\n"
+        "  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord > a.ord\n"
+        "  WHERE a.term = 'fast' AND b.term = 'join')",
+        "iv3ms AS (SELECT * FROM (" + _sql_iv_minimal("iv3cs") + ")\n"
+        "  WHERE e - s + 1 - 2 <= 1)",
+        "iv3c AS (SELECT DISTINCT t.doc_id, t.ord AS s, c2.e AS e\n"
+        "  FROM toks t JOIN iv3ms c2 ON c2.doc_id = t.doc_id\n"
+        "    AND c2.s > t.ord\n"
+        "  WHERE t.term = 'the')",
+        "iv3m AS (" + _sql_iv_minimal("iv3c") + ")",
+        "iv3 AS (SELECT doc_id, count(*)::BIGINT AS tfp FROM iv3m\n"
+        "  WHERE e - s + 1 - 3 <= 4 GROUP BY 1)",
+    ]
+    selects = []
+    for qid, _spec in INTERVALS_QUERIES:
+        m = f"iv{qid}"
+        selects.append(
+            f"SELECT {qid} AS query_id, m.doc_id,\n"
+            f"  ln(1 + (s.n_docs - (SELECT count(*) FROM {m}) + 0.5)"
+            f" / ((SELECT count(*) FROM {m}) + 0.5))\n"
+            f"  * m.tfp * ({K1} + 1) / (m.tfp + {K1} * (1 - {B} + {B}"
+            f" * dl.dl / s.avgdl)) AS score\n"
+            f"FROM {m} m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        base + ",\n" + ",\n".join(ctes) + f""",
+ivscores AS ({union}),
+ivranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM ivscores
+)
+SELECT query_id, doc_id, score_r FROM ivranked WHERE rn <= {FT_K}
+"""
+    )
+
+
 # rank_feature reference set: (qid, qtext, field, shape spec, SQL factor)
 # — the three reference shapes over the n_chars feature docvalue
 RANKFEAT_QUERIES: list[tuple[int, str, dict, str]] = [
@@ -10440,6 +10573,7 @@ QUERIES = {
     "ft_span_multi": q_ft_span_multi,
     "ft_distance_feature": q_ft_distance_feature,
     "ft_random_score": q_ft_random_score,
+    "ft_intervals": q_ft_intervals,
     "ft_rank_feature": q_ft_rank_feature,
     "ft_script_score": q_ft_script_score,
     "ft_pinned": q_ft_pinned,
@@ -10661,6 +10795,7 @@ ORACLES = {
     "ft_span_multi": sql_ft_span_multi(),
     "ft_distance_feature": sql_ft_distance_feature(),
     "ft_random_score": sql_ft_random_score(),
+    "ft_intervals": sql_ft_intervals(),
     "ft_rank_feature": sql_ft_rank_feature(),
     "ft_script_score": sql_ft_script_score(),
     "ft_pinned": sql_ft_pinned(),

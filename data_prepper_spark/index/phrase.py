@@ -1308,3 +1308,256 @@ def span_multi_near_topk(
         lambda rows: _span_multi_near_match_rows(rows, tids_a, tid_b, slop),
         k, tie_round, distributed, field,
     )
+
+
+# ------------------------------------------------------------ intervals
+
+def _minimalize(starts: np.ndarray, ends: np.ndarray):
+    """Minimal elements of an interval candidate set under containment
+    ([s',e'] ⊆ [s,e], ≠) — Lucene's minimal-interval semantics (Vigna,
+    "Efficient lazy algorithms for minimal-interval semantics").  Dedup
+    by start keeping the least end, then a right-to-left sweep drops any
+    interval that contains a later-starting one.  Returns sorted-by-
+    start arrays with STRICTLY increasing starts AND ends."""
+    if starts.size == 0:
+        return starts, ends
+    order = np.lexsort((ends, starts))
+    starts, ends = starts[order], ends[order]
+    # unique starts keep min end (first after the lexsort)
+    first = np.concatenate(([True], starts[1:] != starts[:-1]))
+    starts, ends = starts[first], ends[first]
+    # right-to-left: keep iff end < min(end of strictly later starts)
+    min_later = np.minimum.accumulate(ends[::-1])[::-1]
+    keep = np.concatenate((ends[:-1] < min_later[1:], [True]))
+    return starts[keep], ends[keep]
+
+
+def _iv_eval(node, pos_by_tid: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate one doc: normalized intervals node → minimal (starts,
+    ends).  Composition rule (pinned, and mirrored by the SQL oracles):
+    every node emits its MINIMAL candidate set, gap-filtered at that
+    node, before the parent composes — exactly how Lucene stacks
+    IntervalsSource filters on minimal iterators."""
+    kind = node[0]
+    if kind == "term":
+        p = pos_by_tid.get(node[1], _EMPTY_I8)
+        return p, p
+    if kind == "any_of":
+        subs = [_iv_eval(c, pos_by_tid) for c in node[1]]
+        starts = np.concatenate([s for s, _ in subs])
+        ends = np.concatenate([e for _, e in subs])
+        return _minimalize(starts, ends)
+    _, children, ordered, max_gaps, n_leaves = node
+    subs = [_iv_eval(c, pos_by_tid) for c in children]
+    if any(s.size == 0 for s, _ in subs):
+        return _EMPTY_I8, _EMPTY_I8
+    if ordered:
+        # greedy chain: sub-results are minimal (starts/ends strictly
+        # increasing), so the earliest next interval starting after the
+        # running end is also the one with the least end — vector
+        # searchsorted per level, no per-candidate loop
+        starts, ends = subs[0]
+        cur = ends
+        valid = np.ones(starts.size, dtype=bool)
+        for s_j, e_j in subs[1:]:
+            idx = np.searchsorted(s_j, cur, side="right")
+            ok = idx < s_j.size
+            valid &= ok
+            idx = np.minimum(idx, s_j.size - 1)
+            cur = e_j[idx]
+        starts, ends = starts[valid], cur[valid]
+    else:
+        # unordered (leaf terms only, enforced at parse): minimal
+        # windows covering one position of each term — for every merged
+        # position as right end, the maximal left start that still
+        # covers all k terms (standard sweep); minimal set ⊆ that
+        k = len(subs)
+        allpos = np.concatenate([s for s, _ in subs])
+        tags = np.concatenate(
+            [np.full(s.size, i) for i, (s, _) in enumerate(subs)])
+        order = np.argsort(allpos, kind="stable")
+        allpos, tags = allpos[order], tags[order]
+        counts = np.zeros(k, dtype=np.int64)
+        have = 0
+        i = 0
+        cs, ce = [], []
+        for j in range(allpos.size):
+            counts[tags[j]] += 1
+            if counts[tags[j]] == 1:
+                have += 1
+            if have < k:
+                continue
+            # shrink from the left while coverage holds
+            while counts[tags[i]] > 1:
+                counts[tags[i]] -= 1
+                i += 1
+            cs.append(allpos[i])
+            ce.append(allpos[j])
+            # drop the left edge to look for the next window
+            counts[tags[i]] -= 1
+            have -= 1
+            i += 1
+        starts = np.asarray(cs, dtype=np.int64)
+        ends = np.asarray(ce, dtype=np.int64)
+    starts, ends = _minimalize(starts, ends)
+    if max_gaps is not None and starts.size:
+        keep = (ends - starts + 1 - n_leaves) <= max_gaps
+        starts, ends = starts[keep], ends[keep]
+    return starts, ends
+
+
+_EMPTY_I8 = np.empty(0, dtype=np.int64)
+
+
+def _iv_normalize(searcher, spec: dict, field: str | None):
+    """OpenSearch intervals JSON → internal node tree.  Returns
+    (node, leaf_tids, required_tids).  match → all_of over its term
+    leaves; unordered nodes are restricted to distinct leaf terms (the
+    overlap-free case whose minimal-window semantics are well defined
+    for the SQL ground truth)."""
+    if len(spec) != 1:
+        raise ValueError(f"intervals node takes one key, got {sorted(spec)}")
+    kind, body = next(iter(spec.items()))
+    if kind == "match":
+        terms = _phrase_terms(searcher, body["query"], field)
+        ordered = bool(body.get("ordered", False))
+        max_gaps = body.get("max_gaps")
+        tids = [xxh64_signed(t) for t in terms]
+        if len(tids) == 1:
+            return ("term", tids[0]), set(tids), set(tids)
+        if not ordered and len(set(tids)) != len(tids):
+            raise ValueError(
+                "unordered intervals match needs distinct terms")
+        node = ("all_of", [("term", t) for t in tids], ordered,
+                max_gaps, len(tids))
+        return node, set(tids), set(tids)
+    if kind == "any_of":
+        children, leaves = [], set()
+        for sub in body["intervals"]:
+            c, lv, _rq = _iv_normalize(searcher, sub, field)
+            children.append(c)
+            leaves |= lv
+        # an any_of requires nothing by itself (one branch suffices)
+        return ("any_of", children), leaves, set()
+    if kind == "all_of":
+        ordered = bool(body.get("ordered", False))
+        max_gaps = body.get("max_gaps")
+        children, leaves, req = [], set(), set()
+        for sub in body["intervals"]:
+            c, lv, rq = _iv_normalize(searcher, sub, field)
+            if not ordered and c[0] != "term":
+                raise ValueError(
+                    "unordered all_of supports leaf terms only")
+            children.append(c)
+            leaves |= lv
+            req |= rq
+        if not ordered and len({c[1] for c in children}) != len(children):
+            raise ValueError("unordered all_of needs distinct terms")
+        node = ("all_of", children, ordered, max_gaps, _leaf_count(children))
+        return node, leaves, req
+    raise ValueError(f"unknown intervals source {kind!r}")
+
+
+def _leaf_count(children) -> int:
+    n = 0
+    for c in children:
+        if c[0] == "term":
+            n += 1
+        elif c[0] == "any_of":
+            # gap accounting needs a fixed leaf count; any_of branches
+            # must agree (enforced here) — Lucene sidesteps this by
+            # tracking per-interval gaps, we pin the static-width rule
+            counts = {_leaf_count([b]) for b in c[1]}
+            if len(counts) != 1:
+                raise ValueError(
+                    "any_of branches under a gap-filtered all_of must "
+                    "cover the same number of leaf terms")
+            n += counts.pop()
+        else:
+            n += c[4]
+    return n
+
+
+def _intervals_match_rows(rows: list[dict], node, leaf_tids: list[int],
+                          required: list[int]):
+    """Per-range intervals matcher: (doc_ids, tf, dl, first_pos) with
+    tf = |minimal gap-filtered interval set| per doc.  Candidate docs =
+    ∩ of required leaves' postings (∪ of all leaves when nothing is
+    globally required); per-candidate evaluation runs the interval
+    algebra over numpy position slices."""
+    g = _gather(rows, list(leaf_tids), required=False)
+    if g is None:
+        return [], [], [], []
+    T, _, _ = g
+    if any(t not in T for t in required):
+        return [], [], [], []
+    # candidate doc set
+    cand = None
+    if required:
+        for t in required:
+            d = np.unique(T[t][0])
+            cand = d if cand is None else np.intersect1d(
+                cand, d, assume_unique=True)
+            if cand.size == 0:
+                return [], [], [], []
+    else:
+        cand = np.unique(np.concatenate([T[t][0] for t in T]))
+    # per-term, per-doc position slices: sort (docs expanded, positions)
+    sliced: dict[int, tuple] = {}
+    for t, (docs, tf, dl, pos) in T.items():
+        dexp = np.repeat(docs, tf)
+        o = np.lexsort((pos, dexp))
+        dexp, p = dexp[o], pos[o]
+        sliced[t] = (dexp, p)
+    # dl per doc from any present term
+    dl_map: dict[int, int] = {}
+    for t, (docs, tf, dl, pos) in T.items():
+        for d, l in zip(docs.tolist(), dl.tolist()):
+            dl_map.setdefault(int(d), int(l))
+    out_d, out_tf, out_dl, out_fp = [], [], [], []
+    for d in cand.tolist():
+        pos_by_tid = {}
+        for t, (dexp, p) in sliced.items():
+            lo = np.searchsorted(dexp, d, side="left")
+            hi = np.searchsorted(dexp, d, side="right")
+            if hi > lo:
+                pos_by_tid[t] = p[lo:hi]
+        starts, ends = _iv_eval(node, pos_by_tid)
+        if starts.size:
+            out_d.append(d)
+            out_tf.append(int(starts.size))
+            out_dl.append(dl_map[d])
+            out_fp.append(int(starts[0]))
+    return out_d, out_tf, out_dl, out_fp
+
+
+def intervals_topk(
+    searcher, spec: dict, k: int = 10, tie_round: int = 4,
+    distributed: bool = True, field: str | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k for an intervals query (OpenSearch ``intervals``; Lucene
+    IntervalQuery, minimal-interval semantics): *spec* mirrors the
+    OpenSearch JSON — ``match`` (ordered / unordered + ``max_gaps``),
+    ``any_of``, ``all_of`` (ordered, ``max_gaps``) — and every node
+    yields the MINIMAL candidate intervals (no result interval properly
+    contains another), gap-filtered as (width − covered leaf terms) ≤
+    max_gaps, before its parent composes.  BM25-scored like the span
+    family: tf = minimal-interval count, df = matching docs, one
+    pseudo-term idf (Lucene weighs each interval by 1/width inside
+    sloppyFreq; the integer-count pin keeps the rank contract exact and
+    SQL-mirrorable — documented divergence).  Same two-pass per-range
+    kernel + global-df shape as phrase_topk.
+
+    Reference behavior being matched: the sink's OpenSearch index
+    serves ``intervals`` queries (opensearch/.../OpenSearchSink.java
+    passthrough to the Lucene query DSL)."""
+    node, leaves, required = _iv_normalize(searcher, spec, field)
+    if not leaves:
+        return []
+    leaf_list = sorted(leaves)
+    req_list = sorted(required)
+    return _span_topk(
+        searcher, leaf_list,
+        lambda rows: _intervals_match_rows(rows, node, leaf_list, req_list),
+        k, tie_round, distributed, field,
+    )

@@ -773,3 +773,209 @@ def test_span_near_in_order_matches_brute_oracle(spark, pos_index):
     un = dict(span_near_topk(s, "quick", "fox", 2, k=100))
     od = dict(span_near_topk(s, "quick", "fox", 2, k=100, in_order=True))
     assert set(od) <= set(un)
+
+
+# ------------------------------------------------------------ intervals
+
+def _iv_brute_node(spec, seq):
+    """Exhaustive minimal-interval oracle for one doc's token list:
+    enumerate EVERY syntactically valid candidate, keep the minimal
+    elements (no other candidate properly contained), then gap-filter —
+    the definitional semantics the engine's greedy/sweep kernels must
+    reproduce.  Returns (set of (s, e), n_leaves)."""
+    kind, body = next(iter(spec.items()))
+    if kind == "match":
+        terms = body["query"].split()
+        pos = [[i for i, t in enumerate(seq) if t == w] for w in terms]
+        if len(terms) == 1:
+            return {(p, p) for p in pos[0]}, 1
+        cands = set()
+        if body.get("ordered", False):
+            def chains(j, last, start):
+                if j == len(pos):
+                    cands.add((start, last))
+                    return
+                for p in pos[j]:
+                    if p > last:
+                        chains(j + 1, p, start)
+            for p0 in pos[0]:
+                chains(1, p0, p0)
+        else:
+            import itertools
+            for tup in itertools.product(*pos):
+                cands.add((min(tup), max(tup)))
+        return (_iv_brute_filter(cands, len(terms), body.get("max_gaps")),
+                len(terms))
+    if kind == "any_of":
+        out, nl = set(), set()
+        for sub in body["intervals"]:
+            r, n = _iv_brute_node(sub, seq)
+            out |= r
+            nl.add(n)
+        assert len(nl) == 1
+        return _iv_brute_filter(out, None, None), nl.pop()
+    if kind == "all_of":
+        subs = [_iv_brute_node(sub, seq) for sub in body["intervals"]]
+        n_leaves = sum(n for _, n in subs)
+        cands = set()
+        assert body.get("ordered", False)
+
+        def chains(j, last, start):
+            if j == len(subs):
+                cands.add((start, last))
+                return
+            for (s, e) in subs[j][0]:
+                if s > last:
+                    chains(j + 1, e, start)
+        for (s0, e0) in subs[0][0]:
+            chains(1, e0, s0)
+        return (_iv_brute_filter(cands, n_leaves, body.get("max_gaps")),
+                n_leaves)
+    raise AssertionError(kind)
+
+
+def _iv_brute_filter(cands, n_leaves, max_gaps):
+    minimal = {
+        c for c in cands
+        if not any(c2 != c and c2[0] >= c[0] and c2[1] <= c[1]
+                   for c2 in cands)
+    }
+    if max_gaps is None:
+        return minimal
+    return {(s, e) for s, e in minimal if e - s + 1 - n_leaves <= max_gaps}
+
+
+def _iv_oracle(docs, spec, k1=1.2, b=0.75):
+    toks = {d: tokenize(t) for d, t in docs}
+    dls = {d: len(v) for d, v in toks.items() if v}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    m = {}
+    for d, seq in toks.items():
+        if not seq:
+            continue
+        res, _ = _iv_brute_node(spec, seq)
+        if res:
+            m[d] = len(res)
+    if not m:
+        return []
+    idf = math.log(1 + (n - len(m) + 0.5) / (len(m) + 0.5))
+    scored = [
+        (d, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl)))
+        for d, c in m.items()
+    ]
+    scored.sort(key=lambda x: (-round(x[1], 4), x[0]))
+    return scored
+
+
+_IV_SPECS = [
+    {"match": {"query": "quick brown", "ordered": True, "max_gaps": 0}},
+    {"match": {"query": "quick fox", "ordered": True, "max_gaps": 3}},
+    {"match": {"query": "fox quick", "ordered": False, "max_gaps": 2}},
+    {"match": {"query": "the lazy dog", "ordered": True, "max_gaps": 1}},
+    {"match": {"query": "quick brown fox", "ordered": False,
+               "max_gaps": 4}},
+    {"any_of": {"intervals": [
+        {"match": {"query": "quick brown", "ordered": True, "max_gaps": 0}},
+        {"match": {"query": "lazy dog", "ordered": True, "max_gaps": 0}},
+    ]}},
+    {"all_of": {"ordered": True, "max_gaps": 5, "intervals": [
+        {"match": {"query": "the"}},
+        {"match": {"query": "quick brown", "ordered": True, "max_gaps": 1}},
+    ]}},
+]
+
+
+def test_intervals_matches_brute_oracle(spark, pos_index):
+    """intervals query vs the exhaustive candidate-set oracle
+    (minimality before gap filter, bottom-up composition), driver ==
+    distributed (index/phrase.py intervals_topk)."""
+    from data_prepper_spark.index.phrase import intervals_topk
+
+    s = BM25Searcher(spark, pos_index)
+    for spec in _IV_SPECS:
+        want = _iv_oracle(DOCS, spec)[:10]
+        got = intervals_topk(s, spec, k=10, distributed=False)
+        assert [d for d, _ in got] == [d for d, _ in want], spec
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, spec
+        dst = intervals_topk(s, spec, k=10, distributed=True)
+        assert [d for d, _ in dst] == [d for d, _ in got], spec
+
+
+def test_intervals_randomized_dense(spark):
+    """Adversarial density: repeated-token streams over hash-distributed
+    docIDs — greedy chains + sweep windows must equal the exhaustive
+    oracle at every composition depth."""
+    import os
+    import random
+    import shutil
+
+    from data_prepper_spark.hashing import xxh64_signed
+    from data_prepper_spark.index.build import build_oneshot
+    from data_prepper_spark.index.phrase import intervals_topk
+    from data_prepper_spark.textproc import extract_text
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(40):
+        n = rng.randint(3, 25)
+        body = " ".join(rng.choice(vocab) for _ in range(n))
+        docs.append((f"https://iv{i}.example/x", body))
+    pdf = pd.DataFrame({
+        "url": [u for u, _ in docs],
+        "html": [f"<html><body>{t}</body></html>".encode() for _, t in docs],
+        "lang": ["en"] * len(docs),
+        "warc_ts": pd.Timestamp("2025-01-01"),
+    })
+    by_id = [(xxh64_signed(u), extract_text(h))
+             for u, h in zip(pdf.url, pdf.html)]
+    d = os.path.join("/tmp", "dps_iv_rand_idx")
+    shutil.rmtree(d, ignore_errors=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d + "_corpus")
+    cfg = IndexConfig(range_bits=2, block_size=8, n_buckets=4, positions=True)
+    build_oneshot(spark, spark.read.parquet(d + "_corpus"), d, cfg)
+    s = BM25Searcher(spark, d)
+    specs = [
+        {"match": {"query": "aa bb", "ordered": True, "max_gaps": g}}
+        for g in (0, 2, 10)
+    ] + [
+        {"match": {"query": "aa bb cc", "ordered": True, "max_gaps": 3}},
+        {"match": {"query": "cc aa", "ordered": False, "max_gaps": 1}},
+        {"match": {"query": "aa bb cc", "ordered": False, "max_gaps": 5}},
+        {"any_of": {"intervals": [
+            {"match": {"query": "aa bb", "ordered": True, "max_gaps": 0}},
+            {"match": {"query": "cc dd", "ordered": True, "max_gaps": 0}},
+        ]}},
+        {"all_of": {"ordered": True, "max_gaps": 6, "intervals": [
+            {"match": {"query": "dd"}},
+            {"match": {"query": "aa cc", "ordered": True, "max_gaps": 2}},
+        ]}},
+    ]
+    for spec in specs:
+        want = _iv_oracle(by_id, spec)[:10]
+        got = intervals_topk(s, spec, k=10, distributed=False)
+        assert [d_ for d_, _ in got] == [d_ for d_, _ in want], spec
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, spec
+
+
+def test_intervals_validation(spark, pos_index):
+    from data_prepper_spark.index.phrase import intervals_topk
+
+    s = BM25Searcher(spark, pos_index)
+    with pytest.raises(ValueError):
+        intervals_topk(s, {"match": {"query": "quick quick",
+                                     "ordered": False}})
+    with pytest.raises(ValueError):
+        intervals_topk(s, {"nope": {}})
+    with pytest.raises(ValueError):
+        intervals_topk(s, {"all_of": {"ordered": False, "intervals": [
+            {"match": {"query": "quick brown", "ordered": True}},
+            {"match": {"query": "fox"}},
+        ]}})
+    # absent term in a required slot -> empty
+    assert intervals_topk(
+        s, {"match": {"query": "quick zzzmissing", "ordered": True}},
+        distributed=False) == []
