@@ -9779,6 +9779,72 @@ def sql_ft_synonyms() -> str:
 
 
 GEOTILE_ZOOM = 3
+GEOHASH_PRECISION = 3
+
+
+def q_ft_agg_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geohash_grid aggregation (OpenSearch aggs:geohash_grid;
+    index/geo.py match_agg_geohash): match counts per geohash cell —
+    exact integer bit-interleave of the microdegree lat/lon grid plus
+    the base-32 readout, mirrored bit for bit by a generated SQL
+    expression.  Per-range (cell, count) partials cross the shuffle."""
+    from .index.geo import match_agg_geohash
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for cell, n in match_agg_geohash(
+            s, qtext, "lat_e6", "lon_e6", GEOHASH_PRECISION,
+            distributed=True,
+        ):
+            rows.append((qid, cell, n))
+    return spark.createDataFrame(rows, "query_id int, cell string, n long")
+
+
+def sql_ft_agg_geohash() -> str:
+    p = GEOHASH_PRECISION
+    nbits = 5 * p
+    lonbits = (nbits + 1) // 2
+    latbits = nbits - lonbits
+    xexpr = (
+        f"least((g.lon_e6 + 180000000) * {1 << lonbits} // 360000000,"
+        f" {(1 << lonbits) - 1})"
+    )
+    yexpr = (
+        f"least((g.lat_e6 + 90000000) * {1 << latbits} // 180000000,"
+        f" {(1 << latbits) - 1})"
+    )
+    bits = []
+    for i in range(nbits):  # MSB first, even = lon, odd = lat
+        if i % 2 == 0:
+            bits.append(f"(((x >> {lonbits - 1 - i // 2}) & 1)"
+                        f" << {nbits - 1 - i})")
+        else:
+            bits.append(f"(((y >> {latbits - 1 - i // 2}) & 1)"
+                        f" << {nbits - 1 - i})")
+    val = " + ".join(bits)
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alphabet}', ((v >> {5 * (p - 1 - c)}) & 31) + 1, 1)"
+        for c in range(p)
+    )
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, {chars} AS cell,\n"
+            f"       count(*)::BIGINT AS n\n"
+            f"FROM (SELECT {val} AS v\n"
+            f"      FROM (SELECT doc_id, {xexpr} AS x, {yexpr} AS y\n"
+            f"            FROM g) g2\n"
+            f"      JOIN documents d ON d.doc_id = g2.doc_id\n"
+            f"      WHERE {_agg_match_where(qtext)})\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""", {_GEO_CTE}
+{union}
+"""
 
 
 def q_ft_agg_geotile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10472,6 +10538,7 @@ QUERIES = {
     "ft_agg_geo": q_ft_agg_geo,
     "ft_agg_geo_distance": q_ft_agg_geo_distance,
     "ft_agg_geotile": q_ft_agg_geotile,
+    "ft_agg_geohash": q_ft_agg_geohash,
     "ft_suggest_phrase": q_ft_suggest_phrase,
     "ft_percolate": q_ft_percolate,
     "ft_rank_eval": q_ft_rank_eval,
@@ -10699,6 +10766,7 @@ ORACLES = {
     "ft_agg_geo": sql_ft_agg_geo(),
     "ft_agg_geo_distance": sql_ft_agg_geo_distance(),
     "ft_agg_geotile": sql_ft_agg_geotile(),
+    "ft_agg_geohash": sql_ft_agg_geohash(),
     "ft_suggest_phrase": sql_ft_suggest_phrase(),
     "ft_percolate": sql_ft_percolate(),
     "ft_rank_eval": sql_ft_rank_eval(),

@@ -683,6 +683,50 @@ class FamilySearcher:
         return [(str(lbl), folded.get(str(lbl), 0))
                 for lbl, _, _ in ranges_m]
 
+    def agg_geotile(
+        self, query_text: str, lat_field: str, lon_field: str,
+        zoom: int, **cover,
+    ) -> list[tuple[str, int]]:
+        """geotile_grid over `my-index-*` — per-period tile counts fold
+        additively (tile keys are period-independent), ascending key."""
+        from collections import Counter
+
+        from .geo import match_agg_geotile
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        folded: Counter = Counter()
+        for p in sel:
+            for cell, n in match_agg_geotile(
+                self._searcher(p), query_text, lat_field, lon_field,
+                zoom, **cover,
+            ):
+                folded[cell] += n
+        return sorted(folded.items())
+
+    def agg_geohash(
+        self, query_text: str, lat_field: str, lon_field: str,
+        precision: int, **cover,
+    ) -> list[tuple[str, int]]:
+        """geohash_grid over `my-index-*` — same additive fold as
+        agg_geotile (cell keys are pure functions of the point)."""
+        from collections import Counter
+
+        from .geo import match_agg_geohash
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        folded: Counter = Counter()
+        for p in sel:
+            for cell, n in match_agg_geohash(
+                self._searcher(p), query_text, lat_field, lon_field,
+                precision, **cover,
+            ):
+                folded[cell] += n
+        return sorted(folded.items())
+
     def agg_top_metrics(
         self, query_text: str, sort_field: str, metric_fields,
         k: int = 3, ascending: bool = False, filters=(), **cover,

@@ -392,3 +392,75 @@ def match_agg_geotile(
     b = bucketer2(lat, lon)
     uniq, counts = np.unique(b, return_counts=True)
     return [(str(u), int(c)) for u, c in zip(uniq, counts)]
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cells(lat_e6, lon_e6, precision: int) -> np.ndarray:
+    """Geohash cell strings at *precision* chars for microdegree points
+    — EXACT integer arithmetic end to end, so the SQL oracle mirrors it
+    bit for bit.  A geohash is 5·p bits interleaving longitude (even
+    bit indices from the MSB) and latitude: with B = ceil(5p/2) lon
+    bits and 5p − B lat bits, the cell indices are
+    x = floor((lon+180)/360 · 2^B) and y = floor((lat+90)/180 ·
+    2^(5p−B)) (clamped at the top edge), and the interleaved value is
+    read out 5 bits per base-32 char (0-9 b-z, skipping a/i/l/o)."""
+    if not (1 <= precision <= 6):
+        # 7 chars = 35 bits; keep the int64 SQL mirror comfortably exact
+        raise ValueError("geohash precision must be in 1..6")
+    nbits = 5 * precision
+    lonbits = (nbits + 1) // 2
+    latbits = nbits - lonbits
+    lon = np.asarray(lon_e6, dtype=np.int64)
+    lat = np.asarray(lat_e6, dtype=np.int64)
+    x = np.minimum((lon + 180_000_000) * (1 << lonbits) // 360_000_000,
+                   (1 << lonbits) - 1)
+    y = np.minimum((lat + 90_000_000) * (1 << latbits) // 180_000_000,
+                   (1 << latbits) - 1)
+    val = np.zeros(lon.shape, dtype=np.int64)
+    for i in range(nbits):  # MSB first, even = lon, odd = lat
+        if i % 2 == 0:
+            bit = (x >> (lonbits - 1 - i // 2)) & 1
+        else:
+            bit = (y >> (latbits - 1 - i // 2)) & 1
+        val = (val << 1) | bit
+    out = np.empty(val.size, dtype=object)
+    vl = val.tolist()
+    for j, v in enumerate(vl):
+        out[j] = "".join(
+            GEOHASH_B32[(v >> (5 * (precision - 1 - c))) & 31]
+            for c in range(precision)
+        )
+    return out
+
+
+def match_agg_geohash(
+    searcher, query_text: str, lat_field: str, lon_field: str,
+    precision: int, filters=(), distributed: bool = False,
+) -> list[tuple[str, int]]:
+    """geohash_grid aggregation (OpenSearch ``aggs:geohash_grid``):
+    match counts per geohash cell at *precision* chars, ascending key
+    order — the equal-degree sibling of geotile_grid (geohash divides
+    lat/lon linearly; geotile divides Mercator y).  Same scale shape:
+    per-range (cell, count) partials cross the shuffle, cost bounded by
+    the cell cardinality, never the match count."""
+    _check_filters(filters)
+
+    def bucketer2(lat, lon):
+        return geohash_cells(lat, lon, precision)
+
+    ids, buckets = _match_query_ids(searcher, query_text)
+    if not ids:
+        return []
+    if distributed:
+        return _agg2_distributed(
+            searcher, ids, buckets, lat_field, lon_field, filters,
+            bucketer2)
+    m_ids, (lat, lon) = _matched_with_cols(
+        searcher, ids, buckets, filters, [lat_field, lon_field])
+    if m_ids.size == 0:
+        return []
+    b = bucketer2(lat, lon)
+    uniq, counts = np.unique(b, return_counts=True)
+    return [(str(u), int(c)) for u, c in zip(uniq, counts)]

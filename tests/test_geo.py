@@ -512,3 +512,98 @@ def test_has_child_scored(spark, geo_index, oracle_tiny, tiny_pages_pd):
     with _pt.raises(ValueError):
         search_has_child_scored(s, "the", "parent_id", score_mode="nope")
     assert search_has_child_scored(s, "zzznotaterm", "parent_id") == []
+
+
+def _py_geohash(lat_e6: int, lon_e6: int, precision: int) -> str:
+    """Classic bit-by-bit geohash (interval halving) — the textbook
+    algorithm, independent of the engine's integer formulation."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat, lon = lat_e6 / 1e6, lon_e6 / 1e6
+    lat_i, lon_i = [-90.0, 90.0], [-180.0, 180.0]
+    bits, even = [], True
+    while len(bits) < 5 * precision:
+        iv, v = (lon_i, lon) if even else (lat_i, lat)
+        mid = (iv[0] + iv[1]) / 2
+        if v >= mid:
+            bits.append(1)
+            iv[0] = mid
+        else:
+            bits.append(0)
+            iv[1] = mid
+        even = not even
+    out = ""
+    for c in range(precision):
+        val = 0
+        for b in bits[5 * c:5 * c + 5]:
+            val = (val << 1) | b
+        out += b32[val]
+    return out
+
+
+def test_geohash_cells_vectors():
+    """geohash encoding vs canonical vectors AND the textbook interval-
+    halving algorithm over adversarial grid points (index/geo.py
+    geohash_cells)."""
+    import numpy as np
+
+    from data_prepper_spark.index.geo import geohash_cells
+
+    assert geohash_cells(
+        np.array([57_649_110]), np.array([10_407_440]), 5)[0] == "u4pru"
+    assert geohash_cells(
+        np.array([42_600_000]), np.array([-5_600_000]), 5)[0] == "ezs42"
+    # top-edge clamp
+    assert geohash_cells(
+        np.array([90_000_000]), np.array([180_000_000]), 4)[0] == "zzzz"
+    rng = __import__("random").Random(3)
+    pts = [(rng.randint(-90_000_000, 90_000_000),
+            rng.randint(-180_000_000, 179_999_999)) for _ in range(300)]
+    for p in (1, 3, 5):
+        got = geohash_cells(
+            np.array([la for la, _ in pts]),
+            np.array([lo for _, lo in pts]), p)
+        for (la, lo), g in zip(pts, got):
+            assert g == _py_geohash(la, lo, p), (la, lo, p)
+
+
+def test_agg_geohash(spark, geo_index, oracle_tiny, tiny_pages_pd,
+                     geo_family_root):
+    """geohash_grid aggregation: driver == distributed == python
+    oracle; the family fold equals the single index."""
+    from data_prepper_spark.index.family import FamilySearcher
+    from data_prepper_spark.index.geo import match_agg_geohash
+
+    docs = [xxh64_signed(r.url) for r in tiny_pages_pd.itertuples(index=False)]
+    coords = {d: (_lat_e6(d), _lon_e6(d)) for d in docs}
+    s = BM25Searcher(spark, geo_index)
+    fs = FamilySearcher(spark, geo_family_root)
+    for qtext in ("the data", "spark index"):
+        matched = _matched(oracle_tiny, qtext)
+        for prec in (2, 4):
+            want = {}
+            for d in matched:
+                cell = _py_geohash(*coords[d], prec)
+                want[cell] = want.get(cell, 0) + 1
+            got = match_agg_geohash(
+                s, qtext, "lat_e6", "lon_e6", prec)
+            assert got == sorted(want.items()), (qtext, prec)
+            assert match_agg_geohash(
+                s, qtext, "lat_e6", "lon_e6", prec, distributed=True
+            ) == got
+            assert fs.agg_geohash(
+                qtext, "lat_e6", "lon_e6", prec) == got
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        match_agg_geohash(s, "the", "lat_e6", "lon_e6", 9)
+
+
+def test_family_geotile_fold(spark, geo_index, geo_family_root):
+    from data_prepper_spark.index.family import FamilySearcher
+    from data_prepper_spark.index.geo import match_agg_geotile
+
+    s = BM25Searcher(spark, geo_index)
+    fs = FamilySearcher(spark, geo_family_root)
+    for qtext in ("the data", "spark index"):
+        assert fs.agg_geotile(qtext, "lat_e6", "lon_e6", 3) == (
+            match_agg_geotile(s, qtext, "lat_e6", "lon_e6", 3))
