@@ -9075,6 +9075,51 @@ def sql_ft_agg_ip_range() -> str:
 """
 
 
+IP_PREFIX_LEN = 6
+
+
+def q_ft_agg_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ip_prefix aggregation (OpenSearch aggs:ip_prefix;
+    index/filtered.py match_agg_ip_prefix): match counts per /6 IPv4
+    network of the ip docvalue, dotted-quad/len keys ascending — the
+    masking fold runs over the reduced (value, count) histogram, so the
+    shuffle is bounded by field cardinality."""
+    from .index.filtered import match_agg_ip_prefix
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        for net, n in match_agg_ip_prefix(
+            s, qtext, "ip_int", IP_PREFIX_LEN, distributed=True
+        ):
+            rows.append((qid, net, n))
+    return spark.createDataFrame(rows, "query_id int, net string, n long")
+
+
+def sql_ft_agg_ip_prefix() -> str:
+    shift = 32 - IP_PREFIX_LEN
+    net = f"(g.ip_int >> {shift}) << {shift}"
+    key = (
+        f"(net >> 24 & 255) || '.' || (net >> 16 & 255) || '.' || "
+        f"(net >> 8 & 255) || '.' || (net & 255) || '/{IP_PREFIX_LEN}'"
+    )
+    selects = []
+    for qid, qtext in AGG_STATS_QUERIES:
+        selects.append(
+            f"SELECT {qid} AS query_id, {key} AS net,\n"
+            f"       count(*)::BIGINT AS n\n"
+            f"FROM (SELECT {net} AS net\n"
+            f"      FROM documents d JOIN g ON g.doc_id = d.doc_id\n"
+            f"      WHERE {_agg_match_where(qtext)})\n"
+            f"GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return _ft_sql_base() + f""", {_GEO_CTE}
+{union}
+"""
+
+
 def q_ft_agg_t_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paired t_test aggregation (OpenSearch aggs:t_test type=paired,
     index/filtered.py match_agg_t_test_paired): Welch's paired t over
@@ -10532,6 +10577,7 @@ QUERIES = {
     "ft_exists_query": q_ft_exists_query,
     "ft_ip_cidr": q_ft_ip_cidr,
     "ft_agg_ip_range": q_ft_agg_ip_range,
+    "ft_agg_ip_prefix": q_ft_agg_ip_prefix,
     "ft_agg_t_test_paired": q_ft_agg_t_test_paired,
     "ft_geo_distance": q_ft_geo_distance,
     "ft_geo_bbox": q_ft_geo_bbox,
@@ -10760,6 +10806,7 @@ ORACLES = {
     "ft_exists_query": sql_ft_exists_query(),
     "ft_ip_cidr": sql_ft_ip_cidr(),
     "ft_agg_ip_range": sql_ft_agg_ip_range(),
+    "ft_agg_ip_prefix": sql_ft_agg_ip_prefix(),
     "ft_agg_t_test_paired": sql_ft_agg_t_test_paired(),
     "ft_geo_distance": sql_ft_geo_distance(),
     "ft_geo_bbox": sql_ft_geo_bbox(),

@@ -569,6 +569,18 @@ class FamilySearcher:
         return range_from_hist(
             *self.agg_value_hist(query_text, field, **cover), rngs)
 
+    def agg_ip_prefix(
+        self, query_text: str, field: str, prefix_length: int,
+        min_doc_count: int = 1, **cover,
+    ) -> list[tuple[str, int]]:
+        """ip_prefix over `my-index-*` — network buckets from the
+        folded integer-ip histogram (masking commutes with the fold)."""
+        from .filtered import ip_prefix_from_hist
+
+        return ip_prefix_from_hist(
+            *self.agg_value_hist(query_text, field, **cover),
+            prefix_length, min_doc_count)
+
     def agg_boxplot(self, query_text: str, field: str, **cover) -> dict:
         """boxplot over `my-index-*` — min/quartiles/max derive from the
         folded value histogram (nearest-rank, exact at any period

@@ -4158,6 +4158,53 @@ def match_agg_ip_range(
     )
 
 
+def ipv4_str(net: int) -> str:
+    """Dotted-quad string of a uint32 network address."""
+    return (f"{net >> 24 & 255}.{net >> 16 & 255}"
+            f".{net >> 8 & 255}.{net & 255}")
+
+
+def match_agg_ip_prefix(
+    searcher, query_text: str, field: str, prefix_length: int,
+    filters=(), distributed: bool = False, min_doc_count: int = 1,
+) -> list[tuple[str, int]]:
+    """ip_prefix aggregation (OpenSearch ``aggs:ip_prefix``): match
+    counts per /prefix_length IPv4 network of the integer ip docvalue —
+    bucket key is the masked network in dotted-quad form, ascending
+    network order, buckets below *min_doc_count* dropped (the
+    OpenSearch default keeps ≥1, so empty networks never appear).
+    Derived from the same folded (value, count) histogram as
+    range/ip_range — the shuffle carries value partials bounded by
+    field cardinality, and the masking fold is a driver-side numpy
+    group over the reduced histogram."""
+    if not (0 <= prefix_length <= 32):
+        raise ValueError("ip_prefix prefix_length must be in 0..32")
+    return ip_prefix_from_hist(
+        *match_value_hist(searcher, query_text, field, filters, distributed),
+        prefix_length, min_doc_count,
+    )
+
+
+def ip_prefix_from_hist(vals: np.ndarray, counts: np.ndarray,
+                        prefix_length: int, min_doc_count: int = 1):
+    """/prefix_length network buckets from a (value, count) histogram —
+    shared by the single-index agg and the family fold (masking a
+    folded histogram ≡ folding masked histograms)."""
+    if vals.size == 0:
+        return []
+    shift = 32 - prefix_length
+    nets = (vals.astype(np.int64) >> shift) << shift
+    order = np.argsort(nets, kind="stable")
+    nets, c = nets[order], counts[order]
+    bounds = np.flatnonzero(np.concatenate(([True], nets[1:] != nets[:-1])))
+    sums = np.add.reduceat(c, bounds)
+    keep = sums >= min_doc_count
+    return [
+        (f"{ipv4_str(int(n))}/{prefix_length}", int(s))
+        for n, s in zip(nets[bounds][keep], sums[keep])
+    ]
+
+
 def bucket_script_from_buckets(rows):
     """Bucket-script pipeline aggregation (OpenSearch ``bucket_script``
     — per-bucket arithmetic across the parent's sibling metrics): for

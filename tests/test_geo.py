@@ -607,3 +607,49 @@ def test_family_geotile_fold(spark, geo_index, geo_family_root):
     for qtext in ("the data", "spark index"):
         assert fs.agg_geotile(qtext, "lat_e6", "lon_e6", 3) == (
             match_agg_geotile(s, qtext, "lat_e6", "lon_e6", 3))
+
+
+def test_agg_ip_prefix(spark, geo_index, oracle_tiny, tiny_pages_pd,
+                       geo_family_root):
+    """ip_prefix aggregation: /n network buckets vs a python mask
+    oracle; driver == distributed; min_doc_count drops; family fold ==
+    single index (index/filtered.py match_agg_ip_prefix)."""
+    from data_prepper_spark.index.family import FamilySearcher
+    from data_prepper_spark.index.filtered import match_agg_ip_prefix
+
+    docs = [xxh64_signed(r.url) for r in tiny_pages_pd.itertuples(index=False)]
+    ips = {d: _ip_int(d) for d in docs}
+    s = BM25Searcher(spark, geo_index)
+    fs = FamilySearcher(spark, geo_family_root)
+    for qtext in ("the data", "spark index"):
+        matched = _matched(oracle_tiny, qtext)
+        for plen in (2, 8, 20):
+            shift = 32 - plen
+            want = {}
+            for d in matched:
+                net = (ips[d] >> shift) << shift
+                key = (f"{net >> 24 & 255}.{net >> 16 & 255}"
+                       f".{net >> 8 & 255}.{net & 255}/{plen}")
+                want[key] = want.get(key, 0) + 1
+            want_rows = sorted(
+                want.items(),
+                key=lambda kv: int(
+                    kv[0].split("/")[0].split(".")[0]) * 2**24
+                + int(kv[0].split("/")[0].split(".")[1]) * 2**16
+                + int(kv[0].split("/")[0].split(".")[2]) * 2**8
+                + int(kv[0].split("/")[0].split(".")[3]),
+            )
+            got = match_agg_ip_prefix(s, qtext, "ip_int", plen)
+            assert got == want_rows, (qtext, plen)
+            assert match_agg_ip_prefix(
+                s, qtext, "ip_int", plen, distributed=True) == got
+            assert fs.agg_ip_prefix(qtext, "ip_int", plen) == got
+    # min_doc_count prunes singletons
+    loose = match_agg_ip_prefix(s, "the data", "ip_int", 20)
+    tight = match_agg_ip_prefix(s, "the data", "ip_int", 20,
+                                min_doc_count=2)
+    assert set(tight) == {(k, n) for k, n in loose if n >= 2}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        match_agg_ip_prefix(s, "the", "ip_int", 40)
