@@ -364,6 +364,62 @@ def cmd_query(args) -> None:
             hits = search_simple_query_string(
                 s, q, k=args.k, distributed=args.distributed,
             )
+        elif mode == "rank-feature":
+            from data_prepper_spark.index.filtered import search_rank_feature
+
+            hits = search_rank_feature(
+                s, q, args.agg_field or "n_chars",
+                json.loads(args.shape), k=args.k, filters=filters,
+                distributed=args.distributed,
+            )
+        elif mode == "script-score":
+            from data_prepper_spark.index.filtered import search_script_score
+
+            hits = search_script_score(
+                s, q, args.script, k=args.k, filters=filters,
+                distributed=args.distributed,
+            )
+        elif mode == "intervals":
+            from data_prepper_spark.index.phrase import intervals_topk
+
+            hits = intervals_topk(
+                s, json.loads(q), k=args.k, distributed=args.distributed,
+            )
+        elif mode == "has-child-scored":
+            from data_prepper_spark.index.filtered import (
+                search_has_child_scored,
+            )
+
+            hits = search_has_child_scored(
+                s, q, args.parent_field, k=args.k,
+                score_mode=args.score_mode,
+                min_children=args.min_children, filters=filters,
+                distributed=args.distributed,
+            )
+        elif mode == "agg-geohash":
+            from data_prepper_spark.index.geo import match_agg_geohash
+
+            out = match_agg_geohash(
+                s, q, args.lat_field, args.lon_field, args.precision,
+                filters=filters, distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "geohash_grid",
+                              "precision": args.precision,
+                              "buckets": out}))
+            continue
+        elif mode == "agg-ip-prefix":
+            from data_prepper_spark.index.filtered import (
+                match_agg_ip_prefix,
+            )
+
+            out = match_agg_ip_prefix(
+                s, q, args.agg_field or "ip_int", args.prefix_length,
+                filters=filters, distributed=args.distributed,
+            )
+            print(json.dumps({"query": q, "agg": "ip_prefix",
+                              "prefix_length": args.prefix_length,
+                              "buckets": out}))
+            continue
         elif mode == "span-multi":
             from data_prepper_spark.index.phrase import span_multi_near_topk
 
@@ -1005,7 +1061,10 @@ def main() -> None:
                              "span-multi", "distance-feature",
                              "random-score", "pinned",
                              "agg-cumulative-cardinality",
-                             "simple-query-string", "term-vectors"],
+                             "simple-query-string", "term-vectors",
+                             "rank-feature", "script-score", "intervals",
+                             "has-child-scored", "agg-geohash",
+                             "agg-ip-prefix"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); query-string is the full DSL "
                          "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "
@@ -1088,6 +1147,20 @@ def main() -> None:
     pq.add_argument("--parent-field", default="parent_id",
                     help="join-field docvalue for has-child/has-parent")
     pq.add_argument("--min-children", type=int, default=1)
+    pq.add_argument("--score-mode", default="avg",
+                    choices=["sum", "avg", "max", "min"],
+                    help="has-child-scored: child-score fold")
+    pq.add_argument("--shape", default='{"saturation": {"pivot": 1000}}',
+                    help="rank-feature: shape JSON (saturation/log/"
+                         "sigmoid + optional boost)")
+    pq.add_argument("--script",
+                    default="_score * (1 + ln(1 + doc['n_chars'].value))",
+                    help="script-score: painless-lite expression over "
+                         "_score and one doc['field'].value")
+    pq.add_argument("--precision", type=int, default=4,
+                    help="agg-geohash: cell precision in chars (1..6)")
+    pq.add_argument("--prefix-length", type=int, default=8,
+                    help="agg-ip-prefix: IPv4 network prefix length")
     pq.add_argument("--named-filters",
                     help="agg-adjacency buckets: name:col:op:val;name:... ")
     pq.add_argument("--origin", help="distance-feature origin (float or "
