@@ -10964,15 +10964,25 @@ _DRIVER_WINDOW_R5 = [
     "ft_agg_top_metrics", "ft_agg_terms_stats", "ft_agg_top_hits",
     "ft_agg_significant_terms", "ft_suggest_terms", "ft_highlight",
     "ft_family_agg_metrics",
-    # -- new session-4: score-shaping + paging serving surfaces (7) --
-    "ft_collapse", "ft_boosting", "ft_rescore", "ft_explain",
+    # -- new session-4: score-shaping + paging serving surfaces --
+    # (ft_explain rides: it re-presents BM25 components every scored
+    # entry already pins; ft_qs_min_should_match rides on the windowed
+    # ft_query_string + ft_min_should_match pair)
+    "ft_collapse", "ft_boosting", "ft_rescore",
     "ft_agg_composite", "ft_agg_extended_stats", "ft_phrase_prefix",
-    "ft_query_string", "ft_min_should_match", "ft_qs_min_should_match",
+    "ft_query_string", "ft_min_should_match",
     "ft_terms_set",
     # -- round-5 additions --
+    # (ft_family_agg_date_histogram rides on the windowed
+    # ft_family_agg_metrics fold + ft_agg_date_histogram pair)
     "otel_metrics_full", "http_ingest",
-    "ft_family_bm25_distributed", "ft_family_agg_date_histogram",
+    "ft_family_bm25_distributed",
     "ft_family_filtered_topk",
+    # -- session-9's three genuinely NEW kernels: the minimal-interval
+    # algebra, the painless-lite compiler path, and the associative
+    # child-score fold (rank_feature / geohash / ip_prefix are
+    # function_score / geotile / ip_range siblings — local sweep) --
+    "ft_intervals", "ft_script_score", "ft_has_child_scored",
 ]
 assert len(_DRIVER_WINDOW_R5) == 50 and set(_DRIVER_WINDOW_R5) <= set(QUERIES)
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW_R5}, **QUERIES}
