@@ -873,15 +873,41 @@ class FamilySearcher:
         positional index built over the covered docs (the
         dfs_query_then_fetch guarantee the term path already pins).
         Positions are required on every covered segment."""
-        import math
-
-        import numpy as np
-
         from .phrase import phrase_match_triples
 
         sel = cover.pop("periods", None)
         if sel is None:
             sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        return self._positional_fold(
+            lambda s: phrase_match_triples(s, phrase_text, slop, **cover),
+            sel, k, tie_round)
+
+    def intervals_topk(
+        self, spec: dict, k: int = 10, tie_round: int = 4, **cover,
+    ) -> list[tuple[int, float]]:
+        """Cross-period intervals search over `my-index-*` — per-period
+        minimal-interval match triples fold under family-global stats
+        (df = total cross-period match count), identical ranking to one
+        positional index over the covered docs; same fold contract as
+        phrase_topk."""
+        from .phrase import intervals_match_triples
+
+        sel = cover.pop("periods", None)
+        if sel is None:
+            sel = self.covered(cover.pop("start", None), cover.pop("end", None))
+        return self._positional_fold(
+            lambda s: intervals_match_triples(s, spec, **cover),
+            sel, k, tie_round)
+
+    def _positional_fold(self, triples_fn, sel, k: int, tie_round: int):
+        """Shared cross-period fold for positional match sets: collect
+        per-period UNSCORED (doc, tf, dl) triples, then score once under
+        family-global n/avgdl with df = total match count — the
+        dfs_query_then_fetch guarantee."""
+        import math
+
+        import numpy as np
+
         opened = [self._searcher(p) for p in sel]
         if not opened:
             return []
@@ -892,7 +918,7 @@ class FamilySearcher:
         avgdl = total_tokens / n
         docs, tfs, dls = [], [], []
         for s in opened:
-            d, tf, dl = phrase_match_triples(s, phrase_text, slop, **cover)
+            d, tf, dl = triples_fn(s)
             docs.extend(d)
             tfs.extend(tf)
             dls.extend(dl)

@@ -384,6 +384,50 @@ def phrase_match_triples(
     return docs, tfs, dls
 
 
+def intervals_match_triples(
+    searcher, spec: dict, field: str | None = None,
+) -> tuple[list, list, list]:
+    """(docs, tf, dls) of every doc matching an intervals *spec* — the
+    unscored match set, so the family cross-period fold can score the
+    triples under family-global n/avgdl (same contract as
+    phrase_match_triples; tf = minimal-interval count)."""
+    import pyarrow.dataset as pads
+
+    if not searcher.stats.get("positions"):
+        raise ValueError(
+            "intervals queries need a positional index "
+            "(IndexConfig.positions=True)"
+        )
+    node, leaves, required = _iv_normalize(searcher, spec, field)
+    if not leaves:
+        return [], [], []
+    leaf_list = sorted(leaves)
+    req_list = sorted(required)
+    buckets = sorted({pmod(i, searcher.cfg.n_buckets) for i in leaf_list})
+    flt = (pads.field("term_bucket").isin(buckets)
+           & pads.field("term_id").isin(leaf_list))
+    rows = searcher._postings.to_table(
+        columns=["range_id"] + _POS_COLS, filter=flt
+    ).to_pylist()
+    by_range: dict[int, list] = {}
+    for r in rows:
+        by_range.setdefault(int(r["range_id"]), []).append(r)
+    docs, tfs, dls = [], [], []
+    for rr in by_range.values():
+        d, tf, dl, _fp = _intervals_match_rows(rr, node, leaf_list, req_list)
+        docs.extend(d)
+        tfs.extend(tf)
+        dls.extend(dl)
+    if searcher.deleted.size and docs:
+        from .deletes import _member
+
+        keep = ~_member(np.asarray(docs, dtype=np.int64), searcher.deleted)
+        docs = [d for d, kp in zip(docs, keep) if kp]
+        tfs = [t for t, kp in zip(tfs, keep) if kp]
+        dls = [l for l, kp in zip(dls, keep) if kp]
+    return docs, tfs, dls
+
+
 def _phrase_topk_driver(
     searcher, phrase_text: str, k: int, tie_round: int, slop: int = 0,
     field: str | None = None,

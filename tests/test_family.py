@@ -481,3 +481,42 @@ def test_family_phrase_equals_single_positional_index(spark,
         assert [d for d, _ in fam] == [d for d, _ in one], (ph, slop)
         assert all(abs(a - b) < 1e-9
                    for (_, a), (_, b) in zip(fam, one)), (ph, slop)
+
+
+def test_family_intervals_equals_single_positional_index(spark,
+                                                         tiny_corpus_path,
+                                                         workdir):
+    """Cross-period intervals search over ALL periods == intervals_topk
+    over one positional index from the same docs (the shared
+    _positional_fold under family-global stats)."""
+    from data_prepper_spark.index.family import FamilySearcher, build_family
+    from data_prepper_spark.index.phrase import intervals_topk
+
+    cfg = IndexConfig(range_bits=2, block_size=16, n_buckets=8,
+                      positions=True)
+    pages = spark.read.parquet(tiny_corpus_path)
+    froot = os.path.join(workdir, "index_family_pos_iv")
+    build_family(spark, pages, froot, cfg, ts_col="warc_ts",
+                 pattern=PATTERN, mode="pages")
+    single = os.path.join(workdir, "index_single_pos_for_family_iv")
+    build_oneshot(spark, pages, single, cfg)
+    fs = FamilySearcher(spark, froot)
+    s1 = BM25Searcher(spark, single)
+    assert len(fs.covered()) > 1
+    specs = [
+        {"match": {"query": "the data", "ordered": True, "max_gaps": 2}},
+        {"match": {"query": "data the", "ordered": False, "max_gaps": 4}},
+        {"any_of": {"intervals": [
+            {"match": {"query": "merge join", "ordered": True,
+                       "max_gaps": 0}},
+            {"match": {"query": "the data", "ordered": True,
+                       "max_gaps": 0}},
+        ]}},
+        {"match": {"query": "zzz absent", "ordered": True}},
+    ]
+    for spec in specs:
+        fam = fs.intervals_topk(spec, k=10)
+        one = intervals_topk(s1, spec, k=10, distributed=False)
+        assert [d for d, _ in fam] == [d for d, _ in one], spec
+        assert all(abs(a - b) < 1e-9
+                   for (_, a), (_, b) in zip(fam, one)), spec
