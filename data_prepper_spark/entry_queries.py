@@ -5858,6 +5858,59 @@ SELECT query_id, rank::INT AS rank, vec_id, cos FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN with a metadata filter (OpenSearch knn "efficient filtering"
+    vs post_filter; similarity.knn_filtered): pre-filter restricts
+    candidates BEFORE top-k (full k from the allowed subset, the knn
+    `filter` semantics); post-filter drops non-matching hits from the
+    unfiltered top-k, keeping their original rank positions (gaps where
+    a hit fell).  Both shuffle-free: broadcast queries + per-partition
+    partial top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    allowed = [0, 1, 2, 3]
+    pre = similarity.knn_filtered(
+        emb, queries, "label", allowed, k=5, mode="pre"
+    ).withColumn("mode", F.lit("pre"))
+    post = similarity.knn_filtered(
+        emb, queries, "label", allowed, k=5, mode="post"
+    ).withColumn("mode", F.lit("post"))
+    return pre.unionByName(post)
+
+
+def sql_ann_filtered_topk() -> str:
+    cos = (
+        "round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+        " e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+pre_ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM (SELECT q.query_id, e.vec_id, {cos} AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.label IN (0, 1, 2, 3))
+),
+post_ranked AS (
+  SELECT query_id, vec_id, cos, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM (SELECT q.query_id, e.vec_id, e.label, {cos} AS cos
+        FROM embeddings e CROSS JOIN q)
+)
+SELECT query_id, rank::INT AS rank, vec_id, cos, 'pre' AS mode
+FROM pre_ranked WHERE rank <= 5
+UNION ALL
+SELECT query_id, rank::INT AS rank, vec_id, cos, 'post' AS mode
+FROM post_ranked WHERE rank <= 5 AND label IN (0, 1, 2, 3)
+"""
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: nearest-centroid clustering then within-cluster cosine
     dedup (similarity.semdedup; arXiv:2303.09540)."""
@@ -10526,6 +10579,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "ann_topk": q_ann_topk,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -10756,6 +10810,7 @@ ORACLES = {
     "dedup_minhash": sql_dedup_minhash(),
     "emb_cosine_pairs": sql_emb_cosine_pairs(),
     "ann_topk": sql_ann_topk(),
+    "ann_filtered_topk": sql_ann_filtered_topk(),
     "text_quality": sql_text_quality(),
     "text_langid": sql_text_langid(),
     "text_fingerprint": sql_text_fingerprint(),

@@ -347,3 +347,44 @@ def rrf_fuse(ranked: list, k: int = 10, c: int = 60) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "rrf")
     )
+
+
+def knn_filtered(
+    vectors: DataFrame,
+    queries: DataFrame,
+    filter_col: str,
+    allowed,
+    k: int = 5,
+    mode: str = "pre",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """kNN with a metadata filter (OpenSearch ``knn`` query
+    "efficient filtering" vs ``post_filter``): mode="pre" restricts the
+    candidate set BEFORE top-k selection — every query still gets k
+    results drawn from the allowed subset (the OpenSearch knn `filter`
+    semantics) — while mode="post" ranks the UNFILTERED top-k and then
+    drops non-matching hits, so a query can return fewer than k (the
+    `post_filter` semantics).  The two differ whenever an allowed
+    vector sits outside the global top-k; both stay shuffle-free
+    (broadcast queries, per-partition partial top-k).
+
+    Reference behavior being matched: OpenSearch knn query filter /
+    post_filter on the sink's index (OpenSearchSink.java passthrough);
+    at 10^9 vectors "pre" is also the cheaper plan — the filter prunes
+    the scan before any dot product runs."""
+    if mode == "pre":
+        flt = vectors.filter(F.col(filter_col).isin(list(allowed)))
+        return brute_topk(flt, queries, k=k, id_col=id_col,
+                          vec_col=vec_col, qid_col=qid_col,
+                          qvec_col=qvec_col)
+    if mode != "post":
+        raise ValueError(f"unknown knn filter mode {mode!r}")
+    top = brute_topk(vectors, queries, k=k, id_col=id_col,
+                     vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col)
+    ok = vectors.filter(F.col(filter_col).isin(list(allowed))).select(id_col)
+    # surviving hits KEEP their unfiltered rank positions (gaps where a
+    # hit was dropped) — exactly what post_filter shows a user
+    return top.join(ok, id_col, "left_semi")

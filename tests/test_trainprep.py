@@ -369,3 +369,54 @@ def test_stratified_sample_deterministic(spark):
     na = sum(1 for r in out1.collect() if r["s"] == "a")
     nb = out1.count() - na
     assert 400 < na < 600 and 50 < nb < 150  # ~50% of 1000, ~10% of 1000
+
+
+def test_knn_filtered(emb, queries):
+    """knn filter semantics: pre-filter yields full k from the allowed
+    subset; post-filter subsets the unfiltered top-k keeping original
+    rank positions; they diverge whenever an allowed vector sits
+    outside the global top-k (similarity.knn_filtered)."""
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    allowed = sorted({v for v in labels.values()})[:2]
+    k = 4
+
+    def sims(qid):
+        q = vecs[qid]
+        return {
+            vid: round(float(v @ q
+                             / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
+            for vid, v in vecs.items()
+        }
+
+    pre = similarity.knn_filtered(
+        emb, queries, "label", allowed, k=k, mode="pre").collect()
+    post = similarity.knn_filtered(
+        emb, queries, "label", allowed, k=k, mode="post").collect()
+    for qid in [0, 1, 2]:
+        s = sims(qid)
+        want_pre = sorted(
+            ((v, c) for v, c in s.items() if labels[v] in allowed),
+            key=lambda kv: (-kv[1], kv[0]))[:k]
+        got_pre = sorted(
+            [(r["vec_id"], r["cos"]) for r in pre if r["query_id"] == qid],
+            key=lambda t: (-t[1], t[0]))
+        assert [v for v, _ in got_pre] == [v for v, _ in want_pre], qid
+        glob = sorted(s.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        want_post = [(v, c) for v, c in glob if labels[v] in allowed]
+        got_post = sorted(
+            [(r["vec_id"], r["cos"]) for r in post if r["query_id"] == qid],
+            key=lambda t: (-t[1], t[0]))
+        assert [v for v, _ in got_post] == [v for v, _ in want_post], qid
+        # post keeps unfiltered rank positions
+        glob_rank = {v: i + 1 for i, (v, _) in enumerate(glob)}
+        for r in post:
+            if r["query_id"] == qid:
+                assert r["rank"] == glob_rank[r["vec_id"]], qid
+        # post never exceeds pre's depth
+        assert len(got_post) <= len(got_pre)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        similarity.knn_filtered(emb, queries, "label", allowed, mode="nope")
