@@ -428,6 +428,17 @@ FUZZY_QUERIES: list[tuple[int, str, int]] = [
     (4, "hach", 2),    # mid-word typo, radius 2 pulls multiple terms
 ]
 
+# fuzzy transpositions=true reference set (the OpenSearch DSL default):
+# qids 0-2 are adjacent swaps (Damerau 1 vs Levenshtein 2 — the radius-1
+# expansion DIFFERS between the two metrics), qid 3 exercises the
+# distant-transposition recurrence of full Damerau-Levenshtein
+FUZZY_DL_QUERIES: list[tuple[int, str, int]] = [
+    (0, "tabel", 1),
+    (1, "dtaa", 1),
+    (2, "scna", 1),
+    (3, "batle", 2),
+]
+
 # wildcard reference set (Lucene WildcardQuery: * = any run, ? = one char)
 WILDCARD_QUERIES: list[tuple[int, str]] = [
     (0, "s*"), (1, "?a??"), (2, "*er*"), (3, "s?a?"), (4, "*ream"),
@@ -480,6 +491,59 @@ franked AS (
   FROM fscores
 )
 SELECT query_id, doc_id, score_r FROM franked WHERE rn <= {FT_K}
+"""
+
+
+def q_ft_fuzzy_transpositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy queries with transpositions=true (the OpenSearch DSL
+    default; Lucene FuzzyQuery transpositions; index/boolquery.py
+    damerau_within): a character swap costs ONE edit under full
+    Damerau-Levenshtein (arbitrary-separation Lowrance-Wagner
+    recurrence — distance('ca','abc')=2, matching DuckDB's
+    damerau_levenshtein, NOT the restricted OSA variant), so a radius-1
+    expansion reaches swapped-letter typos plain Levenshtein needs
+    radius 2 for.  Same vocabulary-bounded vectorized DP + scoring-
+    boolean rewrite as the Levenshtein sibling."""
+    from .index.boolquery import search_fuzzy
+
+    idx = _index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, term, max_edits in FUZZY_DL_QUERIES:
+        hits = search_fuzzy(
+            s, term, k=FT_K, max_edits=max_edits, distributed=True,
+            tie_round=4, transpositions=True,
+        )
+        rows.extend((qid, did, round(sc, 4)) for did, sc in hits)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_fuzzy_transpositions() -> str:
+    fvals = ", ".join(f"({qid}, '{t}', {e})" for qid, t, e in FUZZY_DL_QUERIES)
+    return _ft_sql_base() + f""",
+fdq(query_id, qterm, max_edits) AS (VALUES {fvals}),
+fdexp AS (
+  SELECT fdq.query_id, df.term, df.df FROM fdq
+  JOIN df ON damerau_levenshtein(df.term, fdq.qterm) <= fdq.max_edits
+),
+fdscores AS (
+  SELECT e.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM fdexp e
+  JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+fdranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM fdscores
+)
+SELECT query_id, doc_id, score_r FROM fdranked WHERE rn <= {FT_K}
 """
 
 
@@ -10594,6 +10658,7 @@ QUERIES = {
     "ft_bool_topk": q_ft_bool_topk,
     "ft_prefix_topk": q_ft_prefix_topk,
     "ft_fuzzy_topk": q_ft_fuzzy_topk,
+    "ft_fuzzy_transpositions": q_ft_fuzzy_transpositions,
     "ft_wildcard_topk": q_ft_wildcard_topk,
     "ft_filtered_topk": q_ft_filtered_topk,
     "ft_sorted_topk": q_ft_sorted_topk,
@@ -10824,6 +10889,7 @@ ORACLES = {
     "ft_bool_topk": sql_ft_bool_topk(),
     "ft_prefix_topk": sql_ft_prefix_topk(),
     "ft_fuzzy_topk": sql_ft_fuzzy_topk(),
+    "ft_fuzzy_transpositions": sql_ft_fuzzy_transpositions(),
     "ft_wildcard_topk": sql_ft_wildcard_topk(),
     "ft_filtered_topk": sql_ft_filtered_topk(),
     "ft_sorted_topk": sql_ft_sorted_topk(),

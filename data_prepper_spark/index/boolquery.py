@@ -703,6 +703,80 @@ def levenshtein_within(
     return cand[keep], dist[keep]
 
 
+def damerau_within(
+    terms: list[str], query: str, max_edits: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(indices, distances) of the *terms* within *max_edits* FULL
+    Damerau-Levenshtein edits of *query* (unit costs; transpositions of
+    arbitrarily-separated characters via the Lowrance-Wagner `da`
+    table — distance('ca','abc') = 2, the definition DuckDB's
+    ``damerau_levenshtein`` implements, NOT the restricted OSA variant
+    whose answer is 3).  Vectorized over all candidate terms at once:
+    the alphabet is re-coded to the batch's distinct codepoints, the
+    per-term last-occurrence table ``da`` is an (n, |alphabet|) array,
+    and the 3-D DP retains the full matrix because the transposition
+    recurrence reaches back to an arbitrary (k-1, l-1) cell.  Same
+    length prefilter as the plain-Levenshtein sibling."""
+    n = len(terms)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if n == 0:
+        return empty
+    lens = np.fromiter((len(t) for t in terms), np.int64, n)
+    cand = np.flatnonzero(np.abs(lens - len(query)) <= max_edits)
+    if cand.size == 0:
+        return empty
+    clens = lens[cand]
+    maxlen = int(clens.max())
+    qlen = len(query)
+    # batch alphabet: distinct codepoints of candidates + query; 0 is
+    # the pad symbol (never equal to a real char)
+    chars = sorted({ord(c) for ti in cand for c in terms[ti]}
+                   | {ord(c) for c in query})
+    code = {c: i + 1 for i, c in enumerate(chars)}
+    n_sym = len(chars) + 1
+    mat = np.zeros((cand.size, maxlen), dtype=np.int64)
+    for r, ti in enumerate(cand):
+        t = terms[ti]
+        mat[r, : len(t)] = [code[ord(c)] for c in t]
+    q = np.fromiter((code[ord(c)] for c in query), np.int64, qlen)
+    # L[c, j] = last column j' in 1..j-1 with q[j'-1] == c (0 = none) —
+    # shared across candidates (the query is common)
+    L = np.zeros((n_sym, qlen + 1), dtype=np.int64)
+    for j in range(1, qlen + 1):
+        L[:, j] = L[:, j - 1]
+        if j >= 2:
+            L[q[j - 2], j] = j - 1
+    nc = cand.size
+    maxdist = maxlen + qlen
+    D = np.full((nc, maxlen + 2, qlen + 2), maxdist, dtype=np.int64)
+    D[:, 1, 1:] = np.arange(qlen + 1)
+    D[:, 1:, 1] = np.arange(maxlen + 1)
+    da = np.zeros((nc, n_sym), dtype=np.int64)
+    ar = np.arange(nc)
+    for i in range(1, maxlen + 1):
+        ai = mat[:, i - 1]
+        db = np.zeros(nc, dtype=np.int64)
+        for j in range(1, qlen + 1):
+            bj = q[j - 1]
+            k = da[:, bj]
+            l_ = db
+            match = ai == bj
+            cost = (~match).astype(np.int64)
+            db = np.where(match, j, db)
+            sub = D[:, i, j] + cost          # (i-1, j-1) + cost
+            ins = D[:, i + 1, j] + 1         # (i, j-1) + 1
+            dele = D[:, i, j + 1] + 1        # (i-1, j) + 1
+            # transposition: (k-1, l-1) + (i-k-1) + 1 + (j-l-1)
+            tr = (D[ar, k, l_] + (i - k - 1) + 1 + (j - l_ - 1))
+            tr = np.where((k > 0) & (l_ > 0), tr, maxdist)
+            D[:, i + 1, j + 1] = np.minimum(
+                np.minimum(sub, ins), np.minimum(dele, tr))
+        da[ar, ai] = i
+    dist = D[ar, clens + 1, qlen + 1]
+    keep = dist <= max_edits
+    return cand[keep], dist[keep]
+
+
 def suggest_terms(
     searcher,
     text: str,
@@ -917,21 +991,29 @@ def expand_fuzzy(
     max_edits: int = 2,
     prefix_len: int = 0,
     max_expansions: int = 1024,
+    transpositions: bool = False,
 ) -> list[str]:
-    """Concrete terms within *max_edits* Levenshtein edits of *term*, from
-    the term dictionary (Lucene FuzzyQuery with transpositions=false —
-    plain Levenshtein, DuckDB-oracle-identical).  *prefix_len* requires
-    that many leading chars to match exactly (Lucene's prefixLength),
-    pruning the scan arrow-side before the DP.  Vocabulary-bounded, never
-    corpus-bounded — at web scale |vocab| grows ~Heaps-law sublinearly and
-    the hive-partitioned termdict scan parallelizes per bucket."""
+    """Concrete terms within *max_edits* edits of *term*, from the term
+    dictionary (Lucene FuzzyQuery): transpositions=False is plain
+    Levenshtein (DuckDB ``levenshtein`` twin); transpositions=True — the
+    OpenSearch DSL default — counts a character swap as ONE edit via
+    full Damerau-Levenshtein (DuckDB ``damerau_levenshtein`` twin,
+    damerau_within).  *prefix_len* requires that many leading chars to
+    match exactly (Lucene's prefixLength), pruning the scan arrow-side
+    before the DP.  Vocabulary-bounded, never corpus-bounded — at web
+    scale |vocab| grows ~Heaps-law sublinearly and the hive-partitioned
+    termdict scan parallelizes per bucket."""
     ds = pads.dataset(f"{searcher.index_dir}/termdict", partitioning="hive")
     col = ds.to_table(columns=["term"])["term"]
     if prefix_len > 0:
         col = col.filter(pc.starts_with(col, pattern=term[:prefix_len]))
     vocab = sorted(set(col.to_pylist()))
-    mask = levenshtein_leq(vocab, term, max_edits)
-    terms = [t for t, m in zip(vocab, mask) if m]
+    if transpositions:
+        idx, _ = damerau_within(vocab, term, max_edits)
+        terms = [vocab[i] for i in idx.tolist()]
+    else:
+        mask = levenshtein_leq(vocab, term, max_edits)
+        terms = [t for t, m in zip(vocab, mask) if m]
     if len(terms) > max_expansions:
         raise ValueError(
             f"fuzzy '{term}'~{max_edits} expands to {len(terms)} terms "
@@ -949,11 +1031,13 @@ def search_fuzzy(
     distributed: bool = False,
     tie_round: int | None = None,
     max_expansions: int = 1024,
+    transpositions: bool = False,
 ) -> list[tuple[int, float]]:
-    """Fuzzy top-k: Levenshtein dictionary expansion → scoring-boolean
-    rewrite (each expanded term scores with its own idf —
-    SCORING_BOOLEAN_REWRITE, like prefix)."""
-    terms = expand_fuzzy(searcher, term, max_edits, prefix_len, max_expansions)
+    """Fuzzy top-k: Levenshtein (or Damerau, transpositions=True)
+    dictionary expansion → scoring-boolean rewrite (each expanded term
+    scores with its own idf — SCORING_BOOLEAN_REWRITE, like prefix)."""
+    terms = expand_fuzzy(searcher, term, max_edits, prefix_len,
+                         max_expansions, transpositions)
     if not terms:
         return []
     return search_bool(

@@ -650,3 +650,71 @@ def test_search_synonyms(spark, tiny_index, oracle_tiny):
     sy = dict(search_synonyms(s, [["spark", "query"], ["data"]], k=10**6))
     diff = [d for d in sy if d in bs and abs(sy[d] - bs[d]) > 1e-9]
     assert diff, "synonym blending should change scores vs bool-should"
+
+
+def test_damerau_within_matches_duckdb():
+    """Full Damerau-Levenshtein expansion (transpositions=true) ==
+    DuckDB's damerau_levenshtein on random strings — the arbitrary-
+    separation Lowrance-Wagner recurrence, not OSA
+    (index/boolquery.py damerau_within)."""
+    import random
+
+    import duckdb
+
+    from data_prepper_spark.index.boolquery import damerau_within
+
+    # the OSA-vs-full-DL distinguishing case: ('ca','abc') is 2, not 3
+    idx, dist = damerau_within(["ca"], "abc", 2)
+    assert idx.tolist() == [0] and dist.tolist() == [2]
+    rng = random.Random(17)
+    terms = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+             for _ in range(300)]
+    con = duckdb.connect()
+    for q in ["abc", "ba", "dcba", "aabb", "d"]:
+        for me in (1, 2):
+            idx, dist = damerau_within(terms, q, me)
+            got = {(terms[i], int(d)) for i, d in zip(idx, dist)}
+            want = {
+                (t, d) for t, d in (
+                    (t, con.sql(
+                        f"select damerau_levenshtein('{t}','{q}')"
+                    ).fetchone()[0]) for t in set(terms))
+                if d <= me
+            }
+            assert {t for t, _ in got} == {t for t, _ in want}, (q, me)
+            assert got <= want, (q, me)
+
+
+def test_fuzzy_transpositions(spark, tiny_index, oracle_tiny):
+    """transpositions=True reaches adjacent-swap typos at radius 1 that
+    plain Levenshtein needs radius 2 for; expansion == brute DL over
+    the vocabulary; scores == scoring-boolean rewrite."""
+    from data_prepper_spark.index.boolquery import (
+        expand_fuzzy,
+        search_bool,
+        search_fuzzy,
+    )
+
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    vocab = sorted(oracle_tiny.postings)
+    assert "the" in vocab
+    # 'hte' is an adjacent swap of 'the': DL radius 1 finds it,
+    # Levenshtein radius 1 does not
+    exp_dl = expand_fuzzy(s, "hte", max_edits=1, transpositions=True)
+    exp_lev = expand_fuzzy(s, "hte", max_edits=1)
+    assert "the" in exp_dl and "the" not in exp_lev
+    # expansion == brute python DL over the vocabulary
+    import duckdb
+
+    con = duckdb.connect()
+    want = sorted(
+        t for t in vocab
+        if con.sql(
+            f"select damerau_levenshtein('{t}','hte')").fetchone()[0] <= 1
+    )
+    assert sorted(exp_dl) == want
+    # ranking equals the should-group over the expansion
+    hits = search_fuzzy(s, "hte", k=10, max_edits=1, transpositions=True)
+    ref = search_bool(s, should=exp_dl, k=10)
+    assert hits == ref
