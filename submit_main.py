@@ -167,6 +167,7 @@ def cmd_query(args) -> None:
             hits = search_fuzzy(
                 s, q, k=args.k, max_edits=args.max_edits,
                 prefix_len=args.prefix_len, distributed=args.distributed,
+                transpositions=args.transpositions,
             )
         elif mode == "wildcard":
             from data_prepper_spark.index.boolquery import search_wildcard
@@ -1095,6 +1096,8 @@ def main() -> None:
                          "index built with field_cols; with --mode bm25 "
                          "runs a filtered BM25 search")
     pq.add_argument("--max-edits", type=int, default=2)
+    pq.add_argument("--transpositions", action="store_true",
+                    help="fuzzy: count character swaps as one edit (Damerau)")
     pq.add_argument("--min-should-match", type=int, default=0,
                     help="minimum number of SHOULD clauses a doc must "
                          "match (bool and query-string modes)")
