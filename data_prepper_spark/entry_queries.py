@@ -7414,6 +7414,65 @@ def sql_ft_family_bm25() -> str:
     )
 
 
+# indices_boost reference set: per-period multipliers (period p covers
+# doc_id % 96 in [24p, 24p+24) via _synth_ts)
+FAMILY_BOOSTS = {"2025.06.01": 1.0, "2025.06.02": 2.0,
+                 "2025.06.03": 0.5, "2025.06.04": 1.0}
+
+
+def q_ft_family_indices_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indices_boost on a cross-period family search (OpenSearch
+    ``indices_boost`` against `my-index-*`; family.FamilySearcher.search
+    indices_boost=): a hit from period p scores β_p · BM25 under
+    family-global stats — time-decayed relevance without reindexing.
+    BMW pruning stays exact under a boost (scores scale linearly, so
+    each segment prunes against θ/β_p); the driver entry takes the
+    brute k=None path for the rounded rank contract."""
+    from .index.family import FamilySearcher
+
+    root = _family_root(spark, sf_dir)
+    fs = FamilySearcher(spark, root)
+    rows = []
+    for qid, qtext in FT_QUERIES:
+        hits = fs.search(qtext, k=None, indices_boost=FAMILY_BOOSTS)
+        ranked = sorted(
+            ((did, round(sc, 4)) for did, sc in hits),
+            key=lambda h: (-h[1], h[0]),
+        )[:FT_K]
+        rows.extend((qid, did, sc) for did, sc in ranked)
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_family_indices_boost() -> str:
+    boost = (
+        "CASE (tf.doc_id % 96) // 24"
+        " WHEN 0 THEN 1.0 WHEN 1 THEN 2.0 WHEN 2 THEN 0.5"
+        " ELSE 1.0 END::DOUBLE"
+    )
+    return _ft_sql_base() + f""",
+fib_scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) )
+         * any_value({boost}) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+fib_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM fib_scores
+)
+SELECT query_id, doc_id, score_r FROM fib_ranked WHERE rn <= {FT_K}
+"""
+
+
 def q_ft_family_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 10^12-doc FAMILY serving path, oracle-pinned
     (family.FamilySearcher.search_distributed): ONE Spark job over the
@@ -10772,6 +10831,7 @@ QUERIES = {
     "codec_csv_out": q_codec_csv_out,
     "codec_avro": q_codec_avro,
     "ft_family_bm25": q_ft_family_bm25,
+    "ft_family_indices_boost": q_ft_family_indices_boost,
     "ft_family_bm25_distributed": q_ft_family_bm25_distributed,
     "ft_family_agg_date_histogram": q_ft_family_agg_date_histogram,
     "ft_family_filtered_topk": q_ft_family_filtered_topk,
@@ -11001,6 +11061,7 @@ ORACLES = {
     "codec_csv_out": sql_codec_csv_out(),
     "codec_avro": sql_codec_avro(),
     "ft_family_bm25": sql_ft_family_bm25(),
+    "ft_family_indices_boost": sql_ft_family_indices_boost(),
     "ft_family_bm25_distributed": sql_ft_family_bm25_distributed(),
     "ft_family_agg_date_histogram": sql_ft_family_agg_date_histogram(),
     "ft_family_filtered_topk": sql_ft_family_filtered_topk(),

@@ -203,11 +203,21 @@ class FamilySearcher:
         end: str | None = None,
         periods: list[str] | None = None,
         mode: str = "bmw",
+        indices_boost: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score) over the covered periods, rank-identical
         to a single index over the same docs (global stats).  k=None
         returns every match (callers applying a rounded tie rule; always
         brute — every match must be decoded anyway).
+
+        *indices_boost* (OpenSearch ``indices_boost`` on a `my-index-*`
+        search): per-period score multipliers β_p ≥ 0 — a hit from
+        period p scores β_p · BM25_global(doc).  BMW pruning stays
+        exact under a boost because scores scale linearly: the segment
+        prunes against θ/β_p (can't-reach-θ/β unboosted ⇔ can't-reach-θ
+        boosted), and its returned scores are multiplied by β_p before
+        entering the global θ fold.  β_p = 0 segments score brute
+        (every match kept at 0 — OpenSearch keeps zero-boosted hits).
 
         mode="bmw" (default, k-bounded): per-segment block-max pruning
         stays EXACT under the family-global avgdl by inflating each
@@ -242,29 +252,35 @@ class FamilySearcher:
             return []
         hits: list[tuple[int, float]] = []
         theta = float("-inf")  # WAND across segments: running global kth
-        for s, s_ids, s_buckets, dfs in per_seg_df:
+        for p, (s, s_ids, s_buckets, dfs) in zip(sel, per_seg_df):
+            beta = float((indices_boost or {}).get(p, 1.0))
+            if beta < 0:
+                raise ValueError(f"indices_boost[{p!r}] must be >= 0")
             present = {i: t for i, t in s_ids.items() if dfs.get(i, 0) > 0}
             if not present:
                 continue
-            if k is None or mode != "bmw":
-                hits.extend(
-                    s._score_pruned(present, s_buckets, idf, None, "brute",
-                                    avgdl)
-                )
+            if k is None or mode != "bmw" or beta == 0.0:
+                seg = s._score_pruned(present, s_buckets, idf, None,
+                                      "brute", avgdl)
             else:
                 # 1e-9 relative headroom so float rounding of the
                 # inflation can never eat the (strict) bound margin
                 scale = max(1.0, (avgdl / s.avgdl) * (1.0 + 1e-9)) \
                     if s.avgdl else 1.0
-                hits.extend(
-                    s._score_pruned(present, s_buckets, idf, k, "bmw",
-                                    avgdl, ub_scale=scale, theta0=theta)
+                seg = s._score_pruned(
+                    present, s_buckets, idf, k, "bmw", avgdl,
+                    ub_scale=scale,
+                    theta0=(theta / beta if theta > float("-inf")
+                            else theta),
                 )
-                if len(hits) >= k:
-                    theta = max(
-                        theta,
-                        sorted((h[1] for h in hits), reverse=True)[k - 1],
-                    )
+            if beta != 1.0:
+                seg = [(d, sc * beta) for d, sc in seg]
+            hits.extend(seg)
+            if k is not None and mode == "bmw" and len(hits) >= k:
+                theta = max(
+                    theta,
+                    sorted((h[1] for h in hits), reverse=True)[k - 1],
+                )
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits if k is None else hits[:k]
 

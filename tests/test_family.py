@@ -520,3 +520,46 @@ def test_family_intervals_equals_single_positional_index(spark,
         assert [d for d, _ in fam] == [d for d, _ in one], spec
         assert all(abs(a - b) < 1e-9
                    for (_, a), (_, b) in zip(fam, one)), spec
+
+
+def test_family_indices_boost(spark, family_root, single_index_same_docs=None):
+    """indices_boost: per-period score multipliers — boosted brute ==
+    manual boost of unboosted scores, boosted BMW top-k == boosted
+    brute top-k (pruning stays exact under the linear scale + theta/beta
+    threshold), beta=0 keeps hits at score 0, negatives rejected."""
+    from data_prepper_spark.index.family import FamilySearcher
+
+    root, _ = family_root
+    fs = FamilySearcher(spark, root)
+    periods = fs.covered()
+    assert len(periods) >= 3
+    boosts = {p: [1.0, 2.0, 0.5][i % 3] for i, p in enumerate(periods)}
+    for qtext in ("the data", "spark index"):
+        plain = fs.search(qtext, k=None)
+        boosted = fs.search(qtext, k=None, indices_boost=boosts)
+        # period of a doc: recover from per-period search
+        by_period = {}
+        for p in periods:
+            for d, _sc in fs.search(qtext, k=None, periods=[p]):
+                by_period[d] = p
+        want = {d: sc * boosts[by_period[d]] for d, sc in plain}
+        got = dict(boosted)
+        assert got.keys() == want.keys()
+        for d in want:
+            assert abs(got[d] - want[d]) < 1e-9, (qtext, d)
+        # BMW top-k under boost == brute top-k under boost
+        brute_top = sorted(boosted, key=lambda h: (-h[1], h[0]))[:10]
+        bmw_top = fs.search(qtext, k=10, indices_boost=boosts)
+        assert [d for d, _ in bmw_top] == [d for d, _ in brute_top], qtext
+        assert all(abs(a - b) < 1e-9 for (_, a), (_, b)
+                   in zip(bmw_top, brute_top)), qtext
+        # beta=0 keeps matches at score 0 (never prunes them away)
+        zeroed = dict(fs.search(qtext, k=None,
+                                indices_boost={periods[0]: 0.0}))
+        for d, p in by_period.items():
+            if p == periods[0]:
+                assert zeroed[d] == 0.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fs.search("the", k=5, indices_boost={periods[0]: -1.0})
