@@ -783,12 +783,17 @@ def suggest_terms(
     max_edits: int = 2,
     k: int = 5,
     mode: str = "missing",
+    string_distance: str = "levenshtein",
 ) -> list[tuple[str, str, int, int]]:
     """Term suggester (OpenSearch ``suggest: {term}`` — the "did you
     mean" box): per input token, the top-*k* vocabulary corrections
-    within *max_edits* plain-Levenshtein edits, ranked by
+    within *max_edits* edits, ranked by
     (distance ASC, df DESC, term ASC) — OpenSearch's score-then-
-    frequency order made fully deterministic.  ``mode="missing"``
+    frequency order made fully deterministic.  *string_distance*
+    selects the metric, mirroring the DSL option: "levenshtein"
+    (plain unit-cost) or "damerau_levenshtein" (character swaps cost
+    one edit — the engine-internal default OpenSearch ships; full
+    Lowrance-Wagner, damerau_within, DuckDB twin).  ``mode="missing"``
     (OpenSearch default) suggests only for tokens ABSENT from the index;
     ``"always"`` suggests for every token (the token itself never
     appears — distance 0 is excluded).  Returns (token, suggestion,
@@ -799,6 +804,8 @@ def suggest_terms(
     (opensearch sink); the suggester is part of that serving surface."""
     if mode not in ("missing", "always"):
         raise ValueError(f"unknown suggest mode {mode!r}")
+    if string_distance not in ("levenshtein", "damerau_levenshtein"):
+        raise ValueError(f"unknown string_distance {string_distance!r}")
     toks = []
     for t in tokenize(text):
         if t not in toks:
@@ -812,7 +819,11 @@ def suggest_terms(
     for tok in toks:
         if mode == "missing" and tok in vocab_set:
             continue
-        idx, dist = levenshtein_within(vocab, tok, max_edits)
+        idx, dist = (
+            damerau_within(vocab, tok, max_edits)
+            if string_distance == "damerau_levenshtein"
+            else levenshtein_within(vocab, tok, max_edits)
+        )
         keep = dist > 0  # never suggest the token itself
         idx, dist = idx[keep], dist[keep]
         if idx.size == 0:

@@ -718,3 +718,38 @@ def test_fuzzy_transpositions(spark, tiny_index, oracle_tiny):
     hits = search_fuzzy(s, "hte", k=10, max_edits=1, transpositions=True)
     ref = search_bool(s, should=exp_dl, k=10)
     assert hits == ref
+
+
+def test_suggest_terms_damerau(spark, tiny_index, oracle_tiny):
+    """term suggester string_distance=damerau_levenshtein: a swapped-
+    letter typo corrects at distance 1 (plain Levenshtein says 2), same
+    (distance, df, term) rank rule."""
+    import duckdb
+
+    from data_prepper_spark.index.boolquery import suggest_terms
+
+    index_dir, _, _ = tiny_index
+    s = BM25Searcher(spark, index_dir)
+    vocab = sorted(oracle_tiny.postings)
+    con = duckdb.connect()
+    got = suggest_terms(s, "hte", max_edits=1, k=5,
+                        string_distance="damerau_levenshtein")
+    assert any(sug == "the" and d == 1 for _, sug, d, _ in got)
+    # full rank check vs brute DL over the vocabulary
+    def _df(t):
+        return len(oracle_tiny.postings.get(t, ()))
+
+    want = sorted(
+        (con.sql(f"select damerau_levenshtein('{t}','hte')").fetchone()[0],
+         -_df(t), t)
+        for t in vocab
+        if 0 < con.sql(
+            f"select damerau_levenshtein('{t}','hte')").fetchone()[0] <= 1
+    )[:5]
+    assert [(sug, d, df) for _, sug, d, df in got] == [
+        (t, d, -negdf) for d, negdf, t in want
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        suggest_terms(s, "hte", string_distance="nope")
