@@ -10441,6 +10441,124 @@ SELECT query_id, doc_id, score_r FROM ivranked WHERE rn <= {FT_K}
     )
 
 
+# search-API (JSON query DSL) reference bodies — each routes through
+# index/dsl.py search_dsl to an already-oracle-pinned engine function;
+# this entry pins the ROUTING itself against SQL recomputed per body
+SEARCH_API_BODIES: list[tuple[int, dict]] = [
+    (0, {"query": {"match": {"body": "spark index"}}}),
+    (1, {"query": {"bool": {
+        "must": [{"match": {"body": "the"}}],
+        "should": [{"match": {"body": "data"}}],
+        "must_not": [{"match": {"body": "spark"}}],
+    }}}),
+    (2, {"query": {"intervals": {"body": {
+        "match": {"query": "the fast", "ordered": True, "max_gaps": 2},
+    }}}}),
+    (3, {"query": {"fuzzy": {"body": {
+        "value": "tabel", "fuzziness": 1, "transpositions": True}}}}),
+    (4, {"query": {"prefix": {"body": "merg"}}}),
+]
+
+
+def q_ft_search_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON query-DSL dispatcher (the OpenSearch ``_search``-body
+    surface; index/dsl.py search_dsl): match, bool, intervals, fuzzy
+    (transpositions), and prefix bodies each route to the engine
+    function that already serves them — the entry pins the ROUTING (a
+    user's JSON body produces the pinned semantics), with zero scoring
+    code of its own."""
+    from .index.dsl import search_dsl
+
+    idx = _pos_index_dir(spark, sf_dir)
+    s = BM25Searcher(spark, idx)
+    rows = []
+    for qid, body in SEARCH_API_BODIES:
+        for did, sc in search_dsl(s, body):
+            rows.append((qid, did, round(sc, 4)))
+    return spark.createDataFrame(rows, "query_id int, doc_id long, score_r double")
+
+
+def sql_ft_search_api() -> str:
+    bm25 = (
+        f"sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))\n"
+        f"     * tf.tf * ({K1} + 1)\n"
+        f"     / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) )"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RX}'), 1) AS ord
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+-- q0: match "spark index" (OR)
+sa0 AS (
+  SELECT 0 AS query_id, tf.doc_id, {bm25} AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s WHERE tf.term IN ('index', 'spark') GROUP BY 1, 2
+),
+-- q1: bool must the, should data, must_not spark
+sa1 AS (
+  SELECT 1 AS query_id, tf.doc_id, {bm25} AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('data', 'the')
+    AND tf.doc_id IN (SELECT doc_id FROM tf WHERE term = 'the')
+    AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'spark')
+  GROUP BY 1, 2
+),
+-- q2: intervals match "the fast" ordered max_gaps 2 (minimal set)
+sac AS (SELECT DISTINCT a.doc_id, a.ord AS s, b.ord AS e
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord > a.ord
+  WHERE a.term = 'the' AND b.term = 'fast'),
+sam AS (SELECT doc_id, s, e FROM sac c WHERE NOT EXISTS (
+    SELECT 1 FROM sac c2 WHERE c2.doc_id = c.doc_id
+      AND c2.s >= c.s AND c2.e <= c.e
+      AND (c2.s <> c.s OR c2.e <> c.e))),
+saiv AS (SELECT doc_id, count(*)::BIGINT AS tfp FROM sam
+  WHERE e - s + 1 - 2 <= 2 GROUP BY 1),
+sa2 AS (
+  SELECT 2 AS query_id, m.doc_id,
+    ln(1 + (s.n_docs - (SELECT count(*) FROM saiv) + 0.5)
+       / ((SELECT count(*) FROM saiv) + 0.5))
+    * m.tfp * ({K1} + 1)
+    / (m.tfp + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM saiv m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN stats s
+),
+-- q3: fuzzy 'tabel'~1 transpositions (Damerau expansion)
+sa3 AS (
+  SELECT 3 AS query_id, tf.doc_id, {bm25} AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE damerau_levenshtein(tf.term, 'tabel') <= 1
+  GROUP BY 1, 2
+),
+-- q4: prefix merg*
+sa4 AS (
+  SELECT 4 AS query_id, tf.doc_id, {bm25} AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term LIKE 'merg%'
+  GROUP BY 1, 2
+),
+sa_all AS (
+  SELECT * FROM sa0 UNION ALL SELECT * FROM sa1
+  UNION ALL SELECT * FROM sa2 UNION ALL SELECT * FROM sa3
+  UNION ALL SELECT * FROM sa4
+),
+sa_ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM sa_all
+)
+SELECT query_id, doc_id, score_r FROM sa_ranked WHERE rn <= 10
+"""
+
+
 # rank_feature reference set: (qid, qtext, field, shape spec, SQL factor)
 # — the three reference shapes over the n_chars feature docvalue
 RANKFEAT_QUERIES: list[tuple[int, str, dict, str]] = [
@@ -10865,6 +10983,7 @@ QUERIES = {
     "ft_span_multi": q_ft_span_multi,
     "ft_distance_feature": q_ft_distance_feature,
     "ft_random_score": q_ft_random_score,
+    "ft_search_api": q_ft_search_api,
     "ft_intervals": q_ft_intervals,
     "ft_rank_feature": q_ft_rank_feature,
     "ft_script_score": q_ft_script_score,
@@ -11092,6 +11211,7 @@ ORACLES = {
     "ft_span_multi": sql_ft_span_multi(),
     "ft_distance_feature": sql_ft_distance_feature(),
     "ft_random_score": sql_ft_random_score(),
+    "ft_search_api": sql_ft_search_api(),
     "ft_intervals": sql_ft_intervals(),
     "ft_rank_feature": sql_ft_rank_feature(),
     "ft_script_score": sql_ft_script_score(),

@@ -365,6 +365,12 @@ def cmd_query(args) -> None:
             hits = search_simple_query_string(
                 s, q, k=args.k, distributed=args.distributed,
             )
+        elif mode == "search":
+            from data_prepper_spark.index.dsl import search_dsl
+
+            hits = search_dsl(
+                s, json.loads(q), distributed=args.distributed,
+            )
         elif mode == "rank-feature":
             from data_prepper_spark.index.filtered import search_rank_feature
 
@@ -1065,7 +1071,7 @@ def main() -> None:
                              "simple-query-string", "term-vectors",
                              "rank-feature", "script-score", "intervals",
                              "has-child-scored", "agg-geohash",
-                             "agg-ip-prefix"],
+                             "agg-ip-prefix", "search"],
                     help="bool uses Lucene classic syntax (+must -not "
                          "term^boost); query-string is the full DSL "
                          "(+/-, \"phrase\"~slop, prefix*, fuzzy~N, ^boost); "
