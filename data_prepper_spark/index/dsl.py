@@ -179,6 +179,29 @@ def search_dsl(
     if len(node) != 1:
         raise ValueError(f"query takes one key, got {sorted(node)}")
     kind, q = next(iter(node.items()))
+    if "sort" in body:
+        # sort-by-docvalue context (Lucene Sort(SortField)): the match
+        # set comes from a match/term (+ optional bool filter) query,
+        # ranked by the field — no relevance scoring at all
+        from .filtered import search_sorted
+
+        sort = body["sort"]
+        sort = sort[0] if isinstance(sort, list) else sort
+        field, opts = _field_body(sort)
+        asc = str(opts.get("order", "asc")) == "asc"
+        if kind in ("match", "term"):
+            toks, _op, _b = _match_tokens(searcher, q)
+            filters = []
+        elif kind == "bool":
+            toks = _clause_tokens(
+                searcher, q.get("should", q.get("must", [])), {})
+            filters = _filter_triples(q.get("filter", [])) \
+                if q.get("filter") else []
+        else:
+            raise ValueError(f"sort supports match/term/bool, got {kind!r}")
+        return search_sorted(
+            searcher, " ".join(toks), field, k=k, ascending=asc,
+            filters=filters, distributed=distributed)
     if kind == "match_all":
         from .filtered import _docvalues_ids
 

@@ -165,3 +165,23 @@ def test_dsl_rejections(spark, pos_dir):
     ]:
         with pytest.raises(ValueError):
             search_dsl(s, bad)
+
+
+def test_dsl_sort_context(spark, pos_dir):
+    from data_prepper_spark.index.filtered import search_sorted
+
+    s = BM25Searcher(spark, pos_dir)
+    body = {"query": {"match": {"body": "the data"}},
+            "sort": [{"n_chars": {"order": "desc"}}], "size": 8}
+    assert search_dsl(s, body) == search_sorted(
+        s, "the data", "n_chars", k=8, ascending=False)
+    fb = {"query": {"bool": {
+        "should": [{"match": {"body": "the"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}, "sort": {"n_chars": {}}}
+    assert search_dsl(s, fb) == search_sorted(
+        s, "the", "n_chars", k=10, ascending=True,
+        filters=[("lang", "==", "en")])
+    with pytest.raises(ValueError):
+        search_dsl(s, {"query": {"prefix": {"body": "da"}},
+                       "sort": {"n_chars": {}}})
